@@ -1,0 +1,119 @@
+"""Analyzer unit tests: tokenizer, possessive strip, stop set, Porter goldens,
+gap-preserving positions (SURVEY.md §2.2)."""
+
+from search_engine_framework_ray.functions.analysis import (
+    DEFAULT_ANALYZER,
+    LUCENE_STOP_WORDS,
+    AnalyzerConfig,
+    analyze,
+    analyze_positions,
+    tokenize_raw,
+)
+from search_engine_framework_ray.functions.porter import stem
+
+# Classic published Porter test pairs (Porter 1980 + Martin Porter's sample
+# vocabulary) — these pin the stemmer variant.
+PORTER_GOLDENS = {
+    "caresses": "caress",
+    "ponies": "poni",
+    "ties": "ti",
+    "caress": "caress",
+    "cats": "cat",
+    "feed": "feed",
+    "agreed": "agre",
+    "plastered": "plaster",
+    "bled": "bled",
+    "motoring": "motor",
+    "sing": "sing",
+    "conflated": "conflat",
+    "troubled": "troubl",
+    "sized": "size",
+    "hopping": "hop",
+    "tanned": "tan",
+    "falling": "fall",
+    "hissing": "hiss",
+    "fizzed": "fizz",
+    "failing": "fail",
+    "filing": "file",
+    "happy": "happi",
+    "relational": "relat",
+    "conditional": "condit",
+    "rational": "ration",
+    "digitizer": "digit",
+    "operator": "oper",
+    "feudalism": "feudal",
+    "decisiveness": "decis",
+    "hopefulness": "hope",
+    "callousness": "callous",
+    "formaliti": "formal",
+    "triplicate": "triplic",
+    "formative": "form",
+    "formalize": "formal",
+    "electriciti": "electr",
+    "electrical": "electr",  # ical->ic (step 3) then m>1 "ic" deletion (step 4)
+    "hopeful": "hope",
+    "goodness": "good",
+    "revival": "reviv",
+    "allowance": "allow",
+    "inference": "infer",
+    "airliner": "airlin",
+    "gyroscopic": "gyroscop",
+    "adjustable": "adjust",
+    "defensible": "defens",
+    "irritant": "irrit",
+    "replacement": "replac",
+    "adjustment": "adjust",
+    "dependent": "depend",
+    "adoption": "adopt",
+    "communism": "commun",
+    "activate": "activ",
+    "effective": "effect",
+    "probate": "probat",
+    "rate": "rate",
+    "controlling": "control",
+    "rolling": "roll",
+    "running": "run",
+    "argument": "argument",
+    "generalization": "gener",
+    "oscillators": "oscil",
+}
+
+
+def test_porter_goldens():
+    bad = {w: (stem(w), want) for w, want in PORTER_GOLDENS.items() if stem(w) != want}
+    assert not bad, bad
+
+
+def test_porter_short_words_unchanged():
+    for w in ["a", "is", "be", "ox"]:
+        assert stem(w) == w
+
+
+def test_stop_set_is_lucene_33():
+    assert len(LUCENE_STOP_WORDS) == 33
+    assert "the" in LUCENE_STOP_WORDS and "with" in LUCENE_STOP_WORDS
+
+
+def test_tokenize_possessive_and_punct():
+    assert tokenize_raw("Obama's  dog, ran;fast") == ["Obama's", "dog", "ran", "fast"]
+    assert analyze("Obama's dog") == ["obama", "dog"]
+
+
+def test_stopwords_removed_but_positions_advance():
+    terms, pos = analyze_positions("the quick fox of the forest runs")
+    assert terms == ["quick", "fox", "forest", "run"]
+    assert pos == [1, 2, 5, 6]  # stopword slots consume positions
+
+
+def test_no_stem_no_stop_config():
+    cfg = AnalyzerConfig(lowercase=True, stopword_removal=False, stemmer="none")
+    assert analyze("The Running DOGS", cfg) == ["the", "running", "dogs"]
+
+
+def test_multi_token_word():
+    # parser keeps only terms[0] of multi-token words (QryEval.java:694,711)
+    assert analyze("u.s.a")[0] == "u"
+
+
+def test_numbers_pass_through():
+    assert analyze("42 windows 7") == ["42", "window", "7"]
