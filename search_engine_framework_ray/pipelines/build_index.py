@@ -1,0 +1,303 @@
+"""Distributed inverted-index build (SURVEY.md §7.1 steps 3-7).
+
+Ray-Data-first dataflow::
+
+    read_parquet(url, html, lang)                 # column-pruned read
+      └─ map_batches(ExtractStage, pyarrow)       # html → body/title/keywords/url terms
+                                                  #  + anchor rows; html dropped here
+      └─ map_batches(assign part)                 # url → range-partition id (broadcast
+                                                  #  boundaries from a deterministic sample)
+      └─ groupby(part).map_groups(build shard)    # ☁ the ONE big shuffle: co-locates a
+                                                  #  docid range's docs + its inbound
+                                                  #  anchors; SPIMI build, varbyte encode,
+                                                  #  atomic shard dir + lineage manifest
+      └─ (emitted termstats partials)
+         salted_groupby_sum((field,term))         # ☁ small shuffle of per-shard partials
+      └─ groupby(bucket).map_groups(write)        # hash-bucketed global termstats files
+
+Scale notes:
+* docids are the global rank of ``url`` (dense, deterministic): per-partition
+  counts → driver prefix sum → ``docid = offset[part] + local sorted rank``.
+  Independent of task scheduling and of the partition boundaries themselves.
+* the boundaries come from a hash-deterministic sample (``hash(url) % m == 0``)
+  so two runs at different parallelism produce byte-identical indexes.
+* resume: shards whose manifest matches the input fingerprint are skipped;
+  their termstats partials are re-emitted from ``terms.parquet`` on disk.
+* heavy-hitter terms (Zipf head / stopword-adjacent) are salted by source
+  shard in the global stats reduce (north_rule skew handling).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.analysis import DEFAULT_ANALYZER, AnalyzerConfig
+from ..functions.extract import extract_fields
+from ..sources.corpus import hash_det
+from ..stages.aggregate import salted_groupby_sum
+from ..state import index_layout as lay
+from ..state.shard import build_shard, read_manifest_terms
+from ..state.index_layout import read_manifest, write_stats
+
+TERMSTATS_BUCKETS = 64
+NUM_SALTS = 16
+
+
+class ExtractStage:
+    """Stateless map_batches body: html → extracted fields + anchor rows.
+
+    Output schema (union of doc rows and anchor rows, narrow strings only —
+    the heavy ``html`` binary never crosses the shuffle):
+    ``kind ('d'|'a'), url, src, body, title, keywords, anchor``.
+    """
+
+    def __init__(self, verify_golden: bool = False):
+        self.verify_golden = verify_golden
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        golden = batch["text"].to_pylist() if self.verify_golden else None
+        kind, url, src, body, title, kw, anchor = [], [], [], [], [], [], []
+        for i, (u, h) in enumerate(zip(urls, htmls)):
+            f = extract_fields(h)
+            if golden is not None and f["body"] != golden[i]:
+                raise ValueError(f"extraction not byte-identical for {u}")
+            kind.append("d")
+            url.append(u)
+            src.append("")
+            body.append(f["body"])
+            title.append(f["title"])
+            kw.append(f["keywords"])
+            anchor.append("")
+            for href, atext in f["links"]:
+                if not atext:
+                    continue
+                kind.append("a")
+                url.append(href)
+                src.append(u)
+                body.append("")
+                title.append("")
+                kw.append("")
+                anchor.append(atext)
+        return pa.table(
+            {
+                "kind": kind,
+                "url": url,
+                "src": src,
+                "body": body,
+                "title": title,
+                "keywords": kw,
+                "anchor": anchor,
+            }
+        )
+
+
+def _deterministic_url_sample(url_ds: ray.data.Dataset, n_total: int, target: int = 100_000):
+    """Hash-selected url sample — identical at any parallelism level."""
+    mod = max(1, n_total // target)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        keep = [u for u in urls if hash_det(u) % mod == 0]
+        return pa.table({"url": pa.array(keep, type=pa.string())})
+
+    if mod == 1:
+        sample = url_ds
+    else:
+        sample = url_ds.map_batches(pick, batch_format="pyarrow")
+    return sorted(r["url"] for r in sample.take_all())
+
+
+def _assign_part(boundaries: list[str]):
+    bnd = np.array(boundaries, dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = np.array(batch["url"].to_pylist(), dtype=object)
+        part = np.searchsorted(bnd, urls, side="right").astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    return fn
+
+
+def build_index(
+    corpus_paths: str | list[str],
+    index_dir: str,
+    *,
+    num_shards: int | None = None,
+    analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+    lang_filter: str | None = None,
+    include_inlink: bool = True,
+    block_size: int = 128,
+    verify_golden: bool = False,
+) -> dict:
+    """Build (or resume) the sharded index. Returns a build report."""
+    t_start = time.monotonic()
+    read_cols = ["url", "lang"]
+
+    # Pass 1 (url column only): boundaries + exact per-partition counts for
+    # the global docid prefix sum.
+    url_ds = ray.data.read_parquet(corpus_paths, columns=read_cols)
+    if lang_filter:
+        url_ds = url_ds.map_batches(
+            lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
+            batch_format="pyarrow",
+        )
+    url_ds = url_ds.select_columns(["url"])
+    n_total = url_ds.count()
+    if n_total == 0:
+        raise ValueError("empty corpus after lang filter")
+    if num_shards is None:
+        num_shards = max(1, min(512, -(-n_total // 20_000)))
+    sample = _deterministic_url_sample(url_ds, n_total)
+    cuts = [
+        sample[int(len(sample) * k / num_shards)]
+        for k in range(1, num_shards)
+    ]
+    part_counts_df = (
+        url_ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
+        .groupby("part")
+        .count()
+        .to_pandas()
+    )
+    counts = dict(zip(part_counts_df["part"], part_counts_df["count()"]))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in range(num_shards):
+        offsets[p] = acc
+        acc += int(counts.get(p, 0))
+
+    # Pass 2: extract → partition → per-shard SPIMI build.
+    doc_cols = ["url", "html", "lang"] + (["text"] if verify_golden else [])
+    ds = ray.data.read_parquet(corpus_paths, columns=doc_cols)
+    if lang_filter:
+        ds = ds.map_batches(
+            lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
+            batch_format="pyarrow",
+        )
+    ds = ds.map_batches(ExtractStage(verify_golden), batch_format="pyarrow")
+    ds = ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
+
+    analyzer_key = analyzer.key()
+
+    def build_group(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        docs = g[g["kind"] == "d"].sort_values("url", kind="mergesort")
+        docs = docs.drop_duplicates(subset="url", keep="first")
+        urls = docs["url"].tolist()
+        if not urls:
+            return pd.DataFrame(
+                {"field": [], "term": [], "df": [], "ctf": [], "salt": []}
+            )
+        # inlink: inbound anchor text grouped to this partition's target urls,
+        # deterministic order (src url, then anchor text)
+        inlink_map: dict[str, list[str]] = {}
+        if include_inlink:
+            anchors = g[g["kind"] == "a"].sort_values(
+                ["url", "src", "anchor"], kind="mergesort"
+            )
+            urlset = set(urls)
+            for u, a in zip(anchors["url"], anchors["anchor"]):
+                if u in urlset:
+                    inlink_map.setdefault(u, []).append(a)
+
+        field_texts = {
+            "body": docs["body"].tolist(),
+            "title": docs["title"].tolist(),
+            "keywords": docs["keywords"].tolist(),
+            "url": urls,
+            "inlink": [" ".join(inlink_map.get(u, [])) for u in urls],
+        }
+        h = hashlib.sha256()
+        for u, b in zip(urls, field_texts["body"]):
+            h.update(u.encode())
+            h.update(b.encode())
+        for u in sorted(inlink_map):
+            h.update(u.encode())
+            for a in inlink_map[u]:
+                h.update(a.encode())
+        fp = h.hexdigest() + f";{analyzer_key};bs={block_size};base={offsets[part]}"
+
+        man = read_manifest(index_dir, part)
+        if man is not None and man.get("fingerprint") == fp:
+            ts = read_manifest_terms(index_dir, part)  # resume: reuse shard
+        else:
+            ts = build_shard(
+                index_dir,
+                part,
+                offsets[part],
+                urls,
+                field_texts,
+                analyzer,
+                fp,
+                block_size=block_size,
+            ).to_pandas()
+        ts["salt"] = part % NUM_SALTS
+        return ts
+
+    termstats = ds.groupby("part").map_groups(build_group, batch_format="pandas")
+
+    # Global (field, term) df/ctf with heavy-hitter salting, then write
+    # hash-bucketed termstats files.
+    global_ts = salted_groupby_sum(termstats, ["field", "term"], ["df", "ctf"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = [hash_det(t) % TERMSTATS_BUCKETS for t in batch["term"].to_pylist()]
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    tdir = lay.termstats_dir(index_dir)
+    os.makedirs(tdir, exist_ok=True)
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        g = g.sort_values(["field", "term"], kind="mergesort")
+        out = g[["field", "term", "df", "ctf"]]
+        tmp = os.path.join(tdir, f".bucket={b:04d}.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(tdir, f"bucket={b:04d}.parquet"))
+        return pd.DataFrame({"bucket": [b], "n_terms": [len(g)]})
+
+    bucket_report = (
+        global_ts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # Collection stats from shard manifests (stats.json is the commit marker).
+    n_docs = 0
+    fields: dict[str, dict[str, int]] = {}
+    built_shards = lay.list_shards(index_dir)
+    for s in built_shards:
+        man = read_manifest(index_dir, s)
+        n_docs += man["n_docs"]
+        for f, fs in man["fields"].items():
+            agg = fields.setdefault(f, {"sum_doclen": 0, "doccount": 0})
+            agg["sum_doclen"] += fs["sum_doclen"]
+            agg["doccount"] += fs["doccount"]
+    stats = {
+        "n_docs": n_docs,
+        "fields": fields,
+        "analyzer": analyzer_key,
+        "num_shards": num_shards,
+        "block_size": block_size,
+        "termstats_buckets": TERMSTATS_BUCKETS,
+        "include_inlink": include_inlink,
+    }
+    write_stats(index_dir, stats)
+    return {
+        "n_docs": n_docs,
+        "num_shards": len(built_shards),
+        "n_term_buckets": int(len(bucket_report)),
+        "wall_s": round(time.monotonic() - t_start, 3),
+        "stats": stats,
+    }

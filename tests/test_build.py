@@ -1,0 +1,165 @@
+"""End-to-end index build on the tiny synthetic corpus: structure, postings
+correctness vs a brute-force recount, global termstats, and resume."""
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_framework_ray.functions.analysis import DEFAULT_ANALYZER, analyze_positions
+from search_engine_framework_ray.functions.extract import extract_fields
+from search_engine_framework_ray.state.index_layout import list_shards, read_stats
+from search_engine_framework_ray.state.shard import ShardReader
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, tiny_corpus, tmp_path_factory):
+    from search_engine_framework_ray.pipelines.build_index import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("idx") / "index")
+    report = build_index(
+        tiny_corpus, index_dir, num_shards=3, verify_golden=True
+    )
+    return index_dir, report
+
+
+def _brute_force(tiny_corpus):
+    """Single-process truth: per-(field,term) postings over the whole corpus."""
+    rows = []
+    for p in sorted(glob.glob(f"{tiny_corpus}/*.parquet")):
+        rows.extend(pq.read_table(p).to_pylist())
+    rows.sort(key=lambda r: r["url"])
+    inlink = {}
+    for r in rows:
+        for href, atext in extract_fields(r["html"])["links"]:
+            inlink.setdefault(href, []).append((r["url"], atext))
+    docs = []
+    for docid, r in enumerate(rows):
+        f = extract_fields(r["html"])
+        anchors = [a for _, a in sorted(inlink.get(r["url"], []))]
+        docs.append(
+            (
+                docid,
+                r["url"],
+                {
+                    "body": f["body"],
+                    "title": f["title"],
+                    "keywords": f["keywords"],
+                    "url": r["url"],
+                    "inlink": " ".join(anchors),
+                },
+            )
+        )
+    postings = {}
+    doclens = {}
+    for docid, url, fields in docs:
+        for field, text in fields.items():
+            terms, positions = analyze_positions(text, DEFAULT_ANALYZER)
+            doclens[(field, docid)] = len(terms)
+            per = {}
+            for t, p in zip(terms, positions):
+                per.setdefault(t, []).append(p)
+            for t, pl in per.items():
+                postings.setdefault((field, t), []).append((docid, len(pl), pl))
+    return docs, postings, doclens
+
+
+def test_build_structure(built_index):
+    index_dir, report = built_index
+    assert report["n_docs"] == 200
+    shards = list_shards(index_dir)
+    assert len(shards) == 3
+    stats = read_stats(index_dir)
+    assert stats["n_docs"] == 200
+    assert set(stats["fields"]) == {"body", "title", "keywords", "url", "inlink"}
+    assert stats["fields"]["body"]["sum_doclen"] > 0
+    assert os.path.isdir(os.path.join(index_dir, "termstats"))
+
+
+def test_docids_are_global_url_rank(built_index, tiny_corpus):
+    index_dir, _ = built_index
+    docs, _, _ = _brute_force(tiny_corpus)
+    got = []
+    for s in list_shards(index_dir):
+        r = ShardReader(index_dir, s)
+        got.extend(zip(range(r.docid_base, r.docid_base + r.n_docs), r.urls))
+    got.sort()
+    want = [(d, u) for d, u, _ in docs]
+    assert got == want
+
+
+def test_postings_match_brute_force(built_index, tiny_corpus):
+    index_dir, _ = built_index
+    docs, postings, doclens = _brute_force(tiny_corpus)
+    readers = [ShardReader(index_dir, s) for s in list_shards(index_dir)]
+
+    def merged(field, term):
+        parts = []
+        for r in readers:
+            d, t, po, pf, df, ctf = r.get_postings(field, term)
+            for i in range(len(d)):
+                parts.append((int(d[i]), int(t[i]), pf[po[i] : po[i + 1]].tolist()))
+        parts.sort()
+        return parts
+
+    # check a spread of terms incl. a hot one and field-specific ones
+    checked = 0
+    for (field, term), want in sorted(postings.items()):
+        if checked >= 40:
+            break
+        if field == "body" and len(want) < 2 and checked % 2 == 0:
+            continue
+        assert merged(field, term) == sorted(want), (field, term)
+        checked += 1
+    assert checked >= 30
+
+    # doclens
+    for r in readers:
+        for field in ("body", "title", "inlink"):
+            ids = np.arange(r.docid_base, r.docid_base + r.n_docs)
+            got = r.doclen(field, ids)
+            want = np.array([doclens.get((field, int(d)), 0) for d in ids])
+            assert np.array_equal(got, want), field
+
+
+def test_global_termstats(built_index, tiny_corpus):
+    index_dir, _ = built_index
+    _, postings, _ = _brute_force(tiny_corpus)
+    files = sorted(glob.glob(os.path.join(index_dir, "termstats", "bucket=*.parquet")))
+    assert files
+    got = {}
+    for f in files:
+        for r in pq.read_table(f).to_pylist():
+            got[(r["field"], r["term"])] = (r["df"], r["ctf"])
+    want = {
+        k: (len(v), sum(tf for _, tf, _ in v)) for k, v in postings.items()
+    }
+    assert got == want
+
+
+def _index_hash(index_dir):
+    h = hashlib.sha256()
+    for p in sorted(glob.glob(f"{index_dir}/**/*", recursive=True)):
+        if os.path.isfile(p) and not p.endswith(".json"):
+            h.update(open(p, "rb").read())
+    return h.hexdigest()
+
+
+def test_resume_is_noop_and_hash_stable(built_index, tiny_corpus):
+    from search_engine_framework_ray.pipelines.build_index import build_index
+
+    index_dir, _ = built_index
+    h1 = _index_hash(index_dir)
+    mtime = os.path.getmtime(
+        os.path.join(index_dir, "shards", "shard=00000", "postings.bin")
+    )
+    report2 = build_index(tiny_corpus, index_dir, num_shards=3, verify_golden=True)
+    assert report2["n_docs"] == 200
+    assert _index_hash(index_dir) == h1
+    # shard was skipped, not rebuilt
+    assert os.path.getmtime(
+        os.path.join(index_dir, "shards", "shard=00000", "postings.bin")
+    ) == mtime
