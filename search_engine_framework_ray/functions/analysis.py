@@ -58,6 +58,17 @@ class AnalyzerConfig:
 
 DEFAULT_ANALYZER = AnalyzerConfig()
 
+
+def config_from_key(key: str) -> "AnalyzerConfig":
+    """Inverse of :meth:`AnalyzerConfig.key` (stored in index stats.json so
+    query-time analysis always matches the build)."""
+    parts = dict(p.split("=", 1) for p in key.split(";"))
+    return AnalyzerConfig(
+        lowercase=parts["lc"] == "1",
+        stopword_removal=parts["stop"] == "1",
+        stemmer=parts["stem"],
+    )
+
 # A plain analyzer whose output DuckDB SQL oracles can reproduce with
 # string_split/lower (used by the __ray_entry__ correctness-gate queries).
 PLAIN_ANALYZER = AnalyzerConfig(lowercase=True, stopword_removal=False, stemmer="none")

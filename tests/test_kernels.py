@@ -1,0 +1,70 @@
+"""Positional-kernel edge semantics on hand-built position lists (FIXTURES.md
+F4; exact reference cursor behavior per QryopIlNear/Window.java)."""
+
+import numpy as np
+
+from search_engine_framework_ray.query.kernels import _near_match, _window_match
+
+
+def P(*xs):
+    return np.array(xs, dtype=np.int64)
+
+
+def test_near_exact_distance():
+    # match requires 0 <= gap <= n for each adjacent pair, in order
+    assert _near_match([P(1), P(2)], 1) == [2]
+    assert _near_match([P(1), P(3)], 1) == []
+    assert _near_match([P(1), P(3)], 2) == [3]
+    # order matters: second term before first never matches
+    assert _near_match([P(5), P(3)], 4) == []
+
+
+def test_near_advances_all_cursors_after_match():
+    # after a match at (1,2), both cursors advance: next try starts (4,5)
+    assert _near_match([P(1, 4), P(2, 5)], 1) == [2, 5]
+    # the match consumes the 2nd arg's position: (1,2) matches, then first=4
+    # must pair with a later position of arg2
+    assert _near_match([P(1, 4), P(2, 3)], 1) == [2]
+
+
+def test_near_three_args_chained_gap():
+    # chain: a..b <= n and b..c <= n (gap measured between neighbours)
+    assert _near_match([P(1), P(2), P(3)], 1) == [3]
+    assert _near_match([P(1), P(2), P(4)], 1) == []
+    assert _near_match([P(1), P(2), P(4)], 2) == [4]
+
+
+def test_near_equal_positions_match():
+    # reference skips only thisPos < lastPos; equality is a 0-gap match
+    assert _near_match([P(3), P(3)], 1) == [3]
+
+
+def test_near_stopword_gap():
+    # "new york" with a stopword between: positions 0 and 2 → #NEAR/1 fails,
+    # #NEAR/2 matches (gap-preserving positions)
+    assert _near_match([P(0), P(2)], 1) == []
+    assert _near_match([P(0), P(2)], 2) == [2]
+
+
+def test_window_basic():
+    # span = max - min + 1 must be <= width
+    assert _window_match([P(1), P(3)], 3) == [3]
+    assert _window_match([P(1), P(3)], 2) == []
+    # unordered: arg order irrelevant
+    assert _window_match([P(3), P(1)], 3) == [3]
+
+
+def test_window_emits_max_and_advances_all():
+    assert _window_match([P(1, 10), P(2, 11)], 5) == [2, 11]
+    # failed window advances only the min cursor
+    assert _window_match([P(1, 9), P(10)], 3) == [10]
+
+
+def test_window_single_list():
+    assert _window_match([P(4, 7, 9)], 1) == [4, 7, 9]
+
+
+def test_window_repeated_scan():
+    # k=3 unordered within width 4
+    assert _window_match([P(5), P(3), P(6)], 4) == [6]
+    assert _window_match([P(5), P(1), P(6)], 4) == []

@@ -1,0 +1,121 @@
+"""Rank-identity of the distributed engine (shards + codec + vectorized
+kernels + stats pre-pass + heap merge) vs the independent single-process
+oracle, across all four retrieval models and every operator (SURVEY.md §5.2).
+Scores must be bit-identical, not just close."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_framework_ray.query.models import ModelParams
+from search_engine_framework_ray.query.oracle import OracleIndex, oracle_run_query
+from search_engine_framework_ray.query.parser import parse_query
+from search_engine_framework_ray.sources.trec import format_trec_run
+
+# queries restricted to model-legal operators (illegal combos crash the
+# reference with a NullPointerException — not part of the contract)
+BOOL_QUERIES = [
+    ("b1", "search engine ranking"),
+    ("b2", "#AND(search engine)"),
+    ("b3", "#OR(web crawl)"),
+    ("b4", "#SYN(web page)"),
+    ("b5", "#NEAR/1(search engine)"),
+    ("b6", "#NEAR/3(index query)"),
+    ("b7", "#WINDOW/5(model data)"),
+    ("b8", "#AND(search #OR(engine index) #NEAR/2(web page))"),
+    ("b9", "search.title engine.url crawl.keywords obama.inlink"),
+    ("b10", "the of and"),
+    ("b11", "Obama's presidency running"),
+    ("b12", "#OR(#AND(market stock) #WINDOW/4(price trade))"),
+]
+BM25_QUERIES = [
+    ("s1", "search engine ranking"),
+    ("s2", "#SUM(search engine web)"),
+    ("s3", "#NEAR/1(search engine)"),
+    ("s4", "#SYN(web page) crawl"),
+    ("s5", "#WINDOW/5(model data) index"),
+    ("s6", "the of and"),
+    ("s7", "search.title engine.url ranking"),
+    ("s8", "Obama's presidency running"),
+    ("s9", "#SUM(#NEAR/2(new york) market)"),
+]
+INDRI_QUERIES = [
+    ("i1", "search engine ranking"),
+    ("i2", "#AND(search engine)"),
+    ("i3", "#WAND(0.3 search 0.7 engine)"),
+    ("i4", "#WSUM(0.5 web 0.3 the 0.2 crawl)"),
+    ("i5", "#AND(search #WAND(0.4 engine 0.6 index))"),
+    ("i6", "#AND(#NEAR/2(web page) market)"),
+    ("i7", "#WAND(0.4 #AND(search engine) 0.6 #WSUM(0.5 web 0.5 crawl))"),
+    ("i8", "search.title engine.url"),
+    ("i9", "#AND(zzzabsentterm search)"),
+    ("i10", "#WINDOW/6(market stock price)"),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tiny_corpus, tmp_path_factory):
+    from search_engine_framework_ray.pipelines.build_index import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("qidx") / "index")
+    build_index(tiny_corpus, index_dir, num_shards=3)
+    rows = []
+    for p in sorted(glob.glob(f"{tiny_corpus}/*.parquet")):
+        rows.extend(pq.read_table(p, columns=["url", "html"]).to_pylist())
+    oracle = OracleIndex(rows)
+    return index_dir, oracle
+
+
+def _compare(engine_fixture, queries, model):
+    from search_engine_framework_ray.query.executor import run_queries
+
+    index_dir, oracle = engine_fixture
+    params = ModelParams(model=model)
+    got = run_queries(index_dir, queries, params)
+    n_nonempty = 0
+    for qid, qtext in queries:
+        qtree = parse_query(qtext, model)
+        want = oracle_run_query(qtree, oracle, params) if qtree else []
+        have = [(u, s) for u, s, _ in got[qid]]
+        assert [u for u, _ in have] == [u for u, _ in want], f"{model} {qid} ranking differs"
+        assert [s for _, s in have] == [s for _, s in want], f"{model} {qid} scores differ"
+        if have:
+            n_nonempty += 1
+    assert n_nonempty >= len(queries) - 2, "fixture queries mostly hit nothing"
+    return got
+
+
+def test_ranked_boolean(engine):
+    _compare(engine, BOOL_QUERIES, "RankedBoolean")
+
+
+def test_unranked_boolean(engine):
+    _compare(engine, BOOL_QUERIES, "UnrankedBoolean")
+
+
+def test_bm25(engine):
+    _compare(engine, BM25_QUERIES, "BM25")
+
+
+def test_indri(engine):
+    _compare(engine, INDRI_QUERIES, "Indri")
+
+
+def test_trec_output_format(engine):
+    from search_engine_framework_ray.query.executor import run_queries
+
+    index_dir, _ = engine
+    params = ModelParams(model="BM25")
+    got = run_queries(index_dir, [("s1", "search engine"), ("s6", "the of")], params)
+    text = format_trec_run(got, ["s1", "s6"], is_ranked=True)
+    lines = text.strip().split("\n")
+    first = lines[0].split()
+    assert first[0] == "s1" and first[1] == "Q0" and first[3] == "1"
+    assert float(first[4]) != 0
+    assert lines[-1] == "s6 Q0 dummy 1 0 None"
+    # ranks are 1..n and scores non-increasing
+    s1 = [l.split() for l in lines if l.startswith("s1 ")]
+    scores = [float(p[4]) for p in s1]
+    assert scores == sorted(scores, reverse=True)
+    assert [int(p[3]) for p in s1] == list(range(1, len(s1) + 1))
