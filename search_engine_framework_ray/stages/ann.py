@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul and keeps a
+  local top-k, the driver reduces k·n_batches candidate rows. Never
+  materializes the corpus.
+* :class:`IvfIndexedSearch` — the scale path: k-means centroids (Lloyd on a
+  driver-side sample), cluster assignment as a build stage, search probes
+  only ``nprobe`` nearest clusters.
+* :func:`embedding_neardup_pairs` — cosine-threshold near-duplicate pairs
+  via random-hyperplane (SRP) bucketing + in-bucket verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _stack_embeddings(batch: pd.DataFrame, col: str) -> np.ndarray:
+    return np.stack([np.asarray(e, dtype=np.float32) for e in batch[col]])
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    metric: str = "cosine",
+) -> pd.DataFrame:
+    """Exact top-k neighbours for each query row → (query_id, vec_id, score,
+    rank); ties broken by vec_id ascending (deterministic)."""
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    qn = _normalize(q) if metric == "cosine" else q
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        embs = _stack_embeddings(batch, emb_col)
+        if metric == "cosine":
+            embs = _normalize(embs)
+        scores = embs @ qm.T  # (n_batch, n_q)
+        ids = batch[id_col].to_numpy()
+        out = {"query_id": [], id_col: [], "score": []}
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            s = scores[:, qi]
+            # top-k by (-score, id): argpartition then exact sort
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+            order = part[np.lexsort((ids[part], -s[part]))]
+            out["query_id"].extend([qi] * len(order))
+            out[id_col].extend(ids[order])
+            out["score"].extend(s[order].astype(np.float64))
+        return pd.DataFrame(out)
+
+    cand = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    final = []
+    for qi, g in cand.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        final.append(g)
+    return (
+        pd.concat(final).reset_index(drop=True)
+        if final
+        else pd.DataFrame(columns=["query_id", id_col, "score", "rank"])
+    )
+
+
+class IvfIndexedSearch:
+    """IVF (inverted-file) ANN: train centroids on a sample, assign once,
+    probe ``nprobe`` clusters at query time. Recall < 1 by design; the
+    brute-force path is the correctness baseline."""
+
+    def __init__(
+        self,
+        ds: Dataset,
+        *,
+        nlist: int = 16,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        sample_size: int = 2048,
+        iters: int = 8,
+        seed: int = 13,
+    ):
+        self.id_col, self.emb_col = id_col, emb_col
+        sample = ds.limit(sample_size).to_pandas()
+        x = _normalize(_stack_embeddings(sample, emb_col))
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+        for _ in range(iters):  # Lloyd iterations (driver-side, tiny)
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = x[assign == c]
+                if len(m):
+                    cent[c] = m.mean(axis=0)
+            cent = _normalize(cent)
+        self.centroids = cent
+        cent_ref = ray.put(cent)
+
+        def assign_batch(b: pd.DataFrame) -> pd.DataFrame:
+            cc = ray.get(cent_ref)
+            e = _normalize(_stack_embeddings(b, emb_col))
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    "cluster": np.argmax(e @ cc.T, axis=1),
+                    emb_col: list(b[emb_col]),
+                }
+            )
+
+        # materialized once (the "index"): small relative to raw corpus; at
+        # scale this would be written as cluster-partitioned parquet instead
+        self.assigned = ds.map_batches(assign_batch, batch_format="pandas").materialize()
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        out = []
+        for qi in range(len(q)):
+            clusters = set(int(c) for c in probe[qi])
+            sub = self.assigned.filter(
+                lambda row, cl=clusters: row["cluster"] in cl
+            )
+            r = brute_force_topk(
+                sub, q[qi], k, id_col=self.id_col, emb_col=self.emb_col
+            )
+            r["query_id"] = qi
+            out.append(r)
+        return pd.concat(out).reset_index(drop=True)
+
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 29,
+) -> pd.DataFrame:
+    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold): SRP sign
+    buckets → in-bucket exact verify. Pairs whose cosine ≥ threshold but
+    land in different buckets are missed with probability that shrinks as
+    ``n_planes`` bands are added — standard LSH trade-off."""
+    sample = ds.limit(1).to_pandas()
+    dim = len(sample[emb_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    p_ref = ray.put(planes)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(p_ref)
+        e = _normalize(_stack_embeddings(b, emb_col))
+        bits = (e @ pl) > 0
+        keys = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "bucket": keys.astype(np.int64),
+                emb_col: list(b[emb_col]),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        e = _normalize(_stack_embeddings(g, emb_col))
+        sims = e @ e.T
+        a_out, b_out, s_out = [], [], []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    s_out.append(float(sims[i, j]))
+        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": s_out})
+
+    return (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis stages for large-scale training-data pipelines: token
+counting, quality scoring, language id, document fingerprinting.
+
+All are vectorized/batched ``map_batches`` bodies over a documents-like table
+(``doc_id, text, …``). Stateless ones are plain functions; LangId is a
+callable class (compiles profiles once per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.analysis import LUCENE_STOP_WORDS
+
+# BPE-ish word/number/punct splitter for token counting (public GPT-2-style
+# pre-tokenizer shape: contractions, letter runs, digit runs, punct runs).
+import re
+
+_BPE_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+_WS_RE = re.compile(r"\S+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+
+def token_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace token count + BPE-ish subword-unit count per doc."""
+    texts = batch[text_col].fillna("")
+    batch = batch.copy()
+    batch["n_ws_tokens"] = texts.map(lambda t: len(_WS_RE.findall(t)))
+    batch["n_bpe_tokens"] = texts.map(lambda t: len(_BPE_RE.findall(t)))
+    return batch
+
+
+def quality_score(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic quality features: length, mean word length, stopword ratio,
+    punctuation ratio, plus a composite [0,1] score."""
+    out = batch.copy()
+    texts = batch[text_col].fillna("")
+    n_chars = texts.str.len().astype("int64")
+    words = texts.str.lower().str.split()
+    n_words = words.map(len).astype("int64")
+    n_stop = words.map(lambda ws: sum(1 for w in ws if w in LUCENE_STOP_WORDS)).astype("int64")
+    n_punct = texts.map(lambda t: len(_PUNCT_RE.findall(t))).astype("int64")
+    out["n_chars_q"] = n_chars
+    out["n_words"] = n_words
+    out["mean_word_len"] = np.where(n_words > 0, (n_chars - (n_words - 1).clip(lower=0)) / n_words.replace(0, 1), 0.0)
+    out["stopword_ratio"] = np.where(n_words > 0, n_stop / n_words.replace(0, 1), 0.0)
+    out["punct_ratio"] = np.where(n_chars > 0, n_punct / n_chars.replace(0, 1), 0.0)
+    # composite: long-enough docs with natural stopword density and low punct
+    len_ok = np.clip(n_words / 50.0, 0, 1)
+    stop_ok = 1.0 - np.abs(out["stopword_ratio"] - 0.4) / 0.4
+    punct_ok = 1.0 - np.clip(out["punct_ratio"] * 5, 0, 1)
+    out["quality"] = (len_ok * 0.4 + np.clip(stop_ok, 0, 1) * 0.4 + punct_ok * 0.2).astype(float)
+    return out
+
+
+# Function-word profiles for a deterministic n-gram/stopword language-id
+# heuristic (top function words per language; public linguistic knowledge).
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "it", "that", "for", "with", "as", "on"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "des", "un", "une", "du", "que", "pour", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "de", "un", "una", "que", "por", "con"},
+    "zh": set(),  # no latin function words → falls through to "und"/unknown
+}
+
+
+class LangIdStage:
+    """Actor-pool language id: function-word hit-rate argmax; 'und' when no
+    profile scores (e.g. CJK text under this latin heuristic)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        preds = []
+        for t in batch[self.text_col].fillna(""):
+            words = [w.lower() for w in self.word_re.findall(t)]
+            if not words:
+                preds.append("und")
+                continue
+            best, best_score = "und", 0.0
+            for lang in sorted(self.profiles):
+                prof = self.profiles[lang]
+                score = sum(1 for w in words if w in prof) / len(words)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best if best_score > 0.02 else "und")
+        out["lang_pred"] = preds
+        return out
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Rolling polynomial (Rabin-Karp-style) 64-bit document fingerprint —
+    order-sensitive, whitespace-normalized; identical content → identical
+    fingerprint across any partitioning."""
+    out = batch.copy()
+    fps = []
+    for t in batch[text_col].fillna(""):
+        data = np.frombuffer(" ".join(t.split()).encode("utf-8"), dtype=np.uint8)
+        h = np.uint64(14695981039346656037)
+        # vectorized Horner: h = ((h * B) + b) for each byte, via cumulative powers
+        if data.size:
+            with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+                powers = np.empty(data.size, dtype=np.uint64)
+                powers[0] = 1
+                if data.size > 1:
+                    np.multiply.accumulate(
+                        np.full(data.size - 1, _FP_BASE, dtype=np.uint64),
+                        out=powers[1:],
+                    )
+                h = (
+                    h * powers[-1] * _FP_BASE
+                    + np.sum(data.astype(np.uint64) * powers[::-1], dtype=np.uint64)
+                ) & _FP_MOD_MASK
+        v = int(h)
+        fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+    out["fingerprint"] = np.array(fps, dtype=np.int64)
+    return out

@@ -1,0 +1,134 @@
+"""Event-time windowed aggregation over a stream-shaped table
+(``events: event_id, ts, user_id, event_type, value, …``).
+
+Ray Data has no watermarks; the input is treated as an ordered, partitioned
+log (ray_guide "streaming-shaped workloads"): windows are pure functions of
+``ts``, so tumbling/sliding aggregates are a bucket column + pre-aggregated
+``groupby``, and session windows are per-key gap scans inside
+``groupby(key).map_groups`` (ordering assumption: within one key-group we
+sort by ts — late rows are simply rows; no watermark needed for batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _bucket_start(ts: pd.Series, size_s: int, offset_s: int = 0) -> pd.Series:
+    epoch = ts.astype("datetime64[us]").astype("int64") // 1_000_000
+    start = ((epoch - offset_s) // size_s) * size_s + offset_s
+    return pd.to_datetime(start, unit="s")
+
+
+def tumbling_window(
+    ds: Dataset,
+    size_s: int,
+    *,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> Dataset:
+    """Tumbling window aggregate → (window_start, *keys, n, sum/min/max/mean
+    of value). One pre-aggregated shuffle."""
+    keys = keys or []
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["window_start"] = _bucket_start(b[ts_col], size_s)
+        # per-batch combiner: collapse before the shuffle
+        g = b.groupby(["window_start"] + keys, as_index=False)[value_col].agg(
+            ["sum", "count", "min", "max"]
+        )
+        g.columns = ["window_start"] + keys + ["_sum", "_n", "_min", "_max"]
+        return g
+
+    partial = ds.map_batches(add_bucket, batch_format="pandas")
+    out = partial.groupby(["window_start"] + keys).aggregate(
+        Sum("_sum", alias_name="value_sum"),
+        Sum("_n", alias_name="n"),
+        Min("_min", alias_name="value_min"),
+        Max("_max", alias_name="value_max"),
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["value_mean"] = b["value_sum"] / b["n"]
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def sliding_window(
+    ds: Dataset,
+    size_s: int,
+    slide_s: int,
+    *,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> Dataset:
+    """Sliding windows: each event replicated to the size/slide covering
+    windows, then the tumbling machinery on the window-start column."""
+    keys = keys or []
+    n_covers = -(-size_s // slide_s)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = b[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        frames = []
+        for i in range(n_covers):
+            w = ((epoch - i * slide_s) // slide_s) * slide_s
+            keep = (epoch >= w) & (epoch < w + size_s)
+            f = b[keep].copy()
+            f["window_start"] = pd.to_datetime(w[keep], unit="s")
+            frames.append(f)
+        out = pd.concat(frames) if frames else b.iloc[0:0].assign(window_start=pd.NaT)
+        g = out.groupby(["window_start"] + keys, as_index=False)[value_col].agg(
+            ["sum", "count"]
+        )
+        g.columns = ["window_start"] + keys + ["_sum", "_n"]
+        return g
+
+    partial = ds.map_batches(explode, batch_format="pandas")
+    out = partial.groupby(["window_start"] + keys).aggregate(
+        Sum("_sum", alias_name="value_sum"), Sum("_n", alias_name="n")
+    )
+    return out
+
+
+def session_windows(
+    ds: Dataset,
+    gap_s: int,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> Dataset:
+    """Per-key session windows (gap-based): ``groupby(key)`` then a sorted
+    gap scan per group → (key, session_start, session_end, n, value_sum)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        epoch = g[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = np.diff(epoch) > gap_s
+        sid = np.cumsum(new_session)
+        out = (
+            g.assign(_sid=sid, _epoch=epoch)
+            .groupby("_sid")
+            .agg(
+                **{
+                    key: (key, "first"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                    "n": (ts_col, "size"),
+                    "value_sum": (value_col, "sum"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        return out
+
+    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
