@@ -1,44 +1,690 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native search-engine-framework rebuild.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one callable per implemented pipeline/operator from
+SURVEY.md §2 (plus the training-data additions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible entry. Float columns are
+compared as integer micros (``*_micros = round(x·10⁶)``) so value-hashes are
+robust to sub-ulp accumulation-order differences between engines.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+# ----------------------------------------------------------------------------
+# shared helpers
+# ----------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join")
+_K1, _B = 1.2, 0.75
+
+
+def _docs_index(sf_dir: str) -> str:
+    """Build (once, resumable) a plain-analyzer index over sf_dir/documents —
+    whitespace/lowercase analysis, so DuckDB string_split oracles can
+    reproduce the scoring exactly."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/sefr_indices/{key}"
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            idx,
+            analyzer=PLAIN_ANALYZER,
+            plain_source=PlainSource(),
+            num_shards=4,
+        )
+    return idx
+
+
+def _run(sf_dir: str, qtext: str, model: str, k: int = 100):
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    res = run_queries(idx, [("q", qtext)], ModelParams(model=model), k=k)["q"]
+    return pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score": [s for _, s, _ in res],
+        }
+    )
+
+
+def _micros(x) -> "pd.Series":
+    return pd.Series(np.round(np.asarray(x, dtype=np.float64) * 1_000_000)).astype("int64")
+
+
+# ----------------------------------------------------------------------------
+# fulltext pipelines (reference operator surface, SURVEY.md §2.3-2.5)
+# ----------------------------------------------------------------------------
+
+
+def q_bm25_topk(sf_dir: str):
+    """#SUM BM25 bag-of-words top-20 (QryopSlScore/QryopSlSum semantics)."""
+    df = _run(sf_dir, " ".join(_BM25_TERMS), "BM25")
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(["score_micros", "doc_id"], ascending=[False, True], kind="mergesort").head(20)
+    return df[["doc_id", "score_micros"]].reset_index(drop=True)
+
+
+def q_ranked_and(sf_dir: str):
+    """RankedBoolean #AND: intersection, score=min(tf) (QryopSlAnd)."""
+    df = _run(sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "RankedBoolean", k=10_000)
+    df["tf_min"] = df["score"].astype("int64")
+    return df[["doc_id", "tf_min"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ranked_or(sf_dir: str):
+    """RankedBoolean #OR: union, score=max(tf) (QryopSlOr)."""
+    df = _run(sf_dir, f"#OR({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "RankedBoolean", k=10_000)
+    df["tf_max"] = df["score"].astype("int64")
+    return df[["doc_id", "tf_max"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_unranked_and(sf_dir: str):
+    """UnrankedBoolean #AND membership, url-order (QryEval.java:389-412)."""
+    df = _run(sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "UnrankedBoolean", k=10_000)
+    return df[["doc_id"]].reset_index(drop=True)
+
+
+def q_near1_tf(sf_dir: str):
+    """#NEAR/1(spark join): adjacency matches, score=tf under RankedBoolean
+    (QryopIlNear cursor semantics)."""
+    df = _run(sf_dir, "#NEAR/1(spark join)", "RankedBoolean", k=10_000)
+    df["tf"] = df["score"].astype("int64")
+    return df[["doc_id", "tf"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_near2_docs(sf_dir: str):
+    """#NEAR/2 membership (UnrankedBoolean)."""
+    df = _run(sf_dir, "#NEAR/2(spark join)", "UnrankedBoolean", k=10_000)
+    return df[["doc_id"]].reset_index(drop=True)
+
+
+def q_window_docs(sf_dir: str):
+    """#WINDOW/3 membership: both terms within an unordered 3-token window.
+    (Reference QryopIlWindow; SQL oracle via position self-join.)"""
+    df = _run(sf_dir, "#WINDOW/3(spark join)", "UnrankedBoolean", k=10_000)
+    return df[["doc_id"]].reset_index(drop=True)
+
+
+def q_syn_tf(sf_dir: str):
+    """#SYN(spark join): per-doc merged positions, tf = total occurrences
+    (QryopIlSyn), RankedBoolean score=tf."""
+    df = _run(sf_dir, "#SYN(spark join)", "RankedBoolean", k=10_000)
+    df["tf"] = df["score"].astype("int64")
+    return df[["doc_id", "tf"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_term_stats(sf_dir: str):
+    """Global per-term df/ctf from the build-time termstats store (the salted
+    groupby aggregate, SURVEY.md §2.7)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx = _docs_index(sf_dir)
+    frames = [
+        pq.read_table(p).to_pandas()
+        for p in sorted(glob.glob(os.path.join(idx, "termstats", "bucket=*.parquet")))
+    ]
+    df = pd.concat(frames)
+    df = df[df["field"] == "body"][["term", "df", "ctf"]]
+    return df.sort_values("term", kind="mergesort").reset_index(drop=True)
+
+
+def q_doclen_stats(sf_dir: str):
+    """Per-doc body doclen from the index doclens sidecar (DocLengthStore
+    equivalent)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx = _docs_index(sf_dir)
+    frames = [
+        pq.read_table(p, columns=["docid", "len_body"]).to_pandas()
+        for p in sorted(glob.glob(os.path.join(idx, "shards", "shard=*", "doclens.parquet")))
+    ]
+    df = pd.concat(frames).rename(columns={"docid": "doc_id", "len_body": "doclen"})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------------
+# training-data pipelines (dedup / ANN / text analysis / windows)
+# ----------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = exact_dedup(ds).to_pandas()
+    return (
+        out[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_dedup(ds, threshold=0.8)[["doc_id", "cluster_id", "is_dup"]]
+
+
+def q_dedup_simhash(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_dedup(ds, max_hamming=3)[["doc_id", "simhash", "cluster_id"]]
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 embedding (numpy matmul per
+    batch against a broadcast query)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float32,
+    )
+    ds = ray.data.read_parquet(path)
+    out = brute_force_topk(ds, q, k=10)
+    out["cosine_micros"] = _micros(out["score"])
+    return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate top-10 (nlist=8, nprobe=8 == exhaustive probing, so
+    results equal brute force and the SQL oracle)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import IvfIndexedSearch
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float32,
+    )
+    ds = ray.data.read_parquet(path)
+    ivf = IvfIndexedSearch(ds, nlist=8)
+    out = ivf.search(q, k=10, nprobe=8)
+    out["cosine_micros"] = _micros(out["score"])
+    return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_neardup_pairs(ds, threshold=0.9, n_planes=8)
+    pairs["cosine_micros"] = _micros(pairs["cosine"])
+    return pairs[["a", "b", "cosine_micros"]]
+
+
+def q_token_count(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import token_count
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = ds.map_batches(token_count, batch_format="pandas").to_pandas()
+    return (
+        out[["doc_id", "n_ws_tokens", "n_bpe_tokens"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_quality(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import quality_score
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = ds.map_batches(quality_score, batch_format="pandas").to_pandas()
+    out["stopword_ratio_micros"] = _micros(out["stopword_ratio"])
+    return (
+        out[["doc_id", "n_chars_q", "n_words", "stopword_ratio_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_langid(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import LangIdStage
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 2)).to_pandas()
+    return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import fingerprint
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = ds.map_batches(fingerprint, batch_format="pandas").to_pandas()
+    return out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_events_tumbling(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import tumbling_window
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = tumbling_window(ds, 3600, keys=["event_type"]).to_pandas()
+    out["value_sum_micros"] = _micros(out["value_sum"])
+    out["n"] = out["n"].astype("int64")
+    # epoch seconds (typed-timestamp hashing differs across engines)
+    out["window_start_s"] = (
+        out["window_start"].astype("datetime64[us]").astype("int64") // 1_000_000
+    )
+    return (
+        out[["window_start_s", "event_type", "n", "value_sum_micros"]]
+        .sort_values(["window_start_s", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_sessions(sf_dir: str):
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import session_windows
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = session_windows(ds, gap_s=1800).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["value_sum_micros"] = _micros(out["value_sum"])
+    for c in ("session_start", "session_end"):
+        out[c + "_us"] = out[c].astype("datetime64[us]").astype("int64")
+    return (
+        out[["user_id", "session_start_us", "session_end_us", "n", "value_sum_micros"]]
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-ish pre-aggregated groupby (general columnar-agg path)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_rev"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["sum_rev_cents"] = pd.Series(np.round(out["sum_rev"].to_numpy() * 100)).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return (
+        out[["l_returnflag", "l_linestatus", "sum_qty", "sum_rev_cents", "n_rows"]]
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast-small-side join: orders ⋈ customer ⋈ nation without a
+    shuffle join (ray.put lookup inside map_batches, then a tiny groupby)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup_ref = ray.put((c2n, n2name))
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(lookup_ref)
+        b = b.copy()
+        b["n_name"] = b["o_custkey"].map(lambda c: n2name_.get(c2n_.get(c)))
+        return b[["n_name", "o_totalprice"]]
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = pd.Series(np.round(out["total"].to_numpy() * 100)).astype("int64")
+    return out[["n_name", "n_orders", "total_cents"]].sort_values("n_name").reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------------
+# driver contract
+# ----------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents and run a
+    BM25 batch; returns the ranked results table."""
+    sf = "/root/testdata/sf0.001"
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf)
+    res = run_queries(
+        idx,
+        [("q1", "spark join"), ("q2", "#NEAR/1(spark join)"), ("q3", "window sort merge")],
+        ModelParams(model="BM25"),
+    )
+    rows = []
+    for qid in ("q1", "q2", "q3"):
+        for rank, (url, score, docid) in enumerate(res[qid], 1):
+            rows.append({"qid": qid, "rank": rank, "doc_id": int(url[3:]), "score": score})
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "ranked_and": q_ranked_and,
+        "ranked_or": q_ranked_or,
+        "unranked_and": q_unranked_and,
+        "near1_tf": q_near1_tf,
+        "near2_docs": q_near2_docs,
+        "window_docs": q_window_docs,
+        "syn_tf": q_syn_tf,
+        "term_stats": q_term_stats,
+        "doclen_stats": q_doclen_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        "lineitem_agg": q_lineitem_agg,
+        "orders_by_nation": q_orders_by_nation,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = """
+WITH toks AS (
+    SELECT doc_id, lower(tok) AS tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+)
+"""
+
+_POS_TOKS = """
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+    SELECT doc_id, lower(l[i]) AS tok, i AS pos
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+    WHERE l[i] <> ''
+)
+"""
+
+_BM25_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scores
+ORDER BY score_micros DESC, doc_id
+LIMIT 20
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _BM25_SQL,
+        "ranked_and": f"""
+            {_TOKS}, tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('spark','join') GROUP BY doc_id, tok)
+            SELECT doc_id, CAST(min(tf) AS BIGINT) AS tf_min FROM tf
+            GROUP BY doc_id HAVING count(DISTINCT tok) = 2 ORDER BY doc_id
+        """,
+        "ranked_or": f"""
+            {_TOKS}, tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('spark','join') GROUP BY doc_id, tok)
+            SELECT doc_id, CAST(max(tf) AS BIGINT) AS tf_max FROM tf
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "unranked_and": f"""
+            {_TOKS}, tf AS (
+                SELECT doc_id, tok FROM toks
+                WHERE tok IN ('spark','join') GROUP BY doc_id, tok)
+            SELECT doc_id FROM tf GROUP BY doc_id
+            HAVING count(*) = 2 ORDER BY doc_id
+        """,
+        "near1_tf": f"""
+            {_POS_TOKS}
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'spark' AND b.tok = 'join'
+            GROUP BY a.doc_id ORDER BY a.doc_id
+        """,
+        "near2_docs": f"""
+            {_POS_TOKS}
+            SELECT DISTINCT a.doc_id
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+            WHERE a.tok = 'spark' AND b.tok = 'join'
+            ORDER BY a.doc_id
+        """,
+        "window_docs": f"""
+            {_POS_TOKS}
+            SELECT DISTINCT a.doc_id
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 2 AND b.pos <> a.pos
+            WHERE a.tok = 'spark' AND b.tok = 'join'
+            ORDER BY a.doc_id
+        """,
+        "syn_tf": f"""
+            {_TOKS}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+            WHERE tok IN ('spark','join') GROUP BY doc_id ORDER BY doc_id
+        """,
+        "term_stats": f"""
+            {_TOKS}
+            SELECT tok AS term,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS ctf
+            FROM toks GROUP BY tok ORDER BY term
+        """,
+        "doclen_stats": f"""
+            {_TOKS}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+            FROM toks GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+            FROM documents ORDER BY doc_id
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cos
+                FROM embeddings
+            ),
+            ranked AS (
+                SELECT vec_id, cos,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT rank, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
+            FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cos
+                FROM embeddings
+            ),
+            ranked AS (
+                SELECT vec_id, cos,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT rank, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
+            FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "quality": """
+            WITH toks AS (
+                SELECT doc_id, lower(tok) AS tok
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+                WHERE tok <> ''
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_words,
+                       sum(CASE WHEN tok IN ('a','an','and','are','as','at','be','but','by','for',
+                                             'if','in','into','is','it','no','not','of','on','or',
+                                             'such','that','the','their','then','there','these',
+                                             'they','this','to','was','will','with')
+                                THEN 1 ELSE 0 END) AS n_stop
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_q,
+                   CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(round(coalesce(a.n_stop * 1.0 / a.n_words, 0) * 1000000) AS BIGINT)
+                       AS stopword_ratio_micros
+            FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+        """,
+        "events_tumbling": """
+            SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                       AS sum_rev_cents,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        # dedup_minhash / dedup_simhash / embedding_neardup / langid /
+        # fingerprint are sketch/heuristic pipelines with no faithful ANSI-SQL
+        # equivalent → rows-only checks.
+    }

@@ -129,6 +129,42 @@ def _assign_part(boundaries: list[str]):
     return fn
 
 
+class PlainSource:
+    """Adapter for indexing a plain text table (no HTML): maps
+    ``(id_col, text_col[, title_col, keywords_col])`` onto the extract-stage
+    output schema. ``url`` is a zero-padded render of the id so url order ==
+    id order (docid == id for dense 0-based ids)."""
+
+    def __init__(self, id_col="doc_id", text_col="text", title_col=None, keywords_col=None):
+        self.id_col, self.text_col = id_col, text_col
+        self.title_col, self.keywords_col = title_col, keywords_col
+
+    def url_expr(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        urls = [f"doc{int(i):010d}" for i in ids]
+        return batch.append_column("url", pa.array(urls, type=pa.string()))
+
+    def to_doc_rows(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch[self.id_col].to_pylist()
+        empty = [""] * n
+        return pa.table(
+            {
+                "kind": ["d"] * n,
+                "url": [f"doc{int(i):010d}" for i in ids],
+                "src": empty,
+                "body": batch[self.text_col].to_pylist(),
+                "title": batch[self.title_col].to_pylist() if self.title_col else empty,
+                "keywords": batch[self.keywords_col].to_pylist() if self.keywords_col else empty,
+                "anchor": empty,
+            }
+        )
+
+    @staticmethod
+    def docid_from_url(url: str) -> int:
+        return int(url[3:])
+
+
 def build_index(
     corpus_paths: str | list[str],
     index_dir: str,
@@ -139,19 +175,65 @@ def build_index(
     include_inlink: bool = True,
     block_size: int = 128,
     verify_golden: bool = False,
+    plain_source: "PlainSource | None" = None,
 ) -> dict:
     """Build (or resume) the sharded index. Returns a build report."""
     t_start = time.monotonic()
+    if plain_source is not None:
+        include_inlink = False
+        return _build_index_inner(
+            corpus_paths,
+            index_dir,
+            num_shards=num_shards,
+            analyzer=analyzer,
+            lang_filter=lang_filter,
+            include_inlink=False,
+            block_size=block_size,
+            verify_golden=False,
+            plain_source=plain_source,
+            t_start=t_start,
+        )
+    return _build_index_inner(
+        corpus_paths,
+        index_dir,
+        num_shards=num_shards,
+        analyzer=analyzer,
+        lang_filter=lang_filter,
+        include_inlink=include_inlink,
+        block_size=block_size,
+        verify_golden=verify_golden,
+        plain_source=None,
+        t_start=t_start,
+    )
+
+
+def _build_index_inner(
+    corpus_paths,
+    index_dir,
+    *,
+    num_shards,
+    analyzer,
+    lang_filter,
+    include_inlink,
+    block_size,
+    verify_golden,
+    plain_source,
+    t_start,
+) -> dict:
     read_cols = ["url", "lang"]
 
     # Pass 1 (url column only): boundaries + exact per-partition counts for
     # the global docid prefix sum.
-    url_ds = ray.data.read_parquet(corpus_paths, columns=read_cols)
-    if lang_filter:
-        url_ds = url_ds.map_batches(
-            lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
-            batch_format="pyarrow",
-        )
+    if plain_source is not None:
+        url_ds = ray.data.read_parquet(corpus_paths, columns=[plain_source.id_col])
+        url_ds = url_ds.map_batches(plain_source.url_expr, batch_format="pyarrow")
+    else:
+        url_ds = ray.data.read_parquet(corpus_paths, columns=read_cols)
+        if lang_filter:
+            url_ds = url_ds.map_batches(
+                lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
+                batch_format="pyarrow",
+            )
     url_ds = url_ds.select_columns(["url"])
     n_total = url_ds.count()
     if n_total == 0:
@@ -177,14 +259,22 @@ def build_index(
         acc += int(counts.get(p, 0))
 
     # Pass 2: extract → partition → per-shard SPIMI build.
-    doc_cols = ["url", "html", "lang"] + (["text"] if verify_golden else [])
-    ds = ray.data.read_parquet(corpus_paths, columns=doc_cols)
-    if lang_filter:
-        ds = ds.map_batches(
-            lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
-            batch_format="pyarrow",
-        )
-    ds = ds.map_batches(ExtractStage(verify_golden), batch_format="pyarrow")
+    if plain_source is not None:
+        cols = [plain_source.id_col, plain_source.text_col]
+        for c in (plain_source.title_col, plain_source.keywords_col):
+            if c:
+                cols.append(c)
+        ds = ray.data.read_parquet(corpus_paths, columns=cols)
+        ds = ds.map_batches(plain_source.to_doc_rows, batch_format="pyarrow")
+    else:
+        doc_cols = ["url", "html", "lang"] + (["text"] if verify_golden else [])
+        ds = ray.data.read_parquet(corpus_paths, columns=doc_cols)
+        if lang_filter:
+            ds = ds.map_batches(
+                lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
+                batch_format="pyarrow",
+            )
+        ds = ds.map_batches(ExtractStage(verify_golden), batch_format="pyarrow")
     ds = ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
 
     analyzer_key = analyzer.key()

@@ -1,18 +1,21 @@
-"""Distributed query execution: actor pool over mmap'd index shards.
+"""Distributed query execution over mmap'd index shards.
 
-Shape (SURVEY.md §3.1 "new engine equivalent"):
+Two front-ends over the same planning/evaluation core:
 
-* the driver parses queries, resolves **global** term stats from the
-  build-time ``termstats`` store (bucket-pruned parquet reads), and — only
-  for queries whose scored leaves are composite (``#NEAR``/``#WINDOW``/
-  ``#SYN`` under ``#SCORE``) — runs a cheap stats pre-pass so every shard
-  scores with cross-shard (df, ctf);
-* a ``(qid, shard)`` work list fans out to a ``map_batches`` actor pool;
-  each actor holds ShardReaders (mmap postings + term dict + doclens) loaded
-  once and cached LRU;
-* each task returns the shard-local top-k (docid tie-break == url tie-break,
-  because docid is the global url rank); the driver's final heap merge of
-  k·S tiny rows is exact.
+* :func:`run_queries` — Ray **Data** path: a ``(qid, shard)`` work list fans
+  out through a ``map_batches`` actor pool; right default for batch query
+  workloads (hundreds+ of queries).
+* :class:`QueryService` — raw Ray **actor** path: persistent shard workers,
+  one RPC per query batch; right for latency benchmarks / serving, where
+  per-call Dataset overhead would dominate. (The one place we drop below the
+  Dataset API, as SURVEY.md §0 allows for a shared long-lived index.)
+
+Common shape (SURVEY.md §3.1): driver parses queries and resolves **global**
+term stats from the build-time ``termstats`` store; queries whose scored
+leaves are composite (#NEAR/#WINDOW/#SYN under #SCORE) get a cross-shard
+(df, ctf) pre-pass; every shard then scores with global stats, returns its
+local top-k (docid tie-break == url tie-break since docid is the global url
+rank), and the driver's merge of k·S tiny rows is exact.
 """
 
 from __future__ import annotations
@@ -23,9 +26,9 @@ import numpy as np
 import pandas as pd
 
 from ..functions.analysis import config_from_key
-from ..state.index_layout import read_stats
+from ..state.index_layout import list_shards, read_stats
 from ..state.shard import ShardReader
-from .ast import IL_TYPES, Term, iter_score_nodes
+from .ast import Term, iter_score_nodes
 from .kernels import Evaluator
 from .models import ModelParams
 
@@ -72,12 +75,54 @@ class _ShardCache:
         return ShardView(r, self.stats)
 
 
-class StatsPrePassActor:
-    """Phase A: per (qid, shard), the local (df, ctf) of every *composite*
-    scored leaf — summed across shards by the driver (the reference reads
-    these off the evaluated list, QryopSlScore.java:95,136; distributed they
-    must be global before scoring)."""
+# ---------------------------------------------------------------------------
+# evaluation core (shared by the Data actors and the service workers)
+# ---------------------------------------------------------------------------
 
+
+def stats_prepass_rows(cache: _ShardCache, queries: dict, pairs) -> pd.DataFrame:
+    """Per (qid, shard): local (df, ctf) of every composite scored leaf
+    (the reference reads them off the evaluated list, QryopSlScore.java:95,136
+    — distributed they must be summed across shards before scoring)."""
+    out = {"qid": [], "score_id": [], "df": [], "ctf": []}
+    for qid, shard in pairs:
+        qtree, params = queries[qid][0], queries[qid][1]
+        ev = Evaluator(cache.view(int(shard)), params)
+        for sn in iter_score_nodes(qtree):
+            if isinstance(sn.child, Term):
+                continue
+            inv = ev.eval_il(sn.child)
+            out["qid"].append(qid)
+            out["score_id"].append(sn.score_id)
+            out["df"].append(inv.df)
+            out["ctf"].append(inv.ctf)
+    return pd.DataFrame(out)
+
+
+def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
+    """Per (qid, shard): evaluate the full tree, emit shard-local top-k."""
+    out = {"qid": [], "docid": [], "url": [], "score": []}
+    for qid, shard in pairs:
+        qtree, params, score_stats = queries[qid]
+        view = cache.view(int(shard))
+        ev = Evaluator(view, params, score_stats)
+        res = ev.evaluate(qtree)
+        if len(res.docids) == 0:
+            continue
+        if params.is_ranked:
+            order = np.lexsort((res.docids, -res.scores))[:k]
+        else:
+            order = np.argsort(res.docids)[:k]
+        docids = res.docids[order]
+        urls = view.reader.url_of(docids)
+        out["qid"].extend([qid] * len(docids))
+        out["docid"].extend(int(d) for d in docids)
+        out["url"].extend(urls)
+        out["score"].extend(float(s) for s in res.scores[order])
+    return pd.DataFrame(out)
+
+
+class StatsPrePassActor:
     def __init__(self, index_dir: str, queries_ref):
         import ray
 
@@ -85,67 +130,38 @@ class StatsPrePassActor:
         self.queries = ray.get(queries_ref)  # qid -> (qtree, params)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"qid": [], "score_id": [], "df": [], "ctf": []}
-        for qid, shard in zip(batch["qid"], batch["shard"]):
-            qtree, params = self.queries[qid]
-            view = self.cache.view(int(shard))
-            ev = Evaluator(view, params)
-            for sn in iter_score_nodes(qtree):
-                if isinstance(sn.child, Term):
-                    continue
-                inv = ev.eval_il(sn.child)
-                out["qid"].append(qid)
-                out["score_id"].append(sn.score_id)
-                out["df"].append(inv.df)
-                out["ctf"].append(inv.ctf)
-        return pd.DataFrame(out)
+        return stats_prepass_rows(
+            self.cache, self.queries, zip(batch["qid"], batch["shard"])
+        )
 
 
 class QueryExecActor:
-    """Phase B: evaluate the full tree on one shard, emit shard-local top-k
-    ``(qid, docid, url, score)``."""
-
     def __init__(self, index_dir: str, queries_ref, k: int = 100):
         import ray
 
         self.cache = _ShardCache(index_dir)
-        # qid -> (qtree, params, score_stats)
-        self.queries = ray.get(queries_ref)
+        self.queries = ray.get(queries_ref)  # qid -> (qtree, params, score_stats)
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"qid": [], "docid": [], "url": [], "score": []}
-        for qid, shard in zip(batch["qid"], batch["shard"]):
-            qtree, params, score_stats = self.queries[qid]
-            view = self.cache.view(int(shard))
-            ev = Evaluator(view, params, score_stats)
-            res = ev.evaluate(qtree)
-            n = len(res.docids)
-            if n == 0:
-                continue
-            if params.is_ranked:
-                order = np.lexsort((res.docids, -res.scores))[: self.k]
-            else:
-                order = np.argsort(res.docids)[: self.k]
-            docids = res.docids[order]
-            scores = res.scores[order]
-            urls = view.reader.url_of(docids)
-            out["qid"].extend([qid] * len(docids))
-            out["docid"].extend(int(d) for d in docids)
-            out["url"].extend(urls)
-            out["score"].extend(float(s) for s in scores)
-        return pd.DataFrame(out)
+        return exec_rows(self.cache, self.queries, zip(batch["qid"], batch["shard"]), self.k)
+
+
+# ---------------------------------------------------------------------------
+# planning
+# ---------------------------------------------------------------------------
 
 
 def load_term_stats(index_dir: str, terms: set[tuple[str, str]]) -> dict:
     """Global (df, ctf) for the given (field, term) pairs from the
     hash-bucketed termstats store — reads only the needed buckets with a
     parquet filter (cheap at any vocabulary size)."""
+    import os
+
     import pyarrow.dataset as pads
 
     from ..sources.corpus import hash_det
-    from ..state.index_layout import read_stats, termstats_dir
-    import os
+    from ..state.index_layout import termstats_dir
 
     stats = read_stats(index_dir)
     nb = int(stats.get("termstats_buckets", 64))
@@ -157,46 +173,30 @@ def load_term_stats(index_dir: str, terms: set[tuple[str, str]]) -> dict:
         path = os.path.join(termstats_dir(index_dir), f"bucket={b:04d}.parquet")
         if not os.path.exists(path):
             continue
-        ds = pads.dataset(path)
-        tab = ds.to_table(filter=pads.field("term").isin(sorted(tset)))
+        tab = pads.dataset(path).to_table(
+            filter=pads.field("term").isin(sorted(tset))
+        )
         for r in tab.to_pylist():
             out[(r["field"], r["term"])] = (int(r["df"]), int(r["ctf"]))
-    return {k: v for k, v in out.items() if k in terms}
+    return {key: v for key, v in out.items() if key in terms}
 
 
 def resolve_analyzer(index_dir: str):
     return config_from_key(read_stats(index_dir)["analyzer"])
 
 
-def run_queries(
-    index_dir: str,
-    queries: list[tuple[str, str]],
-    params: ModelParams,
-    *,
-    k: int = 100,
-    concurrency: int | None = None,
-) -> dict[str, list[tuple[str, float, int]]]:
-    """Run ``[(qid, qtext)]`` against the index; returns
-    ``qid → [(url, score, docid)]`` top-k in final rank order.
-    Queries that fail to parse or match nothing map to ``[]``."""
-    import ray
-    import ray.data
-
-    from ..state.index_layout import list_shards
+def plan_queries(index_dir: str, queries, params: ModelParams):
+    """Parse + resolve Term-leaf global stats → (trees, score_stats,
+    composite_qids)."""
     from .parser import parse_query
 
     analyzer = resolve_analyzer(index_dir)
-    shards = list_shards(index_dir)
-    if not shards:
-        raise ValueError(f"no shards in {index_dir}")
-
     trees: dict[str, object] = {}
     for qid, qtext in queries:
         t = parse_query(qtext, params.model, analyzer)
         if t is not None:
             trees[qid] = t
 
-    # global stats for Term scored leaves (from the build-time store)
     need_terms: set[tuple[str, str]] = set()
     composite_qids = []
     for qid, t in trees.items():
@@ -217,48 +217,21 @@ def run_queries(
                 score_stats[qid][sn.score_id] = term_stats.get(
                     (sn.child.fieldname, sn.child.term), (0, 0)
                 )
+    return trees, score_stats, composite_qids
 
-    if concurrency is None:
-        concurrency = max(1, min(len(shards), 8))
 
-    # Phase A: composite scored leaves → cross-shard (df, ctf)
-    if composite_qids:
-        ref = ray.put({q: (trees[q], params) for q in composite_qids})
-        work = [{"qid": q, "shard": s} for s in shards for q in composite_qids]
-        pre = (
-            ray.data.from_items(work)
-            .map_batches(
-                StatsPrePassActor,
-                fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
-                batch_format="pandas",
-                concurrency=concurrency,
-                batch_size=max(1, len(work) // (concurrency * 2) or 1),
-            )
-            .to_pandas()
-        )
-        if len(pre):
-            agg = pre.groupby(["qid", "score_id"], as_index=False)[["df", "ctf"]].sum()
-            for r in agg.itertuples():
-                score_stats[r.qid][int(r.score_id)] = (int(r.df), int(r.ctf))
+def apply_prepass(score_stats: dict, pre: pd.DataFrame) -> None:
+    if len(pre):
+        agg = pre.groupby(["qid", "score_id"], as_index=False)[["df", "ctf"]].sum()
+        for r in agg.itertuples():
+            score_stats[r.qid][int(r.score_id)] = (int(r.df), int(r.ctf))
 
-    # Phase B: full evaluation, shard top-k, driver merge
-    payload = {q: (trees[q], params, score_stats[q]) for q in trees}
-    ref = ray.put(payload)
-    work = [{"qid": q, "shard": s} for s in shards for q in trees]
-    if not work:
-        return {qid: [] for qid, _ in queries}
-    rows = (
-        ray.data.from_items(work)
-        .map_batches(
-            QueryExecActor,
-            fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref, "k": k},
-            batch_format="pandas",
-            concurrency=concurrency,
-            batch_size=max(1, len(work) // (concurrency * 2) or 1),
-        )
-        .to_pandas()
-    )
 
+def merge_results(
+    rows: pd.DataFrame, queries, params: ModelParams, k: int
+) -> dict[str, list[tuple[str, float, int]]]:
+    """Final per-query merge: ranked → (score desc, docid asc) == (score desc,
+    url asc); unranked → docid asc (QryEval.java:323-412)."""
     results: dict[str, list[tuple[str, float, int]]] = {qid: [] for qid, _ in queries}
     if len(rows):
         for qid, g in rows.groupby("qid"):
@@ -273,3 +246,138 @@ def run_queries(
                 zip(g["url"], g["score"].astype(float), g["docid"].astype(int))
             )
     return results
+
+
+# ---------------------------------------------------------------------------
+# front-end 1: Ray Data batch path
+# ---------------------------------------------------------------------------
+
+
+def run_queries(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    params: ModelParams,
+    *,
+    k: int = 100,
+    concurrency: int | None = None,
+) -> dict[str, list[tuple[str, float, int]]]:
+    """Run ``[(qid, qtext)]`` against the index; returns
+    ``qid → [(url, score, docid)]`` top-k in final rank order.
+    Queries that fail to parse or match nothing map to ``[]``."""
+    import ray
+    import ray.data
+
+    shards = list_shards(index_dir)
+    if not shards:
+        raise ValueError(f"no shards in {index_dir}")
+    trees, score_stats, composite_qids = plan_queries(index_dir, queries, params)
+    if concurrency is None:
+        concurrency = max(1, min(len(shards), 8))
+
+    if composite_qids:
+        ref = ray.put({q: (trees[q], params) for q in composite_qids})
+        work = [{"qid": q, "shard": s} for s in shards for q in composite_qids]
+        pre = (
+            ray.data.from_items(work)
+            .map_batches(
+                StatsPrePassActor,
+                fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
+                batch_format="pandas",
+                concurrency=(1, concurrency),
+                batch_size=max(1, len(work) // (concurrency * 2) or 1),
+            )
+            .to_pandas()
+        )
+        apply_prepass(score_stats, pre)
+
+    payload = {q: (trees[q], params, score_stats[q]) for q in trees}
+    if not payload:
+        return {qid: [] for qid, _ in queries}
+    ref = ray.put(payload)
+    work = [{"qid": q, "shard": s} for s in shards for q in trees]
+    rows = (
+        ray.data.from_items(work)
+        .map_batches(
+            QueryExecActor,
+            fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref, "k": k},
+            batch_format="pandas",
+            concurrency=(1, concurrency),
+            batch_size=max(1, len(work) // (concurrency * 2) or 1),
+        )
+        .to_pandas()
+    )
+    return merge_results(rows, queries, params, k)
+
+
+# ---------------------------------------------------------------------------
+# front-end 2: persistent actor service (low-latency / repeated queries)
+# ---------------------------------------------------------------------------
+
+
+class _ServiceWorker:
+    """One persistent worker serving a fixed group of shards (loaded once)."""
+
+    def __init__(self, index_dir: str, shards: list[int]):
+        self.cache = _ShardCache(index_dir, maxsize=len(shards) + 1)
+        self.shards = shards
+        for s in shards:  # eager load: mmap + term dict once
+            self.cache.view(s)
+
+    def ping(self) -> bool:
+        return True
+
+    def prepass(self, queries: dict) -> pd.DataFrame:
+        pairs = [(q, s) for s in self.shards for q in queries]
+        return stats_prepass_rows(self.cache, queries, pairs)
+
+    def execute(self, queries: dict, k: int) -> pd.DataFrame:
+        pairs = [(q, s) for s in self.shards for q in queries]
+        return exec_rows(self.cache, queries, pairs, k)
+
+
+class QueryService:
+    """Persistent query serving over an index: ``num_actors`` raw Ray actors,
+    shards assigned round-robin, index state loaded exactly once per actor
+    (the distributed analog of the reference's static ``READER``)."""
+
+    def __init__(self, index_dir: str, num_actors: int = 8):
+        import ray
+
+        shards = list_shards(index_dir)
+        if not shards:
+            raise ValueError(f"no shards in {index_dir}")
+        n = max(1, min(num_actors, len(shards)))
+        groups = [shards[i::n] for i in range(n)]
+        worker_cls = ray.remote(num_cpus=1)(_ServiceWorker)
+        self.workers = [worker_cls.remote(index_dir, g) for g in groups]
+        self.index_dir = index_dir
+        ray.get([w.ping.remote() for w in self.workers])  # block until loaded
+
+    def run(
+        self, queries: list[tuple[str, str]], params: ModelParams, k: int = 100
+    ) -> dict[str, list[tuple[str, float, int]]]:
+        import ray
+
+        trees, score_stats, composite_qids = plan_queries(
+            self.index_dir, queries, params
+        )
+        if not trees:
+            return {qid: [] for qid, _ in queries}
+        if composite_qids:
+            payload_a = {q: (trees[q], params) for q in composite_qids}
+            pre = pd.concat(
+                ray.get([w.prepass.remote(payload_a) for w in self.workers])
+            )
+            apply_prepass(score_stats, pre)
+        payload_b = {q: (trees[q], params, score_stats[q]) for q in trees}
+        rows = pd.concat(
+            ray.get([w.execute.remote(payload_b, k) for w in self.workers])
+        )
+        return merge_results(rows, queries, params, k)
+
+    def shutdown(self):
+        import ray
+
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []

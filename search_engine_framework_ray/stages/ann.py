@@ -26,7 +26,9 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _stack_embeddings(batch: pd.DataFrame, col: str) -> np.ndarray:
-    return np.stack([np.asarray(e, dtype=np.float32) for e in batch[col]])
+    # float64 so cosine scores agree with SQL oracles to ~1e-15 (float32
+    # matmul error ~1e-6 would break integer-micros comparisons)
+    return np.stack([np.asarray(e, dtype=np.float64) for e in batch[col]])
 
 
 def brute_force_topk(
@@ -40,7 +42,7 @@ def brute_force_topk(
 ) -> pd.DataFrame:
     """Exact top-k neighbours for each query row → (query_id, vec_id, score,
     rank); ties broken by vec_id ascending (deterministic)."""
-    q = np.asarray(queries, dtype=np.float32)
+    q = np.asarray(queries, dtype=np.float64)
     if q.ndim == 1:
         q = q[None, :]
     qn = _normalize(q) if metric == "cosine" else q
@@ -126,7 +128,7 @@ class IvfIndexedSearch:
         self.assigned = ds.map_batches(assign_batch, batch_format="pandas").materialize()
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
         out = []
         for qi in range(len(q)):
@@ -158,7 +160,7 @@ def embedding_neardup_pairs(
     sample = ds.limit(1).to_pandas()
     dim = len(sample[emb_col].iloc[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = rng.standard_normal((dim, n_planes))
     p_ref = ray.put(planes)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -187,13 +189,26 @@ def embedding_neardup_pairs(
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
                     s_out.append(float(sims[i, j]))
-        return pd.DataFrame({"a": a_out, "b": b_out, "cosine": s_out})
+        return pd.DataFrame(
+            {
+                "a": pd.Series(a_out, dtype="int64"),
+                "b": pd.Series(b_out, dtype="int64"),
+                "cosine": pd.Series(s_out, dtype="float64"),
+            }
+        )
 
-    return (
+    out = (
         ds.map_batches(bucket, batch_format="pandas")
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
     )
+    if "a" not in out.columns:  # zero pairs → zero blocks → column-less frame
+        out = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

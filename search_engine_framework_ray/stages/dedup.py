@@ -140,7 +140,9 @@ def minhash_lsh_dedup(
             "id_col": id_col,
         },
         batch_format="pandas",
-        concurrency=concurrency,
+        # autoscaling pool: a fixed-size pool can deadlock a small cluster
+        # (actors reserve every CPU, downstream shuffle tasks starve)
+        concurrency=(1, concurrency),
     )
 
     def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
@@ -183,7 +185,9 @@ def minhash_lsh_dedup(
         .to_pandas()
     )
 
-    all_ids = sigs.select_columns([id_col]).to_pandas()[id_col].to_numpy()
+    # ids come from the *input* dataset — re-consuming `sigs` here would
+    # re-execute the whole signature stage (and spin up a second actor pool)
+    all_ids = np.sort(ds.select_columns([id_col]).to_pandas()[id_col].to_numpy())
     return _cluster_from_pairs(all_ids, pairs, id_col)
 
 

@@ -94,5 +94,5 @@ def decode_media(ds, kind: str = "image", concurrency: int = 2, batch_size: int 
         stage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -17,8 +17,9 @@ from ..functions.analysis import LUCENE_STOP_WORDS
 # pre-tokenizer shape: contractions, letter runs, digit runs, punct runs).
 import re
 
+# (lookahead-free so the same pattern runs under RE2/DuckDB for the oracle)
 _BPE_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 )
 _WS_RE = re.compile(r"\S+")
 _PUNCT_RE = re.compile(r"[^\w\s]")

@@ -119,3 +119,20 @@ def test_trec_output_format(engine):
     scores = [float(p[4]) for p in s1]
     assert scores == sorted(scores, reverse=True)
     assert [int(p[3]) for p in s1] == list(range(1, len(s1) + 1))
+
+
+def test_query_service_matches_batch_path(engine):
+    import ray
+
+    from search_engine_framework_ray.query.executor import QueryService, run_queries
+
+    index_dir, _ = engine
+    params = ModelParams(model="BM25")
+    qs = BM25_QUERIES[:5]
+    want = run_queries(index_dir, qs, params)
+    svc = QueryService(index_dir, num_actors=2)
+    try:
+        got = svc.run(qs, params)
+    finally:
+        svc.shutdown()
+    assert got == want
