@@ -131,6 +131,28 @@ def q_syn_tf(sf_dir: str):
     return df[["doc_id", "tf"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_indri_and(sf_dir: str):
+    """Indri #AND(spark join): union sweep, score = ∏ pᵢ^(1/k) with
+    missing-term default smoothing (QryopSlAnd.java:69-134, 297-319)."""
+    df = _run(sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "Indri", k=10_000)
+    df["score_micros"] = _micros(df["score"])
+    return df[["doc_id", "score_micros"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_indri_wand(sf_dir: str):
+    """Indri #WAND(0.7 spark 0.3 join): ∏ pᵢ^(wᵢ/Σw) (QryopSlWand.java)."""
+    df = _run(sf_dir, f"#WAND(0.7 {_BM25_TERMS[0]} 0.3 {_BM25_TERMS[1]})", "Indri", k=10_000)
+    df["score_micros"] = _micros(df["score"])
+    return df[["doc_id", "score_micros"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_indri_wsum(sf_dir: str):
+    """Indri #WSUM(0.7 spark 0.3 join): Σ (wᵢ/Σw)·pᵢ (QryopSlWsum.java)."""
+    df = _run(sf_dir, f"#WSUM(0.7 {_BM25_TERMS[0]} 0.3 {_BM25_TERMS[1]})", "Indri", k=10_000)
+    df["score_micros"] = _micros(df["score"])
+    return df[["doc_id", "score_micros"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_term_stats(sf_dir: str):
     """Global per-term df/ctf from the build-time termstats store (the salted
     groupby aggregate, SURVEY.md §2.7)."""
@@ -167,6 +189,29 @@ def q_doclen_stats(sf_dir: str):
 # ----------------------------------------------------------------------------
 # training-data pipelines (dedup / ANN / text analysis / windows)
 # ----------------------------------------------------------------------------
+
+
+def q_fb_expansion(sf_dir: str):
+    """Pseudo-relevance-feedback expansion terms (QryExpansion.java:137-221):
+    Indri initial ranking → per-top-doc term scoring → top fbTerms."""
+    from search_engine_framework_ray.query.expansion import (
+        FeedbackParams,
+        expansion_terms,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    fb = FeedbackParams(fb_docs=10, fb_terms=10, fb_mu=0.0)
+    first = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="Indri"), k=fb.fb_docs)
+    top = {"q": [(docid, score) for (_, score, docid) in first["q"]]}
+    terms = expansion_terms(idx, top, fb)["q"]
+    return pd.DataFrame(
+        {
+            "term": [t for t, _ in terms],
+            "weight_micros": _micros([w for _, w in terms]),
+        }
+    )
 
 
 def q_dedup_exact(sf_dir: str):
@@ -446,8 +491,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near2_docs": q_near2_docs,
         "window_docs": q_window_docs,
         "syn_tf": q_syn_tf,
+        "indri_and": q_indri_and,
+        "indri_wand": q_indri_wand,
+        "indri_wsum": q_indri_wsum,
         "term_stats": q_term_stats,
         "doclen_stats": q_doclen_stats,
+        "fb_expansion": q_fb_expansion,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -512,6 +561,45 @@ LIMIT 20
 """
 
 
+def _indri_sql(weighted: tuple[float, float] | None, product: bool) -> str:
+    """Indri smoothing grid over the two fixture terms: per (candidate doc,
+    term), p = λ(tf+μ·Pmle)/(dl+μ) + (1−λ)Pmle with μ=2500, λ=0.4 (the
+    engine's ModelParams defaults == Sample.param:8-9). Combine as
+    ∏p^(w/Σw) (AND/WAND) or Σ(w/Σw)p (WSUM)."""
+    t0, t1 = _BM25_TERMS
+    if weighted is None:
+        w0 = w1 = 0.5
+    else:
+        s = weighted[0] + weighted[1]
+        w0, w1 = weighted[0] / s, weighted[1] / s
+    wexpr = f"CASE WHEN tok = '{t0}' THEN {w0!r} ELSE {w1!r} END"
+    comb = (
+        f"exp(sum(ln(p) * ({wexpr})))" if product else f"sum(({wexpr}) * p)"
+    )
+    return f"""
+        {_TOKS},
+        doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        coll AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM doclen),
+        ctf AS (SELECT tok, count(*) AS ctf FROM toks
+                WHERE tok IN ('{t0}','{t1}') GROUP BY tok),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+               WHERE tok IN ('{t0}','{t1}') GROUP BY doc_id, tok),
+        cand AS (SELECT DISTINCT doc_id FROM tf),
+        grid AS (SELECT cand.doc_id, t.tok, t.ctf FROM cand CROSS JOIN ctf t),
+        p AS (
+            SELECT g.doc_id, g.tok,
+                   0.4 * (coalesce(tf.tf, 0) + 2500 * (g.ctf / coll.c)) / (dl.dl + 2500)
+                   + 0.6 * (g.ctf / coll.c) AS p
+            FROM grid g
+            LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.tok = g.tok
+            JOIN doclen dl ON dl.doc_id = g.doc_id
+            CROSS JOIN coll
+        )
+        SELECT doc_id, CAST(round({comb} * 1000000) AS BIGINT) AS score_micros
+        FROM p GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
@@ -564,6 +652,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
             WHERE tok IN ('spark','join') GROUP BY doc_id ORDER BY doc_id
         """,
+        "indri_and": _indri_sql(None, product=True),
+        "indri_wand": _indri_sql((0.7, 0.3), product=True),
+        "indri_wsum": _indri_sql((0.7, 0.3), product=False),
         "term_stats": f"""
             {_TOKS}
             SELECT tok AS term,

@@ -173,6 +173,7 @@ def build_index(
     analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
     lang_filter: str | None = None,
     include_inlink: bool = True,
+    include_forward: bool = True,
     block_size: int = 128,
     verify_golden: bool = False,
     plain_source: "PlainSource | None" = None,
@@ -180,46 +181,8 @@ def build_index(
     """Build (or resume) the sharded index. Returns a build report."""
     t_start = time.monotonic()
     if plain_source is not None:
-        include_inlink = False
-        return _build_index_inner(
-            corpus_paths,
-            index_dir,
-            num_shards=num_shards,
-            analyzer=analyzer,
-            lang_filter=lang_filter,
-            include_inlink=False,
-            block_size=block_size,
-            verify_golden=False,
-            plain_source=plain_source,
-            t_start=t_start,
-        )
-    return _build_index_inner(
-        corpus_paths,
-        index_dir,
-        num_shards=num_shards,
-        analyzer=analyzer,
-        lang_filter=lang_filter,
-        include_inlink=include_inlink,
-        block_size=block_size,
-        verify_golden=verify_golden,
-        plain_source=None,
-        t_start=t_start,
-    )
-
-
-def _build_index_inner(
-    corpus_paths,
-    index_dir,
-    *,
-    num_shards,
-    analyzer,
-    lang_filter,
-    include_inlink,
-    block_size,
-    verify_golden,
-    plain_source,
-    t_start,
-) -> dict:
+        include_inlink = False  # plain tables carry no anchors
+        verify_golden = False
     read_cols = ["url", "lang"]
 
     # Pass 1 (url column only): boundaries + exact per-partition counts for
@@ -315,7 +278,11 @@ def _build_index_inner(
             h.update(u.encode())
             for a in inlink_map[u]:
                 h.update(a.encode())
-        fp = h.hexdigest() + f";{analyzer_key};bs={block_size};base={offsets[part]}"
+        fp = (
+            h.hexdigest()
+            + f";{analyzer_key};bs={block_size};base={offsets[part]}"
+            + f";fwd={int(include_forward)}"
+        )
 
         man = read_manifest(index_dir, part)
         if man is not None and man.get("fingerprint") == fp:
@@ -330,6 +297,7 @@ def _build_index_inner(
                 analyzer,
                 fp,
                 block_size=block_size,
+                include_forward=include_forward,
             ).to_pandas()
         ts["salt"] = part % NUM_SALTS
         return ts
@@ -382,6 +350,7 @@ def _build_index_inner(
         "block_size": block_size,
         "termstats_buckets": TERMSTATS_BUCKETS,
         "include_inlink": include_inlink,
+        "include_forward": include_forward,
     }
     write_stats(index_dir, stats)
     return {

@@ -190,11 +190,21 @@ def plan_queries(index_dir: str, queries, params: ModelParams):
     composite_qids)."""
     from .parser import parse_query
 
+    from .ast import WEIGHTED_TYPES
+
+    def _weights_valid(node) -> bool:
+        # the reference fatalErrors on a weight/arg mismatch at evaluate time
+        # (QryopSlWand.java:57-58); we reject at plan time so one bad query
+        # maps to [] instead of killing the whole distributed batch
+        if isinstance(node, WEIGHTED_TYPES) and len(node.args) != len(node.weights):
+            return False
+        return all(_weights_valid(a) for a in getattr(node, "args", []))
+
     analyzer = resolve_analyzer(index_dir)
     trees: dict[str, object] = {}
     for qid, qtext in queries:
         t = parse_query(qtext, params.model, analyzer)
-        if t is not None:
+        if t is not None and _weights_valid(t):
             trees[qid] = t
 
     need_terms: set[tuple[str, str]] = set()

@@ -1,0 +1,192 @@
+"""Pseudo-relevance-feedback query expansion (reference
+``QryExpansion.java:137-221``; flow traced in SURVEY.md §3.2).
+
+Semantics replicated exactly:
+
+* initial ranking = run the original query (top ``fb_docs``), or use a
+  caller-supplied TREC-format ranking (``fbInitialRankingFile``,
+  QryExpansion.java:240-286);
+* candidate terms = stems PRESENT in each top doc's body term vector
+  (per-doc loop, stopword slot skipped — QryExpansion.java:183-196); a stem
+  absent from a doc gets NO smoothed contribution from that doc;
+* per (doc, stem): ``s = (tf + fbMu·Pmle)/(doclen + fbMu) · docScore ·
+  ln(1/Pmle)`` with global ``Pmle = ctf/sumTotalTermFreq(body)``
+  (QryExpansion.java:186-192), accumulated per stem;
+* top ``fb_terms`` by score; ties broken term-ascending — the reference's
+  tie order is HashMap-arbitrary (QryExpansion.java:200-204), ours is pinned
+  (recorded divergence, SURVEY.md §2.5);
+* expanded string ``#wand( w1 t1 w2 t2 … )`` with weights formatted
+  ``%.4f`` — the truncation matters because the string is re-parsed
+  (QryExpansion.java:205-212);
+* rewrite ``#wand( w #and(orig) 1-w #wand(…) )`` (QryExpansion.java:217).
+
+Distribution shape: the initial ranking is the ordinary distributed query
+path; term-vector fetches group the ≤``fb_docs`` docids by shard and fan out
+as one Ray task per shard (tiny filtered parquet reads of ``fwd.parquet``);
+scoring is a driver-side vectorized pandas groupby over ≤ fb_docs × doclen
+rows per query.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..state.index_layout import list_shards, read_manifest, read_stats
+from ..state.shard import ShardReader
+from .executor import load_term_stats, run_queries
+from .models import ModelParams
+
+
+@dataclass(frozen=True)
+class FeedbackParams:
+    """``fb=true`` parameter surface (QryExpansion.java:60-118)."""
+
+    fb_docs: int = 10
+    fb_terms: int = 10
+    fb_mu: float = 0.0
+    fb_orig_weight: float = 0.5
+
+    @classmethod
+    def from_params(cls, params: dict) -> "FeedbackParams":
+        return cls(
+            fb_docs=int(params.get("fbDocs", 10)),
+            fb_terms=int(params.get("fbTerms", 10)),
+            fb_mu=float(params.get("fbMu", 0.0)),
+            fb_orig_weight=float(params.get("fbOrigWeight", 0.5)),
+        )
+
+
+@ray.remote
+def _fetch_term_vectors(index_dir: str, shard: int, docids: list[int]) -> pd.DataFrame:
+    """One task per shard: body term vectors + body doclens for its docids."""
+    r = ShardReader(index_dir, shard)
+    tvs = r.term_vectors("body", docids)
+    rows = {"docid": [], "stem": [], "tf": [], "doclen": []}
+    for d in docids:
+        got = tvs.get(int(d))
+        if got is None:
+            continue
+        stems, tfs = got
+        dl = int(r.doclen("body", np.array([d]))[0])
+        rows["docid"].extend([int(d)] * len(stems))
+        rows["stem"].extend(stems)
+        rows["tf"].extend(int(t) for t in tfs)
+        rows["doclen"].extend([dl] * len(stems))
+    return pd.DataFrame(rows)
+
+
+def _shard_of(index_dir: str) -> list[tuple[int, int, int]]:
+    """[(shard, docid_base, end)] for docid → shard routing."""
+    out = []
+    for s in list_shards(index_dir):
+        man = read_manifest(index_dir, s)
+        out.append((s, int(man["docid_base"]), int(man["docid_base"]) + int(man["n_docs"])))
+    return out
+
+
+def expansion_terms(
+    index_dir: str,
+    top_docs: dict[str, list[tuple[int, float]]],
+    fb: FeedbackParams,
+) -> dict[str, list[tuple[str, float]]]:
+    """qid → [(term, weight)] — the scored expansion vocabulary.
+
+    ``top_docs``: qid → [(docid, docScore)] (already truncated to fb_docs).
+    """
+    ranges = _shard_of(index_dir)
+    stats = read_stats(index_dir)
+    c_body = float(stats["fields"]["body"]["sum_doclen"])
+
+    # group every query's top docids by shard → one fetch task per shard
+    by_shard: dict[int, set[int]] = {}
+    for docs in top_docs.values():
+        for d, _ in docs:
+            for s, lo, hi in ranges:
+                if lo <= d < hi:
+                    by_shard.setdefault(s, set()).add(int(d))
+                    break
+    if not by_shard:
+        return {q: [] for q in top_docs}
+    futs = [
+        _fetch_term_vectors.remote(index_dir, s, sorted(ds))
+        for s, ds in sorted(by_shard.items())
+    ]
+    tv = pd.concat(ray.get(futs), ignore_index=True)
+
+    # global Pmle per candidate stem from the termstats store
+    stems = set(tv["stem"])
+    ts = load_term_stats(index_dir, {("body", t) for t in stems})
+    ctf_map = {t: c for (f, t), (_, c) in ts.items() if f == "body"}
+
+    out: dict[str, list[tuple[str, float]]] = {}
+    for qid, docs in top_docs.items():
+        if not docs:
+            out[qid] = []
+            continue
+        dscore = {int(d): float(s) for d, s in docs}
+        sub = tv[tv["docid"].isin(dscore)].copy()
+        if not len(sub):
+            out[qid] = []
+            continue
+        ctf = sub["stem"].map(ctf_map).fillna(0).to_numpy(dtype=np.float64)
+        p_mle = ctf / c_body
+        tf = sub["tf"].to_numpy(dtype=np.float64)
+        dl = sub["doclen"].to_numpy(dtype=np.float64)
+        score = sub["docid"].map(dscore).to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore"):
+            s = (tf + fb.fb_mu * p_mle) / (dl + fb.fb_mu) * score * np.log(1.0 / p_mle)
+        sub["s"] = np.where(np.isfinite(s), s, 0.0)
+        agg = sub.groupby("stem")["s"].sum()
+        ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: fb.fb_terms]
+        out[qid] = [(t, float(v)) for t, v in ranked]
+    return out
+
+
+def format_expanded(terms: list[tuple[str, float]]) -> str:
+    """``#wand( %.4f term … )`` — exact reference formatting
+    (QryExpansion.java:205-212)."""
+    inner = " ".join(f"{w:.4f} {t}" for t, w in terms)
+    return f"#wand( {inner} )"
+
+
+def rewrite_query(original: str, expanded: str, fb: FeedbackParams) -> str:
+    """``#wand( w #and(orig) 1-w expanded )`` (QryExpansion.java:217)."""
+    w = fb.fb_orig_weight
+    return f"#wand( {w} #and({original}) {1 - w} {expanded})"
+
+
+def run_queries_with_expansion(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    params: ModelParams,
+    fb: FeedbackParams = FeedbackParams(),
+    *,
+    k: int = 100,
+    initial_ranking: dict[str, list[tuple[int, float]]] | None = None,
+) -> tuple[dict, dict[str, str]]:
+    """Full fb=true flow: initial ranking → expand → rewrite → re-run.
+
+    Returns (final results as in ``run_queries``, qid → expanded-query
+    string — the ``fbExpansionQueryFile`` content).
+    """
+    if initial_ranking is None:
+        first = run_queries(index_dir, queries, params, k=max(fb.fb_docs, 1))
+        initial_ranking = {
+            q: [(docid, score) for (_, score, docid) in first[q][: fb.fb_docs]]
+            for q, _ in queries
+        }
+    terms = expansion_terms(index_dir, initial_ranking, fb)
+    expanded = {q: format_expanded(t) for q, t in terms.items()}
+    # no expansion terms (query matched nothing) → keep the original query;
+    # the reference would emit `#wand( )` and fatalError on the re-parse
+    # weight mismatch (QryopSlWand.java:57-58) — recorded divergence
+    rewritten = [
+        (qid, rewrite_query(qtext, expanded[qid], fb) if terms[qid] else qtext)
+        for qid, qtext in queries
+    ]
+    final = run_queries(index_dir, rewritten, params, k=k)
+    return final, expanded

@@ -57,20 +57,25 @@ def exact_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
+_POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for rolling combines
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
-    """k-word shingle hash set (int64, unique, sorted)."""
+    """k-word shingle hash set (uint64, unique, sorted). Vectorized: one
+    deterministic hash per word (pandas siphash, fixed key), then a rolling
+    degree-k polynomial over word hashes — no per-shingle Python hashing."""
     words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
+    if not words:
         return np.empty(0, dtype=np.uint64)
-    hs = np.array(
-        [int.from_bytes(hashlib.sha1(g.encode()).digest()[:8], "little") for g in grams],
-        dtype=np.uint64,
-    )
-    return np.unique(hs)
+    h = pd.util.hash_array(np.asarray(words, dtype=object))
+    if len(words) < k:
+        k = len(words)
+    m = len(words) - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _POLY + h[j : j + m]
+    return np.unique(acc)
 
 
 def _perm_params(n_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -112,6 +117,10 @@ class MinHashStage:
         )
 
 
+_GB_BUCKETS = 4096  # coarse groupby key: bounds map_groups group count
+_MAX_BUCKET = 64  # degenerate hot bucket → star pairs (to min id), not clique
+
+
 def minhash_lsh_dedup(
     ds: Dataset,
     *,
@@ -125,12 +134,16 @@ def minhash_lsh_dedup(
 ) -> pd.DataFrame:
     """MinHash-LSH near-dup clustering → pandas (id, cluster_id, is_dup).
 
-    Pipeline: signatures (actor pool) → band explosion → bucket groupby →
-    candidate pairs + estimated Jaccard (signature agreement) ≥ threshold →
-    union-find. The driver-side union-find touches only verified pairs
-    (tiny); everything upstream is distributed.
+    Scale shape: signatures once (actor pool, materialized for reuse) →
+    **narrow** band rows ``(id, band_key)`` — the 512-byte signature never
+    crosses the shuffle — → groupby on ``band_key % 4096`` (bounds the
+    per-group Python overhead; exact keys grouped vectorized inside) →
+    candidate pairs → signature-agreement verify against the materialized
+    signatures → driver union-find over verified pairs only (tiny by
+    construction; hot buckets emit star pairs to the min id, which yields
+    identical connected components at O(n) instead of O(n²)).
     """
-    rows_per_band = n_perm // bands
+    rows_per_band = max(1, n_perm // bands)
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={
@@ -143,50 +156,74 @@ def minhash_lsh_dedup(
         # autoscaling pool: a fixed-size pool can deadlock a small cluster
         # (actors reserve every CPU, downstream shuffle tasks starve)
         concurrency=(1, concurrency),
-    )
+    ).materialize()  # reused by banding AND verification; at larger scale
+    # write_parquet here instead and read back (resumable sketch store)
 
     def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hash, sig_col = [], [], [], []
-        for i, sig in zip(b[id_col], b["sig"]):
-            s = np.asarray(sig, dtype=np.int64)
+        n = len(b)
+        sig = np.stack(b["sig"].to_numpy()).astype(np.uint64)  # (n, n_perm)
+        keys = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for bd in range(bands):
-                chunk = s[bd * rows_per_band : (bd + 1) * rows_per_band]
-                h = hashlib.sha1(chunk.tobytes()).digest()[:8]
-                ids.append(i)
-                band_ids.append(bd)
-                band_hash.append(int.from_bytes(h, "little", signed=True))
-                sig_col.append(s)
+                acc = np.full(n, np.uint64(bd + 1), dtype=np.uint64)
+                for c in range(bd * rows_per_band, (bd + 1) * rows_per_band):
+                    acc = acc * _POLY + sig[:, c]
+                keys[:, bd] = acc
+        flat = keys.reshape(-1).view(np.int64)
         return pd.DataFrame(
-            {id_col: ids, "band": band_ids, "band_hash": band_hash, "sig": sig_col}
+            {
+                id_col: np.repeat(b[id_col].to_numpy(), bands),
+                "band_key": flat,
+                "gb": flat % _GB_BUCKETS,
+            }
         )
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        ids = g[id_col].to_numpy()
-        sigs_ = np.stack(g["sig"].to_numpy())
-        a_out, b_out, jac = [], [], []
-        for i in range(n):
-            agree = (sigs_[i + 1 :] == sigs_[i]).mean(axis=1)
-            for off, ja in enumerate(agree):
-                if ja >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[i + 1 + off]))
-                    jac.append(float(ja))
-        return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": jac})
+        a_out, b_out = [], []
+        for _, grp in g.groupby("band_key", sort=False):
+            ids = np.unique(grp[id_col].to_numpy())
+            m = len(ids)
+            if m < 2:
+                continue
+            if m > _MAX_BUCKET:
+                a_out.extend([int(ids[0])] * (m - 1))
+                b_out.extend(int(i) for i in ids[1:])
+            else:
+                iu = np.triu_indices(m, k=1)
+                a_out.extend(int(i) for i in ids[iu[0]])
+                b_out.extend(int(i) for i in ids[iu[1]])
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+        )
 
     pairs = (
-        banded.groupby(["band", "band_hash"])
+        banded.groupby("gb")
         .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()
     )
+    if len(pairs):
+        pairs = pairs.drop_duplicates(ignore_index=True)
 
-    # ids come from the *input* dataset — re-consuming `sigs` here would
-    # re-execute the whole signature stage (and spin up a second actor pool)
+    # verify candidates by signature agreement (est. Jaccard ≥ threshold)
+    if len(pairs):
+        need = set(pairs["a"]) | set(pairs["b"])
+        import ray as _ray
+
+        need_ref = _ray.put(need)
+
+        def pick(b: pd.DataFrame) -> pd.DataFrame:
+            nd = _ray.get(need_ref)
+            return b[b[id_col].isin(nd)]
+
+        sub = sigs.map_batches(pick, batch_format="pandas").to_pandas()
+        sig_map = {int(i): np.asarray(s) for i, s in zip(sub[id_col], sub["sig"])}
+        amat = np.stack([sig_map[int(i)] for i in pairs["a"]])
+        bmat = np.stack([sig_map[int(i)] for i in pairs["b"]])
+        est = (amat == bmat).mean(axis=1)
+        pairs = pairs.assign(est_jaccard=est)[est >= threshold]
+
     all_ids = np.sort(ds.select_columns([id_col]).to_pandas()[id_col].to_numpy())
     return _cluster_from_pairs(all_ids, pairs, id_col)
 

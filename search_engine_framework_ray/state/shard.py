@@ -53,6 +53,7 @@ def build_shard(
     analyzer: AnalyzerConfig,
     fingerprint: str,
     block_size: int = 128,
+    include_forward: bool = True,
 ) -> pa.Table:
     """Tokenize every (doc, field), build in-memory postings (SPIMI — the
     whole shard is one in-memory segment; shard size is chosen so this fits a
@@ -71,6 +72,10 @@ def build_shard(
     doclens = {f: np.zeros(n, dtype=np.int32) for f in field_texts}
     # postings[field][term] = [docids, tfs, flat positions]
     all_rows: dict[str, dict[str, tuple[list, list, list]]] = {}
+    # forward index (TermVector equivalent, TermVector.java:19-94): per
+    # (docid, field) the sorted stems + their tfs — feeds query expansion
+    # (QryExpansion.java:175-197) and LeToR feature extraction
+    fwd = {"docid": [], "field": [], "stems": [], "tfs": []}
     for field, texts in field_texts.items():
         postings: dict[str, tuple[list, list, list]] = {}
         dl = doclens[field]
@@ -83,6 +88,12 @@ def build_shard(
             for t, p in zip(terms, positions):
                 per_doc.setdefault(t, []).append(p)
             docid = docid_base + local
+            if include_forward:
+                items = sorted(per_doc.items())
+                fwd["docid"].append(docid)
+                fwd["field"].append(field)
+                fwd["stems"].append([t for t, _ in items])
+                fwd["tfs"].append([len(p) for _, p in items])
             for t, plist in per_doc.items():
                 entry = postings.get(t)
                 if entry is None:
@@ -91,6 +102,19 @@ def build_shard(
                 entry[1].append(len(plist))
                 entry[2].extend(plist)
         all_rows[field] = postings
+
+    if include_forward:
+        pq.write_table(
+            pa.table(
+                {
+                    "docid": pa.array(fwd["docid"], type=pa.int64()),
+                    "field": pa.array(fwd["field"], type=pa.string()),
+                    "stems": pa.array(fwd["stems"], type=pa.list_(pa.string())),
+                    "tfs": pa.array(fwd["tfs"], type=pa.list_(pa.int32())),
+                }
+            ),
+            os.path.join(tmp, "fwd.parquet"),
+        )
 
     # Encode postings.bin + terms.parquet, terms sorted by (field, term) so
     # lookups and merges are order-stable.
@@ -191,6 +215,7 @@ class ShardReader:
 
     def __init__(self, index_dir: str, shard: int):
         sdir = shard_dir(index_dir, shard)
+        self._sdir = sdir
         with open(os.path.join(sdir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.shard = shard
@@ -239,6 +264,34 @@ class ShardReader:
         buf = self.postings[off : off + size]
         docids, tfs, po, pf = decode_postings(buf, with_positions=with_positions)
         return docids, tfs, po, pf, df, ctf
+
+    def term_vectors(
+        self, field: str, docids: list[int]
+    ) -> dict[int, tuple[list[str], np.ndarray]]:
+        """Forward-index lookup: docid → (stems, tfs) for this field — the
+        reference's ``TermVector(docid, field)`` (TermVector.java:19-94).
+        Filtered parquet read; raises if the index was built without
+        ``include_forward``."""
+        import pyarrow.dataset as pads
+
+        path = os.path.join(self._sdir, "fwd.parquet")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"shard {self.shard} has no forward index (fwd.parquet); "
+                "rebuild with include_forward=True"
+            )
+        tab = pads.dataset(path).to_table(
+            filter=(pads.field("field") == field)
+            & pads.field("docid").isin(sorted(docids))
+        )
+        return {
+            int(d): (s, np.asarray(t, dtype=np.int64))
+            for d, s, t in zip(
+                tab["docid"].to_pylist(),
+                tab["stems"].to_pylist(),
+                tab["tfs"].to_pylist(),
+            )
+        }
 
     def get_headers(self, field: str, term: str):
         """Skip-block headers for block-max traversal (None if absent)."""
