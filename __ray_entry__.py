@@ -214,6 +214,29 @@ def q_fb_expansion(sf_dir: str):
     )
 
 
+def q_letor_features(sf_dir: str):
+    """LeToR 18-feature vectors (LearnToRank.java:326-596) for the BM25
+    top-20 of the fixture query, normalized per query — micro-scaled ints
+    for the rows-only check (NaN → -1 sentinel)."""
+    from search_engine_framework_ray.pipelines.letor import (
+        compute_features,
+        normalize_features,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    res = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=20)
+    cand = {"q": [docid for (_, _, docid) in res["q"]]}
+    f = normalize_features(compute_features(idx, [("q", " ".join(_BM25_TERMS))], cand))
+    out = f[["docid"] + [f"f{j}" for j in range(1, 19)]].copy()
+    for j in range(1, 19):
+        c = f"f{j}"
+        v = out[c].to_numpy(dtype=np.float64)
+        out[c] = np.where(np.isnan(v), -1_000_000, np.round(v * 1_000_000)).astype("int64")
+    return out.rename(columns={"docid": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data
 
@@ -497,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q_term_stats,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
+        "letor_features": q_letor_features,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,

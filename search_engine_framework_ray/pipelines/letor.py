@@ -1,0 +1,334 @@
+"""Learning-to-rank feature pipeline (reference ``LearnToRank.java``; flow
+traced in SURVEY.md §3.3).
+
+18-feature vector per (query, judged doc) — reference ``setFeatValue``
+(LearnToRank.java:326-596):
+
+====  ==========================================================
+f1    spam score (stored doc attribute)
+f2    URL depth = count of '/' in the raw url (:337-345)
+f3    wikipedia flag: raw url contains "wikipedia.org" (:347-349)
+f4    PageRank score (external map; absent → NaN, :351-356)
+f5-7  BM25 / Indri / query-term-overlap on body (:358-401)
+f8-10 …on title   f11-13 …on url   f14-16 …on inlink
+f17   SDM: Indri score of adjacent-bigram ``#NEAR/1`` query (:237-256)
+f18   VSM lnc.ltc cosine on title (:451-480)
+====  ==========================================================
+
+Missing field (no term vector) → that field's features are NaN; NaN features
+are omitted from SVMlight lines (:45-61) and skipped by the per-query
+min-max normalization (constant feature → 0, :279-314).
+
+Distribution shape: all 9 engine rankings per query run through
+:func:`score_documents` (one distributed batch over the shard actor pool —
+the reference runs them sequentially per query, LearnToRank.java:209-256);
+term-vector fetches fan out one Ray task per (shard, field); normalization
+is a ``groupby(qid)`` over the tiny (queries × candidates) feature table.
+
+The reference shells out to ``svm_rank_learn``/``svm_rank_classify``
+(:921-994). Those binaries are not distributable here, so the default
+learner is a deterministic closed-form ridge regression on the normalized
+features (documented divergence); the SVMlight read/write format is kept
+byte-compatible so the external tools drop in unchanged via
+``svm_rank_hook``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..functions.analysis import analyze
+from ..query.executor import (
+    load_term_stats,
+    resolve_analyzer,
+    run_queries,
+    score_documents,
+)
+from ..query.expansion import _fetch_term_vectors, _shard_of
+from ..query.models import ModelParams
+from ..state.index_layout import read_stats
+
+N_FEATURES = 18
+_FIELDS = ("body", "title", "url", "inlink")
+
+
+@dataclass
+class LetorParams:
+    model_params: ModelParams = field(default_factory=lambda: ModelParams(model="BM25"))
+    feature_disable: frozenset[int] = frozenset()  # 1-based feature ids
+    svm_c: float = 0.001  # reference default (LearnToRank.java:77)
+
+
+def _field_query(qtext: str, fld: str) -> str:
+    """``"t1 t2"`` → ``"t1.url t2.url "`` (LearnToRank.java:203-206)."""
+    return (qtext.strip() + " ").replace(" ", f".{fld} ")
+
+
+def _sdm_query(qtext: str) -> str:
+    """Adjacent-bigram ``#NEAR/1`` query (LearnToRank.java:237-256)."""
+    terms = qtext.strip().split(" ")
+    if len(terms) <= 1:
+        return f"#NEAR/1({terms[0]})"
+    return " ".join(f"#NEAR/1({terms[i]} {terms[i + 1]})" for i in range(len(terms) - 1))
+
+
+def compute_features(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    candidates: dict[str, list[int]],
+    *,
+    doc_attrs: pd.DataFrame | None = None,
+    page_rank: dict[int, float] | None = None,
+    params: LetorParams | None = None,
+) -> pd.DataFrame:
+    """→ one row per (qid, docid) with columns f1..f18 (NaN = undefined).
+
+    ``doc_attrs``: optional (docid, raw_url, spam_score); defaults to the
+    index docmap's url with spam NaN. ``page_rank``: docid → score.
+    """
+    params = params or LetorParams()
+    mp = params.model_params
+    analyzer = resolve_analyzer(index_dir)
+    stats = read_stats(index_dir)
+    n_docs = float(stats["n_docs"])
+
+    all_docids = sorted({d for ds_ in candidates.values() for d in ds_})
+    rows = pd.DataFrame(
+        [(q, d) for q, ds_ in candidates.items() for d in sorted(set(ds_))],
+        columns=["qid", "docid"],
+    )
+    qtext_of = dict(queries)
+
+    # ---- f5..f16 + f17: nine engine rankings, ONE distributed batch ----
+    bm25 = ModelParams(model="BM25", k1=mp.k1, b=mp.b, k3=mp.k3)
+    indri = ModelParams(model="Indri", mu=mp.mu, lambda_=mp.lambda_)
+    jobs: list[tuple[str, str, ModelParams]] = []  # (job_qid, qtext, params)
+    want: dict[str, list[int]] = {}
+    for qid, qtext in queries:
+        cand = candidates.get(qid, [])
+        if not cand:
+            continue
+        for fld in _FIELDS:
+            qf = qtext if fld == "body" else _field_query(qtext, fld)
+            jobs.append((f"{qid}|bm25|{fld}", qf, bm25))
+            jobs.append((f"{qid}|indri|{fld}", qf, indri))
+        jobs.append((f"{qid}|indri|sdm", _sdm_query(qtext), indri))
+        for j in jobs[-9:]:
+            want[j[0]] = cand
+    score_map: dict[tuple[str, str], dict[int, float]] = {}
+    for prm, tag in ((bm25, "bm25"), (indri, "indri")):
+        batch = [(j, q) for j, q, p in jobs if p is prm]
+        if not batch:
+            continue
+        got = score_documents(index_dir, batch, prm, want)
+        for r in got.itertuples():
+            score_map.setdefault(r.qid, {})[int(r.docid)] = float(r.score)
+
+    # ---- term vectors for overlap + f18 + field presence ----
+    ranges = _shard_of(index_dir)
+    by_shard: dict[int, list[int]] = {}
+    for d in all_docids:
+        for s, lo, hi in ranges:
+            if lo <= d < hi:
+                by_shard.setdefault(s, []).append(d)
+                break
+    futs = [
+        _fetch_term_vectors.remote(index_dir, s, ds_, fld)
+        for s, ds_ in sorted(by_shard.items())
+        for fld in _FIELDS
+    ]
+    tv = pd.concat(ray.get(futs), ignore_index=True)
+    # (field, docid) → dict(stem → tf); docs absent here lack the field
+    tv_map: dict[tuple[str, int], dict[str, int]] = {}
+    for (fld, d), g in tv.groupby(["field", "docid"]):
+        tv_map[(fld, int(d))] = dict(zip(g["stem"], g["tf"]))
+
+    # ---- df(title, token) for f18 ----
+    qtokens = {qid: [t for t in analyze(qt, analyzer)] for qid, qt in queries}
+    title_terms = {("title", t) for toks in qtokens.values() for t in toks}
+    title_stats = load_term_stats(index_dir, title_terms)
+
+    # ---- doc attributes f1-f4 ----
+    if doc_attrs is None:
+        urls = _docmap_urls(index_dir, all_docids)
+        doc_attrs = pd.DataFrame(
+            {"docid": all_docids, "raw_url": [urls[d] for d in all_docids],
+             "spam_score": np.nan}
+        )
+    attr = doc_attrs.set_index("docid")
+    page_rank = page_rank or {}
+
+    feats = np.full((len(rows), N_FEATURES), np.nan)
+    for i, (qid, docid) in enumerate(zip(rows["qid"], rows["docid"])):
+        docid = int(docid)
+        qtext = qtext_of[qid]
+        toks = qtokens[qid]
+        f = feats[i]
+        raw_url = str(attr.loc[docid, "raw_url"]) if docid in attr.index else ""
+        f[0] = attr.loc[docid, "spam_score"] if docid in attr.index else np.nan
+        f[1] = raw_url.count("/")
+        f[2] = 1.0 if "wikipedia.org" in raw_url else 0.0
+        f[3] = page_rank.get(docid, np.nan)
+        for k, fld in enumerate(_FIELDS):
+            base = 4 + 3 * k
+            tvec = tv_map.get((fld, docid))
+            if tvec is None:  # missing field → NaN triple (ref :399-401 etc.)
+                continue
+            f[base] = score_map.get(f"{qid}|bm25|{fld}", {}).get(docid, 0.0)
+            f[base + 1] = score_map.get(f"{qid}|indri|{fld}", {}).get(docid, 0.0)
+            valid = [t for t in toks if t]
+            if valid:
+                f[base + 2] = sum(1 for t in valid if t in tvec) / len(valid)
+        f[16] = score_map.get(f"{qid}|indri|sdm", {}).get(docid, 0.0)
+        # f18: VSM lnc.ltc on title (LearnToRank.java:451-480)
+        tvec = tv_map.get(("title", docid))
+        if tvec is not None:
+            doc_len2 = sum((math.log(tf) + 1) ** 2 for tf in tvec.values())
+            dot = 0.0
+            for t in toks:
+                tf = tvec.get(t)
+                if tf is not None:
+                    df_t = title_stats.get(("title", t), (0, 0))[0]
+                    dot += (math.log(tf) + 1) * (
+                        math.log(n_docs / df_t) if df_t else math.inf
+                    )
+            qry_len2 = 0.0
+            for t in toks:
+                df_t = title_stats.get(("title", t), (0, 0))[0]
+                qry_len2 += (math.log(n_docs / df_t) if df_t else math.inf) ** 2
+            # IEEE division exactly as Java: x/inf → 0, inf/inf & 0/0 → NaN
+            with np.errstate(divide="ignore", invalid="ignore"):
+                f[17] = float(
+                    np.float64(dot) / np.float64(math.sqrt(doc_len2 * qry_len2))
+                )
+
+    for fid in params.feature_disable:  # letor:featureDisable (:899-908)
+        feats[:, fid - 1] = np.nan
+    out = rows.copy()
+    for j in range(N_FEATURES):
+        out[f"f{j + 1}"] = feats[:, j]
+    return out
+
+
+def _docmap_urls(index_dir: str, docids: list[int]) -> dict[int, str]:
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+
+    dm = pads.dataset(
+        sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet")))
+    ).to_table(filter=pads.field("docid").isin(docids))
+    return dict(zip(dm["docid"].to_pylist(), dm["url"].to_pylist()))
+
+
+def normalize_features(feats: pd.DataFrame) -> pd.DataFrame:
+    """Per-query min-max over non-NaN values; constant → 0, NaN passthrough
+    (LearnToRank.java:279-314). groupby(qid) — the reference's per-query
+    loop, expressed as the grouped transform it is."""
+
+    def norm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        for c in g.columns:
+            if not c.startswith("f"):
+                continue
+            v = g[c].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(v)
+            if not ok.any():
+                continue
+            lo, hi = v[ok].min(), v[ok].max()
+            g[c] = np.where(ok, (v - lo) / (hi - lo) if hi != lo else 0.0, np.nan)
+        return g
+
+    out = [norm(g) for _, g in feats.groupby("qid", sort=False)]
+    return pd.concat(out, ignore_index=True) if out else feats
+
+
+def write_svmlight(
+    feats: pd.DataFrame, rel: dict[tuple[str, int], int], extid: dict[int, str]
+) -> str:
+    """SVMlight lines ``rel qid:q i:v … # extid`` — NaN features omitted
+    (LearnToRank.java:45-61)."""
+    lines = []
+    for r in feats.itertuples():
+        docid = int(r.docid)
+        parts = [str(rel.get((r.qid, docid), 0)), f"qid:{r.qid}"]
+        for j in range(N_FEATURES):
+            v = getattr(r, f"f{j + 1}")
+            if not (isinstance(v, float) and math.isnan(v)):
+                parts.append(f"{j + 1}:{v}")
+        lines.append(" ".join(parts) + " # " + extid.get(docid, str(docid)))
+    return "\n".join(lines) + "\n"
+
+
+def read_svmlight_scores(text: str) -> list[float]:
+    return [float(line) for line in text.splitlines() if line.strip()]
+
+
+def train_linear(feats: pd.DataFrame, rel: dict[tuple[str, int], int], l2: float = 1e-3) -> np.ndarray:
+    """Deterministic stand-in for ``svm_rank_learn``: closed-form ridge
+    regression of relevance on the (NaN→0) normalized features. Documented
+    divergence from the reference's external SVM (LearnToRank.java:921-957)."""
+    X = feats[[f"f{j + 1}" for j in range(N_FEATURES)]].to_numpy(dtype=np.float64)
+    X = np.nan_to_num(X)
+    y = np.array([rel.get((q, int(d)), 0) for q, d in zip(feats["qid"], feats["docid"])], dtype=np.float64)
+    A = X.T @ X + l2 * np.eye(N_FEATURES)
+    return np.linalg.solve(A, X.T @ y)
+
+
+def rerank_scores(feats: pd.DataFrame, weights: np.ndarray) -> pd.DataFrame:
+    X = np.nan_to_num(
+        feats[[f"f{j + 1}" for j in range(N_FEATURES)]].to_numpy(dtype=np.float64)
+    )
+    out = feats[["qid", "docid"]].copy()
+    out["score"] = X @ weights
+    return out
+
+
+def svm_rank_hook(*_a, **_k):
+    """Placeholder for the reference's ``Runtime.exec(svm_rank_*)`` path
+    (LearnToRank.java:921-994); the binaries are not present here."""
+    raise NotImplementedError(
+        "external svm_rank binaries are unavailable; use train_linear/"
+        "rerank_scores, or wire svm_rank via write_svmlight/read_svmlight_scores"
+    )
+
+
+def letor_rerank(
+    index_dir: str,
+    train_queries: list[tuple[str, str]],
+    qrels: dict[tuple[str, int], int],
+    test_queries: list[tuple[str, str]],
+    *,
+    params: LetorParams | None = None,
+    k: int = 100,
+) -> dict[str, list[tuple[int, float]]]:
+    """Full LeToR flow (QryEval.java:239-258): train features on judged docs
+    → fit ranker → test features on BM25-body top-100 initial ranking
+    (LearnToRank.java:840-858) → rerank. Returns qid → [(docid, score)]."""
+    params = params or LetorParams()
+    train_cand = {
+        q: sorted({d for (qq, d) in qrels if qq == q}) for q, _ in train_queries
+    }
+    train_f = normalize_features(
+        compute_features(index_dir, train_queries, train_cand, params=params)
+    )
+    w = train_linear(train_f, qrels)
+
+    bm25 = params.model_params
+    initial = run_queries(index_dir, test_queries, bm25, k=k)
+    test_cand = {q: [docid for (_, _, docid) in initial[q]] for q, _ in test_queries}
+    test_f = normalize_features(
+        compute_features(index_dir, test_queries, test_cand, params=params)
+    )
+    scored = rerank_scores(test_f, w)
+    out: dict[str, list[tuple[int, float]]] = {q: [] for q, _ in test_queries}
+    for qid, g in scored.groupby("qid"):
+        g = g.sort_values(["score", "docid"], ascending=[False, True], kind="mergesort")
+        out[str(qid)] = [(int(d), float(s)) for d, s in zip(g["docid"], g["score"])]
+    return out

@@ -319,6 +319,104 @@ def run_queries(
     return merge_results(rows, queries, params, k)
 
 
+class ScoreDocsActor:
+    """Evaluate queries and emit scores for a REQUESTED docid set only — no
+    top-k truncation. The LeToR feature extractor needs this: the reference
+    keeps the full ScoreList per ranking and probes judged docs against it
+    (LearnToRank.java:209-256, buildMap :598-606)."""
+
+    def __init__(self, index_dir: str, queries_ref):
+        import ray
+
+        self.cache = _ShardCache(index_dir)
+        # qid -> (qtree, params, score_stats, sorted wanted docids)
+        self.queries = ray.get(queries_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "docid": [], "score": []}
+        for qid, shard in zip(batch["qid"], batch["shard"]):
+            qtree, params, stats, want = self.queries[qid]
+            view = self.cache.view(int(shard))
+            lo = view.reader.docid_base
+            hi = lo + view.reader.n_docs
+            w = np.asarray(want, dtype=np.int64)
+            w = w[(w >= lo) & (w < hi)]
+            if not len(w):
+                continue
+            ev = Evaluator(view, params, stats)
+            res = ev.evaluate(qtree)
+            mask = np.isin(res.docids, w)
+            out["qid"].extend([qid] * int(mask.sum()))
+            out["docid"].extend(int(d) for d in res.docids[mask])
+            out["score"].extend(float(s) for s in res.scores[mask])
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="object"),
+                "docid": pd.Series(out["docid"], dtype="int64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
+
+
+def score_documents(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    params: ModelParams,
+    want: dict[str, list[int]],
+    *,
+    concurrency: int | None = None,
+) -> pd.DataFrame:
+    """→ (qid, docid, score) for each requested docid that MATCHES its query
+    (non-matching docs are absent, mirroring the reference's score-map probe
+    returning 0.0/absent). Queries that fail to parse contribute no rows."""
+    import ray
+    import ray.data
+
+    shards = list_shards(index_dir)
+    if not shards:
+        raise ValueError(f"no shards in {index_dir}")
+    trees, score_stats, composite_qids = plan_queries(index_dir, queries, params)
+    if concurrency is None:
+        concurrency = max(1, min(len(shards), 8))
+
+    if composite_qids:
+        ref = ray.put({q: (trees[q], params) for q in composite_qids})
+        work = [{"qid": q, "shard": s} for s in shards for q in composite_qids]
+        pre = (
+            ray.data.from_items(work)
+            .map_batches(
+                StatsPrePassActor,
+                fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
+                batch_format="pandas",
+                concurrency=(1, concurrency),
+                batch_size=max(1, len(work) // (concurrency * 2) or 1),
+            )
+            .to_pandas()
+        )
+        apply_prepass(score_stats, pre)
+
+    payload = {
+        q: (trees[q], params, score_stats[q], sorted(want.get(q, [])))
+        for q in trees
+        if want.get(q)
+    }
+    if not payload:
+        return pd.DataFrame({"qid": [], "docid": [], "score": []})
+    ref = ray.put(payload)
+    work = [{"qid": q, "shard": s} for s in shards for q in payload]
+    return (
+        ray.data.from_items(work)
+        .map_batches(
+            ScoreDocsActor,
+            fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
+            batch_format="pandas",
+            concurrency=(1, concurrency),
+            batch_size=max(1, len(work) // (concurrency * 2) or 1),
+        )
+        .to_pandas()
+    )
+
+
 # ---------------------------------------------------------------------------
 # front-end 2: persistent actor service (low-latency / repeated queries)
 # ---------------------------------------------------------------------------

@@ -61,22 +61,26 @@ class FeedbackParams:
 
 
 @ray.remote
-def _fetch_term_vectors(index_dir: str, shard: int, docids: list[int]) -> pd.DataFrame:
-    """One task per shard: body term vectors + body doclens for its docids."""
+def _fetch_term_vectors(
+    index_dir: str, shard: int, docids: list[int], field: str = "body"
+) -> pd.DataFrame:
+    """One task per shard: term vectors + doclens for its docids, one field."""
     r = ShardReader(index_dir, shard)
-    tvs = r.term_vectors("body", docids)
+    tvs = r.term_vectors(field, docids)
     rows = {"docid": [], "stem": [], "tf": [], "doclen": []}
     for d in docids:
         got = tvs.get(int(d))
         if got is None:
             continue
         stems, tfs = got
-        dl = int(r.doclen("body", np.array([d]))[0])
+        dl = int(r.doclen(field, np.array([d]))[0])
         rows["docid"].extend([int(d)] * len(stems))
         rows["stem"].extend(stems)
         rows["tf"].extend(int(t) for t in tfs)
         rows["doclen"].extend([dl] * len(stems))
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    df["field"] = field
+    return df
 
 
 def _shard_of(index_dir: str) -> list[tuple[int, int, int]]:

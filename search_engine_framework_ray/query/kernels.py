@@ -224,7 +224,13 @@ class Evaluator:
         if m == "BM25":
             N = v.n_docs
             idf = math.log((N - df_g + 0.5) / (df_g + 0.5))  # may be negative
-            avg_doclen = v.sum_doclen(inv.field) / v.doccount(inv.field)
+            # IEEE division: a field with doccount 0 gives NaN avg_doclen
+            # (as Java's double 0.0/0.0 does) instead of raising; the inv
+            # list is empty for such fields so no scores materialize
+            with np.errstate(divide="ignore", invalid="ignore"):
+                avg_doclen = float(
+                    np.float64(v.sum_doclen(inv.field)) / np.float64(v.doccount(inv.field))
+                )
             doclen = v.doclen(inv.field, inv.docids).astype(np.float64)
             tf = inv.tfs.astype(np.float64)
             tf_w = tf / (tf + self.p.k1 * ((1 - self.p.b) + self.p.b * (doclen / avg_doclen)))

@@ -1,0 +1,158 @@
+"""LeToR feature pipeline vs hand-computed values (LearnToRank.java
+semantics: overlap fractions, VSM lnc.ltc, NaN for missing fields, per-query
+min-max normalization, SVMlight formatting)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_framework_ray.pipelines.letor import (
+    compute_features,
+    letor_rerank,
+    normalize_features,
+    rerank_scores,
+    train_linear,
+    write_svmlight,
+)
+
+
+@pytest.fixture(scope="module")
+def letor_index(ray_session, tmp_path_factory):
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+
+    root = tmp_path_factory.mktemp("letor")
+    src = root / "docs.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "apple banana apple",
+                    "banana cherry",
+                    "apple cherry cherry date",
+                ],
+                "title": ["apple pie", "banana split", ""],
+            }
+        ),
+        src,
+    )
+    idx = str(root / "idx")
+    build_index(
+        str(src),
+        idx,
+        analyzer=PLAIN_ANALYZER,
+        plain_source=PlainSource(title_col="title"),
+        num_shards=2,
+    )
+    return idx
+
+
+QUERIES = [("q1", "apple banana")]
+CAND = {"q1": [0, 1, 2]}
+
+
+@pytest.fixture(scope="module")
+def feats(letor_index):
+    attrs = pd.DataFrame(
+        {
+            "docid": [0, 1, 2],
+            "raw_url": [
+                "http://en.wikipedia.org/wiki/Apple",
+                "http://example.com/a/b/c",
+                "http://example.com",
+            ],
+            "spam_score": [50.0, 60.0, np.nan],
+        }
+    )
+    return compute_features(
+        letor_index, QUERIES, CAND, doc_attrs=attrs, page_rank={0: 3.5}
+    ).set_index("docid")
+
+
+def test_doc_attr_features(feats):
+    assert feats.loc[0, "f1"] == 50.0 and np.isnan(feats.loc[2, "f1"])
+    assert feats.loc[0, "f2"] == 4 and feats.loc[1, "f2"] == 5 and feats.loc[2, "f2"] == 2
+    assert feats.loc[0, "f3"] == 1.0 and feats.loc[1, "f3"] == 0.0
+    assert feats.loc[0, "f4"] == 3.5 and np.isnan(feats.loc[1, "f4"])
+
+
+def test_overlap_features(feats):
+    # body overlap f7: d0 both terms, d1/d2 one of two
+    assert feats.loc[0, "f7"] == 1.0
+    assert feats.loc[1, "f7"] == 0.5 and feats.loc[2, "f7"] == 0.5
+    # title overlap f10: d2 has no title → NaN triple (ref :484-487)
+    assert feats.loc[0, "f10"] == 0.5 and feats.loc[1, "f10"] == 0.5
+    assert np.isnan(feats.loc[2, "f8"]) and np.isnan(feats.loc[2, "f10"])
+
+
+def test_engine_scores_match_run_queries(letor_index, feats):
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    res = run_queries(letor_index, QUERIES, ModelParams(model="BM25"), k=100)["q1"]
+    by_doc = {docid: score for (_, score, docid) in res}
+    for d in (0, 1, 2):
+        assert feats.loc[d, "f5"] == pytest.approx(by_doc[d], abs=0)
+
+
+def test_vsm_lnc_ltc_hand_computed(feats):
+    # d0 title "apple pie", toks [apple, banana], N=3, df(title,·)=1 →
+    # dot=ln3, doclen²=2, qrylen²=2·ln²3 → f18 = ln3 / sqrt(4·ln²3) = 0.5
+    assert feats.loc[0, "f18"] == pytest.approx(0.5, rel=1e-12)
+    # d1 title "banana split": dot=ln3, same norms → 0.5
+    assert feats.loc[1, "f18"] == pytest.approx(0.5, rel=1e-12)
+    assert np.isnan(feats.loc[2, "f18"])
+
+
+def test_sdm_feature(feats):
+    # f17 = Indri #NEAR/1(apple banana): only d0 has the adjacent bigram;
+    # d1/d2 get 0.0 (score-map miss, ref :589-595)
+    assert feats.loc[0, "f17"] > 0
+    assert feats.loc[1, "f17"] == 0.0 and feats.loc[2, "f17"] == 0.0
+
+
+def test_normalization_minmax_nan_constant():
+    df = pd.DataFrame(
+        {
+            "qid": ["q"] * 3,
+            "docid": [0, 1, 2],
+            "f1": [1.0, 3.0, 2.0],   # → 0, 1, .5
+            "f2": [5.0, 5.0, 5.0],   # constant → 0
+            "f3": [np.nan, 1.0, 3.0],  # NaN passthrough, others min-maxed
+        }
+    )
+    out = normalize_features(df).set_index("docid")
+    assert out["f1"].tolist() == [0.0, 1.0, 0.5]
+    assert out["f2"].tolist() == [0.0, 0.0, 0.0]
+    assert np.isnan(out.loc[0, "f3"]) and out.loc[1, "f3"] == 0.0 and out.loc[2, "f3"] == 1.0
+
+
+def test_svmlight_format_omits_nan():
+    df = pd.DataFrame(
+        {"qid": ["7"], "docid": [3], "f1": [0.5], "f2": [np.nan]}
+    )
+    for j in range(3, 19):
+        df[f"f{j}"] = 0.0
+    line = write_svmlight(df, {("7", 3): 2}, {3: "doc3"}).splitlines()[0]
+    assert line.startswith("2 qid:7 1:0.5 3:0.0")
+    assert " 2:" not in line
+    assert line.endswith("# doc3")
+
+
+def test_letor_rerank_end_to_end(letor_index):
+    qrels = {("q1", 0): 2, ("q1", 1): 1, ("q1", 2): 0}
+    out1 = letor_rerank(letor_index, QUERIES, qrels, QUERIES)
+    out2 = letor_rerank(letor_index, QUERIES, qrels, QUERIES)
+    assert out1 == out2
+    ranked = out1["q1"]
+    assert len(ranked) == 3
+    # trained on these qrels, the most-relevant doc ranks first
+    assert ranked[0][0] == 0
