@@ -9,10 +9,11 @@ all fields) over ``$GRAFT_SF_DIR/documents.parquet`` — the north-star
 extract+index throughput, query batch + p50 latency via the persistent
 QueryService, dedup, ANN, windowed aggregation.
 
-``--scaling``: runs the headline twice in fresh processes at num_cpus=8 and
-32 on the same input and reports both rates + efficiency
-``eff = (rate_32/rate_8)/4`` (the sandbox evidence for the N→4N ≥0.8
-cluster-scaling criterion; BASELINE.md records the result).
+``--scaling``: runs the SAME extract+index job (Common-Crawl-shaped HTML
+corpus, fixed 32 shards) in fresh processes at num_cpus=7 and num_cpus=28
+(N and 4N) and reports both rates + efficiency ``eff = (rate_4N/rate_N)/4``
+(the sandbox evidence for the N→4N ≥0.8 cluster-scaling criterion;
+BASELINE.md records the result and methodology).
 """
 
 from __future__ import annotations
@@ -65,6 +66,8 @@ def run_bench() -> dict:
     pq.read_table(docs_path)
 
     # ---- headline: full index build (Porter analyzer) over documents ----
+    # num_shards is FIXED (not CPU-derived) so the job is identical at every
+    # parallelism level — the scaling comparison requires the same work
     idx = f"/tmp/sefr_bench/idx_main_{ncpu}"
     shutil.rmtree(idx, ignore_errors=True)
     t0 = time.monotonic()
@@ -73,7 +76,7 @@ def run_bench() -> dict:
         idx,
         analyzer=DEFAULT_ANALYZER,
         plain_source=PlainSource(),
-        num_shards=max(8, ncpu),
+        num_shards=32,
     )
     timings["index_build"] = time.monotonic() - t0
     timings["index_docs_per_s"] = n_docs / timings["index_build"]
@@ -121,7 +124,7 @@ def run_bench() -> dict:
         idx2 = f"/tmp/sefr_bench/idx_html_{ncpu}"
         shutil.rmtree(idx2, ignore_errors=True)
         t0 = time.monotonic()
-        build_index(html_corpus, idx2, num_shards=max(8, ncpu), verify_golden=True)
+        build_index(html_corpus, idx2, num_shards=32, verify_golden=True)
         timings["html_extract_index"] = time.monotonic() - t0
         timings["html_docs_per_s"] = n_html / timings["html_extract_index"]
 
@@ -171,36 +174,88 @@ def run_bench() -> dict:
     return out
 
 
+def _scaling_child(ncpu: int, corpus: str, trials: int) -> list[float]:
+    """Fresh-process builds of the SAME job (same corpus, same 32 shards) at
+    the given CPU count; returns per-trial seconds. Page cache is warmed and
+    the first trial doubles as Ray worker warm-up — the steady-state MIN is
+    the scaling estimator (this sandbox box has heavy co-tenant noise)."""
+    import glob
+
+    import ray
+
+    for f in glob.glob(os.path.join(corpus, "*.parquet")):
+        open(f, "rb").read()
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from search_engine_framework_ray.pipelines.build_index import build_index
+
+    idx = f"/tmp/sefr_bench/scale_idx_{ncpu}"
+    out = []
+    for _ in range(trials):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(corpus, idx, num_shards=32)
+        out.append(time.monotonic() - t0)
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
-    """Same headline job in fresh processes at 8 and 32 CPUs."""
-    rates = {}
-    times = {}
-    for ncpu in (8, 32):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_HEADLINE_ONLY="1",
-        )
+    """The sandbox stand-in for the N→4N cluster criterion: the identical
+    extract+index job (Common-Crawl-shaped HTML corpus, fixed 32 shards) in
+    fresh processes at ray.init(num_cpus=7) and num_cpus=28 (N and 4N; 28
+    rather than the box's full 32 so Ray's raylet/GCS/driver and co-tenant
+    load don't straggle the workers — at num_cpus=32 single runs swing 3-6×);
+    min of 3 trials per level."""
+    n_docs = int(os.environ.get("GRAFT_BENCH_SCALING_DOCS", "40000"))
+    trials = int(os.environ.get("GRAFT_BENCH_SCALING_TRIALS", "3"))
+    corpus = "/tmp/sefr_bench/scale_corpus"
+    if not os.path.isdir(corpus):
+        import ray
+
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        from search_engine_framework_ray.sources.corpus import synthesize_corpus
+
+        synthesize_corpus(corpus, n_docs=n_docs, n_files=32, seed=11)
+        ray.shutdown()
+
+    all_times: dict[int, list[float]] = {}
+    n_lo, n_hi = 7, 28
+    for ncpu in (n_lo, n_hi):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, %r); import bench; "
+                "print(bench._scaling_child(%d, %r, %d))"
+                % (os.path.dirname(os.path.abspath(__file__)), ncpu, corpus, trials),
+            ],
             capture_output=True,
             text=True,
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        rec = json.loads(out.strip().splitlines()[-1])
-        times[ncpu] = rec["value"]
-        rates[ncpu] = rec["n_docs"] / rec["value"]
-    eff = (rates[32] / rates[8]) / (32 / 8)
+        all_times[ncpu] = eval(out.strip().splitlines()[-1])
+    best = {n: min(ts) for n, ts in all_times.items()}
+    rates = {n: n_docs / t for n, t in best.items()}
+    eff = (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
     return {
-        "metric": "indexing scaling efficiency 8→32 cpus",
-        "sec_8": round(times[8], 3),
-        "sec_32": round(times[32], 3),
-        "docs_per_s_8": round(rates[8], 1),
-        "docs_per_s_32": round(rates[32], 1),
+        "metric": f"indexing scaling efficiency {n_lo}→{n_hi} cpus (same job, fixed shards, min of trials)",
+        "n_docs": n_docs,
+        f"trials_{n_lo}": [round(t, 2) for t in all_times[n_lo]],
+        f"trials_{n_hi}": [round(t, 2) for t in all_times[n_hi]],
+        f"sec_{n_lo}": round(best[n_lo], 3),
+        f"sec_{n_hi}": round(best[n_hi], 3),
+        f"docs_per_s_{n_lo}": round(rates[n_lo], 1),
+        f"docs_per_s_{n_hi}": round(rates[n_hi], 1),
         "scaling_efficiency": round(eff, 3),
-        "sf": os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     }
 
 

@@ -43,13 +43,11 @@ import ray.data
 from ..functions.analysis import DEFAULT_ANALYZER, AnalyzerConfig
 from ..functions.extract import extract_fields
 from ..sources.corpus import hash_det
-from ..stages.aggregate import salted_groupby_sum
 from ..state import index_layout as lay
 from ..state.shard import build_shard, read_manifest_terms
 from ..state.index_layout import read_manifest, write_stats
 
 TERMSTATS_BUCKETS = 64
-NUM_SALTS = 16
 
 
 class ExtractStage:
@@ -103,7 +101,10 @@ class ExtractStage:
 
 
 def _deterministic_url_sample(url_ds: ray.data.Dataset, n_total: int, target: int = 100_000):
-    """Hash-selected url sample — identical at any parallelism level."""
+    """Hash-selected url sample — identical at any parallelism level.
+    Returns (sorted sample, exhaustive) where exhaustive means the sample is
+    EVERY url (small corpora) — the caller can then derive exact partition
+    counts driver-side without another cluster pass."""
     mod = max(1, n_total // target)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -115,7 +116,7 @@ def _deterministic_url_sample(url_ds: ray.data.Dataset, n_total: int, target: in
         sample = url_ds
     else:
         sample = url_ds.map_batches(pick, batch_format="pyarrow")
-    return sorted(r["url"] for r in sample.take_all())
+    return sorted(r["url"] for r in sample.take_all()), mod == 1
 
 
 def _assign_part(boundaries: list[str]):
@@ -189,6 +190,7 @@ def build_index(
     # the global docid prefix sum.
     if plain_source is not None:
         url_ds = ray.data.read_parquet(corpus_paths, columns=[plain_source.id_col])
+        n_total = url_ds.count()  # metadata-only on an untransformed read
         url_ds = url_ds.map_batches(plain_source.url_expr, batch_format="pyarrow")
     else:
         url_ds = ray.data.read_parquet(corpus_paths, columns=read_cols)
@@ -197,24 +199,37 @@ def build_index(
                 lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
                 batch_format="pyarrow",
             )
+            n_total = url_ds.count()  # filter forces a scan
+        else:
+            n_total = url_ds.count()  # metadata-only
     url_ds = url_ds.select_columns(["url"])
-    n_total = url_ds.count()
     if n_total == 0:
         raise ValueError("empty corpus after lang filter")
     if num_shards is None:
         num_shards = max(1, min(512, -(-n_total // 20_000)))
-    sample = _deterministic_url_sample(url_ds, n_total)
+    sample, exhaustive = _deterministic_url_sample(url_ds, n_total)
     cuts = [
         sample[int(len(sample) * k / num_shards)]
         for k in range(1, num_shards)
     ]
-    part_counts_df = (
-        url_ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
-        .groupby("part")
-        .count()
-        .to_pandas()
-    )
-    counts = dict(zip(part_counts_df["part"], part_counts_df["count()"]))
+    if exhaustive:
+        # the sorted sample is every url → exact per-partition counts via
+        # searchsorted, no second cluster pass
+        # _assign_part puts url == boundary into the NEXT partition
+        # (searchsorted side="right" over boundaries) → edge = #(url < cut)
+        edges = np.searchsorted(
+            np.array(sample, dtype=object), np.array(cuts, dtype=object), side="left"
+        )
+        edges = np.concatenate([[0], edges, [len(sample)]])
+        counts = {p: int(edges[p + 1] - edges[p]) for p in range(num_shards)}
+    else:
+        part_counts_df = (
+            url_ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
+            .groupby("part")
+            .count()
+            .to_pandas()
+        )
+        counts = dict(zip(part_counts_df["part"], part_counts_df["count()"]))
     offsets: dict[int, int] = {}
     acc = 0
     for p in range(num_shards):
@@ -248,9 +263,7 @@ def build_index(
         docs = docs.drop_duplicates(subset="url", keep="first")
         urls = docs["url"].tolist()
         if not urls:
-            return pd.DataFrame(
-                {"field": [], "term": [], "df": [], "ctf": [], "salt": []}
-            )
+            return pd.DataFrame({"field": [], "term": [], "df": [], "ctf": []})
         # inlink: inbound anchor text grouped to this partition's target urls,
         # deterministic order (src url, then anchor text)
         inlink_map: dict[str, list[str]] = {}
@@ -299,14 +312,17 @@ def build_index(
                 block_size=block_size,
                 include_forward=include_forward,
             ).to_pandas()
-        ts["salt"] = part % NUM_SALTS
         return ts
 
     termstats = ds.groupby("part").map_groups(build_group, batch_format="pandas")
 
-    # Global (field, term) df/ctf with heavy-hitter salting, then write
-    # hash-bucketed termstats files.
-    global_ts = salted_groupby_sum(termstats, ["field", "term"], ["df", "ctf"])
+    # Global (field, term) df/ctf. The per-shard SPIMI build already combined
+    # each term to ONE partial row per shard (the classic combiner — the
+    # skew/heavy-hitter answer: a Zipf-head term contributes ≤ num_shards
+    # rows here, never its raw postings). So the global reduce needs only ONE
+    # shuffle: hash-bucket by term, then a vectorized pandas sum inside each
+    # bucket task. (The general two-stage salted reduce lives in
+    # stages/aggregate.py for inputs whose partials are per-batch.)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = [hash_det(t) % TERMSTATS_BUCKETS for t in batch["term"].to_pylist()]
@@ -315,21 +331,26 @@ def build_index(
     tdir = lay.termstats_dir(index_dir)
     os.makedirs(tdir, exist_ok=True)
 
-    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         b = int(g["bucket"].iloc[0])
-        g = g.sort_values(["field", "term"], kind="mergesort")
-        out = g[["field", "term", "df", "ctf"]]
+        out = (
+            g.groupby(["field", "term"], as_index=False, sort=False)[["df", "ctf"]]
+            .sum()
+            .sort_values(["field", "term"], kind="mergesort")
+        )
         tmp = os.path.join(tdir, f".bucket={b:04d}.parquet.tmp")
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
         os.replace(tmp, os.path.join(tdir, f"bucket={b:04d}.parquet"))
-        return pd.DataFrame({"bucket": [b], "n_terms": [len(g)]})
+        return pd.DataFrame({"bucket": [b], "n_terms": [len(out)]})
 
-    bucket_report = (
-        global_ts.map_batches(add_bucket, batch_format="pyarrow")
+    report_ds = (
+        termstats.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(write_bucket, batch_format="pandas")
-        .to_pandas()
+        .map_groups(reduce_bucket, batch_format="pandas")
     )
+    bucket_report = report_ds.to_pandas()
+    if os.environ.get("GRAFT_BUILD_STATS"):
+        print(report_ds.stats())
 
     # Collection stats from shard manifests (stats.json is the commit marker).
     n_docs = 0
