@@ -100,11 +100,26 @@ def stats_prepass_rows(cache: _ShardCache, queries: dict, pairs) -> pd.DataFrame
 
 
 def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
-    """Per (qid, shard): evaluate the full tree, emit shard-local top-k."""
+    """Per (qid, shard): evaluate the full tree, emit shard-local top-k.
+    Flat BM25 #SUM queries take the block-max pruned path (rank-identical,
+    see query/blockmax.py); everything else evaluates exhaustively."""
+    from .blockmax import try_blockmax_bm25
+
     out = {"qid": [], "docid": [], "url": [], "score": []}
     for qid, shard in pairs:
         qtree, params, score_stats = queries[qid]
         view = cache.view(int(shard))
+        bm = try_blockmax_bm25(view, qtree, params, score_stats, k)
+        if bm is not None:
+            docids, scores = bm
+            if len(docids) == 0:
+                continue
+            urls = view.reader.url_of(docids)
+            out["qid"].extend([qid] * len(docids))
+            out["docid"].extend(int(d) for d in docids)
+            out["url"].extend(urls)
+            out["score"].extend(float(s) for s in scores)
+            continue
         ev = Evaluator(view, params, score_stats)
         res = ev.evaluate(qtree)
         if len(res.docids) == 0:

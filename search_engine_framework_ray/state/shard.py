@@ -301,3 +301,16 @@ class ShardReader:
         off, size, _, _ = meta
         headers, _ = read_headers(self.postings[off : off + size])
         return headers
+
+    def get_postings_masked(self, field: str, term: str, block_mask: np.ndarray):
+        """Decode only the selected skip blocks → (docids, tfs); positions
+        skipped. Block-max top-k traversal path."""
+        meta = self.term_dict.get((field, term))
+        if meta is None:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.astype(np.int32)
+        off, size, _, _ = meta
+        docids, tfs, _, _ = decode_postings(
+            self.postings[off : off + size], with_positions=False, block_mask=block_mask
+        )
+        return docids, tfs
