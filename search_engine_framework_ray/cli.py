@@ -1,0 +1,150 @@
+"""``ray job submit``-able entrypoints (north_rule: the whole job launches
+via ``ray job submit`` on a fixed-size cluster; locally the same commands
+run standalone — Ray Data auto-initialises, or connects to the cluster the
+job runner provides).
+
+::
+
+    # index a Common-Crawl-shaped parquet corpus
+    ray job submit -- python -m search_engine_framework_ray.cli build \
+        --corpus /data/pages --index /data/index --shards 512
+
+    # index a plain text table (documents-style)
+    python -m search_engine_framework_ray.cli build \
+        --corpus docs.parquet --index /tmp/idx --plain --text-col text
+
+    # batch retrieval → TREC run file (reference main flow, QryEval.java:75-237)
+    python -m search_engine_framework_ray.cli query \
+        --index /tmp/idx --queries queries.txt --model BM25 --out run.trec
+
+    # reference-style key=value param file drives everything (Sample.param)
+    python -m search_engine_framework_ray.cli query \
+        --index /tmp/idx --queries q.txt --param-file Sample.param --out run.trec
+
+Query files use the reference's ``qid:text`` line format (QryEval.java:160).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if _in_job() else "local", include_dashboard=False)
+
+
+def _in_job() -> bool:
+    import os
+
+    return bool(os.environ.get("RAY_JOB_ID"))
+
+
+def read_query_file(path: str) -> list[tuple[str, str]]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or ":" not in line:
+                continue
+            qid, qtext = line.split(":", 1)
+            out.append((qid.strip(), qtext.strip()))
+    return out
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from .functions.analysis import AnalyzerConfig
+    from .pipelines.build_index import PlainSource, build_index
+
+    analyzer = AnalyzerConfig(stemmer=args.stemmer)
+    plain = (
+        PlainSource(id_col=args.id_col, text_col=args.text_col, title_col=args.title_col)
+        if args.plain
+        else None
+    )
+    report = build_index(
+        args.corpus,
+        args.index,
+        num_shards=args.shards,
+        analyzer=analyzer,
+        lang_filter=args.lang,
+        plain_source=plain,
+        block_size=args.block_size,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ensure_ray()
+    from .query.executor import run_queries
+    from .query.expansion import FeedbackParams, run_queries_with_expansion
+    from .query.models import params_from_dict, read_param_file
+    from .sources.trec import write_trec_run
+
+    raw = read_param_file(args.param_file) if args.param_file else {}
+    if args.model:
+        raw["retrievalAlgorithm"] = args.model
+    params = params_from_dict(raw)
+    queries = read_query_file(args.queries)
+    if raw.get("fb", "").lower() == "true" or args.fb:
+        results, expanded = run_queries_with_expansion(
+            args.index, queries, params, FeedbackParams.from_params(raw), k=args.k
+        )
+        if raw.get("fbExpansionQueryFile"):
+            with open(raw["fbExpansionQueryFile"], "w") as f:
+                for qid, _ in queries:
+                    f.write(f"{qid}: {expanded[qid]}\n")
+    else:
+        results = run_queries(args.index, queries, params, k=args.k)
+    write_trec_run(
+        args.out,
+        results,
+        [q for q, _ in queries],
+        is_ranked=params.is_ranked,
+        tag=args.tag,
+        k=args.k,
+    )
+    print(json.dumps({"queries": len(queries), "out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_framework_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the sharded inverted index")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--shards", type=int, default=None)
+    b.add_argument("--stemmer", default="porter", choices=["porter", "none"])
+    b.add_argument("--lang", default=None)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--plain", action="store_true", help="plain text table input")
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--title-col", default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="batch retrieval → TREC run file")
+    q.add_argument("--index", required=True)
+    q.add_argument("--queries", required=True, help="qid:text lines")
+    q.add_argument("--model", default=None)
+    q.add_argument("--param-file", default=None, help="reference key=value file")
+    q.add_argument("--out", required=True)
+    q.add_argument("--k", type=int, default=100)
+    q.add_argument("--tag", default="Run")
+    q.add_argument("--fb", action="store_true", help="feedback expansion")
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,6 +20,7 @@ rank), and the driver's merge of k·S tiny rows is exact.
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 
 import numpy as np
@@ -167,33 +168,58 @@ class QueryExecActor:
 # ---------------------------------------------------------------------------
 
 
+# bucket-file LRU: planning happens per query batch on the driver; repeated
+# queries re-read the same handful of termstats buckets, so memoize each
+# parsed bucket keyed by (path, mtime) — invalidated automatically on rebuild
+_BUCKET_CACHE: "OrderedDict[tuple[str, float], dict]" = OrderedDict()
+_BUCKET_CACHE_MAX = 256
+
+
+def _bucket_stats(path: str) -> dict:
+    import pyarrow.parquet as _pq
+
+    key = (path, os.path.getmtime(path))
+    hit = _BUCKET_CACHE.get(key)
+    if hit is not None:
+        _BUCKET_CACHE.move_to_end(key)
+        return hit
+    tab = _pq.read_table(path)
+    out = {
+        (f, t): (int(d), int(c))
+        for f, t, d, c in zip(
+            tab["field"].to_pylist(),
+            tab["term"].to_pylist(),
+            tab["df"].to_pylist(),
+            tab["ctf"].to_pylist(),
+        )
+    }
+    _BUCKET_CACHE[key] = out
+    while len(_BUCKET_CACHE) > _BUCKET_CACHE_MAX:
+        _BUCKET_CACHE.popitem(last=False)
+    return out
+
+
 def load_term_stats(index_dir: str, terms: set[tuple[str, str]]) -> dict:
     """Global (df, ctf) for the given (field, term) pairs from the
-    hash-bucketed termstats store — reads only the needed buckets with a
-    parquet filter (cheap at any vocabulary size)."""
-    import os
-
-    import pyarrow.dataset as pads
-
+    hash-bucketed termstats store — reads (and memoizes) only the needed
+    buckets (cheap at any vocabulary size)."""
     from ..sources.corpus import hash_det
     from ..state.index_layout import termstats_dir
 
     stats = read_stats(index_dir)
     nb = int(stats.get("termstats_buckets", 64))
-    by_bucket: dict[int, set[str]] = {}
-    for _, term in terms:
-        by_bucket.setdefault(hash_det(term) % nb, set()).add(term)
+    buckets = {hash_det(term) % nb for _, term in terms}
     out: dict[tuple[str, str], tuple[int, int]] = {}
-    for b, tset in by_bucket.items():
+    for b in buckets:
         path = os.path.join(termstats_dir(index_dir), f"bucket={b:04d}.parquet")
         if not os.path.exists(path):
             continue
-        tab = pads.dataset(path).to_table(
-            filter=pads.field("term").isin(sorted(tset))
-        )
-        for r in tab.to_pylist():
-            out[(r["field"], r["term"])] = (int(r["df"]), int(r["ctf"]))
-    return {key: v for key, v in out.items() if key in terms}
+        bstats = _bucket_stats(path)
+        for key in terms:
+            v = bstats.get(key)
+            if v is not None:
+                out[key] = v
+    return out
 
 
 def resolve_analyzer(index_dir: str):

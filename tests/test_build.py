@@ -163,3 +163,53 @@ def test_resume_is_noop_and_hash_stable(built_index, tiny_corpus):
     assert os.path.getmtime(
         os.path.join(index_dir, "shards", "shard=00000", "postings.bin")
     ) == mtime
+
+
+def test_killed_midbuild_resume_identical(built_index, tiny_corpus, tmp_path_factory):
+    """Simulated mid-merge kill (SURVEY.md §5.5): wipe one shard + the
+    commit-marker stats.json from a copy of the index, rebuild, and the
+    result must be byte-identical — only the missing shard is rebuilt."""
+    import shutil
+
+    from search_engine_framework_ray.pipelines.build_index import build_index
+
+    index_dir, _ = built_index
+    h_full = _index_hash(index_dir)
+    crash = str(tmp_path_factory.mktemp("crash") / "index")
+    shutil.copytree(index_dir, crash)
+    shutil.rmtree(os.path.join(crash, "shards", "shard=00001"))
+    os.remove(os.path.join(crash, "stats.json"))
+    kept = os.path.getmtime(os.path.join(crash, "shards", "shard=00000", "postings.bin"))
+    build_index(tiny_corpus, crash, num_shards=3, verify_golden=True)
+    assert _index_hash(crash) == h_full
+    assert os.path.getmtime(
+        os.path.join(crash, "shards", "shard=00000", "postings.bin")
+    ) == kept  # surviving shard untouched
+
+
+def test_results_identical_across_shard_counts(built_index, tiny_corpus, tmp_path_factory):
+    """Determinism under different physical partitioning (SURVEY.md §5.4):
+    the same corpus built at another shard count must produce identical
+    query results, doclens, and url↔docid mapping."""
+    from search_engine_framework_ray.pipelines.build_index import build_index
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    index_dir, _ = built_index
+    other = str(tmp_path_factory.mktemp("alt") / "index")
+    build_index(tiny_corpus, other, num_shards=7, verify_golden=True)
+
+    docmap = {}
+    for d in (index_dir, other):
+        rows = []
+        for p in sorted(glob.glob(os.path.join(d, "docmap", "shard=*.parquet"))):
+            t = pq.read_table(p)
+            rows.extend(zip(t["docid"].to_pylist(), t["url"].to_pylist()))
+        docmap[d] = sorted(rows)
+    assert docmap[index_dir] == docmap[other]
+
+    qs = [("q1", "search engine"), ("q2", "#NEAR/2(web page)"), ("q3", "the data index")]
+    for model in ("BM25", "Indri", "RankedBoolean"):
+        r1 = run_queries(index_dir, qs, ModelParams(model=model))
+        r2 = run_queries(other, qs, ModelParams(model=model))
+        assert r1 == r2, f"{model} results differ across shard counts"
