@@ -267,6 +267,55 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dedup(ds, max_hamming=3)[["doc_id", "simhash", "cluster_id"]]
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """Exact 3-word-shingle Jaccard for doc pairs (2i, 2i+1), i<25 —
+    distributed: shingle sets per doc in map_batches, pair groupby, exact
+    set Jaccard per pair (the MinHash verification kernel, stages/dedup)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import _shingles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).filter(expr="doc_id < 50")
+
+    def shingle(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "pair": (b["doc_id"] // 2).astype("int64"),
+                "sh": [_shingles(t, 3) for t in b["text"].fillna("")],
+            }
+        )
+
+    def jac(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        if len(g) != 2:
+            return pd.DataFrame({"a": [], "b": [], "jaccard_micros": []})
+        sa, sb = g["sh"].iloc[0], g["sh"].iloc[1]
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 1.0
+        return pd.DataFrame(
+            {
+                "a": [int(g["doc_id"].iloc[0])],
+                "b": [int(g["doc_id"].iloc[1])],
+                "jaccard_micros": [int(round(j * 1_000_000))],
+            }
+        )
+
+    out = (
+        ds.map_batches(shingle, batch_format="pandas")
+        .groupby("pair")
+        .map_groups(jac, batch_format="pandas")
+        .to_pandas()
+    )
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    out["jaccard_micros"] = out["jaccard_micros"].astype("int64")
+    return out.sort_values("a").reset_index(drop=True)
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the vec_id=0 embedding (numpy matmul per
     batch against a broadcast query)."""
@@ -524,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -694,6 +744,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
             FROM documents ORDER BY doc_id
+        """,
+        "jaccard_pairs": """
+            WITH l AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id < 50
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id = x.doc_id + 1
+                WHERE x.doc_id % 2 = 0
+                GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT ca.doc_id AS a, cb.doc_id AS b,
+                   CAST(round(coalesce(i.i, 0) * 1000000.0
+                              / (ca.n + cb.n - coalesce(i.i, 0))) AS BIGINT)
+                       AS jaccard_micros
+            FROM cnt ca
+            JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+            LEFT JOIN inter i ON i.a = ca.doc_id
+            WHERE ca.doc_id % 2 = 0
+            ORDER BY a
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
