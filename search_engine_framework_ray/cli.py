@@ -93,8 +93,16 @@ def cmd_query(args) -> int:
     params = params_from_dict(raw)
     queries = read_query_file(args.queries)
     if raw.get("fb", "").lower() == "true" or args.fb:
+        from .query.expansion import initial_ranking_from_trec
+
+        fb = FeedbackParams.from_params(raw)
+        initial = None
+        if raw.get("fbInitialRankingFile"):
+            initial = initial_ranking_from_trec(
+                args.index, raw["fbInitialRankingFile"], fb.fb_docs
+            )
         results, expanded = run_queries_with_expansion(
-            args.index, queries, params, FeedbackParams.from_params(raw), k=args.k
+            args.index, queries, params, fb, k=args.k, initial_ranking=initial
         )
         if raw.get("fbExpansionQueryFile"):
             with open(raw["fbExpansionQueryFile"], "w") as f:
@@ -111,6 +119,60 @@ def cmd_query(args) -> int:
         k=args.k,
     )
     print(json.dumps({"queries": len(queries), "out": args.out}))
+    return 0
+
+
+def _docmap(index_dir: str) -> tuple[dict[str, int], dict[int, str]]:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    u2d: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet"))):
+        t = pq.read_table(p)
+        u2d.update(zip(t["url"].to_pylist(), t["docid"].to_pylist()))
+    return u2d, {d: u for u, d in u2d.items()}
+
+
+def read_qrels(path: str, url2doc: dict[str, int]) -> dict[tuple[str, int], int]:
+    """``qid 0 extid rel`` lines (LearnToRank.java:113-127); judgments whose
+    extid is not in the index are dropped."""
+    out: dict[tuple[str, int], int] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            qid, _, extid, rel = parts[0], parts[1], parts[2], parts[3]
+            d = url2doc.get(extid)
+            if d is not None:
+                out[(qid, int(d))] = int(rel)
+    return out
+
+
+def cmd_letor(args) -> int:
+    """retrievalAlgorithm=letor flow (QryEval.java:239-258): train features
+    on judged docs → fit ranker → rerank each test query's BM25 top-k."""
+    _ensure_ray()
+    from .pipelines.letor import LetorParams, letor_rerank
+    from .query.models import params_from_dict, read_param_file
+    from .sources.trec import write_trec_run
+
+    raw = read_param_file(args.param_file) if args.param_file else {}
+    u2d, d2u = _docmap(args.index)
+    qrels = read_qrels(args.qrels, u2d)
+    train_q = read_query_file(args.train_queries)
+    test_q = read_query_file(args.queries)
+    lp = LetorParams(model_params=params_from_dict({**raw, "retrievalAlgorithm": "BM25"}))
+    ranked = letor_rerank(args.index, train_q, qrels, test_q, params=lp, k=args.k)
+    results = {
+        qid: [(d2u[d], s, d) for d, s in rows] for qid, rows in ranked.items()
+    }
+    write_trec_run(
+        args.out, results, [q for q, _ in test_q], is_ranked=True, tag=args.tag, k=args.k
+    )
+    print(json.dumps({"train": len(train_q), "test": len(test_q), "out": args.out}))
     return 0
 
 
@@ -141,6 +203,17 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--tag", default="Run")
     q.add_argument("--fb", action="store_true", help="feedback expansion")
     q.set_defaults(fn=cmd_query)
+
+    lt = sub.add_parser("letor", help="learning-to-rank train + rerank")
+    lt.add_argument("--index", required=True)
+    lt.add_argument("--train-queries", required=True, help="qid:text lines")
+    lt.add_argument("--qrels", required=True, help="qid 0 extid rel lines")
+    lt.add_argument("--queries", required=True, help="test queries, qid:text")
+    lt.add_argument("--param-file", default=None)
+    lt.add_argument("--out", required=True)
+    lt.add_argument("--k", type=int, default=100)
+    lt.add_argument("--tag", default="Run")
+    lt.set_defaults(fn=cmd_letor)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -92,7 +92,14 @@ def stats_prepass_rows(cache: _ShardCache, queries: dict, pairs) -> pd.DataFrame
         for sn in iter_score_nodes(qtree):
             if isinstance(sn.child, Term):
                 continue
-            inv = ev.eval_il(sn.child)
+            try:
+                inv = ev.eval_il(sn.child)
+            except ValueError:
+                # semantically invalid subtree (e.g. mixed-field #NEAR) —
+                # per-query isolation: this query yields nothing rather than
+                # killing the whole distributed batch (the reference
+                # fatalErrors the process here, QryEval.fatalError)
+                continue
             out["qid"].append(qid)
             out["score_id"].append(sn.score_id)
             out["df"].append(inv.df)
@@ -122,7 +129,10 @@ def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
             out["score"].extend(float(s) for s in scores)
             continue
         ev = Evaluator(view, params, score_stats)
-        res = ev.evaluate(qtree)
+        try:
+            res = ev.evaluate(qtree)
+        except ValueError:
+            continue  # invalid query → [] (per-query isolation; see prepass)
         if len(res.docids) == 0:
             continue
         if params.is_ranked:
@@ -385,7 +395,10 @@ class ScoreDocsActor:
             if not len(w):
                 continue
             ev = Evaluator(view, params, stats)
-            res = ev.evaluate(qtree)
+            try:
+                res = ev.evaluate(qtree)
+            except ValueError:
+                continue  # invalid query → no rows (per-query isolation)
             mask = np.isin(res.docids, w)
             out["qid"].extend([qid] * int(mask.sum()))
             out["docid"].extend(int(d) for d in res.docids[mask])

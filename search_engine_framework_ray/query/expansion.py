@@ -150,6 +150,37 @@ def expansion_terms(
     return out
 
 
+def initial_ranking_from_trec(
+    index_dir: str, path: str, fb_docs: int
+) -> dict[str, list[tuple[int, float]]]:
+    """``fbInitialRankingFile`` reader (QryExpansion.java:240-286): TREC rows
+    → top fb_docs per query as (docid, score), resolving external ids (urls)
+    through the index docmap."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.trec import read_trec_run
+
+    url2doc: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet"))):
+        t = pq.read_table(p)
+        url2doc.update(zip(t["url"].to_pylist(), t["docid"].to_pylist()))
+    run = read_trec_run(path)
+    out: dict[str, list[tuple[int, float]]] = {}
+    for qid, rows in run.items():
+        picked = []
+        for extid, score in rows:
+            d = url2doc.get(extid)
+            if d is not None:
+                picked.append((int(d), float(score)))
+            if len(picked) >= fb_docs:
+                break
+        out[qid] = picked
+    return out
+
+
 def format_expanded(terms: list[tuple[str, float]]) -> str:
     """``#wand( %.4f term … )`` — exact reference formatting
     (QryExpansion.java:205-212)."""
@@ -183,6 +214,11 @@ def run_queries_with_expansion(
             q: [(docid, score) for (_, score, docid) in first[q][: fb.fb_docs]]
             for q, _ in queries
         }
+    else:
+        # a qid absent from the supplied ranking (fbInitialRankingFile) gets
+        # no expansion and keeps its original query — the reference NPEs on
+        # this input (QryExpansion.java:178); recorded divergence
+        initial_ranking = {q: initial_ranking.get(q, []) for q, _ in queries}
     terms = expansion_terms(index_dir, initial_ranking, fb)
     expanded = {q: format_expanded(t) for q, t in terms.items()}
     # no expansion terms (query matched nothing) → keep the original query;

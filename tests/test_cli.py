@@ -28,6 +28,8 @@ def cli_env(ray_session, tmp_path_factory):
     )
     qfile = root / "q.txt"
     qfile.write_text("1: apple\n2: #NEAR/1(banana cherry)\n")
+    idx = str(root / "idx")
+    assert main(["build", "--corpus", str(src), "--index", idx, "--plain", "--shards", "2", "--stemmer", "none"]) == 0
     return root, str(src), str(qfile)
 
 
@@ -35,7 +37,6 @@ def test_cli_build_and_query(cli_env, capsys):
     root, src, qfile = cli_env
     idx = str(root / "idx")
     out = str(root / "run.trec")
-    assert main(["build", "--corpus", src, "--index", idx, "--plain", "--shards", "2", "--stemmer", "none"]) == 0
     assert main(["query", "--index", idx, "--queries", qfile, "--model", "RankedBoolean", "--out", out]) == 0
     lines = open(out).read().splitlines()
     assert any(l.startswith("1 Q0 doc") for l in lines)
@@ -64,3 +65,63 @@ def test_read_query_file(tmp_path):
     p = tmp_path / "q.txt"
     p.write_text("5: a b\n\nbadline\n7: #AND(x y)\n")
     assert read_query_file(str(p)) == [("5", "a b"), ("7", "#AND(x y)")]
+
+
+def test_cli_fb_initial_ranking_file(cli_env):
+    """fbInitialRankingFile path: expansion seeded from a TREC file instead
+    of running the query (QryExpansion.java:240-286)."""
+    root, src, qfile = cli_env
+    idx = str(root / "idx")
+    # hand-written initial ranking: q1 top docs = doc2, doc0
+    init = root / "init.trec"
+    init.write_text(
+        "1 Q0 doc0000000002 1 0.9 X\n1 Q0 doc0000000000 2 0.5 X\n"
+        "2 Q0 doc0000000001 1 0.8 X\n"
+    )
+    pfile = root / "p2.txt"
+    exp = root / "exp2.txt"
+    pfile.write_text(
+        "retrievalAlgorithm=Indri\nfb=true\nfbDocs=2\nfbTerms=3\nfbMu=0\n"
+        f"fbInitialRankingFile={init}\nfbExpansionQueryFile={exp}\n"
+    )
+    out = str(root / "run_init.trec")
+    assert main(["query", "--index", idx, "--queries", qfile, "--param-file", str(pfile), "--out", out]) == 0
+    # expansion terms must come from doc2 ("apple cherry") + doc0 vocab
+    line1 = [l for l in open(exp).read().splitlines() if l.startswith("1:")][0]
+    assert "apple" in line1 and ("cherry" in line1 or "banana" in line1)
+
+
+def test_cli_letor(cli_env):
+    root, src, qfile = cli_env
+    idx = str(root / "idx")
+    # LeToR takes PLAIN bag-of-words queries (the reference's training sets
+    # are plain; structured ops would make garbage .field/SDM rewrites)
+    tq = root / "train_q.txt"
+    tq.write_text("1: apple banana\n")
+    qrels = root / "qrels.txt"
+    qrels.write_text(
+        "1 0 doc0000000000 2\n1 0 doc0000000002 1\n1 0 doc0000000003 0\n"
+    )
+    out = str(root / "run_letor.trec")
+    assert main([
+        "letor", "--index", idx, "--train-queries", str(tq), "--qrels", str(qrels),
+        "--queries", str(tq), "--out", out,
+    ]) == 0
+    lines = open(out).read().splitlines()
+    assert any(l.startswith("1 Q0 doc") for l in lines)
+    ranks = [int(l.split()[3]) for l in lines if l.startswith("1 ")]
+    assert ranks == sorted(ranks)
+
+
+def test_structured_query_in_letor_does_not_crash_batch(cli_env):
+    """A garbage SDM/.field rewrite from a structured training query must
+    not kill the distributed batch — per-query isolation in the actors."""
+    root, src, qfile = cli_env
+    idx = str(root / "idx")
+    qrels = root / "qrels2.txt"
+    qrels.write_text("2 0 doc0000000001 1\n")
+    out = str(root / "run_letor2.trec")
+    assert main([
+        "letor", "--index", idx, "--train-queries", qfile, "--qrels", str(qrels),
+        "--queries", qfile, "--out", out,
+    ]) == 0
