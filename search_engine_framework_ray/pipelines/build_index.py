@@ -166,6 +166,24 @@ class PlainSource:
         return int(url[3:])
 
 
+def _corpus_meta(corpus_paths) -> list[list]:
+    """[(abspath, size, mtime)] of every input parquet file — the cheap
+    input fingerprint for fast-path resume."""
+    paths = [corpus_paths] if isinstance(corpus_paths, str) else list(corpus_paths)
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            files.append(p)
+    return [
+        [os.path.abspath(f), os.path.getsize(f), int(os.path.getmtime(f))]
+        for f in sorted(files)
+    ]
+
+
 def build_index(
     corpus_paths: str | list[str],
     index_dir: str,
@@ -184,6 +202,35 @@ def build_index(
     if plain_source is not None:
         include_inlink = False  # plain tables carry no anchors
         verify_golden = False
+
+    # Fast-path resume: when the corpus files (path, size, mtime) and every
+    # build parameter match the committed stats.json and all shard manifests
+    # exist, the index is already this exact build — skip the whole pipeline.
+    # (A genuine partial rebuild still validates per-shard CONTENT
+    # fingerprints below, so this is only an early-out, never a correctness
+    # shortcut.)
+    input_meta = _corpus_meta(corpus_paths)
+    config_key = (  # literal arg (None = auto) so the key is computable here
+        f"{analyzer.key()};shards={num_shards};bs={block_size};"
+        f"lang={lang_filter};inlink={int(include_inlink)};fwd={int(include_forward)};"
+        f"plain={int(plain_source is not None)}"
+    )
+    if os.path.exists(lay.stats_path(index_dir)):
+        prev = lay.read_stats(index_dir)
+        if (
+            prev.get("input_meta") == input_meta
+            and prev.get("config_key") == config_key
+            and len(lay.list_shards(index_dir)) == prev.get("num_shards")
+        ):
+            return {
+                "n_docs": prev["n_docs"],
+                "num_shards": prev["num_shards"],
+                "n_term_buckets": prev.get("termstats_buckets", TERMSTATS_BUCKETS),
+                "wall_s": round(time.monotonic() - t_start, 3),
+                "resumed": True,
+                "stats": prev,
+            }
+
     read_cols = ["url", "lang"]
 
     # Pass 1 (url column only): boundaries + exact per-partition counts for
@@ -372,6 +419,8 @@ def build_index(
         "termstats_buckets": TERMSTATS_BUCKETS,
         "include_inlink": include_inlink,
         "include_forward": include_forward,
+        "input_meta": input_meta,
+        "config_key": config_key,
     }
     write_stats(index_dir, stats)
     return {
