@@ -40,14 +40,16 @@ def _docs_index(sf_dir: str) -> str:
 
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     idx = f"/tmp/sefr_indices/{key}"
-    if not os.path.exists(os.path.join(idx, "stats.json")):
-        build_index(
-            os.path.join(sf_dir, "documents.parquet"),
-            idx,
-            analyzer=PLAIN_ANALYZER,
-            plain_source=PlainSource(),
-            num_shards=4,
-        )
+    # always call build_index: its metadata fast-path makes an up-to-date
+    # index a no-op, while a stale /tmp cache (older corpus file, older code
+    # without fwd.parquet, …) is detected and rebuilt instead of reused
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        analyzer=PLAIN_ANALYZER,
+        plain_source=PlainSource(),
+        num_shards=4,
+    )
     return idx
 
 
@@ -65,8 +67,15 @@ def _run(sf_dir: str, qtext: str, model: str, k: int = 100):
     )
 
 
+def _round_away(v: np.ndarray) -> np.ndarray:
+    """Ties-away-from-zero, matching DuckDB/SQL ``round()`` — np.round's
+    banker's rounding would differ on exact .5 values."""
+    v = np.asarray(v, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) + 0.5)
+
+
 def _micros(x) -> "pd.Series":
-    return pd.Series(np.round(np.asarray(x, dtype=np.float64) * 1_000_000)).astype("int64")
+    return pd.Series(_round_away(np.asarray(x, dtype=np.float64) * 1_000_000)).astype("int64")
 
 
 # ----------------------------------------------------------------------------
@@ -233,7 +242,7 @@ def q_letor_features(sf_dir: str):
     for j in range(1, 19):
         c = f"f{j}"
         v = out[c].to_numpy(dtype=np.float64)
-        out[c] = np.where(np.isnan(v), -1_000_000, np.round(v * 1_000_000)).astype("int64")
+        out[c] = np.where(np.isnan(v), -1_000_000, _round_away(v * 1_000_000)).astype("int64")
     return out.rename(columns={"docid": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
 
 
@@ -279,18 +288,24 @@ def q_jaccard_pairs(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     ).filter(expr="doc_id < 50")
 
+    def strict_shingles(t: str):
+        # oracle semantics: a doc with < 3 words has NO trigrams (the
+        # library _shingles shrinks k for MinHash recall; here we mirror SQL)
+        return _shingles(t, 3) if len(t.split()) >= 3 else np.empty(0, np.uint64)
+
     def shingle(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "pair": (b["doc_id"] // 2).astype("int64"),
-                "sh": [_shingles(t, 3) for t in b["text"].fillna("")],
+                "sh": [strict_shingles(t) for t in b["text"].fillna("")],
             }
         )
 
     def jac(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
-        if len(g) != 2:
+        if len(g) != 2 or not (g["sh"].iloc[0].size and g["sh"].iloc[1].size):
+            # either doc lacks trigrams → the oracle's inner join drops the pair
             return pd.DataFrame({"a": [], "b": [], "jaccard_micros": []})
         sa, sb = g["sh"].iloc[0], g["sh"].iloc[1]
         inter = np.intersect1d(sa, sb).size
@@ -300,7 +315,7 @@ def q_jaccard_pairs(sf_dir: str):
             {
                 "a": [int(g["doc_id"].iloc[0])],
                 "b": [int(g["doc_id"].iloc[1])],
-                "jaccard_micros": [int(round(j * 1_000_000))],
+                "jaccard_micros": [int(_round_away(j * 1_000_000))],
             }
         )
 
@@ -481,7 +496,7 @@ def q_lineitem_agg(sf_dir: str):
         .to_pandas()
     )
     out["sum_qty"] = out["sum_qty"].astype("int64")
-    out["sum_rev_cents"] = pd.Series(np.round(out["sum_rev"].to_numpy() * 100)).astype("int64")
+    out["sum_rev_cents"] = pd.Series(_round_away(out["sum_rev"].to_numpy() * 100)).astype("int64")
     out["n_rows"] = out["n_rows"].astype("int64")
     return (
         out[["l_returnflag", "l_linestatus", "sum_qty", "sum_rev_cents", "n_rows"]]
@@ -524,7 +539,7 @@ def q_orders_by_nation(sf_dir: str):
         .to_pandas()
     )
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["total_cents"] = pd.Series(np.round(out["total"].to_numpy() * 100)).astype("int64")
+    out["total_cents"] = pd.Series(_round_away(out["total"].to_numpy() * 100)).astype("int64")
     return out[["n_name", "n_orders", "total_cents"]].sort_values("n_name").reset_index(drop=True)
 
 

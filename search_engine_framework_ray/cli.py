@@ -123,16 +123,9 @@ def cmd_query(args) -> int:
 
 
 def _docmap(index_dir: str) -> tuple[dict[str, int], dict[int, str]]:
-    import glob
-    import os
+    from .state.index_layout import load_docmap
 
-    import pyarrow.parquet as pq
-
-    u2d: dict[str, int] = {}
-    for p in sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet"))):
-        t = pq.read_table(p)
-        u2d.update(zip(t["url"].to_pylist(), t["docid"].to_pylist()))
-    return u2d, {d: u for u, d in u2d.items()}
+    return load_docmap(index_dir)
 
 
 def read_qrels(path: str, url2doc: dict[str, int]) -> dict[tuple[str, int], int]:

@@ -179,7 +179,8 @@ def _corpus_meta(corpus_paths) -> list[list]:
         else:
             files.append(p)
     return [
-        [os.path.abspath(f), os.path.getsize(f), int(os.path.getmtime(f))]
+        # nanosecond mtime: a same-second same-size rewrite must invalidate
+        [os.path.abspath(f), os.path.getsize(f), os.stat(f).st_mtime_ns]
         for f in sorted(files)
     ]
 

@@ -102,6 +102,11 @@ def compute_features(
         [(q, d) for q, ds_ in candidates.items() for d in sorted(set(ds_))],
         columns=["qid", "docid"],
     )
+    if not all_docids:  # e.g. a qrels file whose extids match nothing
+        out = rows.copy()
+        for j in range(N_FEATURES):
+            out[f"f{j + 1}"] = pd.Series(dtype="float64")
+        return out
     qtext_of = dict(queries)
 
     # ---- f5..f16 + f17: nine engine rankings, ONE distributed batch ----
@@ -216,15 +221,10 @@ def compute_features(
 
 
 def _docmap_urls(index_dir: str, docids: list[int]) -> dict[int, str]:
-    import glob
-    import os
+    from ..state.index_layout import load_docmap
 
-    import pyarrow.dataset as pads
-
-    dm = pads.dataset(
-        sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet")))
-    ).to_table(filter=pads.field("docid").isin(docids))
-    return dict(zip(dm["docid"].to_pylist(), dm["url"].to_pylist()))
+    _, d2u = load_docmap(index_dir)
+    return {d: d2u[d] for d in docids if d in d2u}
 
 
 def normalize_features(feats: pd.DataFrame) -> pd.DataFrame:

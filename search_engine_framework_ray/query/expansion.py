@@ -163,15 +163,17 @@ def initial_ranking_from_trec(
 
     from ..sources.trec import read_trec_run
 
-    url2doc: dict[str, int] = {}
-    for p in sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet"))):
-        t = pq.read_table(p)
-        url2doc.update(zip(t["url"].to_pylist(), t["docid"].to_pylist()))
+    from ..state.index_layout import load_docmap
+
+    url2doc, _ = load_docmap(index_dir)
     run = read_trec_run(path)
     out: dict[str, list[tuple[int, float]]] = {}
     for qid, rows in run.items():
+        # TREC files need not be rank-sorted; pick top fb_docs BY SCORE
+        # (tie: first occurrence), as the reference's ranking selection does
+        ranked = sorted(rows, key=lambda r: -r[1])
         picked = []
-        for extid, score in rows:
+        for extid, score in ranked:
             d = url2doc.get(extid)
             if d is not None:
                 picked.append((int(d), float(score)))

@@ -140,9 +140,14 @@ def minhash_lsh_dedup(
     per-group Python overhead; exact keys grouped vectorized inside) →
     candidate pairs → signature-agreement verify against the materialized
     signatures → driver union-find over verified pairs only (tiny by
-    construction; hot buckets emit star pairs to the min id, which yields
-    identical connected components at O(n) instead of O(n²)).
+    construction). Buckets larger than ``_MAX_BUCKET`` emit star pairs to
+    the min id instead of the O(n²) clique; because verification filters
+    per-pair afterwards, a star edge that fails the threshold can drop a
+    link a full clique would have kept — a bounded-recall trade-off that is
+    standard for LSH dedup at scale (degenerate buckets are boilerplate
+    near-identical content, where star edges pass anyway).
     """
+    bands = min(bands, n_perm)  # more bands than permutations is degenerate
     rows_per_band = max(1, n_perm // bands)
     sigs = ds.map_batches(
         MinHashStage,

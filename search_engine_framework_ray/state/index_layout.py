@@ -71,6 +71,20 @@ def list_shards(index_dir: str) -> list[int]:
     return out
 
 
+def load_docmap(index_dir: str) -> tuple[dict, dict]:
+    """(url → docid, docid → url) from every shard's docmap file — the
+    reference's externalId↔docid lookups (QryEval.java:498-527)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    u2d: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(index_dir, "docmap", "shard=*.parquet"))):
+        t = pq.read_table(p)
+        u2d.update(zip(t["url"].to_pylist(), t["docid"].to_pylist()))
+    return u2d, {d: u for u, d in u2d.items()}
+
+
 def read_stats(index_dir: str) -> dict:
     with open(stats_path(index_dir)) as f:
         return json.load(f)
