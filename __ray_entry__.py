@@ -543,6 +543,51 @@ def q_orders_by_nation(sf_dir: str):
     return out[["n_name", "n_orders", "total_cents"]].sort_values("n_name").reset_index(drop=True)
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """Big-big equi-join: lineitem ⋈ orders on orderkey via Ray Data's hash
+    shuffle join (both sides large → no broadcast; column-pruned reads), then
+    a grouped revenue aggregate."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    out = (
+        joined.map_batches(revenue, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="rev"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["rev_cents"] = pd.Series(_round_away(out["rev"].to_numpy() * 100)).astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return (
+        out[["o_orderpriority", "n_items", "rev_cents"]]
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+
+
 # ----------------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------------
@@ -600,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_nation": q_orders_by_nation,
+        "revenue_by_priority": q_revenue_by_priority,
     }
 
 
@@ -889,6 +935,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "revenue_by_priority": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+                       AS rev_cents
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
         # dedup_minhash / dedup_simhash / embedding_neardup / langid /
         # fingerprint are sketch/heuristic pipelines with no faithful ANSI-SQL
