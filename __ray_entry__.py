@@ -588,6 +588,56 @@ def q_revenue_by_priority(sf_dir: str):
     )
 
 
+def q_top_orders(sf_dir: str):
+    """Distributed sort + limit: top-15 orders by totalprice (Dataset.sort
+    is a range-partitioned all-to-all; the limit streams from the head)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    out = (
+        ds.sort([("o_totalprice"), ("o_orderkey")], descending=[True, False])
+        .limit(15)
+        .to_pandas()
+    )
+    out["price_cents"] = pd.Series(_round_away(out["o_totalprice"].to_numpy() * 100)).astype("int64")
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out[["o_orderkey", "price_cents"]].reset_index(drop=True)
+
+
+def q_docs_sample(sf_dir: str):
+    """Deterministic hash sample (hash(doc_id) % 10 == 0) — the reproducible
+    subset selector a training pipeline uses instead of random_shuffle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        # mod sampling is a vectorized per-batch filter — no all-to-all,
+        # deterministic at any parallelism
+        return b[b["doc_id"] % 10 == 0]
+
+    out = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_event_types(sf_dir: str):
+    """Distinct values of a column (Dataset.unique → small shuffle)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+    )
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
 # ----------------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------------
@@ -646,6 +696,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q_lineitem_agg,
         "orders_by_nation": q_orders_by_nation,
         "revenue_by_priority": q_revenue_by_priority,
+        "top_orders": q_top_orders,
+        "docs_sample": q_docs_sample,
+        "event_types": q_event_types,
     }
 
 
@@ -943,6 +996,19 @@ def oracle_sql() -> dict[str, str]:
                        AS rev_cents
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        "top_orders": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+        """,
+        "docs_sample": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+        """,
+        "event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
         # dedup_minhash / dedup_simhash / embedding_neardup / langid /
         # fingerprint are sketch/heuristic pipelines with no faithful ANSI-SQL
