@@ -559,6 +559,10 @@ def q_revenue_by_priority(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
+    # num_partitions sizes each hash partition to fit an aggregator's heap;
+    # scale ≈ total_rows/10M at cluster scale. Over-partitioning is costly:
+    # measured 8 parts = 2.9 s vs 32 parts = 43 s on 600k rows (per-actor
+    # fixed overhead dominates small partitions).
     joined = li.join(
         od,
         join_type="inner",

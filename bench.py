@@ -161,6 +161,37 @@ def run_bench() -> dict:
         tumbling_window(evs, 3600, keys=["event_type"]).count()
         timings["window_tumbling"] = time.monotonic() - t0
 
+        # ---- feedback expansion (full fb=true flow over the main index) ----
+        from search_engine_framework_ray.query.expansion import (
+            FeedbackParams,
+            run_queries_with_expansion,
+        )
+
+        t0 = time.monotonic()
+        run_queries_with_expansion(
+            idx, qset[:4], params, FeedbackParams(fb_docs=10, fb_terms=10, fb_mu=0.0)
+        )
+        timings["fb_expansion_4q"] = time.monotonic() - t0
+
+        # ---- LeToR features (BM25 top-20 candidates, 2 queries) ----
+        from search_engine_framework_ray.pipelines.letor import (
+            compute_features,
+            normalize_features,
+        )
+
+        init = run_queries(idx, qset[:2], params, k=20)
+        cand = {q: [d for (_, _, d) in init[q]] for q, _ in qset[:2]}
+        t0 = time.monotonic()
+        normalize_features(compute_features(idx, qset[:2], cand))
+        timings["letor_features_2q"] = time.monotonic() - t0
+
+        # ---- big-big hash shuffle join (lineitem x orders) ----
+        import __ray_entry__ as entrymod
+
+        t0 = time.monotonic()
+        entrymod.q_revenue_by_priority(sf_dir)
+        timings["shuffle_join_agg"] = time.monotonic() - t0
+
     out = {
         "metric": "index build seconds (documents, Porter analyzer) + stage timings",
         "value": round(headline, 3),
