@@ -298,7 +298,21 @@ def oracle_run_query(
     qtree: Node, ix: OracleIndex, params: ModelParams, k: int = 100
 ) -> list[tuple[str, float]]:
     """Evaluate + reference result sort (QryEval.java:323-412): ranked →
-    (score desc, url asc); unranked → url asc, score reported as 1.0."""
+    (score desc, url asc); unranked → url asc, score reported as 1.0.
+
+    A weight/arg-count mismatch (e.g. a stopword-only sub-op dropped inside
+    #WAND, leaving its weight dangling) returns [] — matching the engine's
+    plan-time rejection; the reference fatalErrors the process on this input
+    (QryopSlWand.java:57-58)."""
+    from .ast import WEIGHTED_TYPES
+
+    def _weights_valid(node) -> bool:
+        if isinstance(node, WEIGHTED_TYPES) and len(node.args) != len(node.weights):
+            return False
+        return all(_weights_valid(a) for a in getattr(node, "args", []))
+
+    if not _weights_valid(qtree):
+        return []
     sl = _eval_sl(qtree, ix, params)
     rows = [(ix.urls[d], s) for d, s in sl.entries]
     if params.is_ranked:

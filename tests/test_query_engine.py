@@ -136,3 +136,78 @@ def test_query_service_matches_batch_path(engine):
     finally:
         svc.shutdown()
     assert got == want
+
+
+def _random_queries(seed: int, n: int) -> list[tuple[str, str]]:
+    """Seeded random structured queries over the fixture vocabulary,
+    respecting model-legal operator sets at generation time."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "search", "engine", "web", "page", "crawl", "index", "ranking",
+        "market", "stock", "price", "data", "model", "query", "the", "new",
+        "york", "trade", "obama", "running", "zzzabsent",
+    ]
+    fields = ["", ".title", ".url", ".keywords", ".body"]
+
+    def term():
+        t = rng.choice(vocab)
+        f = rng.choice(fields) if rng.random() < 0.25 else ""
+        return f"{t}{f}"
+
+    def il_op(depth):
+        r = rng.random()
+        k = int(rng.integers(2, 4))
+        # Il-op args must share ONE field (same-field requirement,
+        # QryopIlNear.java:156-169) — mixed fields are invalid input
+        f = rng.choice(fields) if rng.random() < 0.25 else ""
+        args = " ".join(f"{rng.choice(vocab)}{f}" for _ in range(k))
+        if r < 0.4:
+            return f"#NEAR/{int(rng.integers(1, 6))}({args})"
+        if r < 0.7:
+            return f"#WINDOW/{int(rng.integers(2, 8))}({args})"
+        return f"#SYN({args})"
+
+    def sl_op(model, depth):
+        if depth <= 0 or rng.random() < 0.35:
+            return il_op(depth) if rng.random() < 0.4 else term()
+        k = int(rng.integers(2, 4))
+        kids = [sl_op(model, depth - 1) for _ in range(k)]
+        if model == "Indri":
+            r = rng.random()
+            if r < 0.33:
+                return "#AND(" + " ".join(kids) + ")"
+            ws = [f"{rng.uniform(0.1, 1.0):.2f}" for _ in kids]
+            op = "#WAND" if r < 0.66 else "#WSUM"
+            return op + "(" + " ".join(f"{w} {c}" for w, c in zip(ws, kids)) + ")"
+        if model == "BM25":
+            return "#SUM(" + " ".join(kids) + ")"
+        return ("#AND(" if rng.random() < 0.5 else "#OR(") + " ".join(kids) + ")"
+
+    model = ["RankedBoolean", "UnrankedBoolean", "BM25", "Indri"][seed % 4]
+    return model, [(f"r{i}", sl_op(model, 2)) for i in range(n)]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 6, 7, 8])
+def test_random_queries_rank_identical(engine, seed):
+    """Fuzz: seeded random structured queries must be rank- AND
+    score-identical between the distributed engine and the oracle."""
+    model, queries = _random_queries(seed, 6)
+    _compare_lenient(engine, queries, model)
+
+
+def _compare_lenient(engine_fixture, queries, model):
+    """Like _compare but without the ≥n-2 non-empty requirement (random
+    queries may legitimately match nothing)."""
+    from search_engine_framework_ray.query.executor import run_queries
+
+    index_dir, oracle = engine_fixture
+    params = ModelParams(model=model)
+    got = run_queries(index_dir, queries, params)
+    for qid, qtext in queries:
+        qtree = parse_query(qtext, model)
+        want = oracle_run_query(qtree, oracle, params) if qtree else []
+        have = [(u, s) for u, s, _ in got[qid]]
+        assert [u for u, _ in have] == [u for u, _ in want], f"{model} {qid}: {qtext}"
+        assert [s for _, s in have] == [s for _, s in want], f"{model} {qid}: {qtext}"
