@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import ray
@@ -96,6 +98,7 @@ class IvfIndexedSearch:
         sample_size: int = 2048,
         iters: int = 8,
         seed: int = 13,
+        index_dir: str | None = None,
     ):
         self.id_col, self.emb_col = id_col, emb_col
         sample = ds.limit(sample_size).to_pandas()
@@ -123,25 +126,67 @@ class IvfIndexedSearch:
                 }
             )
 
-        # materialized once (the "index"): small relative to raw corpus; at
-        # scale this would be written as cluster-partitioned parquet instead
-        self.assigned = ds.map_batches(assign_batch, batch_format="pandas").materialize()
+        assigned = ds.map_batches(assign_batch, batch_format="pandas")
+        if index_dir is not None:
+            # the scale path: cluster-partitioned parquet on disk; search
+            # reads ONLY the probed clusters' files (the IVF pruning win)
+            from .sink import write_partitioned
+
+            write_partitioned(assigned, index_dir, by="cluster", sort_within_by=[id_col])
+            self.index_dir = index_dir
+            self.assigned = None
+        else:
+            self.index_dir = None
+            self.assigned = assigned.materialize()
+
+    def _load_clusters(self, clusters: set[int]) -> pd.DataFrame:
+        if self.index_dir is not None:
+            import pyarrow.parquet as pq
+
+            frames = []
+            for c in sorted(clusters):
+                p = os.path.join(self.index_dir, f"part={c}", "data.parquet")
+                if os.path.exists(p):
+                    frames.append(pq.read_table(p).to_pandas())
+            return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                {self.id_col: [], "cluster": [], self.emb_col: []}
+            )
+
+        def pick(b: pd.DataFrame, cl=frozenset(clusters)) -> pd.DataFrame:
+            return b[b["cluster"].isin(cl)]  # vectorized, not per-row
+
+        return self.assigned.map_batches(pick, batch_format="pandas").to_pandas()
 
     def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        """Top-k per query over the probed clusters only. All queries' probe
+        sets are unioned into ONE pruned load; per-query scoring is a
+        vectorized matmul restricted to that query's clusters."""
         q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        union = {int(c) for row in probe for c in row}
+        sub = self._load_clusters(union)
+        if not len(sub):
+            return pd.DataFrame({"query_id": [], "rank": [], self.id_col: [], "score": []})
+        ids = sub[self.id_col].to_numpy()
+        clusters = sub["cluster"].to_numpy()
+        mat = _normalize(_stack_embeddings(sub, self.emb_col))
         out = []
         for qi in range(len(q)):
-            clusters = set(int(c) for c in probe[qi])
-            sub = self.assigned.filter(
-                lambda row, cl=clusters: row["cluster"] in cl
+            mask = np.isin(clusters, probe[qi])
+            scores = mat[mask] @ q[qi]
+            sel_ids = ids[mask]
+            order = np.lexsort((sel_ids, -scores))[:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qi,
+                        "rank": np.arange(1, len(order) + 1),
+                        self.id_col: sel_ids[order],
+                        "score": scores[order],
+                    }
+                )
             )
-            r = brute_force_topk(
-                sub, q[qi], k, id_col=self.id_col, emb_col=self.emb_col
-            )
-            r["query_id"] = qi
-            out.append(r)
-        return pd.concat(out).reset_index(drop=True)
+        return pd.concat(out, ignore_index=True)
 
 
 def embedding_neardup_pairs(

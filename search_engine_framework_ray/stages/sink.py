@@ -26,14 +26,14 @@ import pyarrow.parquet as pq
 from ray.data import Dataset
 
 
-def _partition_fingerprint(g: pd.DataFrame) -> str:
-    h = hashlib.sha256()
-    h.update(str(len(g)).encode())
-    for c in sorted(g.columns):
-        h.update(c.encode())
-        vals = pd.util.hash_pandas_object(g[c], index=False).to_numpy()
-        h.update(str(int(vals.sum()) & ((1 << 64) - 1)).encode())
-    return h.hexdigest()
+def _serialize_partition(g: pd.DataFrame) -> tuple[bytes, str]:
+    """Parquet-serialize the partition in memory → (bytes, sha256). Works
+    for any Arrow-expressible column (incl. list types pandas can't hash);
+    the bytes are reused for the actual write, so no double serialization."""
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.Table.from_pandas(g, preserve_index=False), buf)
+    data = buf.getvalue().to_pybytes()
+    return data, hashlib.sha256(data).hexdigest()
 
 
 def write_partitioned(
@@ -56,7 +56,7 @@ def write_partitioned(
         part_dir = os.path.join(out_dir, f"part={key}")
         if sort_within_by:
             g = g.sort_values(sort_within_by, kind="mergesort").reset_index(drop=True)
-        fp = _partition_fingerprint(g)
+        data, fp = _serialize_partition(g)
         man_path = os.path.join(part_dir, "manifest.json")
         if os.path.exists(man_path):
             with open(man_path) as f:
@@ -67,10 +67,8 @@ def write_partitioned(
                 )
         tmp_dir = part_dir + ".tmp"
         os.makedirs(tmp_dir, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(g, preserve_index=False),
-            os.path.join(tmp_dir, "data.parquet"),
-        )
+        with open(os.path.join(tmp_dir, "data.parquet"), "wb") as f:
+            f.write(data)
         with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
             json.dump({"rows": len(g), "fingerprint": fp}, f)
         if os.path.isdir(part_dir):

@@ -244,3 +244,21 @@ def test_multimodal_fake_decode(ray_session):
 
     with pytest.raises(NotImplementedError):
         DecodeImageStage(backend="pil")(tab)
+
+
+def test_ivf_partitioned_index_matches_inmemory(ray_session, tmp_path):
+    """The cluster-partitioned on-disk IVF index (pruned per-cluster reads)
+    must return exactly what the in-memory variant returns."""
+    import numpy as np
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import IvfIndexedSearch
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(ds.limit(1).to_pandas()["embedding"].iloc[0], dtype=np.float64)
+    mem = IvfIndexedSearch(ds, nlist=8)
+    disk = IvfIndexedSearch(ds, nlist=8, index_dir=str(tmp_path / "ivf"))
+    for nprobe in (2, 8):
+        a = mem.search(np.stack([q, -q]), k=5, nprobe=nprobe).reset_index(drop=True)
+        b = disk.search(np.stack([q, -q]), k=5, nprobe=nprobe).reset_index(drop=True)
+        assert a.equals(b), f"nprobe={nprobe}"
