@@ -169,6 +169,20 @@ def cmd_letor(args) -> int:
     return 0
 
 
+def cmd_evaluate(args) -> int:
+    """Local trec_eval: P10/P20/P30/map per query + all — the metric set
+    the reference fetches from its remote evaluation service
+    (hw4test.py:46-47, test.pl:51-65)."""
+    from .sources.evalmetrics import evaluate_run, read_qrels_grouped
+    from .sources.trec import read_trec_run
+
+    run = read_trec_run(args.run)
+    qrels = read_qrels_grouped(args.qrels)
+    metrics = evaluate_run(run, qrels)
+    print(json.dumps(metrics, indent=1, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_framework_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -207,6 +221,11 @@ def main(argv: list[str] | None = None) -> int:
     lt.add_argument("--k", type=int, default=100)
     lt.add_argument("--tag", default="Run")
     lt.set_defaults(fn=cmd_letor)
+
+    ev = sub.add_parser("evaluate", help="P@k + MAP for a run vs qrels")
+    ev.add_argument("--run", required=True, help="TREC run file")
+    ev.add_argument("--qrels", required=True, help="qid 0 extid rel lines")
+    ev.set_defaults(fn=cmd_evaluate)
 
     args = p.parse_args(argv)
     return args.fn(args)
