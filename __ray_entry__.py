@@ -202,7 +202,9 @@ def q_doclen_stats(sf_dir: str):
 
 def q_fb_expansion(sf_dir: str):
     """Pseudo-relevance-feedback expansion terms (QryExpansion.java:137-221):
-    Indri initial ranking → per-top-doc term scoring → top fbTerms."""
+    Indri initial ranking (top fbDocs) → per-top-doc term scoring
+    ``(tf/dl)·docScore·ln(C/ctf)`` (fbMu=0) → top fbTerms; SQL oracle
+    reproduces the full flow over the plain-analyzer token stream."""
     from search_engine_framework_ray.query.expansion import (
         FeedbackParams,
         expansion_terms,
@@ -217,8 +219,26 @@ def q_fb_expansion(sf_dir: str):
     terms = expansion_terms(idx, top, fb)["q"]
     return pd.DataFrame(
         {
+            "rank": np.arange(1, len(terms) + 1, dtype=np.int64),
             "term": [t for t, _ in terms],
             "weight_micros": _micros([w for _, w in terms]),
+        }
+    )
+
+
+def q_syn_root_tf(sf_dir: str):
+    """Il-root output path (QryEval.java:295-314): a #SYN at the query root
+    emits the inverted list itself — tf as score, (tf desc, extid asc),
+    capped at the reference's hard 100-row bound."""
+    from search_engine_framework_ray.query.executor import run_il_queries
+
+    idx = _docs_index(sf_dir)
+    res = run_il_queries(idx, [("q", "#SYN(spark join)")], ranked=True, k=10_000)["q"]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(res) + 1, dtype=np.int64),
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "tf": [int(s) for _, s, _ in res],
         }
     )
 
@@ -246,6 +266,56 @@ def q_letor_features(sf_dir: str):
     return out.rename(columns={"docid": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_letor_core(sf_dir: str):
+    """SQL-expressible core of the LeToR feature pipeline
+    (LearnToRank.java:358-401, 237-256, 279-314) over the BM25 top-20:
+    f5 (BM25 body), f6 (Indri body), f7 (query-term overlap), f17 (SDM
+    #NEAR/1 Indri score, 0 when no match) — raw AND per-query min-max
+    normalized. Field features (title/url/inlink) are NaN on the plain
+    corpus and stay in the rows-only ``letor_features`` entry."""
+    from search_engine_framework_ray.pipelines.letor import (
+        compute_features,
+        normalize_features,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    res = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=20)
+    cand = {"q": [docid for (_, _, docid) in res["q"]]}
+    raw = compute_features(idx, [("q", " ".join(_BM25_TERMS))], cand)
+    norm = normalize_features(raw)
+    out = raw[["docid"]].copy()
+    for src, cols in ((raw, ("f5", "f6", "f7", "f17")),):
+        for c in cols:
+            out[f"{c}_micros"] = _micros(src[c].fillna(0.0))
+    for c in ("f5", "f6", "f7", "f17"):
+        out[f"{c}n_micros"] = _micros(norm[c].fillna(0.0))
+    return out.rename(columns={"docid": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (size 3600 s, slide 900 s): each event replicated to
+    its 4 covering windows inside map_batches (with a per-batch combiner),
+    then one pre-aggregated shuffle."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import sliding_window
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sliding_window(ds, 3600, 900).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["value_sum_micros"] = _micros(out["value_sum"])
+    out["window_start_s"] = (
+        out["window_start"].astype("datetime64[us]").astype("int64") // 1_000_000
+    )
+    return (
+        out[["window_start_s", "n", "value_sum_micros"]]
+        .sort_values("window_start_s")
+        .reset_index(drop=True)
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data
 
@@ -259,21 +329,71 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH candidates + EXACT trigram-Jaccard verification → every
+    near-dup pair (J ≥ 0.8). 32 bands × 2 rows: a true pair is missed with
+    prob (1−J²)³² ≈ 6e-15, so the all-pairs SQL oracle verifies the output."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import minhash_neardup_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_neardup_pairs(ds, threshold=0.8, k_shingle=3, bands=32)
+    pairs["jaccard_micros"] = _micros(pairs["jaccard"])
+    return pairs[["a", "b", "jaccard_micros"]]
+
+
+def q_dedup_minhash_clusters(sf_dir: str):
+    """MinHash-LSH near-dup clustering (signature-agreement verify →
+    distributed cluster labeling). Sketch-estimated threshold → no faithful
+    SQL twin; rows-only check (the pair set itself is SQL-verified by
+    ``dedup_minhash``)."""
     import ray.data
 
     from search_engine_framework_ray.stages.dedup import minhash_lsh_dedup
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return minhash_lsh_dedup(ds, threshold=0.8)[["doc_id", "cluster_id", "is_dup"]]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = minhash_lsh_dedup(ds, threshold=0.8).to_pandas()
+    return (
+        out[["doc_id", "cluster_id", "is_dup"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_simhash_values(sf_dir: str):
+    """Per-doc 64-bit weighted SimHash sketch (md5-low64 token hashes) —
+    SQL oracle rebuilds every sketch bit-for-bit via md5_number_lower."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import simhash_sketches
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = simhash_sketches(ds).to_pandas()
+    return out[["doc_id", "simhash"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) via 4×16-bit band blocking —
+    exact recall by pigeonhole (≤3 differing bits can't touch all 4 bands),
+    so the all-pairs SQL oracle verifies the pair set and distances."""
     import ray.data
 
-    from search_engine_framework_ray.stages.dedup import simhash_dedup
+    from search_engine_framework_ray.stages.dedup import (
+        simhash_pairs,
+        simhash_sketches,
+    )
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_dedup(ds, max_hamming=3)[["doc_id", "simhash", "cluster_id"]]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sk = simhash_sketches(ds)
+    return simhash_pairs(sk, max_hamming=3, max_bucket=None)[["a", "b", "hamming"]]
 
 
 def q_jaccard_pairs(sf_dir: str):
@@ -371,12 +491,16 @@ def q_ann_ivf_topk(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Multi-band SRP LSH + exact-cosine verify → all pairs with cosine ≥
+    0.46 (the fixture's embeddings are near-orthogonal, so the threshold
+    sits in a wide gap of the pair-cosine distribution; 32 bands × 2 planes
+    → ~2e-8 miss, letting the all-pairs SQL oracle verify the output)."""
     import ray.data
 
     from search_engine_framework_ray.stages.ann import embedding_neardup_pairs
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    pairs = embedding_neardup_pairs(ds, threshold=0.9, n_planes=8)
+    pairs = embedding_neardup_pairs(ds, threshold=0.46, planes_per_band=2, bands=32)
     pairs["cosine_micros"] = _micros(pairs["cosine"])
     return pairs[["a", "b", "cosine_micros"]]
 
@@ -421,13 +545,18 @@ def q_langid(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
+    """Whitespace-normalized md5-low64 document fingerprint (signed int64)
+    — SQL oracle via DuckDB's md5_number_lower. (The rolling Rabin variant
+    remains a library kernel with unit goldens.)"""
     import ray.data
 
-    from search_engine_framework_ray.stages.textstats import fingerprint
+    from search_engine_framework_ray.stages.textstats import fingerprint_md5
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
-    out = ds.map_batches(fingerprint, batch_format="pandas").to_pandas()
-    return out[["doc_id", "fingerprint"]].sort_values("doc_id").reset_index(drop=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(fingerprint_md5, batch_format="pandas").to_pandas()
+    return out[["doc_id", "fp_md5"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def q_events_tumbling(sf_dir: str):
@@ -683,9 +812,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_stats": q_term_stats,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
+        "syn_root_tf": q_syn_root_tf,
         "letor_features": q_letor_features,
+        "letor_core": q_letor_core,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -696,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_nation": q_orders_by_nation,
@@ -792,6 +926,202 @@ def _indri_sql(weighted: tuple[float, float] | None, product: bool) -> str:
     """
 
 
+# Shared sketch CTE: per-doc weighted 64-bit SimHash rebuilt in SQL —
+# md5_number_lower(token) is byte-identical to the engine's md5-low64 hash.
+_SIMHASH_SQL_U = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS cnt, md5_number_lower(tok) AS h
+    FROM toks GROUP BY doc_id, tok
+),
+bits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+    FROM tf, (SELECT unnest(range(0, 64)) AS b)
+    GROUP BY doc_id, b
+),
+sh AS (
+    SELECT doc_id,
+           sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS v
+    FROM bits GROUP BY doc_id
+),
+u AS (
+    SELECT d.doc_id, coalesce(s.v, 0::HUGEINT) AS v
+    FROM documents d LEFT JOIN sh s USING (doc_id)
+)
+"""
+
+_FB_EXPANSION_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+coll AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM doclen),
+qctf AS (SELECT tok, count(*) AS ctf FROM toks
+         WHERE tok IN ('{_BM25_TERMS[0]}','{_BM25_TERMS[1]}') GROUP BY tok),
+qtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('{_BM25_TERMS[0]}','{_BM25_TERMS[1]}') GROUP BY doc_id, tok),
+cand AS (SELECT DISTINCT doc_id FROM qtf),
+grid AS (SELECT cand.doc_id, t.tok, t.ctf FROM cand CROSS JOIN qctf t),
+p AS (
+    SELECT g.doc_id,
+           0.4 * (coalesce(qtf.tf, 0) + 2500 * (g.ctf / coll.c)) / (dl.dl + 2500)
+           + 0.6 * (g.ctf / coll.c) AS p
+    FROM grid g
+    LEFT JOIN qtf ON qtf.doc_id = g.doc_id AND qtf.tok = g.tok
+    JOIN doclen dl ON dl.doc_id = g.doc_id
+    CROSS JOIN coll
+),
+docscore AS (SELECT doc_id, exp(sum(ln(p) * 0.5)) AS score FROM p GROUP BY doc_id),
+top10 AS (SELECT doc_id, score FROM docscore ORDER BY score DESC, doc_id LIMIT 10),
+ctf_all AS (SELECT tok, count(*) AS ctf FROM toks GROUP BY tok),
+tf_top AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE doc_id IN (SELECT doc_id FROM top10) GROUP BY doc_id, tok
+),
+term_scores AS (
+    SELECT tf_top.tok AS term,
+           sum((tf_top.tf * 1.0 / dl.dl) * t.score * ln(coll.c / ctf_all.ctf)) AS w
+    FROM top10 t
+    JOIN tf_top ON tf_top.doc_id = t.doc_id
+    JOIN doclen dl ON dl.doc_id = t.doc_id
+    JOIN ctf_all ON ctf_all.tok = tf_top.tok
+    CROSS JOIN coll
+    GROUP BY tf_top.tok
+),
+ranked AS (
+    SELECT term, w, row_number() OVER (ORDER BY w DESC, term) AS rank
+    FROM term_scores
+)
+SELECT CAST(rank AS BIGINT) AS rank, term,
+       CAST(round(w * 1000000) AS BIGINT) AS weight_micros
+FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+_LETOR_CORE_SQL = f"""
+{_POS_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT CAST(sum(dl) AS DOUBLE) FROM doclen) AS sum_dl
+),
+qtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('{_BM25_TERMS[0]}','{_BM25_TERMS[1]}') GROUP BY doc_id, tok),
+qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+bm25 AS (
+    SELECT qtf.doc_id,
+           sum( ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                * (qtf.tf / (qtf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl / stats.doccount))))) ) AS f5
+    FROM qtf JOIN qdf USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
+    GROUP BY qtf.doc_id
+),
+top20 AS (SELECT doc_id, f5 FROM bm25 ORDER BY f5 DESC, doc_id LIMIT 20),
+qctf AS (SELECT tok, count(*) AS ctf FROM toks
+         WHERE tok IN ('{_BM25_TERMS[0]}','{_BM25_TERMS[1]}') GROUP BY tok),
+grid AS (SELECT t.doc_id, q.tok, q.ctf FROM top20 t CROSS JOIN qctf q),
+p AS (
+    SELECT g.doc_id,
+           0.4 * (coalesce(qtf.tf, 0) + 2500 * (g.ctf / stats.sum_dl)) / (dl.dl + 2500)
+           + 0.6 * (g.ctf / stats.sum_dl) AS p
+    FROM grid g
+    LEFT JOIN qtf ON qtf.doc_id = g.doc_id AND qtf.tok = g.tok
+    JOIN doclen dl ON dl.doc_id = g.doc_id
+    CROSS JOIN stats
+),
+indri AS (SELECT doc_id, exp(sum(ln(p) * 0.5)) AS f6 FROM p GROUP BY doc_id),
+overlap AS (
+    SELECT doc_id, count(DISTINCT tok) / 2.0 AS f7 FROM qtf
+    WHERE doc_id IN (SELECT doc_id FROM top20) GROUP BY doc_id
+),
+near AS (
+    SELECT a.doc_id, count(*) AS tf
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{_BM25_TERMS[0]}' AND b.tok = '{_BM25_TERMS[1]}'
+    GROUP BY a.doc_id
+),
+nctf AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS ctf FROM near),
+feats AS (
+    SELECT t.doc_id, t.f5, i.f6, o.f7,
+           CASE WHEN n.tf IS NULL THEN 0.0
+                ELSE 0.4 * (n.tf + 2500 * (nctf.ctf / stats.sum_dl)) / (dl.dl + 2500)
+                     + 0.6 * (nctf.ctf / stats.sum_dl) END AS f17
+    FROM top20 t
+    JOIN indri i USING (doc_id)
+    JOIN overlap o USING (doc_id)
+    JOIN doclen dl USING (doc_id)
+    LEFT JOIN near n USING (doc_id)
+    CROSS JOIN nctf CROSS JOIN stats
+),
+norm AS (
+    SELECT doc_id, f5, f6, f7, f17,
+           CASE WHEN max(f5) OVER () = min(f5) OVER () THEN 0.0
+                ELSE (f5 - min(f5) OVER ()) / (max(f5) OVER () - min(f5) OVER ()) END AS f5n,
+           CASE WHEN max(f6) OVER () = min(f6) OVER () THEN 0.0
+                ELSE (f6 - min(f6) OVER ()) / (max(f6) OVER () - min(f6) OVER ()) END AS f6n,
+           CASE WHEN max(f7) OVER () = min(f7) OVER () THEN 0.0
+                ELSE (f7 - min(f7) OVER ()) / (max(f7) OVER () - min(f7) OVER ()) END AS f7n,
+           CASE WHEN max(f17) OVER () = min(f17) OVER () THEN 0.0
+                ELSE (f17 - min(f17) OVER ()) / (max(f17) OVER () - min(f17) OVER ()) END AS f17n
+    FROM feats
+)
+SELECT doc_id,
+       CAST(round(f5 * 1000000) AS BIGINT) AS f5_micros,
+       CAST(round(f6 * 1000000) AS BIGINT) AS f6_micros,
+       CAST(round(f7 * 1000000) AS BIGINT) AS f7_micros,
+       CAST(round(f17 * 1000000) AS BIGINT) AS f17_micros,
+       CAST(round(f5n * 1000000) AS BIGINT) AS f5n_micros,
+       CAST(round(f6n * 1000000) AS BIGINT) AS f6n_micros,
+       CAST(round(f7n * 1000000) AS BIGINT) AS f7n_micros,
+       CAST(round(f17n * 1000000) AS BIGINT) AS f17n_micros
+FROM norm ORDER BY doc_id
+"""
+
+
+def _langid_sql() -> str:
+    """Language-id oracle generated from the engine's OWN function-word
+    profiles (single source of truth): per-language hit rate over
+    ``[a-zA-Z]+`` words, strict-> argmax with alphabetical-first ties and
+    the > 0.02 confidence floor — exactly LangIdStage's loop."""
+    from search_engine_framework_ray.stages.textstats import _LANG_PROFILES
+
+    langs = sorted(k for k, v in _LANG_PROFILES.items() if v)
+
+    def inlist(lang: str) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[lang]))
+
+    hit_cols = ",\n    ".join(
+        f"sum(CASE WHEN w IN ({inlist(lg)}) THEN 1 ELSE 0 END) * 1.0 / count(*) AS s_{lg}"
+        for lg in langs
+    )
+    all_scores = ", ".join(f"s_{lg}" for lg in langs)
+    # strict '>' argmax scanning langs alphabetically == first-max wins:
+    # lang lg wins iff s_lg >= every LATER language's score and > every
+    # EARLIER one's — equivalently s_lg >= max(later) after earlier CASE
+    # arms (which already handled earlier maxima) fell through.
+    arms = []
+    for i, lg in enumerate(langs[:-1]):
+        later = ", ".join(f"s_{x}" for x in langs[i + 1 :])
+        arms.append(f"WHEN s_{lg} >= greatest({later}) THEN '{lg}'")
+    case = "\n        ".join(arms)
+    return f"""
+    WITH words AS (
+        SELECT doc_id, lower(unnest(regexp_extract_all(text, '[a-zA-Z]+'))) AS w
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id,
+        {hit_cols}
+        FROM words GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+        CASE WHEN c.doc_id IS NULL OR greatest({all_scores}) <= 0.02 THEN 'und'
+        {case}
+        ELSE '{langs[-1]}' END AS lang_pred
+    FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
@@ -847,6 +1177,20 @@ def oracle_sql() -> dict[str, str]:
         "indri_and": _indri_sql(None, product=True),
         "indri_wand": _indri_sql((0.7, 0.3), product=True),
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
+        "fb_expansion": _FB_EXPANSION_SQL,
+        "letor_core": _LETOR_CORE_SQL,
+        "syn_root_tf": f"""
+            {_TOKS},
+            tf AS (SELECT doc_id, count(*) AS tf FROM toks
+                   WHERE tok IN ('spark','join') GROUP BY doc_id),
+            ranked AS (
+                SELECT doc_id, tf,
+                       row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+                FROM tf
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(tf AS BIGINT) AS tf
+            FROM ranked WHERE rank <= 100 ORDER BY rank
+        """,
         "term_stats": f"""
             {_TOKS}
             SELECT tok AS term,
@@ -862,6 +1206,50 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
             FROM documents ORDER BY doc_id
+        """,
+        "dedup_minhash": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            j AS (
+                SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS j
+                FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+            )
+            SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
+            FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "simhash_values": f"""
+            {_SIMHASH_SQL_U}
+            SELECT doc_id,
+                   CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                             THEN v - 18446744073709551616::HUGEINT
+                             ELSE v END AS BIGINT) AS simhash
+            FROM u ORDER BY doc_id
+        """,
+        "dedup_simhash": f"""
+            {_SIMHASH_SQL_U}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(CAST(x.v AS UBIGINT), CAST(y.v AS UBIGINT))) AS BIGINT) AS hamming
+            FROM u x JOIN u y ON y.doc_id > x.doc_id
+            WHERE bit_count(xor(CAST(x.v AS UBIGINT), CAST(y.v AS UBIGINT))) <= 3
+            ORDER BY a, b
+        """,
+        "embedding_neardup": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   CAST(round(list_cosine_similarity(x.embedding, y.embedding) * 1000000) AS BIGINT) AS cosine_micros
+            FROM embeddings x JOIN embeddings y ON y.vec_id > x.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.46
+            ORDER BY a, b
         """,
         "jaccard_pairs": """
             WITH l AS (
@@ -948,6 +1336,34 @@ def oracle_sql() -> dict[str, str]:
                        AS stopword_ratio_micros
             FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         """,
+        "langid": _langid_sql(),
+        "fingerprint": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN md5_number_lower(s)::HUGEINT >= 9223372036854775808::HUGEINT
+                             THEN md5_number_lower(s)::HUGEINT - 18446744073709551616::HUGEINT
+                             ELSE md5_number_lower(s)::HUGEINT END AS BIGINT) AS fp_md5
+            FROM norm ORDER BY doc_id
+        """,
+        "events_sliding": """
+            WITH e AS (
+                SELECT epoch_us(ts) // 1000000 AS es, value FROM events
+            ),
+            w AS (
+                SELECT ((es - i * 900) // 900) * 900 AS ws, value
+                FROM e, (SELECT unnest(range(0, 4)) AS i)
+                WHERE es >= ((es - i * 900) // 900) * 900
+                  AND es < ((es - i * 900) // 900) * 900 + 3600
+            )
+            SELECT CAST(ws AS BIGINT) AS window_start_s,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
+            FROM w GROUP BY ws ORDER BY ws
+        """,
         "events_tumbling": """
             SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,
                    event_type,
@@ -1014,7 +1430,9 @@ def oracle_sql() -> dict[str, str]:
         "event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
-        # dedup_minhash / dedup_simhash / embedding_neardup / langid /
-        # fingerprint are sketch/heuristic pipelines with no faithful ANSI-SQL
-        # equivalent → rows-only checks.
+        # Remaining rows-only entries (no faithful ANSI-SQL twin):
+        # letor_features (full 18-feature vector incl. NaN field semantics —
+        # the SQL-expressible core is hash-checked by letor_core) and
+        # dedup_minhash_clusters (sketch-estimated threshold; its underlying
+        # pair set is hash-checked by dedup_minhash).
     }

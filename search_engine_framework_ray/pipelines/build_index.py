@@ -332,9 +332,17 @@ def build_index(
             "inlink": [" ".join(inlink_map.get(u, [])) for u in urls],
         }
         h = hashlib.sha256()
-        for u, b in zip(urls, field_texts["body"]):
+        # every indexed field participates: a corpus change that alters only
+        # <title>/meta-keywords must invalidate the shard (ADVICE r1)
+        for u, b, t, kw in zip(
+            urls, field_texts["body"], field_texts["title"], field_texts["keywords"]
+        ):
             h.update(u.encode())
             h.update(b.encode())
+            h.update(b"\x1f")
+            h.update(t.encode())
+            h.update(b"\x1f")
+            h.update(kw.encode())
         for u in sorted(inlink_map):
             h.update(u.encode())
             for a in inlink_map[u]:

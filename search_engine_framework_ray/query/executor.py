@@ -247,8 +247,11 @@ def plan_queries(index_dir: str, queries, params: ModelParams):
         # the reference fatalErrors on a weight/arg mismatch at evaluate time
         # (QryopSlWand.java:57-58); we reject at plan time so one bad query
         # maps to [] instead of killing the whole distributed batch
-        if isinstance(node, WEIGHTED_TYPES) and len(node.args) != len(node.weights):
-            return False
+        if isinstance(node, WEIGHTED_TYPES):
+            if len(node.args) != len(node.weights):
+                return False
+            if sum(node.weights) == 0:  # '#WAND(0 a 0 b)' would divide by 0
+                return False
         return all(_weights_valid(a) for a in getattr(node, "args", []))
 
     analyzer = resolve_analyzer(index_dir)
@@ -368,6 +371,105 @@ def run_queries(
         .to_pandas()
     )
     return merge_results(rows, queries, params, k)
+
+
+class IlExecActor:
+    """Evaluate raw inverted-list queries (Il root) per shard → per-doc tf
+    rows (the reference's 'output inverted list' path)."""
+
+    def __init__(self, index_dir: str, queries_ref):
+        import ray
+
+        self.cache = _ShardCache(index_dir)
+        self.queries = ray.get(queries_ref)  # qid -> (il_tree, params)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"qid": [], "docid": [], "url": [], "tf": []}
+        for qid, shard in zip(batch["qid"], batch["shard"]):
+            tree, params = self.queries[qid]
+            view = self.cache.view(int(shard))
+            ev = Evaluator(view, params)
+            try:
+                inv = ev.eval_il(tree)
+            except ValueError:
+                continue  # per-query isolation (see exec_rows)
+            if not len(inv.docids):
+                continue
+            urls = view.reader.url_of(inv.docids)
+            out["qid"].extend([qid] * len(inv.docids))
+            out["docid"].extend(int(d) for d in inv.docids)
+            out["url"].extend(urls)
+            out["tf"].extend(int(t) for t in inv.tfs)
+        return pd.DataFrame(
+            {
+                "qid": pd.Series(out["qid"], dtype="object"),
+                "docid": pd.Series(out["docid"], dtype="int64"),
+                "url": pd.Series(out["url"], dtype="object"),
+                "tf": pd.Series(out["tf"], dtype="int64"),
+            }
+        )
+
+
+def run_il_queries(
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    *,
+    ranked: bool = True,
+    k: int = 100,
+    concurrency: int | None = None,
+) -> dict[str, list[tuple[str, float, int]]]:
+    """Il-root result emission (QryEval.java:295-314, sortResult:323-345,
+    postingComparator{Rk,Urk}): when the query root is an inverted-list op,
+    the reference emits the InvList itself — ranked models score each doc
+    by tf sorted (tf desc, extid asc); unranked models score 1.0 sorted
+    extid asc; output capped at min(k, 100) exactly as the reference's
+    ``Math.min(100, …)`` bound. Returns ``qid → [(url, score, docid)]``."""
+    import ray
+    import ray.data
+
+    from .parser import parse_il_query
+
+    shards = list_shards(index_dir)
+    if not shards:
+        raise ValueError(f"no shards in {index_dir}")
+    analyzer_params = ModelParams(model="RankedBoolean" if ranked else "UnrankedBoolean")
+    analyzer = resolve_analyzer(index_dir)
+    trees = {}
+    for qid, qtext in queries:
+        t = parse_il_query(qtext, analyzer)
+        if t is not None:
+            trees[qid] = t
+    results: dict[str, list[tuple[str, float, int]]] = {qid: [] for qid, _ in queries}
+    if not trees:
+        return results
+    if concurrency is None:
+        concurrency = max(1, min(len(shards), 8))
+    ref = ray.put({q: (t, analyzer_params) for q, t in trees.items()})
+    work = [{"qid": q, "shard": s} for s in shards for q in trees]
+    rows = (
+        ray.data.from_items(work)
+        .map_batches(
+            IlExecActor,
+            fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
+            batch_format="pandas",
+            concurrency=(1, concurrency),
+            batch_size=max(1, len(work) // (concurrency * 2) or 1),
+        )
+        .to_pandas()
+    )
+    bound = min(k, 100)  # the reference's hard 100-row cap
+    for qid, g in rows.groupby("qid"):
+        if ranked:
+            g = g.sort_values(["tf", "url"], ascending=[False, True], kind="mergesort")
+            scores = g["tf"].astype(float)
+        else:
+            g = g.sort_values("url", kind="mergesort")
+            scores = pd.Series(1.0, index=g.index)
+        g = g.head(bound)
+        results[str(qid)] = list(
+            zip(g["url"], scores.loc[g.index], g["docid"].astype(int))
+        )
+    return results
 
 
 class ScoreDocsActor:

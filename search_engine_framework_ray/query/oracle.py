@@ -198,7 +198,10 @@ def _eval_sl(node: Node, ix: OracleIndex, p: ModelParams) -> _Sl:
         ctf = sum(len(pos) for _, pos in inv)
         if m == "BM25":
             idf = math.log((ix.n_docs - df + 0.5) / (df + 0.5))
-            avg = ix.sum_doclen(field) / ix.doccount(field)
+            # mirror the engine/Java 0.0/0.0 → NaN on an empty field (the
+            # inverted list is empty too, so no scores materialize)
+            dc = ix.doccount(field)
+            avg = ix.sum_doclen(field) / dc if dc else float("nan")
             entries = []
             for d, pos in inv:
                 tf = len(pos)
@@ -307,8 +310,11 @@ def oracle_run_query(
     from .ast import WEIGHTED_TYPES
 
     def _weights_valid(node) -> bool:
-        if isinstance(node, WEIGHTED_TYPES) and len(node.args) != len(node.weights):
-            return False
+        if isinstance(node, WEIGHTED_TYPES):
+            if len(node.args) != len(node.weights):
+                return False
+            if sum(node.weights) == 0:  # aligned with the engine's rejection
+                return False
         return all(_weights_valid(a) for a in getattr(node, "args", []))
 
     if not _weights_valid(qtree):

@@ -68,7 +68,39 @@ def parse_query(
     analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
 ) -> Node | None:
     """Parse one query into a score-wrapped AST; None on broken syntax."""
-    tokens = _TOKEN_RE.findall(_default_wrap(qtext, model))
+    root = _parse_tokens(_default_wrap(qtext, model), analyzer)
+    return wrap_scores(root) if root is not None else None
+
+
+def parse_il_query(
+    qtext: str,
+    analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+) -> Node | None:
+    """Parse a RAW inverted-list query — no default model wrap, no score
+    wrap — for the reference's Il-root output path (QryEval.java:295-314:
+    a result whose root evaluates to an InvList is emitted with tf as the
+    score). Returns an Il-rooted tree (Term/#SYN/#NEAR/#WINDOW) or None."""
+    q = qtext.strip()
+    if not q.startswith("#"):  # bare term (possibly field-qualified)
+        fieldname = "body"
+        raw = q
+        for f in TERM_FIELDS:
+            if q.endswith("." + f):
+                fieldname = f
+                raw = q[: -(len(f) + 1)]
+                break
+        terms = analyze(raw, analyzer)
+        return Term(terms[0], fieldname) if terms else None
+    root = _parse_tokens(q, analyzer)
+    return root if isinstance(root, (Term, Syn, Near, Window)) else None
+
+
+def _parse_tokens(
+    qstring: str,
+    analyzer: AnalyzerConfig,
+) -> Node | None:
+    """Stack-machine parse of an operator-rooted query string → root op."""
+    tokens = _TOKEN_RE.findall(qstring)
     stack: list[Node] = []
     current: Node | None = None
     has_weight = False
@@ -156,7 +188,7 @@ def parse_query(
 
     if closed and i < n:
         return None  # unprocessed trailing tokens → broken query
-    return wrap_scores(current)
+    return current
 
 
 def read_query_file(path: str) -> list[tuple[str, str]]:

@@ -192,68 +192,96 @@ class IvfIndexedSearch:
 def embedding_neardup_pairs(
     ds: Dataset,
     *,
-    threshold: float = 0.95,
-    n_planes: int = 16,
+    threshold: float = 0.9,
+    planes_per_band: int = 4,
+    bands: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 29,
 ) -> pd.DataFrame:
-    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold): SRP sign
-    buckets → in-bucket exact verify. Pairs whose cosine ≥ threshold but
-    land in different buckets are missed with probability that shrinks as
-    ``n_planes`` bands are added — standard LSH trade-off."""
+    """Cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
+    multi-band signed-random-projection LSH.
+
+    ``bands`` independent bands of ``planes_per_band`` hyperplanes each; a
+    pair is a candidate if ALL plane signs agree in ANY band, so with
+    per-plane agreement p = 1 − θ/π the miss probability is
+    (1 − p^r)^b — ADDING BANDS RAISES RECALL (adding planes to a band
+    lowers it). At θ = acos(0.9), r=4 / b=16 gives ~4e-3 miss; the driver
+    entry uses r=2 / b=32 at its lower threshold for ~2e-8 miss so an
+    all-pairs SQL oracle can verify the output. Candidate generation ships
+    only narrow ``(id, band, key)`` rows through the shuffle; exact cosines
+    are then computed over embeddings gathered for CANDIDATE ids only
+    (broadcast-filter — at near-dup thresholds the candidate set is a tiny
+    fraction of the corpus; a low threshold trades candidate volume for the
+    recall the oracle needs)."""
     sample = ds.limit(1).to_pandas()
     dim = len(sample[emb_col].iloc[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, bands * planes_per_band))
     p_ref = ray.put(planes)
+    shifts = np.arange(planes_per_band, dtype=np.uint64)
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         pl = ray.get(p_ref)
         e = _normalize(_stack_embeddings(b, emb_col))
-        bits = (e @ pl) > 0
-        keys = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        bits = (e @ pl) > 0  # (n, bands·r)
+        n = len(b)
+        ids = b[id_col].to_numpy()
+        keys = np.empty((n, bands), dtype=np.int64)
+        for bd in range(bands):
+            seg = bits[:, bd * planes_per_band : (bd + 1) * planes_per_band]
+            keys[:, bd] = (
+                (seg.astype(np.uint64) << shifts[None, :]).sum(axis=1).astype(np.int64)
+                + (bd << planes_per_band)
+            )
         return pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(),
-                "bucket": keys.astype(np.int64),
-                emb_col: list(b[emb_col]),
-            }
+            {id_col: np.repeat(ids, bands), "bucket": keys.reshape(-1)}
         )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        e = _normalize(_stack_embeddings(g, emb_col))
-        sims = e @ e.T
-        a_out, b_out, s_out = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    s_out.append(float(sims[i, j]))
-        return pd.DataFrame(
-            {
-                "a": pd.Series(a_out, dtype="int64"),
-                "b": pd.Series(b_out, dtype="int64"),
-                "cosine": pd.Series(s_out, dtype="float64"),
-            }
-        )
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        iu, ju = np.triu_indices(m, k=1)
+        return pd.DataFrame({"a": ids[iu].astype(np.int64), "b": ids[ju].astype(np.int64)})
 
-    out = (
+    cand = (
         ds.map_batches(bucket, batch_format="pandas")
         .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(emit, batch_format="pandas")
         .to_pandas()
     )
-    if "a" not in out.columns:  # zero pairs → zero blocks → column-less frame
-        out = pd.DataFrame(
-            {
-                "a": pd.Series(dtype="int64"),
-                "b": pd.Series(dtype="int64"),
-                "cosine": pd.Series(dtype="float64"),
-            }
-        )
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+    if "a" not in cand.columns or not len(cand):
+        return empty
+    cand = cand.drop_duplicates(ignore_index=True)  # union across bands
+
+    need = set(cand["a"]) | set(cand["b"])
+    need_ref = ray.put(need)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        b = b[b[id_col].isin(nd)]
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), emb_col: list(b[emb_col])})
+
+    sub = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    emb_map = dict(zip((int(i) for i in sub[id_col]), _normalize(_stack_embeddings(sub, emb_col))))
+    amat = np.stack([emb_map[int(i)] for i in cand["a"]])
+    bmat = np.stack([emb_map[int(i)] for i in cand["b"]])
+    cos = np.einsum("ij,ij->i", amat, bmat)
+    keep = cos >= threshold
+    out = pd.DataFrame(
+        {
+            "a": cand["a"].to_numpy()[keep].astype(np.int64),
+            "b": cand["b"].to_numpy()[keep].astype(np.int64),
+            "cosine": cos[keep].astype(np.float64),
+        }
+    )
+    return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)

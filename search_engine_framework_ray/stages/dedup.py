@@ -95,18 +95,34 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
     return vals.min(axis=1)
 
 
+def _shingles_strict(text: str, k: int) -> np.ndarray:
+    """Like :func:`_shingles` but a doc with < k words has NO shingles
+    (mirrors the SQL oracle's trigram semantics instead of shrinking k)."""
+    if len(text.split()) < k:
+        return np.empty(0, dtype=np.uint64)
+    return _shingles(text, k)
+
+
 class MinHashStage:
     """map_batches actor: text → minhash signature (+ shingle count)."""
 
-    def __init__(self, n_perm: int = 64, k_shingle: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(
+        self,
+        n_perm: int = 64,
+        k_shingle: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        strict_k: bool = False,
+    ):
         self.a, self.b = _perm_params(n_perm)
         self.k = k_shingle
         self.text_col = text_col
         self.id_col = id_col
+        self.shingle_fn = _shingles_strict if strict_k else _shingles
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = [
-            minhash_signature(_shingles(t, self.k), self.a, self.b)
+            minhash_signature(self.shingle_fn(t, self.k), self.a, self.b)
             for t in batch[self.text_col].fillna("")
         ]
         return pd.DataFrame(
@@ -131,38 +147,95 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     concurrency: int = 4,
-) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering → pandas (id, cluster_id, is_dup).
+) -> Dataset:
+    """MinHash-LSH near-dup clustering → Dataset (id, cluster_id, is_dup).
 
     Scale shape: signatures once (actor pool, materialized for reuse) →
-    **narrow** band rows ``(id, band_key)`` — the 512-byte signature never
-    crosses the shuffle — → groupby on ``band_key % 4096`` (bounds the
-    per-group Python overhead; exact keys grouped vectorized inside) →
-    candidate pairs → signature-agreement verify against the materialized
-    signatures → driver union-find over verified pairs only (tiny by
-    construction). Buckets larger than ``_MAX_BUCKET`` emit star pairs to
-    the min id instead of the O(n²) clique; because verification filters
-    per-pair afterwards, a star edge that fails the threshold can drop a
-    link a full clique would have kept — a bounded-recall trade-off that is
-    standard for LSH dedup at scale (degenerate buckets are boilerplate
-    near-identical content, where star edges pass anyway).
+    narrow band shuffle (:func:`_lsh_candidate_pairs`) → candidate pairs →
+    signature-agreement verify against the materialized signatures →
+    driver union-find over VERIFIED PAIRS ONLY (tiny by construction) →
+    cluster labels broadcast back into a distributed ``map_batches``
+    (:func:`_assign_clusters`) — no full-corpus driver pull. Buckets larger
+    than ``_MAX_BUCKET`` emit star pairs to the min id instead of the O(n²)
+    clique; because verification filters per-pair afterwards, a star edge
+    that fails the threshold can drop a link a full clique would have kept —
+    a bounded-recall trade-off that is standard for LSH dedup at scale
+    (degenerate buckets are boilerplate near-identical content, where star
+    edges pass anyway).
     """
-    bands = min(bands, n_perm)  # more bands than permutations is degenerate
-    rows_per_band = max(1, n_perm // bands)
-    sigs = ds.map_batches(
+    sigs = _minhash_sigs(
+        ds,
+        n_perm=n_perm,
+        k_shingle=k_shingle,
+        text_col=text_col,
+        id_col=id_col,
+        concurrency=concurrency,
+    )
+    pairs = _lsh_candidate_pairs(
+        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=_MAX_BUCKET
+    )
+
+    # verify candidates by signature agreement (est. Jaccard ≥ threshold)
+    if len(pairs):
+        sig_map = _gather_column(sigs, set(pairs["a"]) | set(pairs["b"]), id_col, "sig")
+        amat = np.stack([sig_map[int(i)] for i in pairs["a"]])
+        bmat = np.stack([sig_map[int(i)] for i in pairs["b"]])
+        est = (amat == bmat).mean(axis=1)
+        pairs = pairs.assign(est_jaccard=est)[est >= threshold]
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[id_col]]
+
+    return _assign_clusters(sigs.map_batches(project, batch_format="pandas"), pairs, id_col)
+
+
+def _minhash_sigs(
+    ds: Dataset,
+    *,
+    n_perm: int,
+    k_shingle: int,
+    text_col: str,
+    id_col: str,
+    concurrency: int,
+    strict_k: bool = False,
+) -> Dataset:
+    """Materialized (id, sig) sketches — reused by banding AND verification;
+    at larger scale write_parquet here instead and read back (resumable
+    sketch store)."""
+    return ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={
             "n_perm": n_perm,
             "k_shingle": k_shingle,
             "text_col": text_col,
             "id_col": id_col,
+            "strict_k": strict_k,
         },
         batch_format="pandas",
         # autoscaling pool: a fixed-size pool can deadlock a small cluster
         # (actors reserve every CPU, downstream shuffle tasks starve)
         concurrency=(1, concurrency),
-    ).materialize()  # reused by banding AND verification; at larger scale
-    # write_parquet here instead and read back (resumable sketch store)
+    ).materialize()
+
+
+def _lsh_candidate_pairs(
+    sigs: Dataset,
+    *,
+    id_col: str,
+    n_perm: int,
+    bands: int,
+    max_bucket: int | None,
+) -> pd.DataFrame:
+    """Candidate pairs from banded signatures. **Narrow** band rows
+    ``(id, band_key)`` — the 512-byte signature never crosses the shuffle —
+    grouped on ``band_key % 4096`` (bounds the per-group Python overhead;
+    exact keys grouped vectorized inside). Buckets larger than
+    ``max_bucket`` (None = no cap) emit star pairs to the min id instead of
+    the O(n²) clique — a bounded-recall trade-off appropriate for
+    *clustering* (see :func:`minhash_lsh_dedup`); exact pair enumeration
+    passes ``max_bucket=None``."""
+    bands = min(bands, n_perm)  # more bands than permutations is degenerate
+    rows_per_band = max(1, n_perm // bands)
 
     def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
         n = len(b)
@@ -192,7 +265,7 @@ def minhash_lsh_dedup(
             m = len(ids)
             if m < 2:
                 continue
-            if m > _MAX_BUCKET:
+            if max_bucket is not None and m > max_bucket:
                 a_out.extend([int(ids[0])] * (m - 1))
                 b_out.extend(int(i) for i in ids[1:])
             else:
@@ -208,32 +281,32 @@ def minhash_lsh_dedup(
         .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()
     )
-    if len(pairs):
-        pairs = pairs.drop_duplicates(ignore_index=True)
-
-    # verify candidates by signature agreement (est. Jaccard ≥ threshold)
-    if len(pairs):
-        need = set(pairs["a"]) | set(pairs["b"])
-        import ray as _ray
-
-        need_ref = _ray.put(need)
-
-        def pick(b: pd.DataFrame) -> pd.DataFrame:
-            nd = _ray.get(need_ref)
-            return b[b[id_col].isin(nd)]
-
-        sub = sigs.map_batches(pick, batch_format="pandas").to_pandas()
-        sig_map = {int(i): np.asarray(s) for i, s in zip(sub[id_col], sub["sig"])}
-        amat = np.stack([sig_map[int(i)] for i in pairs["a"]])
-        bmat = np.stack([sig_map[int(i)] for i in pairs["b"]])
-        est = (amat == bmat).mean(axis=1)
-        pairs = pairs.assign(est_jaccard=est)[est >= threshold]
-
-    all_ids = np.sort(ds.select_columns([id_col]).to_pandas()[id_col].to_numpy())
-    return _cluster_from_pairs(all_ids, pairs, id_col)
+    if "a" not in pairs.columns:
+        pairs = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+    return pairs.drop_duplicates(ignore_index=True)
 
 
-def _cluster_from_pairs(all_ids: np.ndarray, pairs: pd.DataFrame, id_col: str) -> pd.DataFrame:
+def _gather_column(sigs: Dataset, need: set, id_col: str, col: str) -> dict:
+    """{id: value} for ONLY the requested ids — a broadcast-filter gather
+    (the driver never sees rows outside the candidate set)."""
+    import ray as _ray
+
+    need_ref = _ray.put(need)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        nd = _ray.get(need_ref)
+        return b[b[id_col].isin(nd)]
+
+    sub = sigs.map_batches(pick, batch_format="pandas").to_pandas()
+    return {int(i): np.asarray(s) for i, s in zip(sub[id_col], sub[col])}
+
+
+def _root_map(pairs: pd.DataFrame) -> dict[int, int]:
+    """Union-find over the (tiny, verified) pair set ONLY → {id: cluster
+    root} with full path compression. O(pairs α) driver work — independent
+    of corpus size."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -242,32 +315,284 @@ def _cluster_from_pairs(all_ids: np.ndarray, pairs: pd.DataFrame, id_col: str) -
             x = parent[x]
         return x
 
-    def union(x: int, y: int):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-
     if len(pairs):
         for a, b in zip(pairs["a"], pairs["b"]):
-            union(int(a), int(b))
-    cluster = np.array([find(int(i)) for i in all_ids], dtype=np.int64)
-    return pd.DataFrame(
-        {id_col: all_ids, "cluster_id": cluster, "is_dup": cluster != all_ids}
-    ).sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def _assign_clusters(ids_ds: Dataset, pairs: pd.DataFrame, id_col: str) -> Dataset:
+    """Distributed cluster labeling: broadcast the verified-pair root map
+    (tiny) once via ``ray.put`` and assign ``cluster_id``/``is_dup`` inside
+    ``map_batches`` — the corpus never funnels through the driver."""
+    import ray as _ray
+
+    roots_ref = _ray.put(_root_map(pairs))
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        roots = _ray.get(roots_ref)
+        b = b.copy()
+        ids = b[id_col].to_numpy()
+        cl = np.array([roots.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        b["cluster_id"] = cl
+        b["is_dup"] = cl != ids
+        return b
+
+    return ids_ds.map_batches(label, batch_format="pandas")
+
+
+def minhash_neardup_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k_shingle: int = 3,
+    n_perm: int = 64,
+    bands: int = 32,
+    concurrency: int = 4,
+) -> pd.DataFrame:
+    """Near-duplicate pairs with their EXACT k-word-shingle Jaccard →
+    (a < b, jaccard ≥ threshold). Candidates come from MinHash-LSH
+    (bands=32 × rows=2: a J=0.8 pair is missed with prob (1−J²)³² ≈ 6e-15 —
+    effectively deterministic, which is what lets an all-pairs SQL oracle
+    verify the output); verification computes the exact Jaccard over hashed
+    shingle sets gathered for candidate ids only. Strict shingle semantics
+    (docs with < k words have no shingles) mirror the SQL trigram oracle."""
+    sigs = _minhash_sigs(
+        ds,
+        n_perm=n_perm,
+        k_shingle=k_shingle,
+        text_col=text_col,
+        id_col=id_col,
+        concurrency=concurrency,
+        strict_k=True,
+    )
+    cand = _lsh_candidate_pairs(
+        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=None
+    )
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+    if not len(cand):
+        return empty
+
+    need = set(cand["a"]) | set(cand["b"])
+    import ray as _ray
+
+    need_ref = _ray.put(need)
+
+    def shingle_sets(b: pd.DataFrame) -> pd.DataFrame:
+        nd = _ray.get(need_ref)
+        b = b[b[id_col].isin(nd)]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "sh": [_shingles_strict(t, k_shingle) for t in b[text_col].fillna("")],
+            }
+        )
+
+    sh_map = {
+        int(i): s
+        for i, s in zip(
+            *(lambda df: (df[id_col], df["sh"]))(
+                ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+            )
+        )
+    }
+    a_out, b_out, j_out = [], [], []
+    for a, b in zip(cand["a"], cand["b"]):
+        sa, sb = sh_map.get(int(a)), sh_map.get(int(b))
+        if sa is None or sb is None or not sa.size or not sb.size:
+            continue  # <k-word docs have no shingles → excluded (SQL join)
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            a_out.append(int(a))
+            b_out.append(int(b))
+            j_out.append(j)
+    out = pd.DataFrame(
+        {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64"),
+         "jaccard": pd.Series(j_out, dtype="float64")}
+    )
+    return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via a 16-bit lookup table
+    (numpy < 2.0 has no ``bitwise_count``)."""
+    v = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint16).reshape(-1, 4)
+    return _POP16[v].sum(axis=1, dtype=np.int64)
+
+
+def _md5_hash64(token: str) -> int:
+    """Unsigned lower-64 of md5 — byte-for-byte DuckDB's
+    ``md5_number_lower``, so a SQL oracle can reproduce every sketch."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8", "surrogatepass")).digest()[8:], "little")
+
+
+class SimHashStage:
+    """map_batches actor: text → weighted 64-bit SimHash over whitespace
+    tokens. Token hashes are md5-low64 (SQL-reproducible) and cached per
+    actor (Zipf vocabulary → high hit rate); per-doc accumulation is a
+    vectorized (unique_tokens × 64) sign sum."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self._cache: dict[str, int] = {}
+        self._shifts = np.arange(64, dtype=np.uint64)
+
+    def _hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = _md5_hash64(tok)
+            self._cache[tok] = h
+        return h
+
+    def simhash64(self, text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        h = np.array([self._hash(t) for t in uniq], dtype=np.uint64)
+        bits = ((h[:, None] >> self._shifts[None, :]) & 1).astype(bool)
+        acc = np.where(bits, cnt[:, None], -cnt[:, None]).sum(axis=0)
+        v = int(((acc > 0).astype(np.uint64) << self._shifts).sum())
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(),
+                "simhash": np.array(
+                    [self.simhash64(t) for t in batch[self.text_col].fillna("")],
+                    dtype=np.int64,
+                ),
+            }
+        )
 
 
 def simhash64(text: str) -> int:
-    """Weighted 64-bit SimHash over whitespace tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, cnt in pd.Series(text.split()).value_counts().items():
-        h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits == 1, cnt, -cnt)
-    v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= 1 << i
-    return v - (1 << 64) if v >= (1 << 63) else v
+    """Standalone sketch kernel (testing convenience)."""
+    return SimHashStage().simhash64(text)
+
+
+def simhash_sketches(
+    ds: Dataset, *, id_col: str = "doc_id", text_col: str = "text", concurrency: int = 4
+) -> Dataset:
+    """(id, simhash) sketches, materialized ONCE (consumed by both banding
+    and labeling — never re-executes the actor-pool stage)."""
+    return ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    ).materialize()
+
+
+def simhash_pairs(
+    sketches: Dataset,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    include_hamming: bool = True,
+) -> pd.DataFrame:
+    """Near-dup pairs (a < b, Hamming ≤ max_hamming) from materialized
+    sketches via ``max_hamming + 1`` contiguous bit-band blocking: by
+    pigeonhole, ≤ h differing bits cannot touch all h+1 bands, so recall is
+    EXACT for any ``max_hamming`` and an all-pairs SQL oracle can verify
+    the output byte-for-byte (max_hamming=3 → the classic 4×16-bit split).
+
+    The shuffle rows are narrow ``(id, gb, band_key, simhash)``; in-bucket
+    verification is a vectorized uint64 XOR + 16-bit-LUT popcount (no Python
+    pair loop; a cross-band key collision only adds candidates, which the
+    Hamming check filters). ``max_bucket`` (None = exact) caps degenerate
+    buckets with star pairs to the min id — safe for *clustering*
+    (connectivity is preserved for true duplicate groups) but lossy for pair
+    *enumeration*, so the SQL-oracled pairs entry leaves it None.
+    """
+    n_bands = max_hamming + 1
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = np.cumsum([0] + widths[:-1])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        u = b["simhash"].to_numpy().astype(np.uint64)
+        ids = b[id_col].to_numpy()
+        keys = np.empty((n, n_bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for bd in range(n_bands):
+                mask = np.uint64((1 << widths[bd]) - 1) if widths[bd] < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+                seg = (u >> np.uint64(offsets[bd])) & mask
+                keys[:, bd] = np.uint64(bd + 1) * _POLY + seg  # band-tagged combine
+        flat = keys.reshape(-1).view(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(ids, n_bands),
+                "band_key": flat,
+                "gb": flat % _GB_BUCKETS,
+                "simhash": np.repeat(b["simhash"].to_numpy(), n_bands),
+            }
+        )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
+        for _, grp in g.groupby("band_key", sort=False):
+            grp = grp.drop_duplicates(id_col)
+            if len(grp) < 2:
+                continue
+            order = np.argsort(grp[id_col].to_numpy(), kind="stable")
+            ids = grp[id_col].to_numpy()[order]
+            hs = grp["simhash"].to_numpy().astype(np.uint64)[order]
+            m = len(ids)
+            if max_bucket is not None and m > max_bucket:
+                d = _popcount64(hs[1:] ^ hs[0])
+                keep = d <= max_hamming
+                a_out.append(np.full(int(keep.sum()), ids[0], dtype=np.int64))
+                b_out.append(ids[1:][keep].astype(np.int64))
+                h_out.append(d[keep])
+            else:
+                iu, ju = np.triu_indices(m, k=1)
+                d = _popcount64(hs[iu] ^ hs[ju])
+                keep = d <= max_hamming
+                a_out.append(ids[iu[keep]].astype(np.int64))
+                b_out.append(ids[ju[keep]].astype(np.int64))
+                h_out.append(d[keep])
+        if not a_out:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(a_out), "b": np.concatenate(b_out),
+             "hamming": np.concatenate(h_out).astype(np.int64)}
+        )
+
+    pairs = (
+        sketches.map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(emit, batch_format="pandas")
+        .to_pandas()
+    )
+    if "a" not in pairs.columns:
+        pairs = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+    pairs = pairs.drop_duplicates(["a", "b"], ignore_index=True)  # ≤4 band copies
+    pairs = pairs.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+    return pairs if include_hamming else pairs[["a", "b"]]
 
 
 def simhash_dedup(
@@ -276,52 +601,17 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-) -> pd.DataFrame:
-    """SimHash near-dup: 4×16-bit band blocking + Hamming verify →
-    (id, simhash, cluster_id, is_dup)."""
-
-    def add_sim(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(),
-                "simhash": [simhash64(t) for t in b[text_col].fillna("")],
-            }
-        )
-
-    sims = ds.map_batches(add_sim, batch_format="pandas")
-
-    def explode(b: pd.DataFrame) -> pd.DataFrame:
-        rows = {id_col: [], "band": [], "key": [], "simhash": []}
-        for i, s in zip(b[id_col], b["simhash"]):
-            u = int(s) & ((1 << 64) - 1)
-            for bd in range(4):
-                rows[id_col].append(i)
-                rows["band"].append(bd)
-                rows["key"].append((u >> (16 * bd)) & 0xFFFF)
-                rows["simhash"].append(s)
-        return pd.DataFrame(rows)
-
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        out = {"a": [], "b": []}
-        ids = g[id_col].tolist()
-        hs = [int(s) & ((1 << 64) - 1) for s in g["simhash"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if bin(hs[i] ^ hs[j]).count("1") <= max_hamming:
-                    out["a"].append(int(ids[i]))
-                    out["b"].append(int(ids[j]))
-        return pd.DataFrame(out)
-
-    pairs = (
-        sims.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "key"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    simdf = sims.to_pandas()
-    clusters = _cluster_from_pairs(simdf[id_col].to_numpy(), pairs, id_col)
-    return simdf.merge(clusters, on=id_col).sort_values(id_col).reset_index(drop=True)
+    max_bucket: int | None = 256,
+    concurrency: int = 4,
+) -> Dataset:
+    """SimHash near-dup clustering → Dataset (id, simhash, cluster_id,
+    is_dup). Sketches execute once (materialized); verified pairs are tiny
+    by construction, so union-find runs on the driver over PAIRS ONLY and
+    the cluster labels are broadcast back into a distributed map_batches —
+    no full-corpus driver pull at any step."""
+    sk = simhash_sketches(ds, id_col=id_col, text_col=text_col, concurrency=concurrency)
+    pairs = simhash_pairs(sk, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket)
+    return _assign_clusters(sk, pairs, id_col)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:

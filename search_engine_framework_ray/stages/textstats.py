@@ -96,6 +96,29 @@ class LangIdStage:
         return out
 
 
+# ASCII whitespace class shared verbatim with the DuckDB oracle's
+# regexp_replace — Python's \s would also match unicode whitespace
+_WS_NORM_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def fingerprint_md5(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace-normalized md5 document fingerprint: the signed-int64 view
+    of md5's lower 64 bits — byte-for-byte DuckDB's ``md5_number_lower``, so
+    a SQL oracle verifies it exactly. Order-sensitive like the Rabin
+    variant; use :func:`fingerprint` when a *rolling* (incremental) hash is
+    needed."""
+    import hashlib
+
+    out = batch.copy()
+    fps = np.empty(len(batch), dtype=np.int64)
+    for i, t in enumerate(batch[text_col].fillna("")):
+        s = _WS_NORM_RE.sub(" ", t).strip(" \t\n\r\f\v")
+        v = int.from_bytes(hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:], "little")
+        fps[i] = v - (1 << 64) if v >= (1 << 63) else v
+    out["fp_md5"] = fps
+    return out
+
+
 _FP_BASE = np.uint64(1099511628211)
 _FP_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 

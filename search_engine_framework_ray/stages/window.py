@@ -111,12 +111,14 @@ def session_windows(
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="mergesort")
-        epoch = g[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        # full-microsecond gap comparison (a 1800.8 s gap must split the
+        # session exactly as the SQL INTERVAL oracle does — no flooring)
+        epoch_us = g[ts_col].astype("datetime64[us]").astype("int64")
         new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = np.diff(epoch) > gap_s
+        new_session[1:] = np.diff(epoch_us) > gap_s * 1_000_000
         sid = np.cumsum(new_session)
         out = (
-            g.assign(_sid=sid, _epoch=epoch)
+            g.assign(_sid=sid)
             .groupby("_sid")
             .agg(
                 **{

@@ -121,6 +121,46 @@ def test_trec_output_format(engine):
     assert [int(p[3]) for p in s1] == list(range(1, len(s1) + 1))
 
 
+def test_zero_weight_wand_rejected(engine):
+    """ADVICE r1: '#WAND(0 a 0 b)' (weights summing to 0) must map to []
+    at plan time — in the engine AND the oracle — instead of crashing the
+    distributed batch with ZeroDivisionError."""
+    from search_engine_framework_ray.query.executor import run_queries
+
+    index_dir, oracle = engine
+    params = ModelParams(model="Indri")
+    got = run_queries(
+        index_dir,
+        [("z1", "#WAND(0 search 0 engine)"), ("z2", "#WSUM(0 web 0 crawl)"), ("z3", "search")],
+        params,
+    )
+    assert got["z1"] == [] and got["z2"] == []
+    assert got["z3"]  # per-query isolation: the rest of the batch survives
+    for q in ("#WAND(0 search 0 engine)", "#WSUM(0 web 0 crawl)"):
+        qtree = parse_query(q, "Indri")
+        assert oracle_run_query(qtree, oracle, params) == []
+
+
+def test_il_root_emission(engine):
+    """Il-root output path (QryEval.java:295-314): tf-as-score sorted
+    (tf desc, extid asc) capped at 100 for ranked; extid-asc score 1.0 for
+    unranked. Ranked order equals the RankedBoolean oracle ranking of the
+    same Il op (score == tf, same tie-break)."""
+    from search_engine_framework_ray.query.executor import run_il_queries
+
+    index_dir, oracle = engine
+    for q in ("#SYN(search engine)", "#NEAR/2(search engine)", "search"):
+        got = run_il_queries(index_dir, [("q", q)], ranked=True, k=1000)["q"]
+        want = oracle_run_query(
+            parse_query(q, "RankedBoolean"), oracle, ModelParams(model="RankedBoolean")
+        )[:100]
+        assert [(u, s) for u, s, _ in got] == want, q
+        assert len(got) <= 100
+    got = run_il_queries(index_dir, [("q", "#SYN(search engine)")], ranked=False)["q"]
+    urls = [u for u, _, _ in got]
+    assert urls == sorted(urls) and all(s == 1.0 for _, s, _ in got) and urls
+
+
 def test_query_service_matches_batch_path(engine):
     import ray
 

@@ -50,11 +50,12 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     rows.append({"doc_id": 101, "text": base})  # identical
     rows.append({"doc_id": 102, "text": base.replace("rifle", "scope")})  # near-dup
     ds = ray.data.from_items(rows)
-    out = minhash_lsh_dedup(ds, threshold=0.5)
+    out = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
     c = dict(zip(out["doc_id"], out["cluster_id"]))
     assert c[101] == 100
     assert c[102] == 100
     assert c[5] == 5  # uniques untouched
+    assert len(out) == len(rows)  # labeling covers the whole corpus
 
 
 def test_simhash_dedup(ray_session):
@@ -68,9 +69,68 @@ def test_simhash_dedup(ray_session):
         {"doc_id": 1, "text": text.replace("tok5", "tokX")},  # tiny change
         {"doc_id": 2, "text": " ".join(f"zz{i}" for i in range(200))},
     ]
-    out = simhash_dedup(ray.data.from_items(rows), max_hamming=6)
+    out = simhash_dedup(ray.data.from_items(rows), max_hamming=6).to_pandas()
     c = dict(zip(out["doc_id"], out["cluster_id"]))
     assert c[1] == 0 and c[2] == 2
+
+
+def test_simhash_pairs_exact_recall(ray_session):
+    """4×16-bit banding + Hamming ≤ 3 is EXACT (pigeonhole): the distributed
+    pair set must equal the all-pairs brute force over the sketches."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        _popcount64,
+        simhash_pairs,
+        simhash_sketches,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sk = simhash_sketches(ray.data.from_arrow(docs))
+    got = simhash_pairs(sk, max_hamming=3, max_bucket=None)
+    sdf = sk.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    hs = sdf["simhash"].to_numpy().astype(np.uint64)
+    ids = sdf["doc_id"].to_numpy()
+    iu, ju = np.triu_indices(len(ids), k=1)
+    d = _popcount64(hs[iu] ^ hs[ju])
+    keep = d <= 3
+    want = pd.DataFrame(
+        {"a": ids[iu[keep]], "b": ids[ju[keep]], "hamming": d[keep]}
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+    assert got.astype("int64").equals(want.astype("int64"))
+    assert len(got) > 0  # fixture contains duplicate texts
+
+
+def test_minhash_neardup_pairs_vs_bruteforce(ray_session):
+    """LSH-candidate + exact-Jaccard pairs == all-pairs exact trigram
+    Jaccard at the same threshold (32×2 banding leaves ~6e-15 miss)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        _shingles_strict,
+        minhash_neardup_pairs,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    got = minhash_neardup_pairs(
+        ray.data.from_pandas(docs), threshold=0.8, k_shingle=3, bands=32
+    )
+    sh = {int(i): _shingles_strict(t, 3) for i, t in zip(docs["doc_id"], docs["text"].fillna(""))}
+    rows = []
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sa, sb = sh[ids[x]], sh[ids[y]]
+            if not sa.size or not sb.size:
+                continue
+            inter = np.intersect1d(sa, sb).size
+            j = inter / (sa.size + sb.size - inter)
+            if j >= 0.8:
+                rows.append((ids[x], ids[y], j))
+    want = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    assert got[["a", "b"]].astype("int64").values.tolist() == want[["a", "b"]].values.tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])
+    assert len(got) > 0
 
 
 def test_ngram_jaccard():
@@ -127,6 +187,36 @@ def test_embedding_neardup_self(ray_session):
     pairs = embedding_neardup_pairs(ds, threshold=0.999)
     found = set(zip(pairs["a"], pairs["b"]))
     assert all((int(v), int(v) + 1000) in found for v in emb["vec_id"].head(20))
+
+
+def test_embedding_neardup_planted_near_dups(ray_session):
+    """Multi-band SRP must recover NEAR (not just exact) duplicates: plant
+    perturbed copies at cosine ≈ 0.97 and require 100% recall at 0.9."""
+    rng = np.random.default_rng(5)
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import embedding_neardup_pairs
+
+    base = rng.standard_normal((40, 64))
+    noise = rng.standard_normal((40, 64)) * 0.12
+    near = base + noise  # cosine ~0.96-0.99 vs base
+    rows = pd.DataFrame(
+        {
+            "vec_id": list(range(40)) + list(range(1000, 1040)),
+            "embedding": [list(map(float, v)) for v in np.vstack([base, near])],
+        }
+    )
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    nn = near / np.linalg.norm(near, axis=1, keepdims=True)
+    cos = np.einsum("ij,ij->i", bn, nn)
+    expect = {(i, 1000 + i) for i in range(40) if cos[i] >= 0.9}
+    assert len(expect) >= 30  # the perturbation really is a near-dup regime
+    pairs = embedding_neardup_pairs(
+        ray.data.from_pandas(rows), threshold=0.9, planes_per_band=2, bands=32
+    )
+    found = set(zip(pairs["a"].astype(int), pairs["b"].astype(int)))
+    assert expect <= found
+    assert (pairs["cosine"] >= 0.9).all()
 
 
 def test_textstats_match_duckdb(docs_ds, docs_pdf):
@@ -221,6 +311,48 @@ def test_session_windows(ray_session):
     out = session_windows(ray.data.from_pandas(df), gap_s=1800).to_pandas()
     assert len(out) == 2
     assert sorted(out["n"].tolist()) == [1, 2]
+
+
+def test_session_windows_subsecond_gap(ray_session):
+    """ADVICE r1: a 1800.8 s gap must split the session (full-microsecond
+    comparison, no flooring to whole seconds)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import session_windows
+
+    ts = pd.to_datetime(["2024-01-01 00:00:00.000", "2024-01-01 00:30:00.800"])
+    df = pd.DataFrame({"user_id": [1, 1], "ts": ts, "value": [1.0, 1.0]})
+    out = session_windows(ray.data.from_pandas(df), gap_s=1800).to_pandas()
+    assert len(out) == 2  # 1800.8 s > 30 min → two sessions
+    ts2 = pd.to_datetime(["2024-01-01 00:00:00.500", "2024-01-01 00:30:00.400"])
+    df2 = pd.DataFrame({"user_id": [1, 1], "ts": ts2, "value": [1.0, 1.0]})
+    out2 = session_windows(ray.data.from_pandas(df2), gap_s=1800).to_pandas()
+    assert len(out2) == 1  # 1799.9 s ≤ 30 min → one session
+
+
+def test_fingerprint_md5_matches_duckdb(ray_session):
+    """md5-low64 semantics: signed view of DuckDB's md5_number_lower over
+    the whitespace-normalized text (full SQL parity is exercised by the
+    driver-entry oracle test; this pins the kernel's byte contract)."""
+    import duckdb
+    import hashlib
+
+    from search_engine_framework_ray.stages.textstats import fingerprint_md5
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a  b\tc", "a b c", "", "Hello,  World!\nsecond line"],
+        }
+    )
+    got = fingerprint_md5(rows)
+    for t, fp in zip(rows["text"], got["fp_md5"]):
+        s = " ".join(t.split())
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        assert fp == (v - (1 << 64) if v >= (1 << 63) else v)
+        duck = duckdb.execute("SELECT md5_number_lower(?)", [s]).fetchone()[0]
+        assert int(duck) == v
+    assert got["fp_md5"].iloc[0] == got["fp_md5"].iloc[1]  # ws-normalized equal
 
 
 def test_multimodal_fake_decode(ray_session):
