@@ -246,10 +246,15 @@ def q_syn_root_tf(sf_dir: str):
 def q_letor_features(sf_dir: str):
     """LeToR 18-feature vectors (LearnToRank.java:326-596) for the BM25
     top-20 of the fixture query, normalized per query — micro-scaled ints
-    for the rows-only check (NaN → -1 sentinel)."""
+    for the rows-only check (NaN → -1 sentinel). f4 (PageRank) flows
+    through the reference's file format: an ``extid \\t score`` fixture is
+    written, read back (LearnToRank.java:131-144 reader) and joined via the
+    docmap."""
     from search_engine_framework_ray.pipelines.letor import (
         compute_features,
         normalize_features,
+        read_score_file,
+        scores_by_docid,
     )
     from search_engine_framework_ray.query.executor import run_queries
     from search_engine_framework_ray.query.models import ModelParams
@@ -257,7 +262,14 @@ def q_letor_features(sf_dir: str):
     idx = _docs_index(sf_dir)
     res = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=20)
     cand = {"q": [docid for (_, _, docid) in res["q"]]}
-    f = normalize_features(compute_features(idx, [("q", " ".join(_BM25_TERMS))], cand))
+    pr_path = os.path.join(idx, "fixture_pagerank.tsv")
+    with open(pr_path, "w") as fh:
+        for d in sorted(cand["q"]):
+            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17):.6f}\n")
+    page_rank = scores_by_docid(idx, read_score_file(pr_path))
+    f = normalize_features(
+        compute_features(idx, [("q", " ".join(_BM25_TERMS))], cand, page_rank=page_rank)
+    )
     out = f[["docid"] + [f"f{j}" for j in range(1, 19)]].copy()
     for j in range(1, 19):
         c = f"f{j}"

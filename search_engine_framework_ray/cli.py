@@ -148,7 +148,15 @@ def cmd_letor(args) -> int:
     """retrievalAlgorithm=letor flow (QryEval.java:239-258): train features
     on judged docs → fit ranker → rerank each test query's BM25 top-k."""
     _ensure_ray()
-    from .pipelines.letor import LetorParams, letor_rerank
+    import numpy as np
+    import pandas as pd
+
+    from .pipelines.letor import (
+        LetorParams,
+        letor_rerank,
+        read_score_file,
+        scores_by_docid,
+    )
     from .query.models import params_from_dict, read_param_file
     from .sources.trec import write_trec_run
 
@@ -158,7 +166,25 @@ def cmd_letor(args) -> int:
     train_q = read_query_file(args.train_queries)
     test_q = read_query_file(args.queries)
     lp = LetorParams(model_params=params_from_dict({**raw, "retrievalAlgorithm": "BM25"}))
-    ranked = letor_rerank(args.index, train_q, qrels, test_q, params=lp, k=args.k)
+    # PageRank / spam score files: 'extid \t score' (LearnToRank.java:131-144)
+    pr_path = args.pagerank_file or raw.get("letor:pageRankFile")
+    page_rank = scores_by_docid(args.index, read_score_file(pr_path)) if pr_path else None
+    doc_attrs = None
+    spam_path = args.spam_file or raw.get("letor:spamScoreFile")
+    if spam_path:
+        spam = scores_by_docid(args.index, read_score_file(spam_path))
+        docids = sorted(d2u)
+        doc_attrs = pd.DataFrame(
+            {
+                "docid": docids,
+                "raw_url": [d2u[d] for d in docids],
+                "spam_score": [spam.get(d, np.nan) for d in docids],
+            }
+        )
+    ranked = letor_rerank(
+        args.index, train_q, qrels, test_q, params=lp, k=args.k,
+        page_rank=page_rank, doc_attrs=doc_attrs, learner=args.learner,
+    )
     results = {
         qid: [(d2u[d], s, d) for d, s in rows] for qid, rows in ranked.items()
     }
@@ -191,7 +217,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--corpus", required=True)
     b.add_argument("--index", required=True)
     b.add_argument("--shards", type=int, default=None)
-    b.add_argument("--stemmer", default="porter", choices=["porter", "none"])
+    b.add_argument("--stemmer", default="porter", choices=["porter", "kstem", "none"])
     b.add_argument("--lang", default=None)
     b.add_argument("--block-size", type=int, default=128)
     b.add_argument("--plain", action="store_true", help="plain text table input")
@@ -220,6 +246,9 @@ def main(argv: list[str] | None = None) -> int:
     lt.add_argument("--out", required=True)
     lt.add_argument("--k", type=int, default=100)
     lt.add_argument("--tag", default="Run")
+    lt.add_argument("--pagerank-file", default=None, help="extid\\tscore lines (f4)")
+    lt.add_argument("--spam-file", default=None, help="extid\\tscore lines (f1)")
+    lt.add_argument("--learner", default="ranksvm", choices=["ranksvm", "ridge"])
     lt.set_defaults(fn=cmd_letor)
 
     ev = sub.add_parser("evaluate", help="P@k + MAP for a run vs qrels")

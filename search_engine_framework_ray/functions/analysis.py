@@ -50,7 +50,7 @@ class AnalyzerConfig:
 
     lowercase: bool = True
     stopword_removal: bool = True
-    stemmer: str = "porter"  # "porter" | "none"
+    stemmer: str = "porter"  # "porter" | "kstem" | "none"
 
     def key(self) -> str:
         return f"lc={int(self.lowercase)};stop={int(self.stopword_removal)};stem={self.stemmer}"
@@ -91,6 +91,11 @@ def _transform(token: str, cfg: AnalyzerConfig) -> str | None:
         return None
     if cfg.stemmer == "porter":
         token = stem_cached(token)
+    elif cfg.stemmer == "kstem":
+        # the reference's shipped stemmer (QryEval.java:64 → KSTEM)
+        from .kstem import kstem_cached
+
+        token = kstem_cached(token)
     return token
 
 

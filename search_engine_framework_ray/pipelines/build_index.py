@@ -254,7 +254,18 @@ def build_index(
     if n_total == 0:
         raise ValueError("empty corpus after lang filter")
     if num_shards is None:
-        num_shards = max(1, min(512, -(-n_total // 20_000)))
+        # UNCAPPED shard count: per-shard work must stay O(shard), never
+        # O(corpus/constant) — the former 512-shard cap made shard size grow
+        # linearly past ~10M docs, breaking the SPIMI memory bound at 100×.
+        # Size by docs (~20k/shard) AND input bytes (~96 MiB raw parquet per
+        # shard ≈ a few hundred MB of heap during the in-task SPIMI build),
+        # whichever yields more shards; build_group memory is then bounded
+        # regardless of corpus size, and a 1B-doc corpus simply gets ~50k
+        # groupby partitions (fine for Ray's hash shuffle).
+        total_bytes = sum(m[1] for m in input_meta)
+        num_shards = max(
+            1, -(-n_total // 20_000), -(-total_bytes // (96 << 20))
+        )
     sample, exhaustive = _deterministic_url_sample(url_ds, n_total)
     cuts = [
         sample[int(len(sample) * k / num_shards)]

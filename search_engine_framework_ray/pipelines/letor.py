@@ -270,6 +270,74 @@ def read_svmlight_scores(text: str) -> list[float]:
     return [float(line) for line in text.splitlines() if line.strip()]
 
 
+def read_score_file(path: str) -> dict[str, float]:
+    """``extid \\t score`` per line → {extid: score} — the reference's
+    PageRank-file reader (LearnToRank.java:131-144; the same shape serves
+    stored spam scores, :331-345). Malformed lines are skipped exactly like
+    the reference's ``split("\\t").length != 2`` guard."""
+    out: dict[str, float] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 2:
+                continue
+            try:
+                out[parts[0]] = float(parts[1])
+            except ValueError:
+                continue
+    return out
+
+
+def scores_by_docid(index_dir: str, extid_scores: dict[str, float]) -> dict[int, float]:
+    """Resolve an {extid: score} map through the index docmap → {docid:
+    score} (absent extids dropped → their feature stays NaN, ref :351-356)."""
+    from ..state.index_layout import load_docmap
+
+    url2doc, _ = load_docmap(index_dir)
+    return {
+        int(url2doc[e]): float(s) for e, s in extid_scores.items() if e in url2doc
+    }
+
+
+def train_ranksvm(
+    feats: pd.DataFrame,
+    rel: dict[tuple[str, int], int],
+    *,
+    c: float = 0.001,
+    epochs: int = 300,
+) -> np.ndarray:
+    """Deterministic pairwise RankSVM — the reference's model FAMILY
+    (svm_rank_learn, LearnToRank.java:921-957) without the external binary:
+    minimize ``0.5·||w||² + C·Σ hinge(1 − w·(xᵢ − xⱼ))`` over per-query
+    preference pairs (relᵢ > relⱼ), full-batch subgradient with a harmonic
+    step schedule — no randomness, bit-reproducible across runs. NaN
+    features contribute 0 (the SVMlight writer omits them, so svm_rank sees
+    the same zeros)."""
+    X = np.nan_to_num(
+        feats[[f"f{j + 1}" for j in range(N_FEATURES)]].to_numpy(dtype=np.float64)
+    )
+    y = np.array(
+        [rel.get((q, int(d)), 0) for q, d in zip(feats["qid"], feats["docid"])],
+        dtype=np.float64,
+    )
+    diffs = []
+    for _, g in feats.reset_index(drop=True).groupby("qid", sort=False):
+        idx = g.index.to_numpy()
+        for a in range(len(idx)):
+            for b in range(len(idx)):
+                if y[idx[a]] > y[idx[b]]:
+                    diffs.append(X[idx[a]] - X[idx[b]])
+    if not diffs:
+        return np.zeros(N_FEATURES)
+    D = np.stack(diffs)
+    w = np.zeros(N_FEATURES)
+    for t in range(epochs):
+        viol = (D @ w) < 1.0
+        grad = w - c * D[viol].sum(axis=0)
+        w = w - (1.0 / (1.0 + t)) * grad
+    return w
+
+
 def train_linear(feats: pd.DataFrame, rel: dict[tuple[str, int], int], l2: float = 1e-3) -> np.ndarray:
     """Deterministic stand-in for ``svm_rank_learn``: closed-form ridge
     regression of relevance on the (NaN→0) normalized features. Documented
@@ -307,24 +375,40 @@ def letor_rerank(
     *,
     params: LetorParams | None = None,
     k: int = 100,
+    page_rank: dict[int, float] | None = None,
+    doc_attrs: pd.DataFrame | None = None,
+    learner: str = "ranksvm",
 ) -> dict[str, list[tuple[int, float]]]:
     """Full LeToR flow (QryEval.java:239-258): train features on judged docs
-    → fit ranker → test features on BM25-body top-100 initial ranking
-    (LearnToRank.java:840-858) → rerank. Returns qid → [(docid, score)]."""
+    → fit ranker (``ranksvm`` = deterministic pairwise hinge, the
+    reference's model family; ``ridge`` = regression stand-in) → test
+    features on BM25-body top-100 initial ranking (LearnToRank.java:840-858)
+    → rerank. Returns qid → [(docid, score)]."""
     params = params or LetorParams()
     train_cand = {
         q: sorted({d for (qq, d) in qrels if qq == q}) for q, _ in train_queries
     }
     train_f = normalize_features(
-        compute_features(index_dir, train_queries, train_cand, params=params)
+        compute_features(
+            index_dir, train_queries, train_cand, params=params,
+            page_rank=page_rank, doc_attrs=doc_attrs,
+        )
     )
-    w = train_linear(train_f, qrels)
+    if learner == "ranksvm":
+        w = train_ranksvm(train_f, qrels, c=params.svm_c)
+    elif learner == "ridge":
+        w = train_linear(train_f, qrels)
+    else:
+        raise ValueError(f"unknown learner {learner!r} (ranksvm|ridge)")
 
     bm25 = params.model_params
     initial = run_queries(index_dir, test_queries, bm25, k=k)
     test_cand = {q: [docid for (_, _, docid) in initial[q]] for q, _ in test_queries}
     test_f = normalize_features(
-        compute_features(index_dir, test_queries, test_cand, params=params)
+        compute_features(
+            index_dir, test_queries, test_cand, params=params,
+            page_rank=page_rank, doc_attrs=doc_attrs,
+        )
     )
     scored = rerank_scores(test_f, w)
     out: dict[str, list[tuple[int, float]]] = {q: [] for q, _ in test_queries}

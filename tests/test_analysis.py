@@ -117,3 +117,64 @@ def test_multi_token_word():
 
 def test_numbers_pass_through():
     assert analyze("42 windows 7") == ["42", "window", "7"]
+
+
+KSTEM_GOLDENS = [
+    # dictionary-guarded non-stems — KStem's signature behavior vs Porter
+    ("police", "police"),
+    ("business", "business"),
+    ("glass", "glass"),
+    # plural
+    ("flies", "fly"),
+    ("tries", "try"),
+    ("dogs", "dog"),
+    ("churches", "church"),
+    ("horses", "horse"),
+    ("classes", "class"),
+    ("technologies", "technology"),
+    # past tense (undoubling + e-restoration)
+    ("stopped", "stop"),
+    ("saved", "save"),
+    ("wanted", "want"),
+    ("tried", "try"),
+    # aspect
+    ("running", "run"),
+    ("making", "make"),
+    ("walking", "walk"),
+    # irregular direct conflations
+    ("children", "child"),
+    ("mice", "mouse"),
+    ("taken", "take"),
+    ("wrote", "write"),
+    # short / non-alpha pass-through (KStemFilter contract)
+    ("as", "as"),
+    ("42", "42"),
+]
+
+
+def test_kstem_goldens():
+    from search_engine_framework_ray.functions.kstem import kstem, kstem_cached
+
+    for w, want in KSTEM_GOLDENS:
+        assert kstem(w) == want, (w, kstem(w), want)
+        assert kstem_cached(w) == want
+
+
+def test_kstem_differs_from_porter_where_it_should():
+    """The reference ships KSTEM (QryEval.java:64); these pairs are where a
+    user replaying reference param files would see Porter diverge."""
+    from search_engine_framework_ray.functions.kstem import kstem
+    from search_engine_framework_ray.functions.porter import stem
+
+    assert stem("police") == "polic" and kstem("police") == "police"
+    assert stem("flies") == "fli" and kstem("flies") == "fly"
+
+
+def test_kstem_analyzer_config_roundtrip():
+    from search_engine_framework_ray.functions.analysis import config_from_key
+
+    cfg = AnalyzerConfig(stemmer="kstem")
+    assert analyze("the police stopped running flies", cfg) == [
+        "police", "stop", "run", "fly",
+    ]
+    assert config_from_key(cfg.key()) == cfg

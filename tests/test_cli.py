@@ -46,6 +46,39 @@ def test_cli_build_and_query(cli_env, capsys):
     assert len(r2) == 1 and "doc0000000001" in r2[0]
 
 
+def test_cli_kstem_index_and_query(cli_env):
+    """End-to-end with the reference's shipped stemmer (KSTEM,
+    QryEval.java:61-65): 'apples'/'apple' must co-match under kstem."""
+    root, src, qfile = cli_env
+    src2 = root / "docs_kstem.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "apples and bananas",
+                    "the apple was red",
+                    "cherry flies running",
+                ],
+            }
+        ),
+        src2,
+    )
+    idx = str(root / "idx_kstem")
+    assert main(["build", "--corpus", str(src2), "--index", idx, "--plain",
+                 "--shards", "2", "--stemmer", "kstem"]) == 0
+    q2 = root / "q_kstem.txt"
+    q2.write_text("1: apple\n2: fly\n")
+    out = str(root / "run_kstem.trec")
+    assert main(["query", "--index", idx, "--queries", str(q2), "--model",
+                 "UnrankedBoolean", "--out", out]) == 0
+    lines = open(out).read().splitlines()
+    r1 = [l for l in lines if l.startswith("1 ")]
+    assert len(r1) == 2  # doc0 ('apples') AND doc1 ('apple') both match
+    r2 = [l for l in lines if l.startswith("2 ")]
+    assert len(r2) == 1 and "doc0000000002" in r2[0]  # 'flies' → fly
+
+
 def test_cli_param_file_fb(cli_env):
     root, src, qfile = cli_env
     idx = str(root / "idx")

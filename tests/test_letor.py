@@ -151,8 +151,64 @@ def test_letor_rerank_end_to_end(letor_index):
     qrels = {("q1", 0): 2, ("q1", 1): 1, ("q1", 2): 0}
     out1 = letor_rerank(letor_index, QUERIES, qrels, QUERIES)
     out2 = letor_rerank(letor_index, QUERIES, qrels, QUERIES)
-    assert out1 == out2
+    assert out1 == out2  # ranksvm training is deterministic end-to-end
     ranked = out1["q1"]
     assert len(ranked) == 3
     # trained on these qrels, the most-relevant doc ranks first
     assert ranked[0][0] == 0
+
+
+def test_ranksvm_orders_preference_pairs():
+    """The pairwise hinge learner must satisfy the training preferences on
+    a separable fixture (w·xᵢ > w·xⱼ whenever relᵢ > relⱼ) — the property
+    svm_rank optimizes, which ridge regression does not directly."""
+    from search_engine_framework_ray.pipelines.letor import (
+        N_FEATURES,
+        rerank_scores,
+        train_ranksvm,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for q in ("a", "b"):
+        for d in range(6):
+            f = rng.standard_normal(N_FEATURES) * 0.1
+            f[4] = d * 0.5  # informative feature correlated with rel
+            rows.append({"qid": q, "docid": d, **{f"f{j+1}": f[j] for j in range(N_FEATURES)}})
+    feats = pd.DataFrame(rows)
+    rel = {(q, d): d // 2 for q in ("a", "b") for d in range(6)}
+    w = train_ranksvm(feats, rel, c=1.0)
+    w2 = train_ranksvm(feats, rel, c=1.0)
+    assert np.array_equal(w, w2)  # bit-deterministic
+    scored = rerank_scores(feats, w)
+    for q in ("a", "b"):
+        g = scored[scored["qid"] == q].set_index("docid")["score"]
+        for hi in range(6):
+            for lo in range(6):
+                if rel[(q, hi)] > rel[(q, lo)]:
+                    assert g[hi] > g[lo], (q, hi, lo)
+
+
+def test_score_file_reader(letor_index, tmp_path):
+    """extid\\tscore reader + docmap join (LearnToRank.java:131-144): bad
+    lines skipped, unknown extids dropped (feature stays NaN)."""
+    from search_engine_framework_ray.pipelines.letor import (
+        read_score_file,
+        scores_by_docid,
+    )
+
+    p = tmp_path / "pr.tsv"
+    p.write_text(
+        "doc0000000000\t0.5\n"
+        "doc0000000002\t1.25\n"
+        "malformed line without tab\n"
+        "doc0000000001\tnot_a_number\n"
+        "unknown_ext\t9.0\n"
+    )
+    m = read_score_file(str(p))
+    assert m == {"doc0000000000": 0.5, "doc0000000002": 1.25, "unknown_ext": 9.0}
+    by_doc = scores_by_docid(letor_index, m)
+    assert by_doc == {0: 0.5, 2: 1.25}
+    feats = compute_features(letor_index, QUERIES, CAND, page_rank=by_doc).set_index("docid")
+    assert feats.loc[0, "f4"] == 0.5 and feats.loc[2, "f4"] == 1.25
+    assert np.isnan(feats.loc[1, "f4"])
