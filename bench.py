@@ -138,8 +138,15 @@ def run_bench() -> dict:
 
         ds = ray.data.read_parquet(docs_path)
         t0 = time.monotonic()
-        minhash_lsh_dedup(ds, threshold=0.8, concurrency=min(8, ncpu))
+        minhash_lsh_dedup(ds, threshold=0.8, concurrency=min(8, ncpu)).count()
         timings["dedup_minhash"] = time.monotonic() - t0
+
+        from search_engine_framework_ray.stages.dedup import simhash_dedup
+
+        ds = ray.data.read_parquet(docs_path)
+        t0 = time.monotonic()
+        simhash_dedup(ds, max_hamming=3, concurrency=min(8, ncpu)).count()
+        timings["dedup_simhash"] = time.monotonic() - t0
 
         # ---- ANN ----
         from search_engine_framework_ray.stages.ann import brute_force_topk
@@ -160,6 +167,13 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         tumbling_window(evs, 3600, keys=["event_type"]).count()
         timings["window_tumbling"] = time.monotonic() - t0
+
+        from search_engine_framework_ray.stages.window import sliding_window
+
+        evs = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+        t0 = time.monotonic()
+        sliding_window(evs, 3600, 900).count()
+        timings["window_sliding"] = time.monotonic() - t0
 
         # ---- feedback expansion (full fb=true flow over the main index) ----
         from search_engine_framework_ray.query.expansion import (
@@ -277,6 +291,41 @@ def run_scaling() -> dict:
     best = {n: min(ts) for n, ts in all_times.items()}
     rates = {n: n_docs / t for n, t in best.items()}
     eff = (rates[n_hi] / rates[n_lo]) / (n_hi / n_lo)
+
+    # second datapoint: one 100k-page robustness build at the 4N level so
+    # round-over-round regressions at larger-than-benchmark scale are
+    # attributable (GRAFT_BENCH_ROBUST_DOCS=0 skips)
+    robust: dict = {}
+    n_robust = int(os.environ.get("GRAFT_BENCH_ROBUST_DOCS", "100000"))
+    if n_robust:
+        corpus_r = "/tmp/sefr_bench/robust_corpus"
+        if not os.path.isdir(corpus_r):
+            import ray
+
+            ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+            from search_engine_framework_ray.sources.corpus import synthesize_corpus
+
+            synthesize_corpus(corpus_r, n_docs=n_robust, n_files=64, seed=13)
+            ray.shutdown()
+        rt = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys; sys.path.insert(0, %r); import bench; "
+                "print(bench._scaling_child(%d, %r, 1))"
+                % (os.path.dirname(os.path.abspath(__file__)), n_hi, corpus_r),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        sec = eval(rt.strip().splitlines()[-1])[0]
+        robust = {
+            "robust_n_docs": n_robust,
+            "robust_sec": round(sec, 2),
+            "robust_docs_per_s": round(n_robust / sec, 1),
+        }
     return {
         "metric": f"indexing scaling efficiency {n_lo}→{n_hi} cpus (same job, fixed shards, min of trials)",
         "n_docs": n_docs,
@@ -287,6 +336,7 @@ def run_scaling() -> dict:
         f"docs_per_s_{n_lo}": round(rates[n_lo], 1),
         f"docs_per_s_{n_hi}": round(rates[n_hi], 1),
         "scaling_efficiency": round(eff, 3),
+        **robust,
     }
 
 

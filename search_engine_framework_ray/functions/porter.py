@@ -4,7 +4,8 @@ Porter (1980) suffix-stripping algorithm, revised variant (``bli``→``ble``,
 (the stemmer the reference's analyzer selects with ``StemmerType.PORTER``,
 ``EnglishAnalyzerConfigurable.java:154-155``; the reference's runtime config
 picks KSTEM at ``QryEval.java:64`` — our engine defaults to Porter per the
-north-star spec and records that divergence).
+north-star spec and also ships a KStem implementation, :mod:`.kstem`,
+selectable via ``AnalyzerConfig(stemmer="kstem")``).
 
 Pure function, deterministic, no state: safe to call from any Ray worker.
 Hot paths should memoize via :func:`stem_cached` (per-process dict cache —

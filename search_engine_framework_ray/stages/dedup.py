@@ -10,8 +10,10 @@ Scale shapes (ray_guide / SURVEY north-star additions):
   estimated-Jaccard verify → connected components (union-find over the small
   candidate-pair set; at larger scale swap in iterative min-label
   propagation — the pair emission is already distributed).
-* **SimHash**: 64-bit weighted token-hash sketch; candidates share one of
-  four 16-bit bands; verify by Hamming distance.
+* **SimHash**: 64-bit weighted token-hash sketch (md5-low64 token hashes —
+  byte-identical to DuckDB's ``md5_number_lower``, so SQL oracles verify
+  sketches); candidates share one of ``max_hamming+1`` contiguous bit bands
+  (pigeonhole → exact recall); verify by vectorized XOR+popcount Hamming.
 
 Duplicate-cluster output convention: ``cluster_id`` = min doc id of the
 cluster; ``is_dup`` = doc is a non-representative member.

@@ -26,11 +26,13 @@ _PUNCT_RE = re.compile(r"[^\w\s]")
 
 
 def token_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Whitespace token count + BPE-ish subword-unit count per doc."""
+    """Whitespace token count + BPE-ish subword-unit count per doc
+    (vectorized ``Series.str.count`` — non-overlapping matches, identical to
+    ``len(findall)``)."""
     texts = batch[text_col].fillna("")
     batch = batch.copy()
-    batch["n_ws_tokens"] = texts.map(lambda t: len(_WS_RE.findall(t)))
-    batch["n_bpe_tokens"] = texts.map(lambda t: len(_BPE_RE.findall(t)))
+    batch["n_ws_tokens"] = texts.str.count(_WS_RE).astype("int64")
+    batch["n_bpe_tokens"] = texts.str.count(_BPE_RE).astype("int64")
     return batch
 
 
@@ -38,12 +40,26 @@ def quality_score(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Heuristic quality features: length, mean word length, stopword ratio,
     punctuation ratio, plus a composite [0,1] score."""
     out = batch.copy()
-    texts = batch[text_col].fillna("")
+    texts = batch[text_col].fillna("").reset_index(drop=True)
     n_chars = texts.str.len().astype("int64")
     words = texts.str.lower().str.split()
-    n_words = words.map(len).astype("int64")
-    n_stop = words.map(lambda ws: sum(1 for w in ws if w in LUCENE_STOP_WORDS)).astype("int64")
-    n_punct = texts.map(lambda t: len(_PUNCT_RE.findall(t))).astype("int64")
+    n_words = words.str.len().astype("int64")
+    # stopword count via explode + isin (vectorized hash probe, no per-row
+    # Python set scan)
+    exploded = words.explode().dropna()
+    stop_hits = (
+        exploded[exploded.isin(LUCENE_STOP_WORDS)].groupby(level=0).size()
+        if len(exploded)
+        else pd.Series(dtype="int64")
+    )
+    n_stop = (
+        stop_hits.reindex(range(len(texts)), fill_value=0).astype("int64").to_numpy()
+    )
+    n_punct = texts.str.count(_PUNCT_RE).astype("int64")
+    n_words = pd.Series(n_words.to_numpy(), index=out.index)
+    n_chars = pd.Series(n_chars.to_numpy(), index=out.index)
+    n_punct = pd.Series(n_punct.to_numpy(), index=out.index)
+    n_stop = pd.Series(n_stop, index=out.index)
     out["n_chars_q"] = n_chars
     out["n_words"] = n_words
     out["mean_word_len"] = np.where(n_words > 0, (n_chars - (n_words - 1).clip(lower=0)) / n_words.replace(0, 1), 0.0)
