@@ -357,18 +357,27 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_minhash_clusters(sf_dir: str):
-    """MinHash-LSH near-dup clustering (signature-agreement verify →
-    distributed cluster labeling). Sketch-estimated threshold → no faithful
-    SQL twin; rows-only check (the pair set itself is SQL-verified by
-    ``dedup_minhash``)."""
+    """Near-dup clustering over the EXACT-Jaccard pair graph: LSH candidates
+    → exact trigram-Jaccard verify (the SQL-checked ``dedup_minhash`` pair
+    set) → connected components, labeled distributed (union-find over pairs
+    only, root map broadcast into map_batches). The SQL oracle computes the
+    same components with a recursive-CTE reachability closure. (The
+    signature-estimate clustering variant, ``minhash_lsh_dedup``, stays the
+    fast library path and is unit-tested.)"""
     import ray.data
 
-    from search_engine_framework_ray.stages.dedup import minhash_lsh_dedup
+    from search_engine_framework_ray.stages.dedup import (
+        assign_clusters,
+        minhash_neardup_pairs,
+    )
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    out = minhash_lsh_dedup(ds, threshold=0.8).to_pandas()
+    pairs = minhash_neardup_pairs(ds, threshold=0.8, k_shingle=3, bands=32)
+    ids = ds.select_columns(["doc_id"])
+    out = assign_clusters(ids, pairs, "doc_id").to_pandas()
+    out["is_dup"] = out["is_dup"].astype("int64")  # bool → int64 for hashing
     return (
         out[["doc_id", "cluster_id", "is_dup"]]
         .sort_values("doc_id")
@@ -1240,6 +1249,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
             FROM j WHERE j >= 0.8 ORDER BY a, b
         """,
+        "dedup_minhash_clusters": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            p AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+                WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.8
+            ),
+            edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            -- reachability closure over the (tiny) verified pair graph →
+            -- connected components; cluster id = min reachable doc id
+            reach AS (
+                WITH RECURSIVE r(src, dst) AS (
+                    SELECT doc_id, doc_id FROM documents
+                    UNION
+                    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.dst
+                )
+                SELECT src, dst FROM r
+            )
+            SELECT src AS doc_id,
+                   min(dst) AS cluster_id,
+                   CAST(min(dst) <> src AS BIGINT) AS is_dup
+            FROM reach GROUP BY src ORDER BY doc_id
+        """,
         "simhash_values": f"""
             {_SIMHASH_SQL_U}
             SELECT doc_id,
@@ -1442,9 +1485,8 @@ def oracle_sql() -> dict[str, str]:
         "event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
-        # Remaining rows-only entries (no faithful ANSI-SQL twin):
-        # letor_features (full 18-feature vector incl. NaN field semantics —
-        # the SQL-expressible core is hash-checked by letor_core) and
-        # dedup_minhash_clusters (sketch-estimated threshold; its underlying
-        # pair set is hash-checked by dedup_minhash).
+        # Sole remaining rows-only entry: letor_features (full 18-feature
+        # vector whose f1/f4/f8-f16/f18 depend on NaN-field semantics and
+        # engine rankings over empty fields — the SQL-expressible core is
+        # hash-checked by letor_core).
     }

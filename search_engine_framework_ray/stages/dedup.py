@@ -325,6 +325,14 @@ def _root_map(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def assign_clusters(ids_ds: Dataset, pairs: pd.DataFrame, id_col: str = "doc_id") -> Dataset:
+    """Public entry to the distributed labeling step: cluster a corpus by an
+    explicit (verified) pair graph — e.g. the exact-Jaccard pairs from
+    :func:`minhash_neardup_pairs` — without funnelling the corpus through
+    the driver."""
+    return _assign_clusters(ids_ds, pairs, id_col)
+
+
 def _assign_clusters(ids_ds: Dataset, pairs: pd.DataFrame, id_col: str) -> Dataset:
     """Distributed cluster labeling: broadcast the verified-pair root map
     (tiny) once via ``ray.put`` and assign ``cluster_id``/``is_dup`` inside
