@@ -86,10 +86,86 @@ class AudioFrameSampleStage:
         )
 
 
+class ResizeImageStage:
+    """Actor-pool stage: decoded pixel grid → block-mean downsample to
+    ``out_size``. The RESIZE KERNEL itself is real vectorized numpy (area
+    interpolation via reshape+mean when shapes divide, else strided
+    nearest); only the upstream decode is faked in this container. Input
+    rows carry ``pixels: list<float>`` + ``px_h``/``px_w``."""
+
+    def __init__(self, out_size: tuple[int, int] = (4, 4)):
+        self.out_size = out_size
+
+    def _resize(self, px: np.ndarray, h: int, w: int) -> np.ndarray:
+        oh, ow = self.out_size
+        img = px.reshape(h, w)
+        if h % oh == 0 and w % ow == 0:  # exact area pooling
+            return img.reshape(oh, h // oh, ow, w // ow).mean(axis=(1, 3))
+        ri = (np.arange(oh) * h // oh).clip(0, h - 1)
+        ci = (np.arange(ow) * w // ow).clip(0, w - 1)
+        return img[np.ix_(ri, ci)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        hs = batch["px_h"].to_pylist()
+        ws = batch["px_w"].to_pylist()
+        for p, h, w in zip(batch["pixels"], hs, ws):
+            px = np.asarray(p.as_py(), dtype=np.float32)
+            out.append(self._resize(px, int(h), int(w)).reshape(-1).tolist())
+        oh, ow = self.out_size
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pixels": pa.array(out, type=pa.list_(pa.float32())),
+                "px_h": pa.array([oh] * len(out), type=pa.int32()),
+                "px_w": pa.array([ow] * len(out), type=pa.int32()),
+            }
+        )
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: video payload → ``n_frames`` uniformly-sampled
+    frame features (stub decode: fixed-stride byte stripes as frames; the
+    uniform-stride sampling layout matches what a real ffmpeg-backed stage
+    would emit — one row per (doc, frame) with a feature vector)."""
+
+    def __init__(self, n_frames: int = 4, feat_dim: int = 16, backend: str = "fake"):
+        self.n_frames = n_frames
+        self.feat_dim = feat_dim
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend != "fake":
+            raise NotImplementedError("real video decode (ffmpeg) not available here")
+        ids, fidx, feats = [], [], []
+        for d, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            data = np.frombuffer(p.as_py(), dtype=np.uint8)
+            for f in range(self.n_frames):
+                ids.append(d)
+                fidx.append(f)
+                if data.size == 0:
+                    feats.append([0.0] * self.feat_dim)
+                    continue
+                stripe = data[f::self.n_frames].astype(np.float32)
+                chunks = np.array_split(stripe, self.feat_dim)
+                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int32()),
+                "feature": pa.array(feats, type=pa.list_(pa.float32())),
+            }
+        )
+
+
 def decode_media(ds, kind: str = "image", concurrency: int = 2, batch_size: int = 64):
     """Wire a media dataset through the right actor-pool decode stage —
     small batches because payloads are wide (ray_guide memory notes)."""
-    stage = DecodeImageStage if kind == "image" else AudioFrameSampleStage
+    stage = {
+        "image": DecodeImageStage,
+        "audio": AudioFrameSampleStage,
+        "video": VideoFrameSampleStage,
+    }[kind]
     return ds.map_batches(
         stage,
         batch_format="pyarrow",

@@ -378,6 +378,45 @@ def test_multimodal_fake_decode(ray_session):
         DecodeImageStage(backend="pil")(tab)
 
 
+def test_multimodal_video_and_resize(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import (
+        ResizeImageStage,
+        decode_media,
+    )
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "kind": ["video", "video"],
+            "payload": pa.array([bytes(range(256)) * 4, b""], type=pa.binary()),
+        }
+    )
+    out = decode_media(ray.data.from_arrow(tab), "video", concurrency=1).to_pandas()
+    assert len(out) == 8  # 2 docs × 4 frames
+    assert sorted(out["frame_idx"].unique().tolist()) == [0, 1, 2, 3]
+    assert all(len(f) == 16 for f in out["feature"])
+    # empty payload → zero features, not a crash
+    assert all(v == 0.0 for f in out[out["doc_id"] == 2]["feature"] for v in f)
+
+    # resize: exact area pooling halves an 8x8 into 4x4 block means
+    px = np.arange(64, dtype=np.float32)
+    rtab = pa.table(
+        {
+            "doc_id": pa.array([7], type=pa.int64()),
+            "pixels": pa.array([px.tolist()], type=pa.list_(pa.float32())),
+            "px_h": pa.array([8], type=pa.int32()),
+            "px_w": pa.array([8], type=pa.int32()),
+        }
+    )
+    r = ResizeImageStage(out_size=(4, 4))(rtab).to_pandas()
+    got = np.asarray(r["pixels"].iloc[0]).reshape(4, 4)
+    want = px.reshape(8, 8).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    assert np.allclose(got, want)
+    assert r["px_h"].iloc[0] == 4 and r["px_w"].iloc[0] == 4
+
+
 def test_ivf_partitioned_index_matches_inmemory(ray_session, tmp_path):
     """The cluster-partitioned on-disk IVF index (pruned per-cluster reads)
     must return exactly what the in-memory variant returns."""
