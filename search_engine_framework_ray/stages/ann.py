@@ -83,6 +83,29 @@ def brute_force_topk(
     )
 
 
+@ray.remote
+def _score_ivf_cluster(
+    path: str, q: np.ndarray, qids: list[int], k: int, id_col: str, emb_col: str
+) -> pd.DataFrame:
+    """Score one on-disk IVF cluster for the queries that probe it; return
+    the cluster-local top-k per query (exact — ties id-ascending)."""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(path).to_pandas()
+    ids = df[id_col].to_numpy()
+    mat = _normalize(_stack_embeddings(df, emb_col))
+    rows = []
+    for qi in qids:
+        scores = mat @ q[qi]
+        order = np.lexsort((ids, -scores))[: min(k, len(ids))]
+        rows.append(
+            pd.DataFrame({"query_id": qi, id_col: ids[order], "score": scores[order]})
+        )
+    return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"query_id": [], id_col: [], "score": []}
+    )
+
+
 class IvfIndexedSearch:
     """IVF (inverted-file) ANN: train centroids on a sample, assign once,
     probe ``nprobe`` clusters at query time. Recall < 1 by design; the
@@ -139,34 +162,13 @@ class IvfIndexedSearch:
             self.index_dir = None
             self.assigned = assigned.materialize()
 
-    def _load_clusters(self, clusters: set[int]) -> pd.DataFrame:
-        if self.index_dir is not None:
-            import pyarrow.parquet as pq
-
-            frames = []
-            for c in sorted(clusters):
-                p = os.path.join(self.index_dir, f"part={c}", "data.parquet")
-                if os.path.exists(p):
-                    frames.append(pq.read_table(p).to_pandas())
-            return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-                {self.id_col: [], "cluster": [], self.emb_col: []}
-            )
-
-        def pick(b: pd.DataFrame, cl=frozenset(clusters)) -> pd.DataFrame:
+    def _candidates_in_memory(self, q: np.ndarray, probe: np.ndarray, k: int) -> list[pd.DataFrame]:
+        def pick(b: pd.DataFrame, cl=frozenset(int(c) for row in probe for c in row)) -> pd.DataFrame:
             return b[b["cluster"].isin(cl)]  # vectorized, not per-row
 
-        return self.assigned.map_batches(pick, batch_format="pandas").to_pandas()
-
-    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        """Top-k per query over the probed clusters only. All queries' probe
-        sets are unioned into ONE pruned load; per-query scoring is a
-        vectorized matmul restricted to that query's clusters."""
-        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
-        union = {int(c) for row in probe for c in row}
-        sub = self._load_clusters(union)
+        sub = self.assigned.map_batches(pick, batch_format="pandas").to_pandas()
         if not len(sub):
-            return pd.DataFrame({"query_id": [], "rank": [], self.id_col: [], "score": []})
+            return []
         ids = sub[self.id_col].to_numpy()
         clusters = sub["cluster"].to_numpy()
         mat = _normalize(_stack_embeddings(sub, self.emb_col))
@@ -174,14 +176,59 @@ class IvfIndexedSearch:
         for qi in range(len(q)):
             mask = np.isin(clusters, probe[qi])
             scores = mat[mask] @ q[qi]
-            sel_ids = ids[mask]
-            order = np.lexsort((sel_ids, -scores))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qi, self.id_col: ids[mask], "score": scores}
+                )
+            )
+        return out
+
+    def _candidates_on_disk(self, q: np.ndarray, probe: np.ndarray, k: int) -> list[pd.DataFrame]:
+        """One Ray task per probed cluster file: each reads ONLY its cluster,
+        scores the queries probing it, and returns its local top-k per query
+        — k·nprobe candidate rows per query reach the driver, never the
+        vectors themselves (clusters partition the candidate set, so merging
+        per-cluster top-ks is exact)."""
+        by_cluster: dict[int, list[int]] = {}
+        for qi, row in enumerate(probe):
+            for c in row:
+                by_cluster.setdefault(int(c), []).append(qi)
+        q_ref = ray.put(q)
+        futs = []
+        for c, qids in sorted(by_cluster.items()):
+            p = os.path.join(self.index_dir, f"part={c}", "data.parquet")
+            if os.path.exists(p):
+                futs.append(
+                    _score_ivf_cluster.remote(p, q_ref, qids, k, self.id_col, self.emb_col)
+                )
+        return ray.get(futs)
+
+    def search(self, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        """Top-k per query over the probed clusters only. On-disk indexes
+        fan out one task per probed cluster (pruned parallel reads + local
+        top-k, driver merges k·nprobe tiny rows); in-memory indexes do one
+        filtered load. Ties broken by id ascending in both."""
+        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        if self.index_dir is not None:
+            cand = self._candidates_on_disk(q, probe, k)
+        else:
+            cand = self._candidates_in_memory(q, probe, k)
+        cand = [c for c in cand if len(c)]
+        if not cand:
+            return pd.DataFrame({"query_id": [], "rank": [], self.id_col: [], "score": []})
+        allc = pd.concat(cand, ignore_index=True)
+        out = []
+        for qi, g in allc.groupby("query_id", sort=True):
+            ids = g[self.id_col].to_numpy()
+            scores = g["score"].to_numpy()
+            order = np.lexsort((ids, -scores))[:k]
             out.append(
                 pd.DataFrame(
                     {
                         "query_id": qi,
                         "rank": np.arange(1, len(order) + 1),
-                        self.id_col: sel_ids[order],
+                        self.id_col: ids[order],
                         "score": scores[order],
                     }
                 )
