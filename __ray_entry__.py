@@ -328,6 +328,42 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join (custom temporal operator, stages/join.py): each event is
+    matched to the latest 'view' event of the same user at or before it —
+    one co-partitioning shuffle, vectorized merge_asof per key group. SQL
+    oracle is a deterministic LATERAL top-1 (ties ts desc, id desc)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import asof_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    left = ds.select_columns(["event_id", "ts", "user_id"])
+
+    def views(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "view"]
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "ts": b["ts"], "event_id": b["event_id"]}
+        )
+
+    right = ds.map_batches(views, batch_format="pandas")
+    out = asof_join(left, right, by="user_id", on="ts").to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["last_view_id"] = out["r_event_id"].astype("int64")
+    out["lag_us"] = (
+        out["ts"].astype("datetime64[us]").astype("int64")
+        - out["r_ts"].astype("datetime64[us]").astype("int64")
+    )
+    return (
+        out[["event_id", "last_view_id", "lag_us"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data
 
@@ -852,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_nation": q_orders_by_nation,
         "revenue_by_priority": q_revenue_by_priority,
@@ -1418,6 +1455,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
             FROM w GROUP BY ws ORDER BY ws
+        """,
+        "events_asof": """
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(m.view_id AS BIGINT) AS last_view_id,
+                   CAST(epoch_us(e.ts) - epoch_us(m.ts) AS BIGINT) AS lag_us
+            FROM events e
+            JOIN LATERAL (
+                SELECT v.event_id AS view_id, v.ts FROM events v
+                WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                  AND v.ts <= e.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) m ON true
+            ORDER BY event_id
         """,
         "events_tumbling": """
             SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start_s,

@@ -1,0 +1,127 @@
+"""Temporal joins Ray Data lacks natively — expressed as compositions of
+``map_batches`` + one ``groupby(by).map_groups`` shuffle (the brief's
+custom-operator recipe (a)).
+
+:func:`asof_join` — for each left row, attach the LATEST right row whose
+``on`` value is ≤ the left's (``direction="backward"``; ``"forward"`` =
+earliest ≥), within the same ``by`` key.
+
+Partitioning assumption (documented per the brief): both sides are
+co-partitioned by ``by`` through ONE shuffle of the tagged union; per-key
+row counts must fit a worker (true for per-user/per-symbol streams — a
+pathologically hot key would need the same salting treatment as any skewed
+groupby). The in-group kernel is ``pandas.merge_asof`` (vectorized
+galloping merge), not a Python loop. Equal-``on`` ties resolve to the
+highest-sorted right row (right sorted by ``(on, *value cols)``),
+deterministic and matched by the SQL oracle's ``ORDER BY on DESC, id DESC
+LIMIT 1`` lateral.
+
+Dtype note: the tagged union needs one schema across both sides, so
+integer payload columns travel as nullable float64 and timestamps as
+``datetime64[us]`` — cast integers back downstream (the driver entry does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _kind(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t):
+        return "num"
+    return "obj"
+
+
+def _null_series(n: int, kind: str) -> pd.Series:
+    if kind == "ts":
+        return pd.Series(pd.NaT, index=range(n), dtype="datetime64[us]")
+    if kind == "num":
+        return pd.Series(np.nan, index=range(n), dtype="float64")
+    return pd.Series([None] * n, index=range(n), dtype="object")
+
+
+def _cast(s: pd.Series, kind: str) -> pd.Series:
+    if kind == "ts":
+        return s.astype("datetime64[us]")
+    if kind == "num":
+        return s.astype("float64")
+    return s.astype("object")
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    by: str,
+    on: str = "ts",
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> Dataset:
+    """Inner as-of join → Dataset with all left columns + prefixed right
+    columns (left rows with no eligible right row are dropped)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    ls, rs = left.schema(), right.schema()
+    lkind = {c: _kind(t) for c, t in zip(ls.names, ls.types)}
+    rkind = {c: _kind(t) for c, t in zip(rs.names, rs.types)}
+    lcols = list(ls.names)
+    r_out = [c for c in rs.names if c not in (by, on)]
+    pref = [right_prefix + c for c in r_out] + [right_prefix + on]
+    prefkind = {right_prefix + c: rkind[c] for c in r_out}
+    prefkind[right_prefix + on] = rkind[on]
+    cols = [*lcols, "_side", *pref]
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=range(len(b)))
+        for c in lcols:
+            out[c] = _cast(b[c].reset_index(drop=True), lkind[c])
+        out["_side"] = "L"
+        for c in pref:
+            out[c] = _null_series(len(b), prefkind[c])
+        return out[cols]
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        out = pd.DataFrame(index=range(n))
+        for c in lcols:
+            if c == by:
+                out[c] = _cast(b[by].reset_index(drop=True), lkind[by])
+            elif c == on:
+                out[c] = _cast(b[on].reset_index(drop=True), lkind[on])
+            else:
+                out[c] = _null_series(n, lkind[c])
+        out["_side"] = "R"
+        for c in r_out:
+            out[right_prefix + c] = _cast(b[c].reset_index(drop=True), rkind[c])
+        out[right_prefix + on] = _cast(b[on].reset_index(drop=True), rkind[on])
+        return out[cols]
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    out_cols = [*lcols, *pref]
+
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == "L"]
+        r = g[g["_side"] == "R"]
+        if not len(l) or not len(r):
+            return g[out_cols].iloc[0:0]
+        lsort = [on] + [c for c in lcols if c not in (by, on)]
+        l = l.sort_values(lsort, kind="mergesort")
+        r = r.sort_values([on, *pref], kind="mergesort")
+        merged = pd.merge_asof(
+            l[lcols].reset_index(drop=True),
+            r[[on, *pref]].reset_index(drop=True),
+            on=on,
+            direction=direction,
+        )
+        merged = merged.dropna(subset=[right_prefix + on])
+        return merged[out_cols]
+
+    return both.groupby(by).map_groups(group_fn, batch_format="pandas")

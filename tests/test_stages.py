@@ -378,6 +378,36 @@ def test_multimodal_fake_decode(ray_session):
         DecodeImageStage(backend="pil")(tab)
 
 
+def test_asof_join_directions(ray_session):
+    """asof_join vs hand-computed matches: backward picks the latest right
+    ≤ left, forward the earliest ≥; left rows with no eligible right are
+    dropped; keys never cross."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import asof_join
+
+    lts = pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:10", "2024-01-01 00:00:01"])
+    left = pd.DataFrame({"event_id": [1, 2, 3], "ts": lts, "user_id": [7, 7, 9]})
+    rts = pd.to_datetime(["2024-01-01 00:00:03", "2024-01-01 00:00:08", "2024-01-01 00:00:30"])
+    right = pd.DataFrame({"user_id": [7, 7, 9], "ts": rts, "mark": [100, 200, 300]})
+
+    back = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), by="user_id", on="ts"
+    ).to_pandas().sort_values("event_id")
+    # user 7: e1(t5)→mark100(t3), e2(t10)→mark200(t8); user 9: e3(t1) has no
+    # earlier mark → dropped
+    assert back["event_id"].astype(int).tolist() == [1, 2]
+    assert back["r_mark"].astype(int).tolist() == [100, 200]
+
+    fwd = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="user_id", on="ts", direction="forward",
+    ).to_pandas().sort_values("event_id")
+    # forward: e1(t5)→mark200(t8), e2(t10)→none, e3(t1)→mark300(t30)
+    assert fwd["event_id"].astype(int).tolist() == [1, 3]
+    assert fwd["r_mark"].astype(int).tolist() == [200, 300]
+
+
 def test_multimodal_video_and_resize(ray_session):
     import ray.data
 
