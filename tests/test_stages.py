@@ -408,6 +408,34 @@ def test_asof_join_directions(ray_session):
     assert fwd["r_mark"].astype(int).tolist() == [200, 300]
 
 
+def test_range_join(ray_session):
+    """Interval containment: inclusive bounds, multi-interval fan-out,
+    no cross-key matches, empty result when nothing contains."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import range_join
+
+    lts = pd.to_datetime(["2024-01-01 00:00:05", "2024-01-01 00:00:30", "2024-01-01 00:01:00"])
+    left = pd.DataFrame({"event_id": [1, 2, 3], "ts": lts, "user_id": [7, 7, 9]})
+    right = pd.DataFrame(
+        {
+            "user_id": [7, 7, 9],
+            "lo": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:05", "2024-01-01 00:02:00"]),
+            "hi": pd.to_datetime(["2024-01-01 00:00:10", "2024-01-01 00:00:30", "2024-01-01 00:03:00"]),
+            "tag": [10, 20, 30],
+        }
+    )
+    out = range_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="user_id", on="ts", lo="lo", hi="hi",
+    ).to_pandas().sort_values(["event_id", "r_tag"])
+    # e1(t5,u7) ∈ both u7 intervals (inclusive lo of the 2nd); e2(t30,u7) ∈
+    # 2nd only (inclusive hi); e3(u9) before u9's interval → dropped
+    assert list(zip(out["event_id"].astype(int), out["r_tag"].astype(int))) == [
+        (1, 10), (1, 20), (2, 20),
+    ]
+
+
 def test_multimodal_video_and_resize(ray_session):
     import ray.data
 
