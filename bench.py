@@ -291,17 +291,21 @@ def run_scaling() -> dict:
         ).stdout
         return eval(out.strip().splitlines()[-1])
 
-    # PAIRED rounds: one trial at each level back-to-back so both see the
+    # PAIRED rounds: trials at each level back-to-back so both see the
     # same co-tenant load window, efficiency computed per round, MEDIAN
     # round reported. (Unpaired min-of-trials across different windows on
     # this shared box yields nonsense — including efficiency > 1 when the
-    # 4N level happens to land in a quiet minute.)
+    # 4N level happens to land in a quiet minute.) Each level runs TWO
+    # in-session trials and keeps the better: the first also warms the
+    # fresh worker pool, which costs the 28-cpu level ~8 s (measured
+    # cold 19-22 s vs warmed 10-12 s) but the 7-cpu level almost nothing —
+    # unwarmed single trials systematically understate wide-level rates.
     n_lo, n_hi = 7, 28
     all_times: dict[int, list[float]] = {n_lo: [], n_hi: []}
     round_effs: list[float] = []
     for _ in range(max(1, trials)):
-        t_hi = _one(n_hi, 1)[0]
-        t_lo = _one(n_lo, 1)[0]
+        t_hi = min(_one(n_hi, 2))
+        t_lo = min(_one(n_lo, 2))
         all_times[n_hi].append(t_hi)
         all_times[n_lo].append(t_lo)
         round_effs.append((t_lo / t_hi) / (n_hi / n_lo))
