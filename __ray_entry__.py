@@ -328,6 +328,24 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_doc_packing(sf_dir: str):
+    """LM-training document packing (stages/packing.py): contiguous-fill
+    assignment of docs to 512-token packs via a distributed two-level
+    prefix sum — SQL window-cumsum oracle verifies every pack id/offset."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.packing import pack_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = pack_documents(ds, window=512).to_pandas()
+    cols = ["doc_id", "n_tokens", "tokens_before", "pack_id", "pack_offset"]
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom temporal operator, stages/join.py): each event is
     matched to the latest 'view' event of the same user at or before it —
@@ -917,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count": q_token_count,
+        "doc_packing": q_doc_packing,
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
@@ -1463,6 +1482,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(coalesce(a.n_stop * 1.0 / a.n_words, 0) * 1000000) AS BIGINT)
                        AS stopword_ratio_micros
             FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+        """,
+        "doc_packing": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tokens_before
+                FROM n
+            )
+            SELECT doc_id, n_tokens, tokens_before,
+                   tokens_before // 512 AS pack_id,
+                   tokens_before % 512 AS pack_offset
+            FROM c ORDER BY doc_id
         """,
         "langid": _langid_sql(),
         "fingerprint": r"""
