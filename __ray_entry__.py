@@ -870,6 +870,75 @@ def q_docs_sample(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_docs_stratified(sf_dir: str):
+    """Deterministic stratified sample: per language, the 20 docs with the
+    smallest md5-low64(doc_id) — a reproducible per-stratum subset selector
+    (no random_shuffle, identical at any parallelism). Top-k inside each
+    group after a per-batch pre-filter; SQL oracle via row_number over
+    md5_number_lower."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import _md5_hash64
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    # the uint64 hash is carried as two int64 halves so ordering is exact
+    # (float64 would round above 2^53)
+    def hashed2(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [(_md5_hash64(str(int(i)))) for i in b["doc_id"]]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "lang": b["lang"],
+                "h_hi": pd.Series([h >> 32 for h in hs], dtype="int64"),
+                "h_lo": pd.Series([h & 0xFFFFFFFF for h in hs], dtype="int64"),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h_hi", "h_lo", "doc_id"], kind="mergesort").head(20)
+        return g[["lang", "doc_id"]]
+
+    out = (
+        ds.map_batches(hashed2, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def q_events_quantiles(sf_dir: str):
+    """Rank-based per-group quantiles (p50/p90/p99 of value per event_type):
+    the k-th smallest with k = floor(q·(n−1)) — an exact, engine-agnostic
+    definition a SQL row_number oracle reproduces. Distributed as one
+    groupby + vectorized in-group sort."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def qs(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64), kind="stable")
+        n = len(v)
+        row = {"event_type": [g["event_type"].iloc[0]], "n": [n]}
+        for q, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            row[name + "_micros"] = [int(_round_away(v[int(q * (n - 1))] * 1e6))]
+        return pd.DataFrame(row)
+
+    out = ds.groupby("event_type").map_groups(qs, batch_format="pandas").to_pandas()
+    for c in ("n", "p50_micros", "p90_micros", "p99_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n", "p50_micros", "p90_micros", "p99_micros"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_event_types(sf_dir: str):
     """Distinct values of a column (Dataset.unique → small shuffle)."""
     import ray.data
@@ -949,6 +1018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": q_revenue_by_priority,
         "top_orders": q_top_orders,
         "docs_sample": q_docs_sample,
+        "docs_stratified": q_docs_stratified,
+        "events_quantiles": q_events_quantiles,
         "event_types": q_event_types,
     }
 
@@ -1631,6 +1702,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "docs_stratified": """
+            WITH h AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+            FROM h WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        "events_quantiles": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(round(max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                                       THEN value END) * 1000000) AS BIGINT) AS p50_micros,
+                   CAST(round(max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                                       THEN value END) * 1000000) AS BIGINT) AS p90_micros,
+                   CAST(round(max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+                                       THEN value END) * 1000000) AS BIGINT) AS p99_micros
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
         # Sole remaining rows-only entry: letor_features (full 18-feature
         # vector whose f1/f4/f8-f16/f18 depend on NaN-field semantics and
