@@ -885,16 +885,23 @@ def q_docs_stratified(sf_dir: str):
     )
 
     # the uint64 hash is carried as two int64 halves so ordering is exact
-    # (float64 would round above 2^53)
+    # (float64 would round above 2^53); each batch pre-filters to its local
+    # per-stratum top-20 (combiner) so only ≤ 20·n_batches rows per stratum
+    # cross the shuffle — global top-20 ⊆ union of per-batch top-20s
     def hashed2(b: pd.DataFrame) -> pd.DataFrame:
         hs = [(_md5_hash64(str(int(i)))) for i in b["doc_id"]]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "doc_id": b["doc_id"].astype("int64"),
                 "lang": b["lang"],
                 "h_hi": pd.Series([h >> 32 for h in hs], dtype="int64"),
                 "h_lo": pd.Series([h & 0xFFFFFFFF for h in hs], dtype="int64"),
             }
+        )
+        return (
+            out.sort_values(["h_hi", "h_lo", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(20)
         )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
