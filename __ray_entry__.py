@@ -1269,6 +1269,21 @@ FROM norm ORDER BY doc_id
 """
 
 
+def _token_count_sql() -> str:
+    """Token-count oracle generated from the engine's OWN regex constants
+    (single source of truth): the explicit ASCII whitespace class means the
+    Python and RE2 patterns match identically on any input."""
+    from search_engine_framework_ray.stages.textstats import BPE_PATTERN
+
+    bpe_sql = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{bpe_sql}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """
+
+
 def _langid_sql() -> str:
     """Language-id oracle generated from the engine's OWN function-word
     profiles (single source of truth): per-language hit rate over
@@ -1532,14 +1547,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
             FROM ranked WHERE rank <= 10 ORDER BY rank
         """,
-        "token_count": """
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
-                   CAST(len(regexp_extract_all(text,
-                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
-                        AS BIGINT) AS n_bpe_tokens
-            FROM documents ORDER BY doc_id
-        """,
+        "token_count": _token_count_sql(),
         "quality": """
             WITH toks AS (
                 SELECT doc_id, lower(tok) AS tok
@@ -1629,7 +1637,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             s AS (
-                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o
             ),
@@ -1653,14 +1661,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessions": """
             WITH o AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, ts, value, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
                                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             s AS (
-                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o
             )

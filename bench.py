@@ -349,7 +349,7 @@ def run_scaling() -> dict:
             "robust_docs_per_s": round(n_robust / sec, 1),
         }
     return {
-        "metric": f"indexing scaling efficiency {n_lo}→{n_hi} cpus (same job, fixed shards, min of trials)",
+        "metric": f"indexing scaling efficiency {n_lo}→{n_hi} cpus (same job, fixed shards, median of paired warmed rounds)",
         "n_docs": n_docs,
         f"trials_{n_lo}": [round(t, 2) for t in all_times[n_lo]],
         f"trials_{n_hi}": [round(t, 2) for t in all_times[n_hi]],

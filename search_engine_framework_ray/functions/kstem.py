@@ -231,9 +231,10 @@ def _plural(word: str) -> str:
         return _pick([word[:-3] + "y"], word[:-3] + "y")
     if word.endswith("es") and len(word) > 3:
         base = word[:-2]
-        # try bare stem first (churches→church), then e-restoration
-        # (horses→horse); keep -e when the bare form isn't a word
-        return _pick([base, base + "e"], base)
+        # Krovetz removes only the "s" first — e-restoration BEFORE the bare
+        # stem, else 'cares'→'car' / 'uses'→'us' misconflate when the
+        # truncation is coincidentally a word (horses→horse, churches→church)
+        return _pick([base + "e", base], base)
     if word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3:
         return _pick([word[:-1]], word[:-1])
     return word
@@ -245,7 +246,8 @@ def _past_tense(word: str) -> str:
         return _pick([word[:-3] + "y"], word[:-3] + "y")
     if word.endswith("ed") and len(word) > 4:
         base = word[:-2]
-        cands = [base, base + "e"]
+        # e-restoration first ('cared'→'care', not 'car'), then undoubling
+        cands = [base + "e", base]
         if _ends_double_consonant(base):
             cands.insert(1, base[:-1])  # stopped → stop
         return _pick(cands, base)
@@ -256,7 +258,8 @@ def _aspect(word: str) -> str:
     """-ing → ∅/+e with consonant undoubling (Krovetz §aspect)."""
     if word.endswith("ing") and len(word) > 5:
         base = word[:-3]
-        cands = [base, base + "e"]
+        # e-restoration first ('caring'→'care', not 'car'), then undoubling
+        cands = [base + "e", base]
         if _ends_double_consonant(base):
             cands.insert(1, base[:-1])  # running → run
         return _pick(cands, base)

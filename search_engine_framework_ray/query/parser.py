@@ -143,6 +143,8 @@ def _parse_tokens(
                 return None
             stack.append(current)
         elif token.startswith(")"):
+            if not stack:
+                return None  # stray ')' before any operator opened
             if isinstance(current, (WandOp, WsumOp)):
                 has_weight = False
             stack.pop()
@@ -162,6 +164,10 @@ def _parse_tokens(
             if getattr(arg, "args", None):
                 current.args.append(arg)
         else:
+            if current is None:
+                # term (or unknown '#op' token) before any operator opened —
+                # only reachable from parse_il_query's raw strings; broken
+                return None
             if has_weight and not got_weight:
                 try:
                     weight = float(token)

@@ -245,6 +245,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 29,
+    max_bucket: int | None = None,
 ) -> pd.DataFrame:
     """Cosine near-duplicate pairs (a < b, cosine ≥ threshold) via
     multi-band signed-random-projection LSH.
@@ -260,7 +261,14 @@ def embedding_neardup_pairs(
     are then computed over embeddings gathered for CANDIDATE ids only
     (broadcast-filter — at near-dup thresholds the candidate set is a tiny
     fraction of the corpus; a low threshold trades candidate volume for the
-    recall the oracle needs)."""
+    recall the oracle needs).
+
+    ``max_bucket`` (None = exact enumeration, required by the SQL oracle)
+    caps degenerate buckets with star pairs to the min id — the same
+    bounded-recall guard as MinHash's ``_lsh_candidate_pairs``. Set it for
+    production near-dup sweeps: with few planes per band the bucket key
+    space is only ``2^r`` per band, so a low-threshold configuration over a
+    large corpus otherwise emits near-O(n²) candidate cliques."""
     sample = ds.limit(1).to_pandas()
     dim = len(sample[emb_col].iloc[0])
     rng = np.random.default_rng(seed)
@@ -290,6 +298,10 @@ def embedding_neardup_pairs(
         m = len(ids)
         if m < 2:
             return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        if max_bucket is not None and m > max_bucket:
+            return pd.DataFrame(
+                {"a": np.full(m - 1, ids[0], dtype=np.int64), "b": ids[1:].astype(np.int64)}
+            )
         iu, ju = np.triu_indices(m, k=1)
         return pd.DataFrame({"a": ids[iu].astype(np.int64), "b": ids[ju].astype(np.int64)})
 
@@ -310,16 +322,21 @@ def embedding_neardup_pairs(
         return empty
     cand = cand.drop_duplicates(ignore_index=True)  # union across bands
 
-    need = set(cand["a"]) | set(cand["b"])
-    need_ref = ray.put(need)
+    from .dedup import gather_for_ids
 
-    def pick(b: pd.DataFrame) -> pd.DataFrame:
-        nd = ray.get(need_ref)
-        b = b[b[id_col].isin(nd)]
-        return pd.DataFrame({id_col: b[id_col].to_numpy(), emb_col: list(b[emb_col])})
-
-    sub = ds.map_batches(pick, batch_format="pandas").to_pandas()
-    emb_map = dict(zip((int(i) for i in sub[id_col]), _normalize(_stack_embeddings(sub, emb_col))))
+    raw = gather_for_ids(
+        ds,
+        set(cand["a"]) | set(cand["b"]),
+        id_col,
+        lambda b: pd.DataFrame({id_col: b[id_col].to_numpy(), "val": list(b[emb_col])}),
+    )
+    emb_map = {
+        i: v
+        for i, v in zip(
+            raw.keys(),
+            _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in raw.values()])),
+        )
+    }
     amat = np.stack([emb_map[int(i)] for i in cand["a"]])
     bmat = np.stack([emb_map[int(i)] for i in cand["b"]])
     cos = np.einsum("ij,ij->i", amat, bmat)

@@ -65,8 +65,12 @@ _POLY = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for rolling combines
 def _shingles(text: str, k: int) -> np.ndarray:
     """k-word shingle hash set (uint64, unique, sorted). Vectorized: one
     deterministic hash per word (pandas siphash, fixed key), then a rolling
-    degree-k polynomial over word hashes — no per-shingle Python hashing."""
-    words = text.split()
+    degree-k polynomial over word hashes — no per-shingle Python hashing.
+    Tokenization uses the RE2-aligned whitespace class so SQL trigram
+    oracles see the same words on any input."""
+    from .textstats import RE2_TOKEN_RE
+
+    words = RE2_TOKEN_RE.findall(text)
     if not words:
         return np.empty(0, dtype=np.uint64)
     h = pd.util.hash_array(np.asarray(words, dtype=object))
@@ -100,7 +104,9 @@ def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray) 
 def _shingles_strict(text: str, k: int) -> np.ndarray:
     """Like :func:`_shingles` but a doc with < k words has NO shingles
     (mirrors the SQL oracle's trigram semantics instead of shrinking k)."""
-    if len(text.split()) < k:
+    from .textstats import RE2_TOKEN_RE
+
+    if len(RE2_TOKEN_RE.findall(text)) < k:
         return np.empty(0, dtype=np.uint64)
     return _shingles(text, k)
 
@@ -290,19 +296,30 @@ def _lsh_candidate_pairs(
     return pairs.drop_duplicates(ignore_index=True)
 
 
-def _gather_column(sigs: Dataset, need: set, id_col: str, col: str) -> dict:
-    """{id: value} for ONLY the requested ids — a broadcast-filter gather
-    (the driver never sees rows outside the candidate set)."""
+def gather_for_ids(ds: Dataset, need: set, id_col: str, value_fn) -> dict:
+    """{id: value} for ONLY the requested ids — the broadcast-filter gather
+    shared by every candidate-verification step (signatures, shingle sets,
+    embeddings): ``need`` is ray.put once, each batch filters to it and
+    ``value_fn(batch) -> DataFrame(id_col, 'val')`` projects the value; the
+    driver never sees rows outside the candidate set."""
     import ray as _ray
 
     need_ref = _ray.put(need)
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
         nd = _ray.get(need_ref)
-        return b[b[id_col].isin(nd)]
+        return value_fn(b[b[id_col].isin(nd)])
 
-    sub = sigs.map_batches(pick, batch_format="pandas").to_pandas()
-    return {int(i): np.asarray(s) for i, s in zip(sub[id_col], sub[col])}
+    sub = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return dict(zip((int(i) for i in sub[id_col]), sub["val"]))
+
+
+def _gather_column(sigs: Dataset, need: set, id_col: str, col: str) -> dict:
+    got = gather_for_ids(
+        sigs, need, id_col,
+        lambda b: pd.DataFrame({id_col: b[id_col].to_numpy(), "val": list(b[col])}),
+    )
+    return {i: np.asarray(v) for i, v in got.items()}
 
 
 def _root_map(pairs: pd.DataFrame) -> dict[int, int]:
@@ -390,29 +407,17 @@ def minhash_neardup_pairs(
     if not len(cand):
         return empty
 
-    need = set(cand["a"]) | set(cand["b"])
-    import ray as _ray
-
-    need_ref = _ray.put(need)
-
-    def shingle_sets(b: pd.DataFrame) -> pd.DataFrame:
-        nd = _ray.get(need_ref)
-        b = b[b[id_col].isin(nd)]
-        return pd.DataFrame(
+    sh_map = gather_for_ids(
+        ds,
+        set(cand["a"]) | set(cand["b"]),
+        id_col,
+        lambda b: pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(),
-                "sh": [_shingles_strict(t, k_shingle) for t in b[text_col].fillna("")],
+                "val": [_shingles_strict(t, k_shingle) for t in b[text_col].fillna("")],
             }
-        )
-
-    sh_map = {
-        int(i): s
-        for i, s in zip(
-            *(lambda df: (df[id_col], df["sh"]))(
-                ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
-            )
-        )
-    }
+        ),
+    )
     a_out, b_out, j_out = [], [], []
     for a, b in zip(cand["a"], cand["b"]):
         sa, sb = sh_map.get(int(a)), sh_map.get(int(b))
@@ -467,7 +472,9 @@ class SimHashStage:
         return h
 
     def simhash64(self, text: str) -> int:
-        toks = text.split()
+        from .textstats import RE2_TOKEN_RE
+
+        toks = RE2_TOKEN_RE.findall(text)  # RE2-aligned: matches the SQL \S+
         if not toks:
             return 0
         uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)

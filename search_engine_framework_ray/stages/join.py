@@ -16,9 +16,10 @@ highest-sorted right row (right sorted by ``(on, *value cols)``),
 deterministic and matched by the SQL oracle's ``ORDER BY on DESC, id DESC
 LIMIT 1`` lateral.
 
-Dtype note: the tagged union needs one schema across both sides, so
-integer payload columns travel as nullable float64 and timestamps as
-``datetime64[us]`` — cast integers back downstream (the driver entry does).
+Dtype note: the tagged union needs one schema across both sides; integer
+payload columns travel as NULLABLE ``Int64`` (not float64 — that would
+silently corrupt ids ≥ 2^53), timestamps as ``datetime64[us]``; cast back
+to plain int64 downstream if needed (the driver entry does).
 """
 
 from __future__ import annotations
@@ -32,7 +33,9 @@ from ray.data import Dataset
 def _kind(t: pa.DataType) -> str:
     if pa.types.is_timestamp(t):
         return "ts"
-    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_boolean(t):
+    if pa.types.is_integer(t):
+        return "int"  # nullable Int64 — float64 would corrupt ids ≥ 2^53
+    if pa.types.is_floating(t) or pa.types.is_boolean(t):
         return "num"
     return "obj"
 
@@ -40,6 +43,8 @@ def _kind(t: pa.DataType) -> str:
 def _null_series(n: int, kind: str) -> pd.Series:
     if kind == "ts":
         return pd.Series(pd.NaT, index=range(n), dtype="datetime64[us]")
+    if kind == "int":
+        return pd.Series(pd.NA, index=range(n), dtype="Int64")
     if kind == "num":
         return pd.Series(np.nan, index=range(n), dtype="float64")
     return pd.Series([None] * n, index=range(n), dtype="object")
@@ -48,6 +53,8 @@ def _null_series(n: int, kind: str) -> pd.Series:
 def _cast(s: pd.Series, kind: str) -> pd.Series:
     if kind == "ts":
         return s.astype("datetime64[us]")
+    if kind == "int":
+        return s.astype("Int64")
     if kind == "num":
         return s.astype("float64")
     return s.astype("object")

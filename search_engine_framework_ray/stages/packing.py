@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
-_WS_RE = re.compile(r"\S+")
+from .textstats import RE2_TOKEN_RE as _WS_RE  # RE2-aligned tokenizer (oracle parity)
 
 
 def pack_documents(

@@ -17,11 +17,19 @@ from ..functions.analysis import LUCENE_STOP_WORDS
 # pre-tokenizer shape: contractions, letter runs, digit runs, punct runs).
 import re
 
-# (lookahead-free so the same pattern runs under RE2/DuckDB for the oracle)
-_BPE_RE = re.compile(
-    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# (lookahead-free so the same pattern runs under RE2/DuckDB for the oracle;
+# whitespace is the EXPLICIT ASCII class RE2's \s denotes — [\t\n\f\r ] with
+# no \v and no unicode — so engine and oracle tokenize identically for ANY
+# input, not just the single-space fixture. Python's \s/.split() would also
+# split on \v and unicode whitespace, silently diverging from the SQL twin.)
+RE2_WS = " \t\n\f\r"
+BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+"
 )
-_WS_RE = re.compile(r"\S+")
+RE2_TOKEN_RE = re.compile(r"[^ \t\n\f\r]+")
+_BPE_RE = re.compile(BPE_PATTERN)
+_WS_RE = RE2_TOKEN_RE
 _PUNCT_RE = re.compile(r"[^\w\s]")
 
 

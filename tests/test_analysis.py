@@ -141,6 +141,12 @@ KSTEM_GOLDENS = [
     ("running", "run"),
     ("making", "make"),
     ("walking", "walk"),
+    # e-restoration must beat the coincidental shorter word (not 'car'/'us')
+    ("cares", "care"),
+    ("cared", "care"),
+    ("caring", "care"),
+    ("uses", "use"),
+    ("does", "do"),
     # irregular direct conflations
     ("children", "child"),
     ("mice", "mouse"),

@@ -159,6 +159,12 @@ def test_il_root_emission(engine):
     got = run_il_queries(index_dir, [("q", "#SYN(search engine)")], ranked=False)["q"]
     urls = [u for u, _, _ in got]
     assert urls == sorted(urls) and all(s == 1.0 for _, s, _ in got) and urls
+    # malformed Il queries map to [] (per-query isolation), never crash
+    mixed = run_il_queries(
+        index_dir,
+        [("bad1", "#FOO(a b)"), ("bad2", ")"), ("ok", "#SYN(search engine)")],
+    )
+    assert mixed["bad1"] == [] and mixed["bad2"] == [] and mixed["ok"]
 
 
 def test_query_service_matches_batch_path(engine):
