@@ -1491,9 +1491,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.46
             ORDER BY a, b
         """,
-        "jaccard_pairs": """
+        "jaccard_pairs": r"""
             WITH l AS (
-                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
                 WHERE doc_id < 50
             ),
             sh AS (
@@ -1548,11 +1548,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 10 ORDER BY rank
         """,
         "token_count": _token_count_sql(),
-        "quality": """
+        "quality": r"""
             WITH toks AS (
-                SELECT doc_id, lower(tok) AS tok
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-                WHERE tok <> ''
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+                FROM documents
             ),
             agg AS (
                 SELECT doc_id, count(*) AS n_words,

@@ -310,7 +310,12 @@ def run_scaling() -> dict:
         all_times[n_lo].append(t_lo)
         round_effs.append((t_lo / t_hi) / (n_hi / n_lo))
     round_effs.sort()
-    eff = round_effs[len(round_effs) // 2]
+    mid = len(round_effs) // 2
+    eff = (
+        round_effs[mid]
+        if len(round_effs) % 2
+        else (round_effs[mid - 1] + round_effs[mid]) / 2
+    )
     best = {n: min(ts) for n, ts in all_times.items()}
     rates = {n: n_docs / t for n, t in best.items()}
 

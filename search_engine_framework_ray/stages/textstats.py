@@ -50,7 +50,9 @@ def quality_score(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out = batch.copy()
     texts = batch[text_col].fillna("").reset_index(drop=True)
     n_chars = texts.str.len().astype("int64")
-    words = texts.str.lower().str.split()
+    # RE2-aligned tokenization (see RE2_WS note above) so the SQL oracle
+    # can reproduce the word stats on any input
+    words = texts.str.lower().str.findall(RE2_TOKEN_RE)
     n_words = words.str.len().astype("int64")
     # stopword count via explode + isin (vectorized hash probe, no per-row
     # Python set scan)
