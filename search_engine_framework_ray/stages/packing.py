@@ -24,8 +24,6 @@ reproduces it exactly — the driver entry is value-hash verified.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from ray.data import Dataset
