@@ -765,7 +765,9 @@ def q_orders_by_nation(sf_dir: str):
     def tag(b: pd.DataFrame) -> pd.DataFrame:
         c2n_, n2name_ = ray.get(lookup_ref)
         b = b.copy()
-        b["n_name"] = b["o_custkey"].map(lambda c: n2name_.get(c2n_.get(c)))
+        # two vectorized dict probes (Series.map(dict) runs in C), not a
+        # per-row Python lambda
+        b["n_name"] = b["o_custkey"].map(c2n_).map(n2name_)
         return b[["n_name", "o_totalprice"]]
 
     ds = ray.data.read_parquet(
@@ -1031,20 +1033,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_TOKS = """
+# Tokenization parity note: the engine's PLAIN analyzer emits lowercased
+# alphanumeric word runs; on the fixture corpora (alnum words, whitespace
+# separators, no punctuation) those coincide with RE2 \S+ tokens. The
+# explicit ASCII class below IS RE2's \S (DuckDB), so any run of spaces /
+# tabs / newlines in a future fixture tokenizes identically on both sides
+# (Python .split(' ') would not).
+_TOKS = r"""
 WITH toks AS (
     SELECT doc_id, lower(tok) AS tok
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-    WHERE tok <> ''
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+          FROM documents)
 )
 """
 
-_POS_TOKS = """
-WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+_POS_TOKS = r"""
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
 toks AS (
     SELECT doc_id, lower(l[i]) AS tok, i AS pos
     FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
-    WHERE l[i] <> ''
 )
 """
 

@@ -228,7 +228,11 @@ def _plural(word: str) -> str:
     """-ies → -y, -es → -e/∅, -s → ∅ (not -ss/-us/-is), dictionary-checked
     (Krovetz §plural; Lucene KStemmer.plural)."""
     if word.endswith("ies") and len(word) > 4:
-        return _pick([word[:-3] + "y"], word[:-3] + "y")
+        # Lucene KStemmer.plural: try the -y form; when its lookup fails,
+        # REVERT to the -ie form (movies→movie, cookies→cookie) rather than
+        # keeping the bare -y rule output
+        base = word[:-3]
+        return _pick([base + "y"], base + "ie")
     if word.endswith("es") and len(word) > 3:
         base = word[:-2]
         # Krovetz removes only the "s" first — e-restoration BEFORE the bare

@@ -124,7 +124,22 @@ class IvfIndexedSearch:
         index_dir: str | None = None,
     ):
         self.id_col, self.emb_col = id_col, emb_col
-        sample = ds.limit(sample_size).to_pandas()
+        # Deterministic hash-mod sample for centroid training (NOT limit():
+        # the first N rows bias the centroids whenever the table is sorted /
+        # clustered by anything correlated with the embedding — same pattern
+        # as build_index's boundary sample). Vectorized Knuth multiplicative
+        # hash on the id column; order- and parallelism-independent.
+        n_total = ds.count()
+        mod = max(1, n_total // sample_size)
+
+        def pick_sample(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[id_col].to_numpy(dtype=np.uint64)
+            keep = (ids * np.uint64(2654435761)) % np.uint64(2**32) % np.uint64(mod) == 0
+            return b[keep]
+
+        sample = (
+            ds if mod == 1 else ds.map_batches(pick_sample, batch_format="pandas")
+        ).limit(sample_size).to_pandas()
         x = _normalize(_stack_embeddings(sample, emb_col))
         rng = np.random.default_rng(seed)
         cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]

@@ -132,6 +132,10 @@ KSTEM_GOLDENS = [
     ("horses", "horse"),
     ("classes", "class"),
     ("technologies", "technology"),
+    # -ies reverts to the -ie form when the -y lookup fails (Lucene
+    # KStemmer.plural), instead of keeping the bare -y rule output
+    ("movies", "movie"),
+    ("cookies", "cookie"),
     # past tense (undoubling + e-restoration)
     ("stopped", "stop"),
     ("saved", "save"),
