@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -48,6 +49,81 @@ def _docs_index(sf_dir: str) -> str:
         idx,
         analyzer=PLAIN_ANALYZER,
         plain_source=PlainSource(),
+        num_shards=4,
+    )
+    return idx
+
+
+# The LeToR full-feature entry needs a FOUR-field index (the reference
+# scores body/title/url/inlink separately, LearnToRank.java:358-445). The
+# plain corpus has only text, so the driver-visible fields are DERIVED
+# deterministically from it by token slices — reproducible in SQL with list
+# slicing over the same RE2 tokenization, which is what makes every field
+# feature oracle-checkable. Slice bounds (0-based, Python half-open):
+_LETOR_TITLE = (0, 6)  # words[0:6]  → title field (always ≥6 words ⇒ present)
+_LETOR_URLF = (6, 10)  # words[6:10] → url field (present: docs have ≥10 words)
+_LETOR_INLINK = (10, 16)  # words[10:16] → inlink field (EMPTY for 10-word docs
+#                            → missing field → the reference's NaN triple)
+_WS_RE = re.compile(r"[^ \t\n\f\r]+")  # == RE2/DuckDB \S
+
+
+def _letor_base(sf_dir: str) -> str:
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/sefr_letor/{key}"
+
+
+def _letor_corpus(sf_dir: str) -> str:
+    """Derive (once, fingerprint-resumable) the multi-field corpus parquet:
+    (doc_id, text, title, urltext, inlinktext)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    base = _letor_base(sf_dir)
+    out_dir, meta_p = os.path.join(base, "corpus"), os.path.join(base, "corpus.meta")
+    st = os.stat(src)
+    marker = f"{st.st_size}:{st.st_mtime_ns}:fields_v1:{_LETOR_TITLE}{_LETOR_URLF}{_LETOR_INLINK}"
+    if os.path.isdir(out_dir) and os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            if fh.read() == marker:
+                return out_dir
+    import shutil
+
+    import ray.data
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        words = [_WS_RE.findall(t) for t in b["text"]]
+        cols = {"doc_id": b["doc_id"].to_numpy(), "text": b["text"].to_numpy()}
+        for name, (lo, hi) in (
+            ("title", _LETOR_TITLE), ("urltext", _LETOR_URLF), ("inlinktext", _LETOR_INLINK),
+        ):
+            cols[name] = [" ".join(w[lo:hi]) for w in words]
+        return pd.DataFrame(cols)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ds = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    ds.map_batches(derive, batch_format="pandas").write_parquet(out_dir)
+    with open(meta_p, "w") as fh:
+        fh.write(marker)
+    return out_dir
+
+
+def _letor_index(sf_dir: str) -> str:
+    """Four-field plain-analyzer index over the derived corpus (resumable —
+    build_index's metadata fast-path makes repeat calls a no-op)."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+
+    corpus = _letor_corpus(sf_dir)
+    idx = os.path.join(_letor_base(sf_dir), "idx")
+    build_index(
+        corpus,
+        idx,
+        analyzer=PLAIN_ANALYZER,
+        plain_source=PlainSource(
+            title_col="title", url_field_col="urltext", inlink_col="inlinktext"
+        ),
         num_shards=4,
     )
     return idx
@@ -243,13 +319,37 @@ def q_syn_root_tf(sf_dir: str):
     )
 
 
+def _letor_doc_attrs(ids: list[int], spam: dict[int, float]) -> pd.DataFrame:
+    """Deterministic raw-url fixture: '/'-count (f2) varies with doc_id%5,
+    the wikipedia flag (f3) with doc_id%7 — both reproducible in SQL by
+    constructing the identical string."""
+    return pd.DataFrame(
+        {
+            "docid": ids,
+            "raw_url": [
+                "http://"
+                + ("www.wikipedia.org" if d % 7 == 0 else "www.example.com")
+                + "/p" * (d % 5)
+                + f"/doc{d}"
+                for d in ids
+            ],
+            "spam_score": [spam.get(d, np.nan) for d in ids],
+        }
+    )
+
+
 def q_letor_features(sf_dir: str):
-    """LeToR 18-feature vectors (LearnToRank.java:326-596) for the BM25
-    top-20 of the fixture query, normalized per query — micro-scaled ints
-    for the rows-only check (NaN → -1 sentinel). f4 (PageRank) flows
-    through the reference's file format: an ``extid \\t score`` fixture is
-    written, read back (LearnToRank.java:131-144 reader) and joined via the
-    docmap."""
+    """LeToR full 18-feature vectors (LearnToRank.java:326-596) for the BM25
+    top-20 of the fixture query over the derived FOUR-field index, normalized
+    per query — micro-scaled ints, NaN → -1_000_000 sentinel (inlink is
+    genuinely missing for 10-word docs → the reference's NaN triple).
+
+    f1 (spam) and f4 (PageRank) flow through the reference's file format: an
+    ``extid \\t score`` fixture is written, read back with the
+    LearnToRank.java:131-144 reader and joined via the docmap. f2/f3 come
+    from a deterministic raw-url fixture via ``doc_attrs`` (reference
+    :337-349). Every feature is SQL-oracled (field features via token-slice
+    CTEs over the documents view)."""
     from search_engine_framework_ray.pipelines.letor import (
         compute_features,
         normalize_features,
@@ -259,16 +359,29 @@ def q_letor_features(sf_dir: str):
     from search_engine_framework_ray.query.executor import run_queries
     from search_engine_framework_ray.query.models import ModelParams
 
-    idx = _docs_index(sf_dir)
+    idx = _letor_index(sf_dir)
     res = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=20)
     cand = {"q": [docid for (_, _, docid) in res["q"]]}
-    pr_path = os.path.join(idx, "fixture_pagerank.tsv")
+    ids = sorted(cand["q"])
+    base = _letor_base(sf_dir)
+    pr_path = os.path.join(base, "fixture_pagerank.tsv")
+    spam_path = os.path.join(base, "fixture_spam.tsv")
     with open(pr_path, "w") as fh:
-        for d in sorted(cand["q"]):
-            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17):.6f}\n")
+        for d in ids:  # full-precision repr: SQL 1.0/(1+d%17) is the same double
+            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
+    with open(spam_path, "w") as fh:
+        for d in ids:  # integral values are exact in float64
+            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
     page_rank = scores_by_docid(idx, read_score_file(pr_path))
+    spam = scores_by_docid(idx, read_score_file(spam_path))
     f = normalize_features(
-        compute_features(idx, [("q", " ".join(_BM25_TERMS))], cand, page_rank=page_rank)
+        compute_features(
+            idx,
+            [("q", " ".join(_BM25_TERMS))],
+            cand,
+            doc_attrs=_letor_doc_attrs(ids, spam),
+            page_rank=page_rank,
+        )
     )
     out = f[["docid"] + [f"f{j}" for j in range(1, 19)]].copy()
     for j in range(1, 19):
@@ -1278,6 +1391,229 @@ FROM norm ORDER BY doc_id
 """
 
 
+def _letor_field_cte(f: str, lo: int, hi: int) -> str:
+    """CTE block for one derived index field (title/url/inlink): tokens are
+    the 1-based list slice [lo+1 .. hi] of the document's RE2 tokens —
+    exactly what ``_letor_corpus`` feeds the four-field index build. Scoring
+    mirrors the engine kernels: BM25 uses GLOBAL n_docs + field avg-doclen;
+    Indri smooths with field ctf/collection-length; a zero p contributes
+    nothing (kernels.py _indri_combine 'skip'); docs without the field are
+    handled NULL-side in rawf."""
+    t0, t1 = _BM25_TERMS
+    return f"""
+{f}_toks AS (
+    SELECT doc_id, lower(l[i]) AS tok
+    FROM lists, unnest(range({lo + 1}, {hi + 1})) AS t(i)
+    WHERE i <= len(l)
+),
+{f}_dl AS (SELECT doc_id, count(*) AS dl FROM {f}_toks GROUP BY doc_id),
+{f}_st AS (
+    SELECT CAST(count(*) AS DOUBLE) AS doccount, CAST(sum(dl) AS DOUBLE) AS sum_dl
+    FROM {f}_dl
+),
+{f}_tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM {f}_toks
+    WHERE tok IN ('{t0}', '{t1}') GROUP BY doc_id, tok
+),
+{f}_df AS (SELECT tok, count(*) AS df FROM {f}_tf GROUP BY tok),
+{f}_ctf AS (SELECT tok, CAST(sum(tf) AS DOUBLE) AS ctf FROM {f}_tf GROUP BY tok),
+{f}_bm25 AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (dl.dl / (st.sum_dl / st.doccount))))) ) AS v
+    FROM {f}_tf tf
+    JOIN {f}_df df USING (tok)
+    JOIN {f}_dl dl USING (doc_id)
+    CROSS JOIN stats CROSS JOIN {f}_st st
+    WHERE tf.doc_id IN (SELECT doc_id FROM top20)
+    GROUP BY tf.doc_id
+),
+{f}_grid AS (
+    SELECT t.doc_id, q.tok
+    FROM (SELECT DISTINCT doc_id FROM {f}_tf
+          WHERE doc_id IN (SELECT doc_id FROM top20)) t
+    CROSS JOIN (SELECT unnest(['{t0}', '{t1}']) AS tok) q
+),
+{f}_p AS (
+    SELECT g.doc_id,
+           0.4 * (coalesce(tf.tf, 0) + 2500 * (coalesce(c.ctf, 0) / st.sum_dl)) / (dl.dl + 2500)
+           + 0.6 * (coalesce(c.ctf, 0) / st.sum_dl) AS p
+    FROM {f}_grid g
+    LEFT JOIN {f}_tf tf ON tf.doc_id = g.doc_id AND tf.tok = g.tok
+    LEFT JOIN {f}_ctf c ON c.tok = g.tok
+    JOIN {f}_dl dl ON dl.doc_id = g.doc_id
+    CROSS JOIN {f}_st st
+),
+{f}_indri AS (
+    SELECT doc_id, exp(sum(CASE WHEN p > 0 THEN 0.5 * ln(p) ELSE 0 END)) AS v
+    FROM {f}_p GROUP BY doc_id
+),
+{f}_ov AS (
+    SELECT doc_id, count(DISTINCT tok) / 2.0 AS v FROM {f}_tf
+    WHERE doc_id IN (SELECT doc_id FROM top20) GROUP BY doc_id
+)"""
+
+
+def _letor_features_sql() -> str:
+    """SQL twin of ``q_letor_features``: all 18 features over the derived
+    four-field index, per-query min-max normalized, NaN → -1_000_000
+    sentinel. Body f5/f6/f7/f17 reuse the letor_core recipe; f8-f16 come
+    from the field CTE blocks; f18 is VSM lnc.ltc on title with the
+    engine's IEEE edge semantics (any query term with title-df 0 → inf
+    query norm → f18 = 0); f1-f4 reproduce the deterministic fixtures the
+    engine feeds through the reference's file readers."""
+    t0, t1 = _BM25_TERMS
+    from search_engine_framework_ray.pipelines.letor import _FIELDS  # noqa: F401 (parity doc)
+
+    fields = {"ti": _LETOR_TITLE, "uf": _LETOR_URLF, "il": _LETOR_INLINK}
+    field_blocks = ",".join(
+        _letor_field_cte(f, lo, hi) for f, (lo, hi) in fields.items()
+    )
+
+    def fld_feats(f: str, base: int) -> str:
+        # field missing (no tokens) → NULL triple; present-but-no-match → 0.0
+        return f"""
+           CASE WHEN {f}_dl.dl IS NULL THEN NULL ELSE coalesce({f}_bm25.v, 0.0) END AS f{base},
+           CASE WHEN {f}_dl.dl IS NULL THEN NULL ELSE coalesce({f}_indri.v, 0.0) END AS f{base + 1},
+           CASE WHEN {f}_dl.dl IS NULL THEN NULL ELSE coalesce({f}_ov.v, 0.0) END AS f{base + 2},"""
+
+    fld_joins = "\n".join(
+        f"""    LEFT JOIN {f}_dl ON {f}_dl.doc_id = t.doc_id
+    LEFT JOIN {f}_bm25 ON {f}_bm25.doc_id = t.doc_id
+    LEFT JOIN {f}_indri ON {f}_indri.doc_id = t.doc_id
+    LEFT JOIN {f}_ov ON {f}_ov.doc_id = t.doc_id"""
+        for f in fields
+    )
+
+    def norm_expr(j: int) -> str:
+        c = f"f{j}"
+        return (
+            f"CASE WHEN {c} IS NULL THEN NULL "
+            f"WHEN max({c}) OVER () = min({c}) OVER () THEN 0.0 "
+            f"ELSE ({c} - min({c}) OVER ()) / (max({c}) OVER () - min({c}) OVER ()) END AS {c}"
+        )
+
+    norm_cols = ",\n           ".join(norm_expr(j) for j in range(1, 19))
+    out_cols = ",\n       ".join(
+        f"coalesce(CAST(round(f{j} * 1000000) AS BIGINT), -1000000) AS f{j}"
+        for j in range(1, 19)
+    )
+    return rf"""
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
+toks AS (
+    SELECT doc_id, lower(l[i]) AS tok, i AS pos
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT CAST(sum(dl) AS DOUBLE) FROM doclen) AS sum_dl
+),
+qtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('{t0}','{t1}') GROUP BY doc_id, tok),
+qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
+bm25 AS (
+    SELECT qtf.doc_id,
+           sum( ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                * (qtf.tf / (qtf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl / stats.doccount))))) ) AS f5
+    FROM qtf JOIN qdf USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
+    GROUP BY qtf.doc_id
+),
+top20 AS (SELECT doc_id, f5 FROM bm25 ORDER BY f5 DESC, doc_id LIMIT 20),
+qctf AS (SELECT tok, count(*) AS ctf FROM toks
+         WHERE tok IN ('{t0}','{t1}') GROUP BY tok),
+grid AS (SELECT t.doc_id, q.tok, q.ctf FROM top20 t CROSS JOIN qctf q),
+p AS (
+    SELECT g.doc_id,
+           0.4 * (coalesce(qtf.tf, 0) + 2500 * (g.ctf / stats.sum_dl)) / (dl.dl + 2500)
+           + 0.6 * (g.ctf / stats.sum_dl) AS p
+    FROM grid g
+    LEFT JOIN qtf ON qtf.doc_id = g.doc_id AND qtf.tok = g.tok
+    JOIN doclen dl ON dl.doc_id = g.doc_id
+    CROSS JOIN stats
+),
+indri AS (SELECT doc_id, exp(sum(ln(p) * 0.5)) AS f6 FROM p GROUP BY doc_id),
+overlap AS (
+    SELECT doc_id, count(DISTINCT tok) / 2.0 AS f7 FROM qtf
+    WHERE doc_id IN (SELECT doc_id FROM top20) GROUP BY doc_id
+),
+near AS (
+    SELECT a.doc_id, count(*) AS tf
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{t0}' AND b.tok = '{t1}'
+    GROUP BY a.doc_id
+),
+nctf AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS ctf FROM near),
+{field_blocks},
+t18_dlen AS (
+    SELECT doc_id, sum(pow(ln(tf) + 1, 2)) AS dlen2
+    FROM (SELECT doc_id, tok, count(*) AS tf FROM ti_toks GROUP BY doc_id, tok)
+    GROUP BY doc_id
+),
+t18_terms AS (
+    SELECT q.tok, coalesce(d.df, 0) AS df
+    FROM (SELECT unnest(['{t0}', '{t1}']) AS tok) q
+    LEFT JOIN ti_df d ON d.tok = q.tok
+),
+t18_qs AS (
+    SELECT min(t.df) AS min_df,
+           sum(pow(ln(stats.n_docs / t.df), 2)) FILTER (WHERE t.df > 0) AS qry_len2
+    FROM t18_terms t CROSS JOIN stats
+),
+t18_dot AS (
+    SELECT tf.doc_id, sum((ln(tf.tf) + 1) * ln(stats.n_docs / t.df)) AS dot
+    FROM ti_tf tf JOIN t18_terms t USING (tok) CROSS JOIN stats
+    WHERE t.df > 0 AND tf.doc_id IN (SELECT doc_id FROM top20)
+    GROUP BY tf.doc_id
+),
+urlstr AS (
+    SELECT doc_id,
+           'http://' || CASE WHEN doc_id % 7 = 0 THEN 'www.wikipedia.org'
+                             ELSE 'www.example.com' END
+           || repeat('/p', CAST(doc_id % 5 AS INT))
+           || '/doc' || CAST(doc_id AS VARCHAR) AS s
+    FROM top20
+),
+rawf AS (
+    SELECT t.doc_id,
+           CAST((t.doc_id * 37) % 101 AS DOUBLE) AS f1,
+           CAST(length(u.s) - length(replace(u.s, '/', '')) AS DOUBLE) AS f2,
+           CASE WHEN t.doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS f3,
+           1.0 / (1 + (t.doc_id % 17)) AS f4,
+           t.f5,
+           i.f6,
+           o.f7,{fld_feats("ti", 8)}{fld_feats("uf", 11)}{fld_feats("il", 14)}
+           CASE WHEN n.tf IS NULL THEN 0.0
+                ELSE 0.4 * (n.tf + 2500 * (nctf.ctf / stats.sum_dl)) / (dl.dl + 2500)
+                     + 0.6 * (nctf.ctf / stats.sum_dl) END AS f17,
+           CASE WHEN ti_dl.dl IS NULL THEN NULL
+                WHEN qs.min_df = 0 THEN 0.0
+                ELSE coalesce(dt.dot, 0.0) / sqrt(dn.dlen2 * qs.qry_len2) END AS f18
+    FROM top20 t
+    JOIN urlstr u USING (doc_id)
+    JOIN indri i USING (doc_id)
+    JOIN overlap o USING (doc_id)
+    JOIN doclen dl ON dl.doc_id = t.doc_id
+    LEFT JOIN near n ON n.doc_id = t.doc_id
+{fld_joins}
+    LEFT JOIN t18_dlen dn ON dn.doc_id = t.doc_id
+    LEFT JOIN t18_dot dt ON dt.doc_id = t.doc_id
+    CROSS JOIN t18_qs qs CROSS JOIN nctf CROSS JOIN stats
+),
+norm AS (
+    SELECT doc_id,
+           {norm_cols}
+    FROM rawf
+)
+SELECT doc_id,
+       {out_cols}
+FROM norm ORDER BY doc_id
+"""
+
+
 def _token_count_sql() -> str:
     """Token-count oracle generated from the engine's OWN regex constants
     (single source of truth): the explicit ASCII whitespace class means the
@@ -1394,6 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
         "fb_expansion": _FB_EXPANSION_SQL,
         "letor_core": _LETOR_CORE_SQL,
+        "letor_features": _letor_features_sql(),
         "syn_root_tf": f"""
             {_TOKS},
             tf AS (SELECT doc_id, count(*) AS tf FROM toks
@@ -1755,8 +2092,4 @@ def oracle_sql() -> dict[str, str]:
                                        THEN value END) * 1000000) AS BIGINT) AS p99_micros
             FROM r GROUP BY event_type ORDER BY event_type
         """,
-        # Sole remaining rows-only entry: letor_features (full 18-feature
-        # vector whose f1/f4/f8-f16/f18 depend on NaN-field semantics and
-        # engine rankings over empty fields — the SQL-expressible core is
-        # hash-checked by letor_core).
     }

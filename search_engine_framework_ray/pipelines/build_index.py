@@ -132,13 +132,38 @@ def _assign_part(boundaries: list[str]):
 
 class PlainSource:
     """Adapter for indexing a plain text table (no HTML): maps
-    ``(id_col, text_col[, title_col, keywords_col])`` onto the extract-stage
-    output schema. ``url`` is a zero-padded render of the id so url order ==
-    id order (docid == id for dense 0-based ids)."""
+    ``(id_col, text_col[, title_col, keywords_col, url_field_col,
+    inlink_col])`` onto the extract-stage output schema. ``url`` is a
+    zero-padded render of the id so url order == id order (docid == id for
+    dense 0-based ids).
 
-    def __init__(self, id_col="doc_id", text_col="text", title_col=None, keywords_col=None):
+    ``url_field_col`` / ``inlink_col`` override the text indexed under the
+    ``url`` / ``inlink`` FIELDS (by default the url string itself / the
+    joined inbound anchors) — a plain table has no anchors, so this is the
+    only way for it to exercise the reference's four-field feature surface
+    (LearnToRank.java:358-445 scores body/title/url/inlink separately)."""
+
+    def __init__(
+        self,
+        id_col="doc_id",
+        text_col="text",
+        title_col=None,
+        keywords_col=None,
+        url_field_col=None,
+        inlink_col=None,
+    ):
         self.id_col, self.text_col = id_col, text_col
         self.title_col, self.keywords_col = title_col, keywords_col
+        self.url_field_col, self.inlink_col = url_field_col, inlink_col
+
+    def cols_key(self) -> str:
+        return ",".join(
+            str(c)
+            for c in (
+                self.id_col, self.text_col, self.title_col,
+                self.keywords_col, self.url_field_col, self.inlink_col,
+            )
+        )
 
     def url_expr(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
@@ -149,17 +174,20 @@ class PlainSource:
         n = batch.num_rows
         ids = batch[self.id_col].to_pylist()
         empty = [""] * n
-        return pa.table(
-            {
-                "kind": ["d"] * n,
-                "url": [f"doc{int(i):010d}" for i in ids],
-                "src": empty,
-                "body": batch[self.text_col].to_pylist(),
-                "title": batch[self.title_col].to_pylist() if self.title_col else empty,
-                "keywords": batch[self.keywords_col].to_pylist() if self.keywords_col else empty,
-                "anchor": empty,
-            }
-        )
+        cols = {
+            "kind": ["d"] * n,
+            "url": [f"doc{int(i):010d}" for i in ids],
+            "src": empty,
+            "body": batch[self.text_col].to_pylist(),
+            "title": batch[self.title_col].to_pylist() if self.title_col else empty,
+            "keywords": batch[self.keywords_col].to_pylist() if self.keywords_col else empty,
+            "anchor": empty,
+        }
+        if self.url_field_col:
+            cols["urltext"] = batch[self.url_field_col].to_pylist()
+        if self.inlink_col:
+            cols["inlinktext"] = batch[self.inlink_col].to_pylist()
+        return pa.table(cols)
 
     @staticmethod
     def docid_from_url(url: str) -> int:
@@ -214,7 +242,7 @@ def build_index(
     config_key = (  # literal arg (None = auto) so the key is computable here
         f"{analyzer.key()};shards={num_shards};bs={block_size};"
         f"lang={lang_filter};inlink={int(include_inlink)};fwd={int(include_forward)};"
-        f"plain={int(plain_source is not None)}"
+        f"plain={plain_source.cols_key() if plain_source is not None else '0'}"
     )
     if os.path.exists(lay.stats_path(index_dir)):
         prev = lay.read_stats(index_dir)
@@ -298,7 +326,12 @@ def build_index(
     # Pass 2: extract → partition → per-shard SPIMI build.
     if plain_source is not None:
         cols = [plain_source.id_col, plain_source.text_col]
-        for c in (plain_source.title_col, plain_source.keywords_col):
+        for c in (
+            plain_source.title_col,
+            plain_source.keywords_col,
+            plain_source.url_field_col,
+            plain_source.inlink_col,
+        ):
             if c:
                 cols.append(c)
         ds = ray.data.read_parquet(corpus_paths, columns=cols)
@@ -339,8 +372,15 @@ def build_index(
             "body": docs["body"].tolist(),
             "title": docs["title"].tolist(),
             "keywords": docs["keywords"].tolist(),
-            "url": urls,
-            "inlink": [" ".join(inlink_map.get(u, [])) for u in urls],
+            # plain tables may override the url/inlink FIELD text (see
+            # PlainSource url_field_col/inlink_col); HTML rows carry neither
+            # column and keep the url string / inbound-anchor semantics
+            "url": docs["urltext"].tolist() if "urltext" in docs.columns else urls,
+            "inlink": (
+                docs["inlinktext"].tolist()
+                if "inlinktext" in docs.columns
+                else [" ".join(inlink_map.get(u, [])) for u in urls]
+            ),
         }
         h = hashlib.sha256()
         # every indexed field participates: a corpus change that alters only
@@ -354,6 +394,12 @@ def build_index(
             h.update(t.encode())
             h.update(b"\x1f")
             h.update(kw.encode())
+        if "urltext" in docs.columns or "inlinktext" in docs.columns:
+            for ut, il in zip(field_texts["url"], field_texts["inlink"]):
+                h.update(b"\x1e")
+                h.update(str(ut).encode())
+                h.update(b"\x1f")
+                h.update(str(il).encode())
         for u in sorted(inlink_map):
             h.update(u.encode())
             for a in inlink_map[u]:

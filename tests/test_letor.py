@@ -212,3 +212,40 @@ def test_score_file_reader(letor_index, tmp_path):
     feats = compute_features(letor_index, QUERIES, CAND, page_rank=by_doc).set_index("docid")
     assert feats.loc[0, "f4"] == 0.5 and feats.loc[2, "f4"] == 1.25
     assert np.isnan(feats.loc[1, "f4"])
+
+
+def test_letor_features_fourfield_entry_nan_and_oracle(ray_session, tmp_path):
+    """The driver's full-18-feature entry over the derived four-field index:
+    docs with exactly 10 words lack the inlink slice → the reference's NaN
+    triple (f14-16 sentinel); everything hash-matches the SQL twin."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = {"doc_id": [], "text": [], "lang": []}
+    for d in range(24):
+        if d % 2 == 0:
+            t = "spark join " + " ".join(words)  # exactly 10 words → no inlink
+        else:
+            t = f"spark join w{d} " + " ".join(words) + " " + " ".join(words[:5])
+        rows["doc_id"].append(d)
+        rows["text"].append(t)
+        rows["lang"].append("en")
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+
+    got = entrymod.q_letor_features(str(tmp_path))
+    short = got[got["doc_id"] % 2 == 0]
+    long_ = got[got["doc_id"] % 2 == 1]
+    assert len(short) and len(long_)
+    assert (short[["f14", "f15", "f16"]].to_numpy() == -1_000_000).all()
+    assert (long_[["f14", "f15", "f16"]].to_numpy() != -1_000_000).all()
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(entrymod.oracle_sql()["letor_features"]).df()
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_exact=True
+    )
