@@ -419,6 +419,69 @@ def q_letor_core(sf_dir: str):
     return out.rename(columns={"docid": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_letor_rerank(sf_dir: str):
+    """Full LeToR train→rerank flow (QryEval.java:239-258) over the derived
+    four-field index: a qrels fixture (``qid 0 extid rel`` lines, read by the
+    reference-format reader) judges every doc_id % 11 == 0 with grade
+    doc_id % 3; features for the judged docs train the deterministic
+    pairwise RankSVM; the held-out test query's BM25-body top-20 is
+    re-scored with the learned weights. Deterministic end-to-end, so the
+    reranked (rank, doc_id, score) table is hash-checked against a SQL twin
+    that reruns the training recursion in DuckDB."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.cli import read_qrels
+    from search_engine_framework_ray.pipelines.letor import (
+        letor_rerank,
+        read_score_file,
+        scores_by_docid,
+    )
+    from search_engine_framework_ray.state.index_layout import load_docmap
+
+    idx = _letor_index(sf_dir)
+    base = _letor_base(sf_dir)
+    ids = sorted(
+        int(x)
+        for x in papq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )
+    pr_path = os.path.join(base, "fixture_pagerank_all.tsv")
+    spam_path = os.path.join(base, "fixture_spam_all.tsv")
+    qrels_path = os.path.join(base, "fixture_qrels.txt")
+    with open(pr_path, "w") as fh:
+        for d in ids:
+            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
+    with open(spam_path, "w") as fh:
+        for d in ids:
+            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
+    with open(qrels_path, "w") as fh:
+        for d in ids:
+            if d % _LETOR_QREL_MOD == 0:
+                fh.write(f"qt 0 doc{d:010d} {d % 3}\n")
+    u2d, _ = load_docmap(idx)
+    qrels = read_qrels(qrels_path, u2d)
+    page_rank = scores_by_docid(idx, read_score_file(pr_path))
+    spam = scores_by_docid(idx, read_score_file(spam_path))
+    res = letor_rerank(
+        idx,
+        [("qt", " ".join(_BM25_TERMS))],
+        qrels,
+        [("te", " ".join(_LETOR_TEST_TERMS))],
+        k=20,
+        page_rank=page_rank,
+        doc_attrs=_letor_doc_attrs(ids, spam),
+        learner="ranksvm",
+    )["te"]
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(1, len(res) + 1), dtype="int64"),
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score_micros": _micros([s for _, s in res]),
+        }
+    )
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 3600 s, slide 900 s): each event replicated to
     its 4 covering windows inside map_batches (with a per-batch combiner),
@@ -1116,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syn_root_tf": q_syn_root_tf,
         "letor_features": q_letor_features,
         "letor_core": q_letor_core,
+        "letor_rerank": q_letor_rerank,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -1391,15 +1455,32 @@ FROM norm ORDER BY doc_id
 """
 
 
-def _letor_field_cte(f: str, lo: int, hi: int) -> str:
-    """CTE block for one derived index field (title/url/inlink): tokens are
-    the 1-based list slice [lo+1 .. hi] of the document's RE2 tokens —
-    exactly what ``_letor_corpus`` feeds the four-field index build. Scoring
-    mirrors the engine kernels: BM25 uses GLOBAL n_docs + field avg-doclen;
-    Indri smooths with field ctf/collection-length; a zero p contributes
-    nothing (kernels.py _indri_combine 'skip'); docs without the field are
-    handled NULL-side in rawf."""
-    t0, t1 = _BM25_TERMS
+_LETOR_GLOBAL_CTES = r"""lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
+toks AS (
+    SELECT doc_id, lower(l[i]) AS tok, i AS pos
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT CAST(sum(dl) AS DOUBLE) FROM doclen) AS sum_dl
+)"""
+
+
+def _letor_field_cte(px: str, f: str, lo: int, hi: int, t0: str, t1: str) -> str:
+    """CTE block for one derived index field (title/url/inlink) of one query:
+    tokens are the 1-based list slice [lo+1 .. hi] of the document's RE2
+    tokens — exactly what ``_letor_corpus`` feeds the four-field index
+    build. Scoring mirrors the engine kernels: BM25 uses GLOBAL n_docs +
+    field avg-doclen; Indri smooths with field ctf/collection-length; a zero
+    p contributes nothing (kernels.py _indri_combine 'skip'); docs without
+    the field are handled NULL-side in rawf. Candidate-restricted CTEs join
+    against {px}cand."""
+    c = f"(SELECT doc_id FROM {px}cand)"
+    f = px + f
     return f"""
 {f}_toks AS (
     SELECT doc_id, lower(l[i]) AS tok
@@ -1425,13 +1506,12 @@ def _letor_field_cte(f: str, lo: int, hi: int) -> str:
     JOIN {f}_df df USING (tok)
     JOIN {f}_dl dl USING (doc_id)
     CROSS JOIN stats CROSS JOIN {f}_st st
-    WHERE tf.doc_id IN (SELECT doc_id FROM top20)
+    WHERE tf.doc_id IN {c}
     GROUP BY tf.doc_id
 ),
 {f}_grid AS (
     SELECT t.doc_id, q.tok
-    FROM (SELECT DISTINCT doc_id FROM {f}_tf
-          WHERE doc_id IN (SELECT doc_id FROM top20)) t
+    FROM (SELECT DISTINCT doc_id FROM {f}_tf WHERE doc_id IN {c}) t
     CROSS JOIN (SELECT unnest(['{t0}', '{t1}']) AS tok) q
 ),
 {f}_p AS (
@@ -1450,38 +1530,39 @@ def _letor_field_cte(f: str, lo: int, hi: int) -> str:
 ),
 {f}_ov AS (
     SELECT doc_id, count(DISTINCT tok) / 2.0 AS v FROM {f}_tf
-    WHERE doc_id IN (SELECT doc_id FROM top20) GROUP BY doc_id
+    WHERE doc_id IN {c} GROUP BY doc_id
 )"""
 
 
-def _letor_features_sql() -> str:
-    """SQL twin of ``q_letor_features``: all 18 features over the derived
-    four-field index, per-query min-max normalized, NaN → -1_000_000
-    sentinel. Body f5/f6/f7/f17 reuse the letor_core recipe; f8-f16 come
-    from the field CTE blocks; f18 is VSM lnc.ltc on title with the
-    engine's IEEE edge semantics (any query term with title-df 0 → inf
-    query norm → f18 = 0); f1-f4 reproduce the deterministic fixtures the
-    engine feeds through the reference's file readers."""
-    t0, t1 = _BM25_TERMS
-    from search_engine_framework_ray.pipelines.letor import _FIELDS  # noqa: F401 (parity doc)
-
+def _letor_query_ctes(px: str, t0: str, t1: str, cand_body: str) -> str:
+    """All per-query feature CTEs under prefix ``px``, ending in
+    ``{px}normf(doc_id, f1..f18)`` — raw 18-feature extraction (reference
+    LearnToRank.java:326-596 semantics) + NULL-aware per-query min-max
+    normalization (:279-314). ``cand_body`` selects the candidate doc_ids
+    and may reference ``{px}bm25`` (e.g. a top-k of the body ranking).
+    Body f5/f6/f7/f17 follow the letor_core recipe; f8-f16 come from the
+    field CTE blocks; f18 is VSM lnc.ltc on title with the engine's IEEE
+    edge semantics (any query term with title-df 0 → inf query norm → 0);
+    f1-f4 reproduce the deterministic fixtures the engine feeds through the
+    reference's file readers."""
     fields = {"ti": _LETOR_TITLE, "uf": _LETOR_URLF, "il": _LETOR_INLINK}
     field_blocks = ",".join(
-        _letor_field_cte(f, lo, hi) for f, (lo, hi) in fields.items()
+        _letor_field_cte(px, f, lo, hi, t0, t1) for f, (lo, hi) in fields.items()
     )
 
     def fld_feats(f: str, base: int) -> str:
         # field missing (no tokens) → NULL triple; present-but-no-match → 0.0
+        f = px + f
         return f"""
            CASE WHEN {f}_dl.dl IS NULL THEN NULL ELSE coalesce({f}_bm25.v, 0.0) END AS f{base},
            CASE WHEN {f}_dl.dl IS NULL THEN NULL ELSE coalesce({f}_indri.v, 0.0) END AS f{base + 1},
            CASE WHEN {f}_dl.dl IS NULL THEN NULL ELSE coalesce({f}_ov.v, 0.0) END AS f{base + 2},"""
 
     fld_joins = "\n".join(
-        f"""    LEFT JOIN {f}_dl ON {f}_dl.doc_id = t.doc_id
-    LEFT JOIN {f}_bm25 ON {f}_bm25.doc_id = t.doc_id
-    LEFT JOIN {f}_indri ON {f}_indri.doc_id = t.doc_id
-    LEFT JOIN {f}_ov ON {f}_ov.doc_id = t.doc_id"""
+        f"""    LEFT JOIN {px}{f}_dl ON {px}{f}_dl.doc_id = t.doc_id
+    LEFT JOIN {px}{f}_bm25 ON {px}{f}_bm25.doc_id = t.doc_id
+    LEFT JOIN {px}{f}_indri ON {px}{f}_indri.doc_id = t.doc_id
+    LEFT JOIN {px}{f}_ov ON {px}{f}_ov.doc_id = t.doc_id"""
         for f in fields
     )
 
@@ -1494,123 +1575,204 @@ def _letor_features_sql() -> str:
         )
 
     norm_cols = ",\n           ".join(norm_expr(j) for j in range(1, 19))
-    out_cols = ",\n       ".join(
-        f"coalesce(CAST(round(f{j} * 1000000) AS BIGINT), -1000000) AS f{j}"
-        for j in range(1, 19)
-    )
-    return rf"""
-WITH lists AS (
-    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
-),
-toks AS (
-    SELECT doc_id, lower(l[i]) AS tok, i AS pos
-    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
-),
-doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-stats AS (
-    SELECT (SELECT count(*) FROM documents) AS n_docs,
-           (SELECT count(*) FROM doclen) AS doccount,
-           (SELECT CAST(sum(dl) AS DOUBLE) FROM doclen) AS sum_dl
-),
-qtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+    return f"""{px}qtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
         WHERE tok IN ('{t0}','{t1}') GROUP BY doc_id, tok),
-qdf AS (SELECT tok, count(*) AS df FROM qtf GROUP BY tok),
-bm25 AS (
-    SELECT qtf.doc_id,
-           sum( ln((stats.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
-                * (qtf.tf / (qtf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl / stats.doccount))))) ) AS f5
-    FROM qtf JOIN qdf USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
-    GROUP BY qtf.doc_id
+{px}qdf AS (SELECT tok, count(*) AS df FROM {px}qtf GROUP BY tok),
+{px}bm25 AS (
+    SELECT q.doc_id,
+           sum( ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5))
+                * (q.tf / (q.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl / stats.doccount))))) ) AS v
+    FROM {px}qtf q JOIN {px}qdf d USING (tok) JOIN doclen USING (doc_id) CROSS JOIN stats
+    GROUP BY q.doc_id
 ),
-top20 AS (SELECT doc_id, f5 FROM bm25 ORDER BY f5 DESC, doc_id LIMIT 20),
-qctf AS (SELECT tok, count(*) AS ctf FROM toks
+{px}cand AS ({cand_body}),
+{px}qctf AS (SELECT tok, count(*) AS ctf FROM toks
          WHERE tok IN ('{t0}','{t1}') GROUP BY tok),
-grid AS (SELECT t.doc_id, q.tok, q.ctf FROM top20 t CROSS JOIN qctf q),
-p AS (
+{px}igrid AS (
+    SELECT c.doc_id, q.tok, q.ctf
+    FROM (SELECT DISTINCT doc_id FROM {px}qtf
+          WHERE doc_id IN (SELECT doc_id FROM {px}cand)) c
+    CROSS JOIN {px}qctf q
+),
+{px}ip AS (
     SELECT g.doc_id,
-           0.4 * (coalesce(qtf.tf, 0) + 2500 * (g.ctf / stats.sum_dl)) / (dl.dl + 2500)
+           0.4 * (coalesce(q.tf, 0) + 2500 * (g.ctf / stats.sum_dl)) / (dl.dl + 2500)
            + 0.6 * (g.ctf / stats.sum_dl) AS p
-    FROM grid g
-    LEFT JOIN qtf ON qtf.doc_id = g.doc_id AND qtf.tok = g.tok
+    FROM {px}igrid g
+    LEFT JOIN {px}qtf q ON q.doc_id = g.doc_id AND q.tok = g.tok
     JOIN doclen dl ON dl.doc_id = g.doc_id
     CROSS JOIN stats
 ),
-indri AS (SELECT doc_id, exp(sum(ln(p) * 0.5)) AS f6 FROM p GROUP BY doc_id),
-overlap AS (
-    SELECT doc_id, count(DISTINCT tok) / 2.0 AS f7 FROM qtf
-    WHERE doc_id IN (SELECT doc_id FROM top20) GROUP BY doc_id
+{px}indri AS (SELECT doc_id, exp(sum(ln(p) * 0.5)) AS v FROM {px}ip GROUP BY doc_id),
+{px}ov AS (
+    SELECT doc_id, count(DISTINCT tok) / 2.0 AS v FROM {px}qtf
+    WHERE doc_id IN (SELECT doc_id FROM {px}cand) GROUP BY doc_id
 ),
-near AS (
+{px}near AS (
     SELECT a.doc_id, count(*) AS tf
     FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     WHERE a.tok = '{t0}' AND b.tok = '{t1}'
     GROUP BY a.doc_id
 ),
-nctf AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS ctf FROM near),
+{px}nctf AS (SELECT CAST(coalesce(sum(tf), 0) AS DOUBLE) AS ctf FROM {px}near),
 {field_blocks},
-t18_dlen AS (
+{px}t18_dlen AS (
     SELECT doc_id, sum(pow(ln(tf) + 1, 2)) AS dlen2
-    FROM (SELECT doc_id, tok, count(*) AS tf FROM ti_toks GROUP BY doc_id, tok)
+    FROM (SELECT doc_id, tok, count(*) AS tf FROM {px}ti_toks GROUP BY doc_id, tok)
     GROUP BY doc_id
 ),
-t18_terms AS (
+{px}t18_terms AS (
     SELECT q.tok, coalesce(d.df, 0) AS df
     FROM (SELECT unnest(['{t0}', '{t1}']) AS tok) q
-    LEFT JOIN ti_df d ON d.tok = q.tok
+    LEFT JOIN {px}ti_df d ON d.tok = q.tok
 ),
-t18_qs AS (
+{px}t18_qs AS (
     SELECT min(t.df) AS min_df,
            sum(pow(ln(stats.n_docs / t.df), 2)) FILTER (WHERE t.df > 0) AS qry_len2
-    FROM t18_terms t CROSS JOIN stats
+    FROM {px}t18_terms t CROSS JOIN stats
 ),
-t18_dot AS (
+{px}t18_dot AS (
     SELECT tf.doc_id, sum((ln(tf.tf) + 1) * ln(stats.n_docs / t.df)) AS dot
-    FROM ti_tf tf JOIN t18_terms t USING (tok) CROSS JOIN stats
-    WHERE t.df > 0 AND tf.doc_id IN (SELECT doc_id FROM top20)
+    FROM {px}ti_tf tf JOIN {px}t18_terms t USING (tok) CROSS JOIN stats
+    WHERE t.df > 0 AND tf.doc_id IN (SELECT doc_id FROM {px}cand)
     GROUP BY tf.doc_id
 ),
-urlstr AS (
+{px}url AS (
     SELECT doc_id,
            'http://' || CASE WHEN doc_id % 7 = 0 THEN 'www.wikipedia.org'
                              ELSE 'www.example.com' END
            || repeat('/p', CAST(doc_id % 5 AS INT))
            || '/doc' || CAST(doc_id AS VARCHAR) AS s
-    FROM top20
+    FROM {px}cand
 ),
-rawf AS (
+{px}rawf AS (
     SELECT t.doc_id,
            CAST((t.doc_id * 37) % 101 AS DOUBLE) AS f1,
            CAST(length(u.s) - length(replace(u.s, '/', '')) AS DOUBLE) AS f2,
            CASE WHEN t.doc_id % 7 = 0 THEN 1.0 ELSE 0.0 END AS f3,
            1.0 / (1 + (t.doc_id % 17)) AS f4,
-           t.f5,
-           i.f6,
-           o.f7,{fld_feats("ti", 8)}{fld_feats("uf", 11)}{fld_feats("il", 14)}
+           coalesce(bm.v, 0.0) AS f5,
+           coalesce(i.v, 0.0) AS f6,
+           coalesce(o.v, 0.0) AS f7,{fld_feats("ti", 8)}{fld_feats("uf", 11)}{fld_feats("il", 14)}
            CASE WHEN n.tf IS NULL THEN 0.0
-                ELSE 0.4 * (n.tf + 2500 * (nctf.ctf / stats.sum_dl)) / (dl.dl + 2500)
-                     + 0.6 * (nctf.ctf / stats.sum_dl) END AS f17,
-           CASE WHEN ti_dl.dl IS NULL THEN NULL
+                ELSE 0.4 * (n.tf + 2500 * ({px}nctf.ctf / stats.sum_dl)) / (dl.dl + 2500)
+                     + 0.6 * ({px}nctf.ctf / stats.sum_dl) END AS f17,
+           CASE WHEN {px}ti_dl.dl IS NULL THEN NULL
                 WHEN qs.min_df = 0 THEN 0.0
                 ELSE coalesce(dt.dot, 0.0) / sqrt(dn.dlen2 * qs.qry_len2) END AS f18
-    FROM top20 t
-    JOIN urlstr u USING (doc_id)
-    JOIN indri i USING (doc_id)
-    JOIN overlap o USING (doc_id)
+    FROM {px}cand t
+    JOIN {px}url u USING (doc_id)
     JOIN doclen dl ON dl.doc_id = t.doc_id
-    LEFT JOIN near n ON n.doc_id = t.doc_id
+    LEFT JOIN {px}bm25 bm ON bm.doc_id = t.doc_id
+    LEFT JOIN {px}indri i ON i.doc_id = t.doc_id
+    LEFT JOIN {px}ov o ON o.doc_id = t.doc_id
+    LEFT JOIN {px}near n ON n.doc_id = t.doc_id
 {fld_joins}
-    LEFT JOIN t18_dlen dn ON dn.doc_id = t.doc_id
-    LEFT JOIN t18_dot dt ON dt.doc_id = t.doc_id
-    CROSS JOIN t18_qs qs CROSS JOIN nctf CROSS JOIN stats
+    LEFT JOIN {px}t18_dlen dn ON dn.doc_id = t.doc_id
+    LEFT JOIN {px}t18_dot dt ON dt.doc_id = t.doc_id
+    CROSS JOIN {px}t18_qs qs CROSS JOIN {px}nctf CROSS JOIN stats
 ),
-norm AS (
+{px}normf AS (
     SELECT doc_id,
            {norm_cols}
-    FROM rawf
+    FROM {px}rawf
+)"""
+
+
+# letor_rerank fixtures: judged docs = doc_id % 11 == 0 with graded
+# relevance doc_id % 3 (0/1/2); test query is a different term pair so the
+# reranker is exercised out-of-sample. RankSVM hyperparameters mirror the
+# engine defaults (LetorParams.svm_c / train_ranksvm epochs).
+_LETOR_TEST_TERMS = ("window", "sort")
+_LETOR_QREL_MOD = 11
+_LETOR_SVM_C = 0.001
+_LETOR_SVM_EPOCHS = 300
+
+
+def _letor_rerank_sql() -> str:
+    """SQL twin of ``q_letor_rerank`` — the reference's full letor flow
+    (QryEval.java:239-258) in one statement: train features on the judged
+    fixture docs (tr_ CTEs), run the engine's deterministic pairwise RankSVM
+    (pipelines/letor.py train_ranksvm — full-batch subgradient, harmonic
+    step) as a RECURSIVE weight iteration over the preference-pair diffs,
+    then score + rerank the test query's BM25-body top-20 (te_ CTEs).
+    DuckDB's recursion reproduces the numpy loop bit-for-bit (verified:
+    max-abs-diff 0.0 over 300 epochs on random pairs)."""
+    tr0, tr1 = _BM25_TERMS
+    te0, te1 = _LETOR_TEST_TERMS
+    tr = _letor_query_ctes(
+        "tr_", tr0, tr1,
+        f"SELECT doc_id FROM documents WHERE doc_id % {_LETOR_QREL_MOD} = 0",
+    )
+    te = _letor_query_ctes(
+        "te_", te0, te1, "SELECT doc_id FROM te_bm25 ORDER BY v DESC, doc_id LIMIT 20"
+    )
+    dcols = ",\n           ".join(
+        f"coalesce(a.f{j}, 0) - coalesce(b.f{j}, 0) AS d{j}" for j in range(1, 19)
+    )
+    viol = " + ".join(f"d{j} * w.w{j}" for j in range(1, 19))
+    winit = ", ".join(f"CAST(0 AS DOUBLE) AS w{j}" for j in range(1, 19))
+    vsums = ", ".join(f"coalesce(sum(d{j}), 0) AS s{j}" for j in range(1, 19))
+    wstep = ",\n            ".join(
+        f"w{j} - (1.0 / (1 + t)) * (w{j} - {_LETOR_SVM_C} * v.s{j})"
+        for j in range(1, 19)
+    )
+    score = " + ".join(f"wf.w{j} * coalesce(n.f{j}, 0)" for j in range(1, 19))
+    # MATERIALIZED is load-bearing: the recursion scans `pairs` every epoch,
+    # and an inlined CTE would re-run the whole feature pipeline per scan.
+    # ONE LATERAL aggregate per epoch (not 18 correlated subqueries) keeps
+    # the 300-epoch loop in seconds.
+    return f"""
+WITH RECURSIVE {_LETOR_GLOBAL_CTES},
+{tr.replace("tr_normf AS (", "tr_normf AS MATERIALIZED (")},
+{te.replace("te_normf AS (", "te_normf AS MATERIALIZED (")},
+pairs AS MATERIALIZED (
+    SELECT {dcols}
+    FROM tr_normf a JOIN tr_normf b ON (a.doc_id % 3) > (b.doc_id % 3)
+),
+w AS (
+    -- the seed term scans `pairs` so the MATERIALIZED CTE is populated
+    -- BEFORE iteration 1 (otherwise DuckDB's first recursive step sees it
+    -- empty and the t=0 gradient silently becomes zero)
+    SELECT 0 AS t, {winit}
+    FROM (SELECT 1) WHERE (SELECT count(*) FROM pairs) >= 0
+    UNION ALL
+    SELECT t + 1,
+            {wstep}
+    FROM w, LATERAL (
+        SELECT {vsums} FROM pairs WHERE {viol} < 1
+    ) v
+    WHERE t < {_LETOR_SVM_EPOCHS}
+),
+wf AS (SELECT * FROM w ORDER BY t DESC LIMIT 1),
+scored AS (
+    SELECT n.doc_id, ({score}) AS s
+    FROM te_normf n CROSS JOIN wf
 )
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id,
+       CAST(round(s * 1000000) AS BIGINT) AS score_micros
+FROM scored ORDER BY rank
+"""
+
+
+def _letor_features_sql() -> str:
+    """SQL twin of ``q_letor_features``: all 18 features over the derived
+    four-field index for the BM25-body top-20, NaN → -1_000_000 sentinel."""
+    t0, t1 = _BM25_TERMS
+    out_cols = ",\n       ".join(
+        f"coalesce(CAST(round(f{j} * 1000000) AS BIGINT), -1000000) AS f{j}"
+        for j in range(1, 19)
+    )
+    q = _letor_query_ctes(
+        "", t0, t1, "SELECT doc_id FROM bm25 ORDER BY v DESC, doc_id LIMIT 20"
+    )
+    return f"""
+WITH {_LETOR_GLOBAL_CTES},
+{q}
 SELECT doc_id,
        {out_cols}
-FROM norm ORDER BY doc_id
+FROM normf ORDER BY doc_id
 """
 
 
@@ -1731,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "fb_expansion": _FB_EXPANSION_SQL,
         "letor_core": _LETOR_CORE_SQL,
         "letor_features": _letor_features_sql(),
+        "letor_rerank": _letor_rerank_sql(),
         "syn_root_tf": f"""
             {_TOKS},
             tf AS (SELECT doc_id, count(*) AS tf FROM toks

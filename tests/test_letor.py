@@ -249,3 +249,59 @@ def test_letor_features_fourfield_entry_nan_and_oracle(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, want.astype(got.dtypes.to_dict()), check_exact=True
     )
+
+
+# Committed golden: the deterministic pairwise RankSVM's learned weight
+# vector on a fixed synthetic four-field corpus (judged docs d%5==0, graded
+# d%3, c=0.001, 300 full-batch harmonic-step epochs). Bit-reproducible —
+# any drift in feature extraction, normalization, or the trainer fails this.
+RANKSVM_GOLDEN_W = [
+    0.002499999999999999, 0.0, 0.0, -0.0011587301587301588,
+    -0.006662138410394695, 0.006666666138207728, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.006666666138206678, 0.0,
+]
+
+
+def test_ranksvm_weight_vector_golden(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+    from search_engine_framework_ray.pipelines.letor import (
+        compute_features,
+        normalize_features,
+        read_score_file,
+        scores_by_docid,
+        train_ranksvm,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = {"doc_id": [], "text": [], "lang": []}
+    for d in range(40):
+        extra = f"w{d} " * (d % 4)
+        t = ("spark join " + extra + " ".join(words[: 8 - (d % 3)])).strip()
+        t = " ".join(t.split())
+        if len(t.split()) < 10:
+            t = t + " " + " ".join(words[: 10 - len(t.split())])
+        rows["doc_id"].append(d)
+        rows["text"].append(t)
+        rows["lang"].append("en")
+    pq.write_table(pa.table(rows), tmp_path / "documents.parquet")
+    idx = entrymod._letor_index(str(tmp_path))
+    base = entrymod._letor_base(str(tmp_path))
+    ids = list(range(40))
+    with open(f"{base}/pr.tsv", "w") as f:
+        for d in ids:
+            f.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
+    with open(f"{base}/sp.tsv", "w") as f:
+        for d in ids:
+            f.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
+    qr = {("qt", d): d % 3 for d in ids if d % 5 == 0}
+    cand = {"qt": sorted(d for (_, d) in qr)}
+    pr = scores_by_docid(idx, read_score_file(f"{base}/pr.tsv"))
+    sp = scores_by_docid(idx, read_score_file(f"{base}/sp.tsv"))
+    tf = normalize_features(
+        compute_features(
+            idx, [("qt", "spark join")], cand,
+            doc_attrs=entrymod._letor_doc_attrs(ids, sp), page_rank=pr,
+        )
+    )
+    w = train_ranksvm(tf, qr, c=0.001)
+    assert w.tolist() == RANKSVM_GOLDEN_W
