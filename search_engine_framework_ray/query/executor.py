@@ -63,6 +63,10 @@ class _ShardCache:
         self.stats = read_stats(index_dir)
         self._cache: OrderedDict[int, ShardReader] = OrderedDict()
         self.maxsize = maxsize
+        # worker-held composite inverted-list cache (see Evaluator.il_cache):
+        # the stats prepass populates it, the scoring pass reuses it — one
+        # positional evaluation per (query, shard) instead of two
+        self.il_cache: dict = {}
 
     def view(self, shard: int) -> ShardView:
         r = self._cache.get(shard)
@@ -88,12 +92,15 @@ def stats_prepass_rows(cache: _ShardCache, queries: dict, pairs) -> pd.DataFrame
     out = {"qid": [], "score_id": [], "df": [], "ctf": []}
     for qid, shard in pairs:
         qtree, params = queries[qid][0], queries[qid][1]
-        ev = Evaluator(cache.view(int(shard)), params)
+        ev = Evaluator(
+            cache.view(int(shard)), params,
+            il_cache=cache.il_cache, il_cache_key=int(shard),
+        )
         for sn in iter_score_nodes(qtree):
             if isinstance(sn.child, Term):
                 continue
             try:
-                inv = ev.eval_il(sn.child)
+                inv = ev.eval_il_cached(sn.child)
             except ValueError:
                 # semantically invalid subtree (e.g. mixed-field #NEAR) —
                 # per-query isolation: this query yields nothing rather than
@@ -128,7 +135,10 @@ def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
             out["url"].extend(urls)
             out["score"].extend(float(s) for s in scores)
             continue
-        ev = Evaluator(view, params, score_stats)
+        ev = Evaluator(
+            view, params, score_stats,
+            il_cache=cache.il_cache, il_cache_key=int(shard),
+        )
         try:
             res = ev.evaluate(qtree)
         except ValueError:
@@ -496,7 +506,10 @@ class ScoreDocsActor:
             w = w[(w >= lo) & (w < hi)]
             if not len(w):
                 continue
-            ev = Evaluator(view, params, stats)
+            ev = Evaluator(
+                view, params, stats,
+                il_cache=self.cache.il_cache, il_cache_key=int(shard),
+            )
             try:
                 res = ev.evaluate(qtree)
             except ValueError:

@@ -110,13 +110,43 @@ def _lookup(
 
 
 class Evaluator:
-    def __init__(self, view, params: ModelParams, score_stats: dict | None = None):
+    def __init__(
+        self,
+        view,
+        params: ModelParams,
+        score_stats: dict | None = None,
+        il_cache: "dict | None" = None,
+        il_cache_key: object = None,
+    ):
         self.view = view
         self.p = params
         self.model = params.model
         self.score_stats = score_stats
+        # Optional worker-held cache of evaluated COMPOSITE inverted lists
+        # (#NEAR/#WINDOW/#SYN under #SCORE), keyed (il_cache_key, repr(tree))
+        # — dataclass reprs are content-complete, so the key is stable across
+        # the stats prepass and the scoring pass, which otherwise evaluate
+        # the same positional subtree twice per (query, shard). Tail-latency
+        # fix: composite queries' p90 was ~2x the double-evaluation cost.
+        self.il_cache = il_cache
+        self.il_cache_key = il_cache_key
 
     # ---------- inverted-list algebra (QryopIl) ----------
+
+    def eval_il_cached(self, node: Node) -> InvResult:
+        """:meth:`eval_il` through the composite-list cache. Term lists are
+        cheap mmap slices and are never cached; composite positional
+        subtrees (the expensive decode+match) are."""
+        if self.il_cache is None or isinstance(node, Term):
+            return self.eval_il(node)
+        key = (self.il_cache_key, repr(node))
+        inv = self.il_cache.get(key)
+        if inv is None:
+            inv = self.eval_il(node)
+            self.il_cache[key] = inv
+            while len(self.il_cache) > 128:  # bound worker heap (FIFO evict)
+                self.il_cache.pop(next(iter(self.il_cache)))
+        return inv
 
     def eval_il(self, node: Node) -> InvResult:
         if isinstance(node, Term):
@@ -217,7 +247,7 @@ class Evaluator:
 
     def _eval_score(self, node: ScoreNode) -> ScoreResult:
         """#SCORE — the four model formulas (QryopSlScore.java:57-257)."""
-        inv = self.eval_il(node.child)
+        inv = self.eval_il_cached(node.child)
         df_g, ctf_g = self._node_stats(node, inv)
         v = self.view
         m = self.model

@@ -226,22 +226,42 @@ def _minhash_sigs(
     ).materialize()
 
 
-def _lsh_candidate_pairs(
+_PAIR_BUCKETS = 256
+
+
+def _with_pair_bucket(b: pd.DataFrame, m: int = _PAIR_BUCKETS) -> pd.DataFrame:
+    """Vectorized deterministic bucket for an (a, b) pair row — the shuffle
+    key that co-locates a pair with both its shingle sets."""
+    if not len(b):
+        return b.assign(pb=pd.Series(dtype="int64"))
+    with np.errstate(over="ignore"):
+        h = b["a"].to_numpy(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b[
+            "b"
+        ].to_numpy(np.uint64)
+    return b.assign(pb=(h % np.uint64(m)).astype(np.int64))
+
+
+def _lsh_candidate_pairs_ds(
     sigs: Dataset,
     *,
     id_col: str,
     n_perm: int,
     bands: int,
     max_bucket: int | None,
-) -> pd.DataFrame:
-    """Candidate pairs from banded signatures. **Narrow** band rows
-    ``(id, band_key)`` — the 512-byte signature never crosses the shuffle —
-    grouped on ``band_key % 4096`` (bounds the per-group Python overhead;
-    exact keys grouped vectorized inside). Buckets larger than
+) -> Dataset:
+    """Candidate pairs from banded signatures, AS A DATASET. **Narrow** band
+    rows ``(id, band_key)`` — the 512-byte signature never crosses the
+    shuffle — grouped on ``band_key % 4096`` (bounds the per-group Python
+    overhead; exact keys grouped vectorized inside). Buckets larger than
     ``max_bucket`` (None = no cap) emit star pairs to the min id instead of
     the O(n²) clique — a bounded-recall trade-off appropriate for
     *clustering* (see :func:`minhash_lsh_dedup`); exact pair enumeration
-    passes ``max_bucket=None``."""
+    passes ``max_bucket=None``.
+
+    Rows are globally deduplicated (the same pair can surface from several
+    bands → several band-groups) by ONE narrow (a, b, pb) shuffle on the
+    pair bucket; the exact-pairs verification reuses the same ``pb``
+    co-partitioning."""
     bands = min(bands, n_perm)  # more bands than permutations is degenerate
     rows_per_band = max(1, n_perm // bands)
 
@@ -264,8 +284,6 @@ def _lsh_candidate_pairs(
             }
         )
 
-    banded = sigs.map_batches(explode_bands, batch_format="pandas")
-
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []
         for _, grp in g.groupby("band_key", sort=False):
@@ -280,20 +298,45 @@ def _lsh_candidate_pairs(
                 iu = np.triu_indices(m, k=1)
                 a_out.extend(int(i) for i in ids[iu[0]])
                 b_out.extend(int(i) for i in ids[iu[1]])
-        return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+        return _with_pair_bucket(
+            pd.DataFrame(
+                {
+                    "a": pd.Series(a_out, dtype="int64"),
+                    "b": pd.Series(b_out, dtype="int64"),
+                }
+            )
         )
 
-    pairs = (
-        banded.groupby("gb")
+    return (
+        sigs.map_batches(explode_bands, batch_format="pandas")
+        .groupby("gb")
         .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby("pb")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+        )
     )
+
+
+def _lsh_candidate_pairs(
+    sigs: Dataset,
+    *,
+    id_col: str,
+    n_perm: int,
+    bands: int,
+    max_bucket: int | None,
+) -> pd.DataFrame:
+    """Driver-side (a, b) pairs — for the star-capped *clustering* path,
+    whose pair set is bounded by ``max_bucket`` and feeds the driver
+    union-find directly."""
+    pairs = _lsh_candidate_pairs_ds(
+        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=max_bucket
+    ).to_pandas()
     if "a" not in pairs.columns:
-        pairs = pd.DataFrame(
+        return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
         )
-    return pairs.drop_duplicates(ignore_index=True)
+    return pairs[["a", "b"]].reset_index(drop=True)
 
 
 def gather_for_ids(ds: Dataset, need: set, id_col: str, value_fn) -> dict:
@@ -370,6 +413,144 @@ def _assign_clusters(ids_ds: Dataset, pairs: pd.DataFrame, id_col: str) -> Datas
     return ids_ds.map_batches(label, batch_format="pandas")
 
 
+_JOIN_BUCKETS = 256
+
+
+def _verify_jaccard_distributed(
+    ds: Dataset,
+    cand: Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    threshold: float,
+) -> Dataset:
+    """Exact-Jaccard verification OFF the driver: the candidate pair set is
+    never collected, shingle sets never form a driver dict (VERDICT r2 #2).
+    Four narrow stages:
+
+    1. ``needs``  — pair rows → (jid, pb): which pair-buckets need which
+       shingle set.
+    2. ``shing``  — one corpus pass → (jid, shingles) rows; the uint64
+       shingle hashes travel as int64 bit-pattern lists (Arrow-safe; the
+       view is a bijection so set intersection is unchanged).
+    3. locate     — tagged co-partition on hash(jid) joins 1+2; docs no
+       pair needs are DROPPED here, and a doc needed by k buckets is
+       replicated exactly k times (bounded by _PAIR_BUCKETS).
+    4. verify     — tagged co-partition on pb puts each pair next to both
+       its shingle sets; exact intersect per pair inside the task.
+
+    Returns the verified (a, b, jaccard) Dataset (tiny; callers may
+    ``to_pandas`` it)."""
+
+    def to_needs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jid": np.concatenate(
+                    [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]
+                ),
+                "pb": np.concatenate([b["pb"].to_numpy(np.int64)] * 2),
+                "val": [None] * (2 * len(b)),
+            }
+        )
+
+    def to_shingles(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jid": b[id_col].to_numpy(np.int64),
+                "pb": np.full(len(b), -1, dtype=np.int64),  # tag: shingle row
+                "val": [
+                    _shingles_strict(t, k_shingle).view(np.int64).tolist()
+                    for t in b[text_col].fillna("")
+                ],
+            }
+        )
+
+    def add_jb(b: pd.DataFrame) -> pd.DataFrame:
+        jb = (
+            b["jid"].to_numpy(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(_JOIN_BUCKETS)
+        return b.assign(jb=jb.astype(np.int64))
+
+    tagged = (
+        cand.map_batches(to_needs, batch_format="pandas")
+        .union(ds.map_batches(to_shingles, batch_format="pandas"))
+        .map_batches(add_jb, batch_format="pandas")
+    )
+
+    def locate(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g[g["pb"] >= 0]
+        if not len(nd):
+            return pd.DataFrame(
+                {"jid": pd.Series(dtype="int64"), "pb": pd.Series(dtype="int64"),
+                 "val": pd.Series(dtype="object")}
+            )
+        sh = g[g["pb"] < 0].drop_duplicates(subset=["jid"])
+        out = nd[["jid", "pb"]].drop_duplicates().merge(
+            sh[["jid", "val"]], on="jid"
+        )
+        return out[["jid", "pb", "val"]]
+
+    located = tagged.groupby("jb").map_groups(locate, batch_format="pandas")
+
+    # tagged union on pb: pair rows (a, b non-null) + located shingle rows
+    def pairs_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pb": b["pb"].to_numpy(np.int64),
+                "a": pd.Series(b["a"].to_numpy(np.int64), dtype="Int64"),
+                "b": pd.Series(b["b"].to_numpy(np.int64), dtype="Int64"),
+                "jid": pd.Series(pd.NA, index=range(len(b)), dtype="Int64"),
+                "val": pd.Series([None] * len(b), dtype="object"),
+            }
+        )
+
+    def shingle_side(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        return pd.DataFrame(
+            {
+                "pb": b["pb"].to_numpy(np.int64),
+                "a": pd.Series(pd.NA, index=range(n), dtype="Int64"),
+                "b": pd.Series(pd.NA, index=range(n), dtype="Int64"),
+                "jid": pd.Series(b["jid"].to_numpy(np.int64), dtype="Int64"),
+                "val": pd.Series(list(b["val"]), dtype="object"),
+            }
+        )
+
+    both = cand.map_batches(pairs_side, batch_format="pandas").union(
+        located.map_batches(shingle_side, batch_format="pandas")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["a"].notna()]
+        sh = g[g["jid"].notna()]
+        sv = {
+            int(i): np.asarray(v, dtype=np.int64)
+            for i, v in zip(sh["jid"], sh["val"])
+        }
+        a_out, b_out, j_out = [], [], []
+        for a, b in zip(pr["a"], pr["b"]):
+            sa, sb = sv.get(int(a)), sv.get(int(b))
+            if sa is None or sb is None or not sa.size or not sb.size:
+                continue  # <k-word docs have no shingles → excluded (SQL join)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                a_out.append(int(a))
+                b_out.append(int(b))
+                j_out.append(j)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(a_out, dtype="int64"),
+                "b": pd.Series(b_out, dtype="int64"),
+                "jaccard": pd.Series(j_out, dtype="float64"),
+            }
+        )
+
+    return both.groupby("pb").map_groups(verify, batch_format="pandas")
+
+
 def minhash_neardup_pairs(
     ds: Dataset,
     *,
@@ -385,9 +566,11 @@ def minhash_neardup_pairs(
     (a < b, jaccard ≥ threshold). Candidates come from MinHash-LSH
     (bands=32 × rows=2: a J=0.8 pair is missed with prob (1−J²)³² ≈ 6e-15 —
     effectively deterministic, which is what lets an all-pairs SQL oracle
-    verify the output); verification computes the exact Jaccard over hashed
-    shingle sets gathered for candidate ids only. Strict shingle semantics
-    (docs with < k words have no shingles) mirror the SQL trigram oracle."""
+    verify the output); verification is DISTRIBUTED
+    (:func:`_verify_jaccard_distributed`) — candidate pairs and shingle
+    sets co-partition by pair bucket and never funnel through the driver.
+    Strict shingle semantics (docs with < k words have no shingles) mirror
+    the SQL trigram oracle."""
     sigs = _minhash_sigs(
         ds,
         n_perm=n_perm,
@@ -397,43 +580,22 @@ def minhash_neardup_pairs(
         concurrency=concurrency,
         strict_k=True,
     )
-    cand = _lsh_candidate_pairs(
+    cand = _lsh_candidate_pairs_ds(
         sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=None
-    )
-    empty = pd.DataFrame(
-        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-         "jaccard": pd.Series(dtype="float64")}
-    )
-    if not len(cand):
-        return empty
-
-    sh_map = gather_for_ids(
+    ).materialize()  # consumed twice: needs derivation + the verify union
+    out = _verify_jaccard_distributed(
         ds,
-        set(cand["a"]) | set(cand["b"]),
-        id_col,
-        lambda b: pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(),
-                "val": [_shingles_strict(t, k_shingle) for t in b[text_col].fillna("")],
-            }
-        ),
-    )
-    a_out, b_out, j_out = [], [], []
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = sh_map.get(int(a)), sh_map.get(int(b))
-        if sa is None or sb is None or not sa.size or not sb.size:
-            continue  # <k-word docs have no shingles → excluded (SQL join)
-        inter = np.intersect1d(sa, sb).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            a_out.append(int(a))
-            b_out.append(int(b))
-            j_out.append(j)
-    out = pd.DataFrame(
-        {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64"),
-         "jaccard": pd.Series(j_out, dtype="float64")}
-    )
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        threshold=threshold,
+    ).to_pandas()
+    if "a" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
 
 

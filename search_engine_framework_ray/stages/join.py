@@ -8,9 +8,10 @@ earliest ≥), within the same ``by`` key.
 
 Partitioning assumption (documented per the brief): both sides are
 co-partitioned by ``by`` through ONE shuffle of the tagged union; per-key
-row counts must fit a worker (true for per-user/per-symbol streams — a
-pathologically hot key would need the same salting treatment as any skewed
-groupby). The in-group kernel is ``pandas.merge_asof`` (vectorized
+row counts must fit a worker (true for per-user/per-symbol streams). A
+pathologically hot key is DETECTED (:func:`check_hot_key`) and fails loudly
+with the salting remedy rather than OOMing the worker silently. The
+in-group kernel is ``pandas.merge_asof`` (vectorized
 galloping merge), not a Python loop. Equal-``on`` ties resolve to the
 highest-sorted right row (right sorted by ``(on, *value cols)``),
 deterministic and matched by the SQL oracle's ``ORDER BY on DESC, id DESC
@@ -28,6 +29,29 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
+
+# Per-key group row bound for the temporal operators (as-of / range joins,
+# session windows). These kernels hold ONE key's rows in a task heap; a
+# pathologically hot key (one user with a billion events) would otherwise OOM
+# the worker silently. 5M rows ≈ a few hundred MB for typical event schemas.
+HOT_KEY_ROW_BOUND = 5_000_000
+
+
+def check_hot_key(g: pd.DataFrame, by: str, bound: int | None) -> None:
+    """Fail LOUDLY (with the remedy) when a key group exceeds the bound —
+    the documented alternative to silent worker OOM. Remedy: these kernels
+    compose associatively across time slices, so a hot key can be salted by
+    shuffling on ``(key, ts_bucket)``, running the kernel per slice, and
+    merging the two boundary groups per slice pair."""
+    bound = HOT_KEY_ROW_BOUND if bound is None else bound
+    if len(g) > bound:
+        raise ValueError(
+            f"hot key {g[by].iloc[0]!r}: {len(g):,} rows in one group exceed "
+            f"the per-key bound {bound:,}. Salt the key — shuffle on "
+            f"(key, time-slice), run the per-group kernel per slice, merge "
+            f"slice-boundary results — or raise the bound (hot_key_bound=…/"
+            f"join.HOT_KEY_ROW_BOUND) if one worker can hold the group."
+        )
 
 
 def _kind(t: pa.DataType) -> str:
@@ -68,6 +92,7 @@ def asof_join(
     on: str = "ts",
     direction: str = "backward",
     right_prefix: str = "r_",
+    hot_key_bound: int | None = None,
 ) -> Dataset:
     """Inner as-of join → Dataset with all left columns + prefixed right
     columns (left rows with no eligible right row are dropped)."""
@@ -115,6 +140,7 @@ def asof_join(
     out_cols = [*lcols, *pref]
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        check_hot_key(g, by, hot_key_bound)
         l = g[g["_side"] == "L"]
         r = g[g["_side"] == "R"]
         if not len(l) or not len(r):
@@ -143,6 +169,7 @@ def range_join(
     lo: str = "lo",
     hi: str = "hi",
     right_prefix: str = "r_",
+    hot_key_bound: int | None = None,
 ) -> Dataset:
     """Interval-containment join: each left row matched to EVERY right
     interval of the same key with ``lo ≤ left.on ≤ hi`` (inner; a left row
@@ -187,6 +214,7 @@ def range_join(
     out_cols = [*lcols, *pref]
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        check_hot_key(g, by, hot_key_bound)
         l = g[g["_side"] == "L"]
         r = g[g["_side"] == "R"]
         if not len(l) or not len(r):

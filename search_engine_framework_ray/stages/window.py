@@ -105,11 +105,15 @@ def session_windows(
     key: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    hot_key_bound: int | None = None,
 ) -> Dataset:
     """Per-key session windows (gap-based): ``groupby(key)`` then a sorted
     gap scan per group → (key, session_start, session_end, n, value_sum)."""
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        from .join import check_hot_key
+
+        check_hot_key(g, key, hot_key_bound)
         g = g.sort_values(ts_col, kind="mergesort")
         # full-microsecond gap comparison (a 1800.8 s gap must split the
         # session exactly as the SQL INTERVAL oracle does — no flooring)
