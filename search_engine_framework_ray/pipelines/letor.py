@@ -358,13 +358,85 @@ def rerank_scores(feats: pd.DataFrame, weights: np.ndarray) -> pd.DataFrame:
     return out
 
 
-def svm_rank_hook(*_a, **_k):
-    """Placeholder for the reference's ``Runtime.exec(svm_rank_*)`` path
-    (LearnToRank.java:921-994); the binaries are not present here."""
-    raise NotImplementedError(
-        "external svm_rank binaries are unavailable; use train_linear/"
-        "rerank_scores, or wire svm_rank via write_svmlight/read_svmlight_scores"
-    )
+def _run_svm_exec(argv: list[str]) -> None:
+    """Run one svm_rank executable, consuming stdout/stderr (the reference
+    stresses the consumption to avoid pipe-buffer stalls,
+    LearnToRank.java:932-953) and failing on a non-zero exit exactly like
+    the reference's ``waitFor() != 0`` → "SVM Rank crashed."."""
+    import subprocess
+
+    proc = subprocess.run(argv, capture_output=True, text=True)
+    if proc.stdout:
+        print(proc.stdout, end="")
+    if proc.stderr:
+        print(proc.stderr, end="")
+    if proc.returncode != 0:
+        raise RuntimeError(f"SVM Rank crashed. (exit {proc.returncode}: {argv[0]})")
+
+
+def svm_rank_train(
+    learn_path: str, c: float, train_file: str, model_file: str
+) -> None:
+    """``svm_rank_learn -c <C> train model`` (LearnToRank.java:921-957)."""
+    _run_svm_exec([learn_path, "-c", str(c), train_file, model_file])
+
+
+def svm_rank_classify_run(
+    classify_path: str, test_file: str, model_file: str, scores_file: str
+) -> None:
+    """``svm_rank_classify test model scores`` (LearnToRank.java:959-994)."""
+    _run_svm_exec([classify_path, test_file, model_file, scores_file])
+
+
+def svm_rank_hook(
+    train_feats: pd.DataFrame,
+    rel: dict[tuple[str, int], int],
+    test_feats: pd.DataFrame,
+    extid: dict[int, str],
+    *,
+    c: float = 0.001,
+    learn_path: str | None = None,
+    classify_path: str | None = None,
+    workdir: str | None = None,
+) -> list[float]:
+    """The reference's external svm_rank flow end-to-end
+    (LearnToRank.java:921-994): write the byte-compatible SVMlight train and
+    test files, exec ``svm_rank_learn`` then ``svm_rank_classify``, and
+    return the per-test-row scores in test_feats row order. Dormant unless
+    the binaries exist (this sandbox ships none) — pass explicit paths or
+    have ``svm_rank_learn``/``svm_rank_classify`` on PATH; otherwise raises
+    ``FileNotFoundError`` with the in-family fallback named."""
+    import os
+    import shutil
+    import tempfile
+
+    learn = learn_path or shutil.which("svm_rank_learn")
+    classify = classify_path or shutil.which("svm_rank_classify")
+    if not learn or not classify:
+        raise FileNotFoundError(
+            "svm_rank_learn/svm_rank_classify not found; pass learn_path/"
+            "classify_path or use the in-family learner='ranksvm' "
+            "(train_ranksvm) instead"
+        )
+    with tempfile.TemporaryDirectory(dir=workdir) as td:
+        train_file = os.path.join(td, "train.feat")
+        test_file = os.path.join(td, "test.feat")
+        model_file = os.path.join(td, "svm.model")
+        scores_file = os.path.join(td, "test.scores")
+        with open(train_file, "w") as f:
+            f.write(write_svmlight(train_feats, rel, extid))
+        with open(test_file, "w") as f:
+            f.write(write_svmlight(test_feats, {}, extid))
+        svm_rank_train(learn, c, train_file, model_file)
+        svm_rank_classify_run(classify, test_file, model_file, scores_file)
+        with open(scores_file) as f:
+            scores = read_svmlight_scores(f.read())
+    if len(scores) != len(test_feats):
+        raise RuntimeError(
+            f"svm_rank_classify wrote {len(scores)} scores for "
+            f"{len(test_feats)} test rows"
+        )
+    return scores
 
 
 def letor_rerank(
@@ -378,12 +450,14 @@ def letor_rerank(
     page_rank: dict[int, float] | None = None,
     doc_attrs: pd.DataFrame | None = None,
     learner: str = "ranksvm",
+    svm_rank_paths: tuple[str, str] | None = None,
 ) -> dict[str, list[tuple[int, float]]]:
     """Full LeToR flow (QryEval.java:239-258): train features on judged docs
     → fit ranker (``ranksvm`` = deterministic pairwise hinge, the
-    reference's model family; ``ridge`` = regression stand-in) → test
-    features on BM25-body top-100 initial ranking (LearnToRank.java:840-858)
-    → rerank. Returns qid → [(docid, score)]."""
+    reference's model family; ``ridge`` = regression stand-in; ``svm_rank``
+    = the reference's external binaries via :func:`svm_rank_hook`, dormant
+    unless present) → test features on BM25-body top-100 initial ranking
+    (LearnToRank.java:840-858) → rerank. Returns qid → [(docid, score)]."""
     params = params or LetorParams()
     train_cand = {
         q: sorted({d for (qq, d) in qrels if qq == q}) for q, _ in train_queries
@@ -398,8 +472,10 @@ def letor_rerank(
         w = train_ranksvm(train_f, qrels, c=params.svm_c)
     elif learner == "ridge":
         w = train_linear(train_f, qrels)
+    elif learner == "svm_rank":
+        w = None  # scores come from the external classifier, not a w·x
     else:
-        raise ValueError(f"unknown learner {learner!r} (ranksvm|ridge)")
+        raise ValueError(f"unknown learner {learner!r} (ranksvm|ridge|svm_rank)")
 
     bm25 = params.model_params
     initial = run_queries(index_dir, test_queries, bm25, k=k)
@@ -410,7 +486,18 @@ def letor_rerank(
             page_rank=page_rank, doc_attrs=doc_attrs,
         )
     )
-    scored = rerank_scores(test_f, w)
+    if learner == "svm_rank":
+        from ..state.index_layout import load_docmap
+
+        _, doc2url = load_docmap(index_dir)
+        lp, cp = svm_rank_paths or (None, None)
+        scored = test_f[["qid", "docid"]].copy()
+        scored["score"] = svm_rank_hook(
+            train_f, qrels, test_f, doc2url,
+            c=params.svm_c, learn_path=lp, classify_path=cp,
+        )
+    else:
+        scored = rerank_scores(test_f, w)
     out: dict[str, list[tuple[int, float]]] = {q: [] for q, _ in test_queries}
     for qid, g in scored.groupby("qid"):
         g = g.sort_values(["score", "docid"], ascending=[False, True], kind="mergesort")

@@ -305,3 +305,94 @@ def test_ranksvm_weight_vector_golden(ray_session, tmp_path):
     )
     w = train_ranksvm(tf, qr, c=0.001)
     assert w.tolist() == RANKSVM_GOLDEN_W
+
+
+def test_svm_rank_hook_subprocess_wiring(letor_index, tmp_path):
+    """The dormant external-binary path (LearnToRank.java:921-994) with FAKE
+    executables: asserts the hook writes byte-compatible SVMlight train/test
+    files, passes -c and the three positional files exactly like the
+    reference's Runtime.exec argv, parses the scores file in row order, and
+    surfaces a non-zero exit as the reference's "SVM Rank crashed."."""
+    import os
+    import stat
+
+    from search_engine_framework_ray.pipelines.letor import (
+        letor_rerank,
+        svm_rank_hook,
+    )
+
+    learn = tmp_path / "svm_rank_learn"
+    classify = tmp_path / "svm_rank_classify"
+    # fake learn: record argv, copy the train file into the model file
+    learn.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" > {tmp_path}/learn.argv\n'
+        'cp "$3" "$4"\n'
+    )
+    # fake classify: one score per test line = the line's feature-1 value
+    classify.write_text(
+        "#!/bin/sh\n"
+        f'echo "$@" > {tmp_path}/classify.argv\n'
+        "awk '{v=0; for(i=1;i<=NF;i++) if ($i ~ /^1:/) {split($i,a,\":\"); v=a[2]}; print v}' \"$1\" > \"$3\"\n"
+    )
+    for p in (learn, classify):
+        os.chmod(p, os.stat(p).st_mode | stat.S_IXUSR)
+
+    train_f = pd.DataFrame(
+        {
+            "qid": ["q1", "q1"],
+            "docid": [0, 1],
+            **{f"f{j}": [float(j), float(j) * 2] for j in range(1, 19)},
+        }
+    )
+    test_f = pd.DataFrame(
+        {
+            "qid": ["q1", "q1", "q1"],
+            "docid": [0, 1, 2],
+            **{f"f{j}": [0.25, 0.5, 0.75] for j in range(1, 19)},
+        }
+    )
+    scores = svm_rank_hook(
+        train_f,
+        {("q1", 0): 1},
+        test_f,
+        {0: "d0", 1: "d1", 2: "d2"},
+        c=0.125,
+        learn_path=str(learn),
+        classify_path=str(classify),
+        workdir=str(tmp_path),
+    )
+    assert scores == [0.25, 0.5, 0.75]  # row order preserved
+    largv = (tmp_path / "learn.argv").read_text().split()
+    cargv = (tmp_path / "classify.argv").read_text().split()
+    assert largv[:2] == ["-c", "0.125"]  # svm_rank_learn -c C train model
+    assert largv[2].endswith("train.feat") and largv[3].endswith("svm.model")
+    # svm_rank_classify test model scores
+    assert cargv[0].endswith("test.feat") and cargv[1].endswith("svm.model")
+    assert cargv[2].endswith("test.scores")
+
+    # end-to-end through letor_rerank(learner="svm_rank")
+    qrels = {("q1", 0): 2, ("q1", 1): 1, ("q1", 2): 0}
+    out = letor_rerank(
+        letor_index, QUERIES, qrels, QUERIES,
+        learner="svm_rank", svm_rank_paths=(str(learn), str(classify)),
+    )
+    assert len(out["q1"]) == 3
+
+    # non-zero exit → the reference's crash contract
+    bad = tmp_path / "bad_learn"
+    bad.write_text("#!/bin/sh\nexit 3\n")
+    os.chmod(bad, os.stat(bad).st_mode | stat.S_IXUSR)
+    with pytest.raises(RuntimeError, match="SVM Rank crashed"):
+        svm_rank_hook(
+            train_f, {}, test_f, {}, learn_path=str(bad),
+            classify_path=str(classify), workdir=str(tmp_path),
+        )
+
+    # dormant-by-default: absent binaries raise FileNotFoundError naming the fallback
+    with pytest.raises(FileNotFoundError, match="ranksvm"):
+        svm_rank_hook(
+            train_f, {}, test_f, {},
+            learn_path=str(tmp_path / "nope_learn"),
+            classify_path=None,
+        )

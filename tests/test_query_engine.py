@@ -257,3 +257,55 @@ def _compare_lenient(engine_fixture, queries, model):
         have = [(u, s) for u, s, _ in got[qid]]
         assert [u for u, _ in have] == [u for u, _ in want], f"{model} {qid}: {qtext}"
         assert [s for _, s in have] == [s for _, s in want], f"{model} {qid}: {qtext}"
+
+
+def test_il_cache_single_composite_eval(engine):
+    """The worker-held composite-IL cache must (a) leave scores identical
+    and (b) make the stats-prepass + scoring pass evaluate each positional
+    subtree ONCE per (query, shard) — the r2 tail-latency fix."""
+    from unittest import mock
+
+    from search_engine_framework_ray.query import kernels
+    from search_engine_framework_ray.query.executor import (
+        _ShardCache,
+        apply_prepass,
+        exec_rows,
+        plan_queries,
+        stats_prepass_rows,
+    )
+
+    index_dir, _ = engine
+    params = ModelParams(model="BM25")
+    q = "#NEAR/2(new york) #SYN(city state)"
+    trees, score_stats, _comp = plan_queries(index_dir, [("q1", q)], params)
+
+    def run(cache):
+        pairs = [("q1", s) for s in range(3)]
+        pre = stats_prepass_rows(cache, {"q1": (trees["q1"], params)}, pairs)
+        ss = {k: dict(v) for k, v in score_stats.items()}
+        apply_prepass(ss, pre)
+        return exec_rows(
+            cache, {"q1": (trees["q1"], params, ss["q1"])}, pairs, 10
+        )
+
+    cached = _ShardCache(index_dir)
+    real_eval = kernels.Evaluator.eval_il
+    with mock.patch.object(
+        kernels.Evaluator, "eval_il", autospec=True, side_effect=real_eval
+    ) as spy:
+        out_cached = run(cached)
+        # composite nodes: #NEAR and #SYN → per shard, each evaluated once
+        # in the prepass and HIT in the scoring pass; terms are uncached.
+        composite_calls = [
+            c for c in spy.call_args_list
+            if type(c.args[1]).__name__ in ("Near", "Window", "Syn")
+        ]
+        assert len(composite_calls) == 2 * 3  # 2 composites × 3 shards
+
+    uncached = _ShardCache(index_dir)
+    uncached.il_cache = None  # disable the cache entirely
+    out_plain = run(uncached)
+    pd_sorted = lambda df: df.sort_values(
+        ["qid", "score", "docid"], ignore_index=True
+    ) if len(df) else df
+    assert pd_sorted(out_cached).equals(pd_sorted(out_plain))

@@ -491,3 +491,47 @@ def test_ivf_partitioned_index_matches_inmemory(ray_session, tmp_path):
         a = mem.search(np.stack([q, -q]), k=5, nprobe=nprobe).reset_index(drop=True)
         b = disk.search(np.stack([q, -q]), k=5, nprobe=nprobe).reset_index(drop=True)
         assert a.equals(b), f"nprobe={nprobe}"
+
+
+def test_hot_key_guard_temporal_ops(ray_session):
+    """A pathologically hot key must fail LOUDLY (with the salting remedy in
+    the message) instead of silently OOMing the worker that owns its group —
+    asof_join, range_join and session_windows all route through
+    check_hot_key; a generous bound passes untouched."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import asof_join, range_join
+    from search_engine_framework_ray.stages.window import session_windows
+
+    n = 500
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(n), unit="s")
+    left = pd.DataFrame({"event_id": np.arange(n), "ts": ts, "user_id": 7})
+    right = pd.DataFrame({"user_id": [7], "ts": [ts[0]], "mark": [1]})
+
+    with pytest.raises(Exception, match="hot key"):
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="user_id", on="ts", hot_key_bound=100,
+        ).to_pandas()
+    ok = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="user_id", on="ts", hot_key_bound=10_000,
+    ).to_pandas()
+    assert len(ok) == n  # every left row has an eligible mark
+
+    ivals = right.rename(columns={"ts": "lo"}).assign(hi=ts[n - 1])
+    with pytest.raises(Exception, match="[Ss]alt"):
+        range_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(ivals),
+            by="user_id", on="ts", lo="lo", hi="hi", hot_key_bound=100,
+        ).to_pandas()
+
+    ev = pd.DataFrame({"user_id": 7, "ts": ts, "value": 1.0})
+    with pytest.raises(Exception, match="hot key"):
+        session_windows(
+            ray.data.from_pandas(ev), gap_s=10.0, hot_key_bound=100
+        ).to_pandas()
+    sess = session_windows(
+        ray.data.from_pandas(ev), gap_s=10.0, hot_key_bound=10_000
+    ).to_pandas()
+    assert len(sess) == 1 and int(sess["n"].iloc[0]) == n
