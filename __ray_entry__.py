@@ -31,8 +31,8 @@ _K1, _B = 1.2, 0.75
 
 def _docs_index(sf_dir: str) -> str:
     """Build (once, resumable) a plain-analyzer index over sf_dir/documents —
-    whitespace/lowercase analysis, so DuckDB string_split oracles can
-    reproduce the scoring exactly."""
+    whitespace/lowercase analysis, so DuckDB regexp_extract_all
+    (RE2 [^ \\t\\n\\f\\r]+ class) oracles can reproduce the scoring exactly."""
     from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
     from search_engine_framework_ray.pipelines.build_index import (
         PlainSource,

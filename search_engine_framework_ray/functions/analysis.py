@@ -70,7 +70,8 @@ def config_from_key(key: str) -> "AnalyzerConfig":
     )
 
 # A plain analyzer whose output DuckDB SQL oracles can reproduce with
-# string_split/lower (used by the __ray_entry__ correctness-gate queries).
+# regexp_extract_all('[^ \\t\\n\\f\\r]+')/lower — the RE2 whitespace class the
+# engine tokenizer uses (see __ray_entry__ correctness-gate queries).
 PLAIN_ANALYZER = AnalyzerConfig(lowercase=True, stopword_removal=False, stemmer="none")
 
 

@@ -248,6 +248,7 @@ def _lsh_candidate_pairs_ds(
     n_perm: int,
     bands: int,
     max_bucket: int | None,
+    dedup_pairs: bool = True,
 ) -> Dataset:
     """Candidate pairs from banded signatures, AS A DATASET. **Narrow** band
     rows ``(id, band_key)`` — the 512-byte signature never crosses the
@@ -258,10 +259,12 @@ def _lsh_candidate_pairs_ds(
     *clustering* (see :func:`minhash_lsh_dedup`); exact pair enumeration
     passes ``max_bucket=None``.
 
-    Rows are globally deduplicated (the same pair can surface from several
-    bands → several band-groups) by ONE narrow (a, b, pb) shuffle on the
-    pair bucket; the exact-pairs verification reuses the same ``pb``
-    co-partitioning."""
+    With ``dedup_pairs`` rows are globally deduplicated (the same pair can
+    surface from several bands → several band-groups) by ONE narrow
+    (a, b, pb) shuffle on the pair bucket; the exact-pairs verification
+    reuses the same ``pb`` co-partitioning. The star-capped clustering path
+    passes ``dedup_pairs=False`` — its bounded pair set dedupes for free on
+    the driver, saving the extra all-to-all."""
     bands = min(bands, n_perm)  # more bands than permutations is degenerate
     rows_per_band = max(1, n_perm // bands)
 
@@ -307,15 +310,16 @@ def _lsh_candidate_pairs_ds(
             )
         )
 
-    return (
+    out = (
         sigs.map_batches(explode_bands, batch_format="pandas")
         .groupby("gb")
         .map_groups(emit_pairs, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(
+    )
+    if dedup_pairs:
+        out = out.groupby("pb").map_groups(
             lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
         )
-    )
+    return out
 
 
 def _lsh_candidate_pairs(
@@ -328,15 +332,21 @@ def _lsh_candidate_pairs(
 ) -> pd.DataFrame:
     """Driver-side (a, b) pairs — for the star-capped *clustering* path,
     whose pair set is bounded by ``max_bucket`` and feeds the driver
-    union-find directly."""
+    union-find directly (pair dedup is free here, so the distributed
+    pb-shuffle dedup is skipped)."""
     pairs = _lsh_candidate_pairs_ds(
-        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=max_bucket
+        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=max_bucket,
+        dedup_pairs=False,
     ).to_pandas()
     if "a" not in pairs.columns:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
         )
-    return pairs[["a", "b"]].reset_index(drop=True)
+    return (
+        pairs[["a", "b"]]
+        .drop_duplicates(ignore_index=True)
+        .reset_index(drop=True)
+    )
 
 
 def gather_for_ids(ds: Dataset, need: set, id_col: str, value_fn) -> dict:
