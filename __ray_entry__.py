@@ -845,6 +845,56 @@ def q_fingerprint(sf_dir: str):
     return out[["doc_id", "fp_md5"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (train/test n-gram overlap): docs with
+    doc_id % 50 == 7 play the held-out eval set; every OTHER doc is flagged
+    with its count of distinct 3-word shingles shared with the eval set.
+    Broadcast eval shingle-hash set + one streaming corpus pass
+    (stages/decontam.py) — the oracle is the exact trigram join in SQL."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.decontam import decontaminate
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    eval_texts = (
+        ray.data.read_parquet(src, columns=["doc_id", "text"])
+        .map_batches(
+            lambda b: b[b["doc_id"] % 50 == 7], batch_format="pandas"
+        )
+        .to_pandas()["text"]
+        .tolist()
+    )
+    corpus = ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        lambda b: b[b["doc_id"] % 50 != 7], batch_format="pandas"
+    )
+    out = decontaminate(corpus, eval_texts, k=3).to_pandas()
+    out = out[["doc_id", "contam_ngrams"]].copy()
+    out["contaminated"] = (out["contam_ngrams"] > 0).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lm_bigram_ppl(sf_dir: str):
+    """Corpus-trained Laplace-smoothed bigram LM, per-doc log-perplexity
+    (nats, mean over bigram positions) — the CCNet-style fluency signal.
+    Count → join → score → aggregate, all distributed (stages/lm.py); the
+    SQL twin rebuilds the identical counts and ln() arithmetic."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.lm import bigram_model, score_bigram_ppl
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    model, vocab = bigram_model(ds)
+    out = score_bigram_ppl(ds, model, vocab).to_pandas()
+    out["logppl_micros"] = _micros(out["logppl"])
+    return (
+        out[["doc_id", "n_bigrams", "logppl_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_tumbling(sf_dir: str):
     import ray.data
 
@@ -1194,6 +1244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "decontam": q_decontam,
+        "lm_bigram_ppl": q_lm_bigram_ppl,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -2107,6 +2159,67 @@ def oracle_sql() -> dict[str, str]:
                              THEN md5_number_lower(s)::HUGEINT - 18446744073709551616::HUGEINT
                              ELSE md5_number_lower(s)::HUGEINT END AS BIGINT) AS fp_md5
             FROM norm ORDER BY doc_id
+        """,
+        # decontamination: exact word-trigram overlap vs the doc_id%50==7
+        # eval slice (engine hashes trigrams, 2^-64 collision risk only)
+        "decontam": r"""
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 7),
+            hits AS (
+                SELECT s.doc_id, count(*) AS n
+                FROM sh s JOIN ev USING (g)
+                WHERE s.doc_id % 50 <> 7
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n, 0) AS contam_ngrams,
+                   CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 7) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # Laplace-smoothed bigram LM: same counts → join → ln() dataflow as
+        # stages/lm.py, in SQL (float64 ln; integer-micros rounding)
+        "lm_bigram_ppl": r"""
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            uni AS (
+                SELECT w[i] AS w1, count(*) AS cu
+                FROM l, unnest(range(1, len(w) + 1)) AS t(i)
+                GROUP BY 1
+            ),
+            v AS (SELECT count(*) AS v FROM uni),
+            bg AS (
+                SELECT w[i] AS w1, w[i+1] AS w2, count(*) AS cb
+                FROM l, unnest(range(1, len(w))) AS t(i)
+                GROUP BY 1, 2
+            ),
+            docbg AS (
+                SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS n
+                FROM l, unnest(range(1, len(w))) AS t(i)
+                GROUP BY 1, 2, 3
+            ),
+            scored AS (
+                SELECT d.doc_id, d.n,
+                       ln((b.cb + 1.0) / (u.cu + (SELECT v FROM v))) AS lp
+                FROM docbg d
+                JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+                JOIN uni u ON d.w1 = u.w1
+            )
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   CAST(round(-sum(n * lp) / sum(n) * 1000000) AS BIGINT)
+                       AS logppl_micros
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "events_sliding": """
             WITH e AS (
