@@ -880,13 +880,12 @@ def q_lm_bigram_ppl(sf_dir: str):
     SQL twin rebuilds the identical counts and ln() arithmetic."""
     import ray.data
 
-    from search_engine_framework_ray.stages.lm import bigram_model, score_bigram_ppl
+    from search_engine_framework_ray.stages.lm import bigram_ppl
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    model, vocab = bigram_model(ds)
-    out = score_bigram_ppl(ds, model, vocab).to_pandas()
+    out = bigram_ppl(ds).to_pandas()
     out["logppl_micros"] = _micros(out["logppl"])
     return (
         out[["doc_id", "n_bigrams", "logppl_micros"]]

@@ -238,3 +238,119 @@ def score_bigram_ppl(
         return out
 
     return per_doc.map_batches(_final, batch_format="pandas")
+
+
+def bigram_ppl(ds, text_col: str = "text", num_buckets: int = 64):
+    """Fused train-and-score path (the production shape when the model is
+    not reused): identical math to ``bigram_model`` + ``score_bigram_ppl``
+    but TWO all-to-alls instead of five —
+
+    1. a vocab-sized distinct-count pass for ``V``;
+    2. ONE ``hash(w1) % num_buckets`` shuffle carrying both partial kinds
+       (per-batch unigram counts AND per-doc bigram counts). A bucket owns
+       every row for its ``w1`` values, so ``cu``, ``cb`` and each doc's
+       ``n·ln P`` contributions are all computed vectorized inside it,
+       pre-aggregated per doc before leaving;
+    3. the final ``groupby(doc_id)`` then sums ≤ num_buckets partial rows
+       per doc — narrow by construction.
+
+    Per-bucket memory is O(corpus bigram partials / num_buckets): size
+    ``num_buckets`` to the cluster exactly like the index build sizes
+    shards (docs AND bytes), not to CPU count.
+    """
+    # pass 1: V (distinct tokens) — per-batch dedup, narrow distinct-count
+    V_count = (
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "w1": b[text_col]
+                    .fillna("")
+                    .str.findall(RE2_TOKEN_RE)
+                    .explode()
+                    .dropna()
+                    .astype(str)
+                    .unique()
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("w1")
+        .count()
+        .count()
+    )
+    V = float(V_count)
+
+    # pass 2: both partial kinds, tagged, one bucket shuffle
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        doc = _doc_bigrams(b, text_col)
+        uni = _unigram_partial(b, text_col)
+        left = pd.DataFrame(
+            {
+                "kind": np.int64(1),
+                "w1": doc["w1"],
+                "w2": doc["w2"],
+                "doc_id": doc["doc_id"],
+                "n": doc["n"],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "kind": np.int64(0),
+                "w1": uni["w1"],
+                "w2": "",
+                "doc_id": np.int64(-1),
+                "n": uni["c"],
+            }
+        )
+        out = pd.concat([left, right], ignore_index=True)
+        out["jb"] = (
+            _key_hash(out, ["w1"]) % np.uint64(num_buckets)
+        ).astype("int64")
+        return out
+
+    def bucket_score(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["kind"] == 1]
+        if doc.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "nlp": pd.Series(dtype="float64"),
+                }
+            )
+        uni = g[g["kind"] == 0].groupby("w1")["n"].sum()
+        cb = doc.groupby(["w1", "w2"], sort=False)["n"].sum().rename("cbv")
+        doc = doc.merge(cb.reset_index(), on=["w1", "w2"])
+        cu = doc["w1"].map(uni).to_numpy(np.float64)
+        lp = np.log((doc["cbv"].to_numpy(np.float64) + 1.0) / (cu + V))
+        part = pd.DataFrame(
+            {
+                "doc_id": doc["doc_id"].to_numpy(np.int64),
+                "n": doc["n"].to_numpy(np.int64),
+                "nlp": -lp * doc["n"].to_numpy(np.float64),
+            }
+        )
+        # pre-aggregate per doc before the narrow final shuffle
+        out = part.groupby("doc_id", sort=False)[["n", "nlp"]].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_doc = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("jb")
+        .map_groups(bucket_score, batch_format="pandas")
+        .groupby("doc_id")
+        .sum(["n", "nlp"])
+    )
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_bigrams": b["sum(n)"].astype("int64"),
+                "logppl": b["sum(nlp)"].to_numpy(np.float64)
+                / b["sum(n)"].to_numpy(np.float64),
+            }
+        )
+
+    return per_doc.map_batches(_final, batch_format="pandas")

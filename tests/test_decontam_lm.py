@@ -95,6 +95,31 @@ def test_bigram_ppl_matches_bruteforce(ray_session):
         assert row["logppl"] == pytest.approx(lp, abs=1e-9)
 
 
+def test_bigram_ppl_fused_matches_bruteforce(ray_session):
+    from search_engine_framework_ray.stages.lm import bigram_ppl
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on a log",
+        "single",
+        "the the the",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        bigram_ppl(_ds(pdf), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_bigram_ppl(texts)
+    assert got["doc_id"].tolist() == sorted(want)
+    for _, row in got.iterrows():
+        n, lp = want[row["doc_id"]]
+        assert row["n_bigrams"] == n
+        assert row["logppl"] == pytest.approx(lp, abs=1e-9)
+
+
 def test_bigram_model_counts(ray_session):
     from search_engine_framework_ray.stages.lm import bigram_model
 
