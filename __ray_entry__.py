@@ -894,6 +894,47 @@ def q_lm_bigram_ppl(sf_dir: str):
     )
 
 
+def q_repetition(sf_dir: str):
+    """Within-doc repetition quality signals (Gopher-style filters): modal
+    bigram fraction + duplicated-5-gram fraction. One streaming pass, no
+    shuffle (stages/repetition.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.repetition import repetition_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(repetition_stats, batch_format="pandas").to_pandas()
+    out["top_2gram_micros"] = _micros(out["top_2gram_frac"])
+    out["dup_5gram_micros"] = _micros(out["dup_5gram_frac"])
+    return (
+        out[["doc_id", "top_2gram_micros", "dup_5gram_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_cross_dup(sf_dir: str):
+    """Corpus-wide duplicated-trigram fraction per doc: share of a doc's
+    trigram positions whose trigram also appears in another doc — one
+    gram-bucket shuffle + narrow per-doc sum (stages/repetition.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.repetition import cross_dup_fraction
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = cross_dup_fraction(ds, k=3).to_pandas()
+    out["dup_frac_micros"] = _micros(out["dup_frac"])
+    return (
+        out[["doc_id", "n_grams", "dup_frac_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_tumbling(sf_dir: str):
     import ray.data
 
@@ -1245,6 +1286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "decontam": q_decontam,
         "lm_bigram_ppl": q_lm_bigram_ppl,
+        "repetition": q_repetition,
+        "cross_dup": q_cross_dup,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -2183,6 +2226,67 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 7) d
             LEFT JOIN hits h USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # Gopher-style within-doc repetition: modal-bigram fraction +
+        # duplicated-5-gram fraction (division-before-multiply matches the
+        # engine's frac*1e6 float order)
+        "repetition": r"""
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            c2 AS (
+                SELECT doc_id, concat(w[i], ' ', w[i+1]) AS g, count(*) AS c
+                FROM l, unnest(range(1, len(w))) AS t(i)
+                GROUP BY doc_id, g
+            ),
+            a2 AS (
+                SELECT doc_id, max(c)::DOUBLE / sum(c) AS f
+                FROM c2 GROUP BY doc_id
+            ),
+            c5 AS (
+                SELECT doc_id,
+                       concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3],' ',w[i+4]) AS g,
+                       count(*) AS c
+                FROM l, unnest(range(1, len(w) - 3)) AS t(i)
+                GROUP BY doc_id, g
+            ),
+            a5 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS f
+                FROM c5 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(round(coalesce(a2.f, 0) * 1000000) AS BIGINT)
+                       AS top_2gram_micros,
+                   CAST(round(coalesce(a5.f, 0) * 1000000) AS BIGINT)
+                       AS dup_5gram_micros
+            FROM documents d
+            LEFT JOIN a2 USING (doc_id)
+            LEFT JOIN a5 USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # corpus-wide duplicated-trigram fraction (a gram is duplicated
+        # when ≥ 2 distinct docs carry it)
+        "cross_dup": r"""
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g,
+                       count(*) AS n
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+                GROUP BY doc_id, g
+            ),
+            du AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1)
+            SELECT s.doc_id,
+                   CAST(sum(s.n) AS BIGINT) AS n_grams,
+                   CAST(round((sum(CASE WHEN d.g IS NOT NULL THEN s.n ELSE 0 END)::DOUBLE
+                               / sum(s.n)) * 1000000) AS BIGINT)
+                       AS dup_frac_micros
+            FROM sh s LEFT JOIN du d USING (g)
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         # Laplace-smoothed bigram LM: same counts → join → ln() dataflow as
         # stages/lm.py, in SQL (float64 ln; integer-micros rounding)

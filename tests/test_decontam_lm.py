@@ -132,3 +132,49 @@ def test_bigram_model_counts(ray_session):
     }
     # corpus bigrams: (a,b)×2, (b,a)×2 ; unigrams: a×3, b×3
     assert rows == {("a", "b"): (2, 3), ("b", "a"): (2, 3)}
+
+
+def test_repetition_stats_extremes(ray_session):
+    from search_engine_framework_ray.stages.repetition import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a a a a a a",            # one bigram repeated: both fracs 1
+                "b c d e f g h",          # all grams unique: both fracs 0
+                "x y",                     # bigram exists, no 5-gram positions
+            ],
+        }
+    )
+    out = repetition_stats(pdf)
+    assert out["top_2gram_frac"].tolist() == [1.0, 1.0 / 6, 1.0]
+    assert out["dup_5gram_frac"].tolist() == [1.0, 0.0, 0.0]
+
+
+def test_cross_dup_fraction_planted(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.repetition import cross_dup_fraction
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "shared tri gram plus unique tail zero",
+                "shared tri gram other words here",
+                "completely different text with nothing common",
+            ],
+        }
+    )
+    got = (
+        cross_dup_fraction(ray.data.from_pandas(pdf), k=3, num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'shared tri gram' is the only cross-doc trigram (successors differ)
+    assert got["n_grams"].tolist() == [5, 4, 4]
+    assert got.loc[0, "dup_frac"] == 1.0 / 5
+    assert got.loc[1, "dup_frac"] == 1.0 / 4
+    assert got.loc[2, "dup_frac"] == 0.0
