@@ -935,6 +935,137 @@ def q_cross_dup(sf_dir: str):
     )
 
 
+def q_source_stats(sf_dir: str):
+    """Per-origin corpus census (docs / tokens / chars per crawl source) —
+    per-batch combiner, one tiny groupby (stages/corpus.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import source_stats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    out = source_stats(ds).to_pandas()
+    for c in ("n_docs", "n_tokens", "n_chars_total"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["source", "n_docs", "n_tokens", "n_chars_total"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def q_ngram_topk(sf_dir: str):
+    """Corpus-wide top-20 bigrams — per-batch partial counts, md5-bucket
+    reduce owning each gram fully, k·B-row driver merge (stages/corpus.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import ngram_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    out = ngram_topk(ds, n=2, k=20)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 terms per doc by tf·ln(N/df) — bucket-reduced df table
+    broadcast once, one streaming scoring pass; ranked on the
+    micros-rounded score so the SQL twin orders identically
+    (stages/corpus.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import tfidf_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = tfidf_topk(ds, k=3).to_pandas()
+    for c in ("doc_id", "tf", "tfidf_micros", "rank"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "term", "tf", "tfidf_micros", "rank"]]
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def q_docs_shuffle(sf_dir: str):
+    """Deterministic (seeded) global training-order shuffle: order by
+    md5-low64(doc_id), global positions via the packing-style two-level
+    prefix sum — no full sort, nothing wide on the driver
+    (stages/corpus.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import deterministic_shuffle
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = deterministic_shuffle(ds).to_pandas()
+    for c in ("pos", "doc_id"):
+        out[c] = out[c].astype("int64")
+    return out[["pos", "doc_id"]].sort_values("pos").reset_index(drop=True)
+
+
+def q_embedding_clusters(sf_dir: str):
+    """Deterministic distributed Lloyd k-means (k=10, 2 iterations,
+    hash-sampled seeds, micros-quantized centroids) → (vec_id, cluster);
+    the SQL twin replays the identical iterations (stages/ann.py
+    kmeans_clusters)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import kmeans_clusters
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = kmeans_clusters(ds, k=10, iters=2).to_pandas()
+    for c in ("vec_id", "cluster"):
+        out[c] = out[c].astype("int64")
+    return out[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True)
+
+
+def q_curation(sf_dir: str):
+    """Flagship composed curation chain (quality gate → language-id →
+    exact-dedup canonical) in one streaming pass + one narrow shuffle;
+    reason = first failing gate (stages/corpus.py curate)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import curate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = curate(ds, min_words=40, keep_lang="en").to_pandas()
+    for c in ("doc_id", "n_words", "cluster_id", "keep"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "n_words", "lang_pred", "cluster_id", "reason", "keep"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample (P ∝ n_chars) without replacement —
+    A-ES keys from md5-derived uniforms, pico-quantized ordering, local
+    top-m per batch + m·n_batches driver merge (stages/corpus.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import weighted_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = weighted_sample(ds, 50)
+    for c in ("doc_id", "weight", "key_picos"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "weight", "key_picos"]].reset_index(drop=True)
+
+
 def q_events_tumbling(sf_dir: str):
     import ray.data
 
@@ -1288,6 +1419,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "repetition": q_repetition,
         "cross_dup": q_cross_dup,
+        "source_stats": q_source_stats,
+        "ngram_topk": q_ngram_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "docs_shuffle": q_docs_shuffle,
+        "embedding_clusters": q_embedding_clusters,
+        "curation": q_curation,
+        "weighted_sample": q_weighted_sample,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -1929,6 +2067,39 @@ def _langid_sql() -> str:
     """
 
 
+def _curation_sql() -> str:
+    """Composed twin of stages/corpus.curate: the langid oracle as a
+    subquery + the quality word count + the dedup_exact canonical, folded
+    into the same first-failing-gate CASE the engine vectorizes."""
+    return f"""
+    WITH lang AS (
+        SELECT * FROM ({_langid_sql()})
+    ),
+    nw AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[^ \t\n\f\r]+'))::BIGINT AS n_words
+        FROM documents
+    ),
+    dup AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY text)::BIGINT AS cluster_id
+        FROM documents
+    ),
+    j AS (
+        SELECT d.doc_id, nw.n_words, lang.lang_pred, dup.cluster_id
+        FROM documents d
+        JOIN nw USING (doc_id) JOIN lang USING (doc_id) JOIN dup USING (doc_id)
+    )
+    SELECT doc_id, n_words, lang_pred, cluster_id,
+           CASE WHEN n_words < 40 THEN 'short'
+                WHEN lang_pred <> 'en' THEN 'lang'
+                WHEN doc_id <> cluster_id THEN 'dup'
+                ELSE 'ok' END AS reason,
+           CAST(CASE WHEN n_words >= 40 AND lang_pred = 'en' AND doc_id = cluster_id
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM j ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
@@ -2287,6 +2458,119 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_frac_micros
             FROM sh s LEFT JOIN du d USING (g)
             GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        "source_stats": r"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))::BIGINT AS n_tokens,
+                   sum(length(text))::BIGINT AS n_chars_total
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "ngram_topk": r"""
+            WITH lists AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, lower(l[i]) AS tok, i AS pos
+                FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+            ),
+            bi AS (
+                SELECT a.tok || ' ' || b.tok AS gram
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            )
+            SELECT gram, count(*)::BIGINT AS cnt FROM bi
+            GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        # tf-idf rank key is the MICROS-ROUNDED score (ties → term) so the
+        # ordering is libm-independent on both sides
+        "tfidf_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, lower(tok) AS tok
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+                      FROM documents)
+            ),
+            tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+            df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY tok),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            sc AS (
+                SELECT tf.doc_id, tf.tok AS term, tf.tf,
+                       CAST(round(tf.tf * ln((SELECT n FROM n) / df.df) * 1000000) AS BIGINT)
+                           AS tfidf_micros
+                FROM tf JOIN df USING (tok)
+            ),
+            rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf_micros DESC, term) AS rank
+                FROM sc
+            )
+            SELECT doc_id, term, tf, tfidf_micros, rank FROM rk
+            WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        # md5_number_lower == engine's md5-low64-little (BASELINE notes)
+        "docs_shuffle": r"""
+            SELECT (row_number() OVER (
+                        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+                    ) - 1)::BIGINT AS pos, doc_id
+            FROM documents ORDER BY pos
+        """,
+        # replay of kmeans_clusters: quantized seed centroids (c0) → two
+        # Lloyd rounds (assign aN on micros-rounded squared-L2, update cN =
+        # micros-quantized per-dim avg) → final assignment a3
+        "embedding_clusters": r"""
+            WITH seeds AS (
+                SELECT vec_id, embedding,
+                       (row_number() OVER (
+                            ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+                        ) - 1) AS cid
+                FROM embeddings QUALIFY cid < 10
+            ),
+            pts AS (
+                SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            c0 AS (
+                SELECT cid, i - 1 AS dim,
+                       round(CAST(embedding[i] AS DOUBLE) * 1000000) / 1000000 AS v
+                FROM seeds, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            d1 AS (SELECT p.vec_id, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c0 c USING (dim) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a.cid, p.dim, round(avg(p.x) * 1000000) / 1000000 AS v
+                   FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+            d2 AS (SELECT p.vec_id, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c1 c USING (dim) GROUP BY 1, 2),
+            a2 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d2) WHERE rn = 1),
+            c2 AS (SELECT a.cid, p.dim, round(avg(p.x) * 1000000) / 1000000 AS v
+                   FROM a2 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+            d3 AS (SELECT p.vec_id, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c2 c USING (dim) GROUP BY 1, 2),
+            a3 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d3) WHERE rn = 1)
+            SELECT vec_id, cid AS cluster FROM a3 ORDER BY vec_id
+        """,
+        "curation": _curation_sql(),
+        # A-ES weighted sampling: k = -ln(u)/w with u md5-derived; ranked on
+        # the pico-quantized key so both engines order identically
+        "weighted_sample": r"""
+            WITH keyed AS (
+                SELECT doc_id, n_chars,
+                       CAST(floor(
+                           -ln((md5_number_lower(CAST(doc_id AS VARCHAR))::DOUBLE + 0.5)
+                               / 18446744073709551616.0)
+                           / n_chars * 1000000000000 + 0.5) AS BIGINT) AS key_picos
+                FROM documents
+            )
+            SELECT doc_id, n_chars::BIGINT AS weight, key_picos
+            FROM keyed ORDER BY key_picos, doc_id LIMIT 50
         """,
         # Laplace-smoothed bigram LM: same counts → join → ln() dataflow as
         # stages/lm.py, in SQL (float64 ln; integer-micros rounding)

@@ -364,3 +364,108 @@ def embedding_neardup_pairs(
         }
     )
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+
+
+def kmeans_clusters(
+    ds: Dataset,
+    *,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Deterministic distributed Lloyd k-means → (vec_id, cluster).
+
+    The clustering step of a curation pipeline (topic bucketing, IVF coarse
+    quantizer, per-cluster sampling) made reproducible AND SQL-verifiable:
+
+    * seeds = the ``k`` vectors with the smallest md5-low64(id) (the
+      hash-mod sample the IVF trainer uses — no data-order bias);
+    * every centroid is QUANTIZED to 1e-6 after each update, so the DuckDB
+      twin (which rebuilds the same iterations with unnest/avg arithmetic)
+      feeds bit-identical centroids into the next round — float summation
+      order can then never flip an argmin;
+    * assignment = argmin of micros-rounded squared-L2 distance, ties to
+      the lower cluster id — a total order both engines agree on.
+
+    Scale shape: seeds via per-batch local top-k (k·n_batches candidate
+    rows to the driver); each Lloyd round is ONE streaming pass emitting
+    k·n_batches partial (cluster, count, sum-vector) rows; the corpus
+    never leaves the object store. Empty clusters are dropped (both sides)
+    so ids stay aligned with the SQL twin.
+    """
+    from .dedup import _md5_hash64
+
+    def _quant6(x: np.ndarray) -> np.ndarray:
+        # round-half-AWAY to 1e-6 — DuckDB round() semantics (np.round is
+        # half-to-even and would diverge on exact .5-micro boundaries)
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def keyed_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        keys = np.fromiter(
+            (_md5_hash64(str(int(i))) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.lexsort((ids, keys))[:k]
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                "skey": keys[order],
+                "emb": [np.asarray(e, dtype=np.float64) for e in b[emb_col].iloc[order]],
+            }
+        )
+
+    cand = ds.map_batches(keyed_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["skey", id_col]).head(k)
+    centroids = _quant6(np.stack(cand["emb"].to_numpy()))
+    # stable cluster ids: seed order (by hash key). An empty cluster is
+    # dropped from (cids, centroids) but survivors KEEP their original id —
+    # the SQL twin joins on cid, so labels must never be re-densified.
+    cids = np.arange(k, dtype=np.int64)
+
+    def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # direct (x-c)^2 sum (same formula the SQL twin evaluates), micros-
+        # rounded before the argmin so last-ulp sum-order noise can't flip
+        # it; cids ascending ⇒ argmin's first-on-tie = lowest cluster id
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return np.floor(d * 1e6 + 0.5).argmin(axis=1)
+
+    for _ in range(iters):
+        C, ids_now = centroids, cids
+
+        def partial(b: pd.DataFrame, C=C, ids_now=ids_now) -> pd.DataFrame:
+            X = _stack_embeddings(b, emb_col)
+            a = ids_now[assign(X, C)]
+            rows = [
+                (int(cid), int((a == cid).sum()), X[a == cid].sum(axis=0))
+                for cid in np.unique(a)
+            ]
+            return pd.DataFrame(
+                {
+                    "cid": [r[0] for r in rows],
+                    "cnt": [r[1] for r in rows],
+                    "vsum": [r[2] for r in rows],
+                }
+            )
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        new_ids, new_c = [], []
+        for cid, g in p.groupby("cid"):  # ascending cid order
+            s = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+            new_ids.append(int(cid))
+            new_c.append(_quant6(s / g["cnt"].sum()))
+        cids = np.asarray(new_ids, dtype=np.int64)
+        centroids = np.stack(new_c)
+
+    Cf, idf = centroids, cids
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack_embeddings(b, emb_col)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "cluster": idf[assign(X, Cf)].astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pandas")

@@ -1,0 +1,463 @@
+"""Corpus-level statistics and ordering operators for training-data
+pipelines: per-source aggregation, global n-gram frequency, per-doc TF-IDF
+top terms, and a deterministic (seeded, hash-keyed) global shuffle.
+
+These round out the webtext-curation surface next to the dedup/quality/LM
+stages: a real 100-TB run groups its corpus by origin (domain / dump
+shard), inspects the global n-gram distribution, extracts salient terms,
+and shuffles documents into a reproducible training order.
+
+Scale shapes (all shuffles are narrow — ids/keys/counts only, text never
+crosses an exchange):
+
+* ``source_stats`` — per-batch combiner (one partial row per source per
+  batch) → one tiny groupby over the partials. A Zipf-skewed source
+  contributes ≤ num_batches partial rows, never its documents.
+* ``ngram_topk`` — per-batch partial gram counts → hash-bucket groupby
+  (each bucket owns its grams fully, so a local top-k is globally correct)
+  → k·n_buckets rows to the driver. The full gram table never materializes
+  in one place.
+* ``tfidf_topk`` — document-frequency table via the same partial/bucket
+  reduce, broadcast once (``ray.put``), then ONE streaming pass computes
+  per-doc tf-idf and its local top-k inside the batch. Broadcast is right
+  while |vocab| ≪ |corpus| (webtext: millions vs billions); if the df
+  table outgrew worker heap the fallback is a (term)-partitioned join —
+  documented, not needed at this corpus shape.
+* ``deterministic_shuffle`` — md5-low64(doc_id) is the sort key; the top
+  byte of the key is an ORDERED coarse bucket, so global positions come
+  from the same two-level prefix sum as LM packing (per-bucket counts →
+  driver prefix-sums 256 tiny totals → per-bucket sort + arange). No full
+  sort, no driver materialization; per-task memory is O(bucket).
+
+Reference parity: the reference engine has no corpus-curation layer (its
+surface ends at retrieval — see SURVEY.md §2.10 extension hooks); these
+operators are the LLM-pipeline additions the brief calls for. Every public
+function here is value-hash verified against a DuckDB SQL twin
+(md5_number_lower == md5-low64-little, ln/round parity per BASELINE notes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .dedup import _md5_hash64
+from .textstats import RE2_TOKEN_RE as _WS_RE  # RE2-aligned (oracle parity)
+
+
+def _round_away(x: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero — DuckDB ``round()`` semantics (numpy's
+    ``round`` is half-to-even and would diverge on exact .5 micros)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+# ----------------------------------------------------------------------------
+# per-source aggregation
+# ----------------------------------------------------------------------------
+
+
+def source_stats(
+    ds: Dataset,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> Dataset:
+    """Per-origin corpus stats → (source, n_docs, n_tokens, n_chars_total).
+
+    The per-domain census every curation run starts with (how much text per
+    crawl origin, token budget per domain). Partial-aggregates inside
+    ``map_batches`` so the exchange moves one row per (source, batch), then
+    reduces the partials with a single small ``groupby``.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("")
+        g = pd.DataFrame(
+            {
+                source_col: b[source_col].to_numpy(),
+                "n_docs": 1,
+                "n_tokens": texts.str.count(_WS_RE).to_numpy(),
+                "n_chars_total": texts.str.len().to_numpy(),
+            }
+        ).groupby(source_col, as_index=False).sum()
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[:1][[source_col]].copy()
+        out["n_docs"] = np.int64(g["n_docs"].sum())
+        out["n_tokens"] = np.int64(g["n_tokens"].sum())
+        out["n_chars_total"] = np.int64(g["n_chars_total"].sum())
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(source_col).map_groups(combine, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------------
+# global n-gram frequency
+# ----------------------------------------------------------------------------
+
+
+def _batch_gram_counts(
+    b: pd.DataFrame, n: int, text_col: str, n_buckets: int
+) -> pd.DataFrame:
+    """Vectorized partial n-gram counts for one batch: explode the token
+    lists, join each token with its n-1 within-doc successors via grouped
+    shifts (the `stages/lm.py` bigram pattern generalized), count uniques,
+    and tag each distinct gram with its md5-derived reduce bucket."""
+    empty = pd.DataFrame(
+        {
+            "gram": pd.Series(dtype="object"),
+            "cnt": pd.Series(dtype="int64"),
+            "bucket": pd.Series(dtype="int64"),
+        }
+    )
+    ex = b[text_col].fillna("").str.lower().str.findall(_WS_RE).explode().dropna()
+    if ex.empty:
+        return empty
+    cols = [ex.astype(str)]
+    for j in range(1, n):
+        cols.append(ex.groupby(level=0).shift(-j))
+    mask = cols[-1].notna()  # last shift non-null ⇒ whole window in-doc
+    if not mask.any():
+        return empty
+    gram = cols[0][mask]
+    for c in cols[1:]:
+        gram = gram + " " + c[mask].astype(str)
+    vc = gram.value_counts(sort=False)
+    out = pd.DataFrame(
+        {"gram": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
+    )
+    out["bucket"] = np.fromiter(
+        (_md5_hash64(g) % n_buckets for g in out["gram"]), dtype=np.int64, count=len(out)
+    )
+    return out
+
+
+def ngram_topk(
+    ds: Dataset,
+    *,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Corpus-wide top-``k`` word n-grams → (gram, cnt), ordered by
+    (cnt desc, gram asc).
+
+    Each reduce bucket owns ALL occurrences of its grams (bucket =
+    md5(gram) mod B), so a per-bucket local top-k is globally sufficient:
+    the driver merges k·B candidate rows, never the gram table. Per-batch
+    partial counts mean a Zipf-head gram ships ≤ one row per batch.
+    """
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", as_index=False)["cnt"].sum()
+        tot = tot.sort_values(["cnt", "gram"], ascending=[False, True]).head(k)
+        return tot
+
+    partials = ds.map_batches(
+        lambda b: _batch_gram_counts(b, n, text_col, n_buckets),
+        batch_format="pandas",
+    )
+    cand = partials.groupby("bucket").map_groups(reduce_bucket, batch_format="pandas")
+    top = cand.to_pandas().sort_values(["cnt", "gram"], ascending=[False, True])
+    return top.head(k).reset_index(drop=True)[["gram", "cnt"]]
+
+
+# ----------------------------------------------------------------------------
+# per-doc TF-IDF top terms
+# ----------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    ds: Dataset,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> Dataset:
+    """Top-``k`` terms per document by tf-idf → (doc_id, term, tf,
+    tfidf_micros, rank).
+
+    tf-idf = tf · ln(N/df); the ranking key is the MICROS-ROUNDED score
+    (ties → term asc) so the DuckDB twin ranks identically regardless of
+    last-ulp libm differences. Two phases: a narrow (term, df-partial)
+    bucket reduce builds the df table, broadcast ONCE via ``ray.put``; then
+    one streaming pass computes each doc's top-k entirely inside its batch
+    (a doc's terms never split across batches, so no second shuffle).
+    """
+    import ray
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.lower().str.findall(_WS_RE)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"term": [], "df": [], "bucket": []}).astype(
+                {"term": "object", "df": "int64", "bucket": "int64"}
+            )
+        uniq = pd.DataFrame(
+            {"r": ex.index.to_numpy(), "term": ex.to_numpy(object)}
+        ).drop_duplicates()
+        vc = uniq["term"].value_counts(sort=False)
+        out = pd.DataFrame({"term": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
+        out["bucket"] = np.fromiter(
+            (_md5_hash64(t) % n_buckets for t in out["term"]),
+            dtype=np.int64,
+            count=len(out),
+        )
+        return out
+
+    def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["df"].sum()
+
+    n_docs = ds.count()
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(df_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    df_map = dict(zip(df_tbl["term"], df_tbl["df"].astype(np.int64)))
+    df_ref = ray.put(df_map)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dfm = ray.get(df_ref)
+        b = b.reset_index(drop=True)
+        toks = b[text_col].fillna("").str.lower().str.findall(_WS_RE)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    id_col: [],
+                    "term": [],
+                    "tf": [],
+                    "tfidf_micros": [],
+                    "rank": [],
+                }
+            ).astype({id_col: "int64", "term": "object", "tf": "int64",
+                      "tfidf_micros": "int64", "rank": "int64"})
+        tf = ex.groupby([ex.index, ex.to_numpy(object)]).size()
+        rows = pd.DataFrame(
+            {
+                "_row": tf.index.get_level_values(0).to_numpy(),
+                "term": tf.index.get_level_values(1).to_numpy(object),
+                "tf": tf.to_numpy(np.int64),
+            }
+        )
+        dfs = rows["term"].map(dfm).to_numpy(np.float64)
+        sc = rows["tf"].to_numpy(np.float64) * np.log(n_docs / dfs)
+        rows["tfidf_micros"] = _round_away(sc * 1e6).astype(np.int64)
+        rows = rows.sort_values(
+            ["_row", "tfidf_micros", "term"], ascending=[True, False, True]
+        )
+        rows["rank"] = rows.groupby("_row").cumcount() + 1
+        rows = rows[rows["rank"] <= k]
+        ids = b[id_col].reset_index(drop=True)
+        rows[id_col] = ids.iloc[rows["_row"].to_numpy()].to_numpy()
+        return rows[[id_col, "term", "tf", "tfidf_micros", "rank"]]
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------------
+# deterministic global shuffle (training order)
+# ----------------------------------------------------------------------------
+
+
+def deterministic_shuffle(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    n_buckets_shift: int = 56,
+) -> Dataset:
+    """Reproducible global shuffle → (pos, doc_id): documents ordered by
+    md5-low64(doc_id) (tie → doc_id), each with its global position.
+
+    ``random_shuffle`` gives a *non-reproducible* order; training-data
+    pipelines want a SEEDED one (resume, ablations, exact replay across
+    runs). The md5 key is uniform, so ordering by it IS a shuffle — and the
+    key's top byte is an ordered range partition, so global positions come
+    from the packing-style two-level prefix sum: 256 bucket counts to the
+    driver, per-bucket sort + arange in parallel. Nothing wide moves except
+    (id, key) pairs.
+    """
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        keys = np.fromiter(
+            (_md5_hash64(str(int(i))) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "skey": keys,
+                "bucket": (keys >> np.uint64(n_buckets_shift)).astype(np.int64),
+            }
+        )
+
+    kt = ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    counts = (
+        kt.map_batches(
+            lambda b: b.groupby("bucket", as_index=False).size().rename(columns={"size": "c"}),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"bucket": g["bucket"].iloc[:1], "c": [np.int64(g["c"].sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offs = dict(
+        zip(
+            counts["bucket"].to_numpy(),
+            np.concatenate([[0], counts["c"].to_numpy().cumsum()[:-1]]).astype(np.int64),
+        )
+    )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", id_col])
+        base = offs[int(g["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "pos": base + np.arange(len(g), dtype=np.int64),
+                id_col: g[id_col].to_numpy(),
+            }
+        )
+
+    return kt.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------------
+# end-to-end curation pipeline
+# ----------------------------------------------------------------------------
+
+
+def curate(
+    ds: Dataset,
+    *,
+    min_words: int = 40,
+    keep_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """The flagship composed filter chain of a webtext curation run →
+    (doc_id, n_words, lang_pred, cluster_id, reason, keep).
+
+    ``reason`` is the FIRST failing gate, in the order a production
+    pipeline applies them (cheap → expensive): 'short' (token count below
+    ``min_words``), 'lang' (language-id ≠ ``keep_lang``), 'dup' (not the
+    canonical min-id copy of its exact-text cluster), else 'ok'
+    (``keep = 1``).
+
+    One streaming pass computes every per-doc signal (actor-pool language
+    id fused with token count and the sha1-low64 content hash), then ONE
+    narrow all-to-all — (id, n_words, lang_pred, hash) rows, text never
+    crosses the exchange — groups exact-text clusters to pick canonicals;
+    the verdict is vectorized ``np.select`` over the joined signals. The
+    same gates any real run would chain (quality → langid → dedup), here
+    composed as a single 2-stage Ray pipeline instead of three jobs.
+    """
+    from .dedup import _text_hash64
+    from .textstats import LangIdStage
+
+    withlang = ds.map_batches(LangIdStage, batch_format="pandas", concurrency=(1, 4))
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_words": texts.str.count(_WS_RE).to_numpy(np.int64),
+                "lang_pred": b["lang_pred"].to_numpy(),
+                "content_hash": _text_hash64(texts.tolist()),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").copy()
+        g["cluster_id"] = g[id_col].iloc[0]
+        return g
+
+    def verdict(b: pd.DataFrame) -> pd.DataFrame:
+        reason = np.select(
+            [
+                b["n_words"].to_numpy() < min_words,
+                b["lang_pred"].to_numpy(object) != keep_lang,
+                b[id_col].to_numpy() != b["cluster_id"].to_numpy(),
+            ],
+            ["short", "lang", "dup"],
+            default="ok",
+        )
+        out = b[[id_col, "n_words", "lang_pred", "cluster_id"]].copy()
+        out["reason"] = reason
+        out["keep"] = (reason == "ok").astype(np.int64)
+        return out
+
+    return (
+        withlang.map_batches(narrow, batch_format="pandas")
+        .groupby("content_hash")
+        .map_groups(pick, batch_format="pandas")
+        .map_batches(verdict, batch_format="pandas")
+    )
+
+
+# ----------------------------------------------------------------------------
+# deterministic weighted sampling (without replacement)
+# ----------------------------------------------------------------------------
+
+
+def weighted_sample(
+    ds: Dataset,
+    m: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``m`` rows,
+    P(pick) ∝ weight — the Efraimidis–Spirakis A-ES scheme with the random
+    uniform replaced by an md5-derived one, so the draw is exactly
+    replayable AND SQL-verifiable → (doc_id, weight, key_picos).
+
+    u_i = (md5low64(id) + 0.5) / 2⁶⁴ ∈ (0,1);  k_i = −ln(u_i) / w_i;
+    the m SMALLEST k_i win (equivalent to the classical u^(1/w) top-m).
+    The ordering key is pico-quantized (1e-12) before comparison so both
+    engines rank on the same integer regardless of last-ulp libm noise.
+
+    Scale shape: each batch keeps its local m smallest (vectorized
+    argpartition), the driver merges m·n_batches candidate rows — the
+    corpus is never sorted and never leaves the object store. This is the
+    importance-sampling / domain-balancing primitive (sample ∝ doc length,
+    ∝ quality score, ∝ inverse-domain-frequency …).
+    """
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        w = b[weight_col].to_numpy(np.float64)
+        h = np.fromiter(
+            (_md5_hash64(str(int(i))) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        key = -np.log(u) / w
+        kp = np.floor(key * 1e12 + 0.5).astype(np.int64)
+        take = min(m, len(ids))
+        part = np.argpartition(kp, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
+        order = part[np.lexsort((ids[part], kp[part]))]
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                "weight": w[order].astype(np.int64),
+                "key_picos": kp[order],
+            }
+        )
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["key_picos", id_col], kind="mergesort").head(m)
+    return cand.reset_index(drop=True)
