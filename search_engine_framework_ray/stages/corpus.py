@@ -129,9 +129,13 @@ def _batch_gram_counts(
     out = pd.DataFrame(
         {"gram": vc.index.to_numpy(object), "cnt": vc.to_numpy(np.int64)}
     )
-    out["bucket"] = np.fromiter(
-        (_md5_hash64(g) % n_buckets for g in out["gram"]), dtype=np.int64, count=len(out)
-    )
+    # bucket = deterministic VECTORIZED hash (fixed-key siphash); the bucket
+    # id only routes the reduce — it never reaches the result, so it needs
+    # cross-process determinism, not SQL reproducibility (md5 per gram in a
+    # Python loop was the 100k-corpus bottleneck)
+    out["bucket"] = (
+        pd.util.hash_array(out["gram"].to_numpy(object)) % np.uint64(n_buckets)
+    ).astype(np.int64)
     return out
 
 
@@ -203,11 +207,10 @@ def tfidf_topk(
         ).drop_duplicates()
         vc = uniq["term"].value_counts(sort=False)
         out = pd.DataFrame({"term": vc.index.to_numpy(object), "df": vc.to_numpy(np.int64)})
-        out["bucket"] = np.fromiter(
-            (_md5_hash64(t) % n_buckets for t in out["term"]),
-            dtype=np.int64,
-            count=len(out),
-        )
+        # routing-only bucket: vectorized fixed-key siphash (see ngram note)
+        out["bucket"] = (
+            pd.util.hash_array(out["term"].to_numpy(object)) % np.uint64(n_buckets)
+        ).astype(np.int64)
         return out
 
     def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
@@ -372,18 +375,23 @@ def curate(
 
     def narrow(b: pd.DataFrame) -> pd.DataFrame:
         texts = b[text_col].fillna("")
+        h = _text_hash64(texts.tolist())
         return pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(),
                 "n_words": texts.str.count(_WS_RE).to_numpy(np.int64),
                 "lang_pred": b["lang_pred"].to_numpy(),
-                "content_hash": _text_hash64(texts.tolist()),
+                "content_hash": h,
+                # coarse shuffle key — per-group dispatch over millions of
+                # singleton text clusters is the scale killer; one
+                # vectorized transform('min') per bucket is not
+                "bucket": (h.astype(np.uint64) % np.uint64(256)).astype(np.int64),
             }
         )
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort").copy()
-        g["cluster_id"] = g[id_col].iloc[0]
+        g["cluster_id"] = g.groupby("content_hash")[id_col].transform("min")
         return g
 
     def verdict(b: pd.DataFrame) -> pd.DataFrame:
@@ -403,7 +411,7 @@ def curate(
 
     return (
         withlang.map_batches(narrow, batch_format="pandas")
-        .groupby("content_hash")
+        .groupby("bucket")
         .map_groups(pick, batch_format="pandas")
         .map_batches(verdict, batch_format="pandas")
     )

@@ -38,23 +38,34 @@ def _text_hash64(texts) -> np.ndarray:
     return out
 
 
-def exact_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
-    """→ (id, content_hash, cluster_id, is_dup); cluster = identical text."""
+def exact_dedup(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 256
+) -> Dataset:
+    """→ (id, content_hash, cluster_id, is_dup); cluster = identical text.
+
+    The shuffle key is a COARSE bucket of the content hash, not the hash
+    itself: per-group Python dispatch over millions of singleton clusters
+    is the scale killer (measured ~3× at 100k docs), while one vectorized
+    ``groupby(...).transform('min')`` per bucket keeps the same narrow
+    exchange and does each bucket's cluster assignment in C."""
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[id_col, text_col]].copy()
         b["content_hash"] = _text_hash64(b[text_col].fillna("").tolist())
-        return b[[id_col, "content_hash"]]
+        b["bucket"] = (
+            b["content_hash"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return b[[id_col, "content_hash", "bucket"]]
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
-        g["cluster_id"] = g[id_col].iloc[0]
+        g = g.sort_values(id_col, kind="mergesort").copy()
+        g["cluster_id"] = g.groupby("content_hash")[id_col].transform("min")
         g["is_dup"] = g[id_col] != g["cluster_id"]
-        return g
+        return g[[id_col, "content_hash", "cluster_id", "is_dup"]]
 
     return (
         ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("content_hash")
+        .groupby("bucket")
         .map_groups(pick, batch_format="pandas")
     )
 

@@ -104,21 +104,32 @@ class LangIdStage:
         self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # Vectorized argmax over the per-language hit-rate matrix: one
+        # explode + one isin (hash probe) per language instead of a Python
+        # loop over documents. Semantics identical to the original per-doc
+        # scan — np.argmax takes the FIRST maximum, which equals the old
+        # strict-'>' scan over alphabetically sorted languages.
         out = batch.copy()
-        preds = []
-        for t in batch[self.text_col].fillna(""):
-            words = [w.lower() for w in self.word_re.findall(t)]
-            if not words:
-                preds.append("und")
-                continue
-            best, best_score = "und", 0.0
-            for lang in sorted(self.profiles):
-                prof = self.profiles[lang]
-                score = sum(1 for w in words if w in prof) / len(words)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best if best_score > 0.02 else "und")
-        out["lang_pred"] = preds
+        texts = batch[self.text_col].fillna("").reset_index(drop=True)
+        words = texts.str.lower().str.findall(self.word_re)
+        n_words = words.str.len().to_numpy(np.int64)
+        langs = sorted(self.profiles)
+        scores = np.zeros((len(texts), len(langs)), dtype=np.float64)
+        ex = words.explode().dropna()
+        if len(ex):
+            for j, lang in enumerate(langs):
+                hits = ex[ex.isin(self.profiles[lang])].groupby(level=0).size()
+                scores[hits.index.to_numpy(), j] = hits.to_numpy()
+        with np.errstate(invalid="ignore"):
+            scores = scores / np.where(n_words > 0, n_words, 1)[:, None]
+        best_j = scores.argmax(axis=1)
+        best_score = scores[np.arange(len(texts)), best_j]
+        pred = np.where(
+            (n_words > 0) & (best_score > 0.02),
+            np.asarray(langs, dtype=object)[best_j],
+            "und",
+        )
+        out["lang_pred"] = pred
         return out
 
 
