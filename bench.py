@@ -272,6 +272,14 @@ def run_bench() -> dict:
             ).count(),
         )
 
+        # ---- composed curation chain (langid -> quality -> dedup canonical) ----
+        from search_engine_framework_ray.stages.corpus import curate
+
+        timeit(
+            "curation",
+            lambda: curate(ray.data.read_parquet(docs_path)).count(),
+        )
+
         # ---- ANN ----
         from search_engine_framework_ray.stages.ann import brute_force_topk
 
