@@ -1028,6 +1028,75 @@ def q_embedding_clusters(sf_dir: str):
     return out[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True)
 
 
+def q_delta_bm25(sf_dir: str):
+    """Incremental indexing, oracle-verified: documents split 60/40 into a
+    base build + a delta `extend_index` append (new shards, docids continue,
+    global df/ctf and collection stats re-reduced from per-shard combiner
+    files), then the flagship BM25 query runs over the EXTENDED index. The
+    oracle is the same full-corpus SQL as `bm25_topk` — scores depend on
+    global stats and postings, not shard boundaries, so an exact hash match
+    proves the delta path rebuilt nothing and missed nothing."""
+    import pyarrow.parquet as pq_
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+        extend_index,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    import json
+    import shutil
+
+    from search_engine_framework_ray.state import index_layout as lay
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/sefr_indices/ext_{key}"
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    marker = json.dumps({"size": st.st_size, "mtime": st.st_mtime})
+    marker_p = os.path.join(root, "source.json")
+    if not (os.path.exists(marker_p) and open(marker_p).read() == marker):
+        shutil.rmtree(root, ignore_errors=True)  # stale cache → full redo
+        os.makedirs(root, exist_ok=True)
+        with open(marker_p, "w") as f:
+            f.write(marker)
+    base_p, delta_p = os.path.join(root, "base.parquet"), os.path.join(root, "delta.parquet")
+    if not (os.path.exists(base_p) and os.path.exists(delta_p)):
+        docs = pq_.read_table(src)
+        docs = docs.take(
+            pd.Series(docs["doc_id"].to_pandas()).sort_values().index.to_numpy()
+        )
+        cut = int(docs.num_rows * 0.6)
+        pq_.write_table(docs.slice(0, cut), base_p + ".tmp")
+        os.replace(base_p + ".tmp", base_p)
+        pq_.write_table(docs.slice(cut), delta_p + ".tmp")
+        os.replace(delta_p + ".tmp", delta_p)
+    idx = os.path.join(root, "index")
+    already_extended = os.path.exists(lay.stats_path(idx)) and lay.read_stats(idx).get(
+        "extended_meta"
+    )
+    if not already_extended:
+        build_index(
+            base_p, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=3
+        )
+    extend_index(delta_p, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=2)
+    res = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=100)["q"]
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score": [s for _, s, _ in res],
+        }
+    )
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return df[["doc_id", "score_micros"]].reset_index(drop=True)
+
+
 def q_curation(sf_dir: str):
     """Flagship composed curation chain (quality gate → language-id →
     exact-dedup canonical) in one streaming pass + one narrow shuffle;
@@ -1426,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "curation": q_curation,
         "weighted_sample": q_weighted_sample,
+        "delta_bm25": q_delta_bm25,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -2103,6 +2173,9 @@ def _curation_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        # same full-corpus truth — the engine side answered from an index
+        # built incrementally (base build + extend_index delta append)
+        "delta_bm25": _BM25_SQL,
         "ranked_and": f"""
             {_TOKS}, tf AS (
                 SELECT doc_id, tok, count(*) AS tf FROM toks

@@ -259,6 +259,13 @@ def build_index(
                 "resumed": True,
                 "stats": prev,
             }
+        if prev.get("extended_meta"):
+            # an extended index holds delta shards this build knows nothing
+            # about; a partial rebuild over them would corrupt the layout
+            raise ValueError(
+                "index_dir holds an extended index (extend_index deltas); "
+                "rebuild into a fresh directory or keep extending"
+            )
 
     read_cols = ["url", "lang"]
 
@@ -347,7 +354,57 @@ def build_index(
         ds = ds.map_batches(ExtractStage(verify_golden), batch_format="pyarrow")
     ds = ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
 
+    build_group = _make_build_group(
+        index_dir,
+        offsets,
+        analyzer,
+        block_size=block_size,
+        include_inlink=include_inlink,
+        include_forward=include_forward,
+    )
+
+    termstats = ds.groupby("part").map_groups(build_group, batch_format="pandas")
+    bucket_report = _reduce_termstats(termstats, index_dir)
+
+    n_docs, fields, built_shards = _collect_shard_stats(index_dir)
+    stats = {
+        "n_docs": n_docs,
+        "fields": fields,
+        "analyzer": analyzer.key(),
+        "num_shards": num_shards,
+        "block_size": block_size,
+        "termstats_buckets": TERMSTATS_BUCKETS,
+        "include_inlink": include_inlink,
+        "include_forward": include_forward,
+        "input_meta": input_meta,
+        "config_key": config_key,
+    }
+    write_stats(index_dir, stats)
+    return {
+        "n_docs": n_docs,
+        "num_shards": len(built_shards),
+        "n_term_buckets": int(len(bucket_report)),
+        "wall_s": round(time.monotonic() - t_start, 3),
+        "stats": stats,
+    }
+
+
+def _make_build_group(
+    index_dir: str,
+    offsets: dict[int, int],
+    analyzer: AnalyzerConfig,
+    *,
+    block_size: int,
+    include_inlink: bool,
+    include_forward: bool,
+    shard_of=None,
+):
+    """Factory for the per-partition SPIMI group builder. ``shard_of`` maps
+    the range-partition id to the on-disk shard number (identity for a fresh
+    build; base-offset for a delta extend)."""
     analyzer_key = analyzer.key()
+    if shard_of is None:
+        shard_of = lambda p: p  # noqa: E731
 
     def build_group(g: pd.DataFrame) -> pd.DataFrame:
         part = int(g["part"].iloc[0])
@@ -410,13 +467,14 @@ def build_index(
             + f";fwd={int(include_forward)}"
         )
 
-        man = read_manifest(index_dir, part)
+        shard = shard_of(part)
+        man = read_manifest(index_dir, shard)
         if man is not None and man.get("fingerprint") == fp:
-            ts = read_manifest_terms(index_dir, part)  # resume: reuse shard
+            ts = read_manifest_terms(index_dir, shard)  # resume: reuse shard
         else:
             ts = build_shard(
                 index_dir,
-                part,
+                shard,
                 offsets[part],
                 urls,
                 field_texts,
@@ -427,15 +485,18 @@ def build_index(
             ).to_pandas()
         return ts
 
-    termstats = ds.groupby("part").map_groups(build_group, batch_format="pandas")
+    return build_group
 
-    # Global (field, term) df/ctf. The per-shard SPIMI build already combined
-    # each term to ONE partial row per shard (the classic combiner — the
-    # skew/heavy-hitter answer: a Zipf-head term contributes ≤ num_shards
-    # rows here, never its raw postings). So the global reduce needs only ONE
-    # shuffle: hash-bucket by term, then a vectorized pandas sum inside each
-    # bucket task. (The general two-stage salted reduce lives in
-    # stages/aggregate.py for inputs whose partials are per-batch.)
+
+def _reduce_termstats(termstats, index_dir: str) -> pd.DataFrame:
+    """Global (field, term) df/ctf from per-shard partials. The per-shard
+    SPIMI build already combined each term to ONE partial row per shard (the
+    classic combiner — the skew/heavy-hitter answer: a Zipf-head term
+    contributes ≤ num_shards rows here, never its raw postings). So the
+    global reduce needs only ONE shuffle: hash-bucket by term, then a
+    vectorized pandas sum inside each bucket task. (The general two-stage
+    salted reduce lives in stages/aggregate.py for inputs whose partials
+    are per-batch.)"""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = [hash_det(t) % TERMSTATS_BUCKETS for t in batch["term"].to_pylist()]
@@ -464,8 +525,12 @@ def build_index(
     bucket_report = report_ds.to_pandas()
     if os.environ.get("GRAFT_BUILD_STATS"):
         print(report_ds.stats())
+    return bucket_report
 
-    # Collection stats from shard manifests (stats.json is the commit marker).
+
+def _collect_shard_stats(index_dir: str):
+    """Collection stats summed from every shard manifest on disk
+    (stats.json is the commit marker; manifests are the lineage record)."""
     n_docs = 0
     fields: dict[str, dict[str, int]] = {}
     built_shards = lay.list_shards(index_dir)
@@ -476,22 +541,196 @@ def build_index(
             agg = fields.setdefault(f, {"sum_doclen": 0, "doccount": 0})
             agg["sum_doclen"] += fs["sum_doclen"]
             agg["doccount"] += fs["doccount"]
-    stats = {
-        "n_docs": n_docs,
-        "fields": fields,
-        "analyzer": analyzer_key,
-        "num_shards": num_shards,
-        "block_size": block_size,
-        "termstats_buckets": TERMSTATS_BUCKETS,
-        "include_inlink": include_inlink,
-        "include_forward": include_forward,
-        "input_meta": input_meta,
-        "config_key": config_key,
-    }
+    return n_docs, fields, built_shards
+
+
+def extend_index(
+    corpus_paths: str | list[str],
+    index_dir: str,
+    *,
+    num_shards: int | None = None,
+    lang_filter: str | None = None,
+    analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+    verify_golden: bool = False,
+    plain_source: "PlainSource | None" = None,
+) -> dict:
+    """Incremental (delta) index append: add a new corpus to a COMMITTED
+    index as fresh shards, without touching the existing ones.
+
+    Scale rationale — at a 10¹²-doc corpus a daily crawl delta is ~0.1% of
+    the index; a full rebuild is a non-starter. The sharded layout makes
+    append natural:
+
+    * new docs build into NEW shards (ids continue after the existing
+      ones), docids continue after ``stats.n_docs`` — old postings are
+      never rewritten;
+    * global collection stats (doccount / sum_doclen per field) are
+      re-summed from ALL shard manifests (they were always derived that
+      way, so the update is exact);
+    * global (field, term) df/ctf is RECOMPUTED from every shard's
+      persisted ``terms.parquet`` (one partial row per term per shard) —
+      O(vocab·shards) work, not O(corpus), and idempotent: re-running a
+      crashed extend converges because shard fingerprints resume and the
+      reduce is a pure function of the on-disk shards.
+
+    Query-time scores over the extended index equal a from-scratch build
+    over the concatenated corpus (BM25/Indri depend on global stats and
+    per-doc postings, not shard boundaries) — that equality is the unit
+    test's oracle. Analyzer and layout parameters are pinned by the
+    existing ``stats.json``; a mismatched analyzer raises.
+
+    Assumes delta ids/urls are disjoint from the base corpus (the standard
+    append contract; duplicate urls would get two docids — run the dedup
+    stage upstream if the crawl can re-fetch).
+
+    Two documented divergences from a full rebuild:
+
+    * docids continue in APPEND order: a full rebuild assigns global url
+      rank, so if delta urls interleave with base urls the two builds give
+      different docids (scores and per-url postings are unaffected — and
+      for ``PlainSource`` tables, whose urls render the dense id, append
+      order IS url order and the builds are byte-identical);
+    * HTML inbound anchors crossing the base/delta boundary are not merged
+      (that would rewrite committed base shards); anchors within the delta
+      work normally. Equivalent to the standard "link graph refreshed on
+      major rebuilds" contract.
+    """
+    t_start = time.monotonic()
+    prev = lay.read_stats(index_dir)
+    if analyzer.key() != prev["analyzer"]:
+        raise ValueError(
+            f"analyzer mismatch: index built with {prev['analyzer']!r}, "
+            f"extend called with {analyzer.key()!r}"
+        )
+    block_size = prev["block_size"]
+    include_forward = prev["include_forward"]
+    include_inlink = prev["include_inlink"] and plain_source is None
+    if plain_source is not None:
+        verify_golden = False
+
+    delta_meta = _corpus_meta(corpus_paths)
+    extended = list(prev.get("extended_meta", []))
+    if delta_meta in extended:
+        return {
+            "n_docs": prev["n_docs"],
+            "num_shards": prev["num_shards"],
+            "new_shards": 0,
+            "wall_s": round(time.monotonic() - t_start, 3),
+            "resumed": True,
+            "stats": prev,
+        }
+
+    base_docs = prev["n_docs"]
+    shard_base = (max(lay.list_shards(index_dir)) + 1) if lay.list_shards(index_dir) else 0
+
+    # Pass 1 over the DELTA only: boundaries + per-partition counts (same
+    # deterministic machinery as the fresh build, scoped to the new docs).
+    if plain_source is not None:
+        url_ds = ray.data.read_parquet(corpus_paths, columns=[plain_source.id_col])
+        n_total = url_ds.count()
+        url_ds = url_ds.map_batches(plain_source.url_expr, batch_format="pyarrow")
+    else:
+        url_ds = ray.data.read_parquet(corpus_paths, columns=["url", "lang"])
+        if lang_filter:
+            url_ds = url_ds.map_batches(
+                lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
+                batch_format="pyarrow",
+            )
+        n_total = url_ds.count()
+    url_ds = url_ds.select_columns(["url"])
+    if n_total == 0:
+        raise ValueError("empty delta corpus after lang filter")
+    if num_shards is None:
+        total_bytes = sum(m[1] for m in delta_meta)
+        num_shards = max(1, -(-n_total // 20_000), -(-total_bytes // (96 << 20)))
+    sample, exhaustive = _deterministic_url_sample(url_ds, n_total)
+    cuts = [sample[int(len(sample) * k / num_shards)] for k in range(1, num_shards)]
+    if exhaustive:
+        edges = np.searchsorted(
+            np.array(sample, dtype=object), np.array(cuts, dtype=object), side="left"
+        )
+        edges = np.concatenate([[0], edges, [len(sample)]])
+        counts = {p: int(edges[p + 1] - edges[p]) for p in range(num_shards)}
+    else:
+        part_counts_df = (
+            url_ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
+            .groupby("part")
+            .count()
+            .to_pandas()
+        )
+        counts = dict(zip(part_counts_df["part"], part_counts_df["count()"]))
+    offsets: dict[int, int] = {}
+    acc = base_docs  # delta docids continue after the existing corpus
+    for p in range(num_shards):
+        offsets[p] = acc
+        acc += int(counts.get(p, 0))
+
+    # Pass 2: extract → partition → per-shard SPIMI build into NEW shards.
+    if plain_source is not None:
+        cols = [plain_source.id_col, plain_source.text_col]
+        for c in (
+            plain_source.title_col,
+            plain_source.keywords_col,
+            plain_source.url_field_col,
+            plain_source.inlink_col,
+        ):
+            if c:
+                cols.append(c)
+        ds = ray.data.read_parquet(corpus_paths, columns=cols)
+        ds = ds.map_batches(plain_source.to_doc_rows, batch_format="pyarrow")
+    else:
+        doc_cols = ["url", "html", "lang"] + (["text"] if verify_golden else [])
+        ds = ray.data.read_parquet(corpus_paths, columns=doc_cols)
+        if lang_filter:
+            ds = ds.map_batches(
+                lambda t, lf=lang_filter: t.filter(pa.compute.equal(t["lang"], lf)),
+                batch_format="pyarrow",
+            )
+        ds = ds.map_batches(ExtractStage(verify_golden), batch_format="pyarrow")
+    ds = ds.map_batches(_assign_part(cuts), batch_format="pyarrow")
+
+    build_group = _make_build_group(
+        index_dir,
+        offsets,
+        analyzer,
+        block_size=block_size,
+        include_inlink=include_inlink,
+        include_forward=include_forward,
+        shard_of=lambda p, base=shard_base: base + p,
+    )
+    # drive the delta build; its partials are NOT the global reduce input
+    # (that must cover every shard), so only consume for effects
+    ds.groupby("part").map_groups(build_group, batch_format="pandas").count()
+
+    # Idempotent global termstats: re-reduce from EVERY shard's persisted
+    # per-shard combiner output.
+    term_paths = [
+        os.path.join(lay.shard_dir(index_dir, s), "terms.parquet")
+        for s in lay.list_shards(index_dir)
+    ]
+    all_terms = ray.data.read_parquet(term_paths, columns=["field", "term", "df", "ctf"])
+    bucket_report = _reduce_termstats(all_terms, index_dir)
+
+    n_docs, fields, built_shards = _collect_shard_stats(index_dir)
+    extended.append(delta_meta)
+    stats = dict(prev)
+    stats.update(
+        {
+            "n_docs": n_docs,
+            "fields": fields,
+            "num_shards": len(built_shards),
+            "extended_meta": extended,
+            # any config_key computed by build_index() can never match an
+            # extended index — its fast path falls through to the explicit
+            # extended-index guard instead of claiming a resume
+            "config_key": prev["config_key"] + f";ext={len(extended)}",
+        }
+    )
     write_stats(index_dir, stats)
     return {
         "n_docs": n_docs,
         "num_shards": len(built_shards),
+        "new_shards": num_shards,
         "n_term_buckets": int(len(bucket_report)),
         "wall_s": round(time.monotonic() - t_start, 3),
         "stats": stats,
