@@ -1028,14 +1028,12 @@ def q_embedding_clusters(sf_dir: str):
     return out[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True)
 
 
-def q_delta_bm25(sf_dir: str):
-    """Incremental indexing, oracle-verified: documents split 60/40 into a
-    base build + a delta `extend_index` append (new shards, docids continue,
-    global df/ctf and collection stats re-reduced from per-shard combiner
-    files), then the flagship BM25 query runs over the EXTENDED index. The
-    oracle is the same full-corpus SQL as `bm25_topk` — scores depend on
-    global stats and postings, not shard boundaries, so an exact hash match
-    proves the delta path rebuilt nothing and missed nothing."""
+def _extended_index(sf_dir: str) -> str:
+    """Build (cached) the incrementally-built index: documents split 60/40
+    into a base `build_index` + a delta `extend_index` append (new shards,
+    docids continue, global df/ctf and collection stats re-reduced from
+    per-shard combiner files). Returns the index path; the cache root also
+    hosts the compacted copy (`q_compact_bm25`)."""
     import pyarrow.parquet as pq_
 
     from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
@@ -1044,8 +1042,6 @@ def q_delta_bm25(sf_dir: str):
         build_index,
         extend_index,
     )
-    from search_engine_framework_ray.query.executor import run_queries
-    from search_engine_framework_ray.query.models import ModelParams
 
     import json
     import shutil
@@ -1083,6 +1079,15 @@ def q_delta_bm25(sf_dir: str):
             base_p, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=3
         )
     extend_index(delta_p, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=2)
+    return idx
+
+
+def _flagship_bm25_over(idx: str) -> pd.DataFrame:
+    """The flagship BM25 query (same terms/shape as `bm25_topk`) over an
+    arbitrary on-disk index."""
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
     res = run_queries(idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=100)["q"]
     df = pd.DataFrame(
         {
@@ -1095,6 +1100,95 @@ def q_delta_bm25(sf_dir: str):
         ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
     ).head(20)
     return df[["doc_id", "score_micros"]].reset_index(drop=True)
+
+
+def q_delta_bm25(sf_dir: str):
+    """Incremental indexing, oracle-verified: the flagship BM25 query over
+    the EXTENDED index (see `_extended_index`). The oracle is the same
+    full-corpus SQL as `bm25_topk` — scores depend on global stats and
+    postings, not shard boundaries, so an exact hash match proves the delta
+    path rebuilt nothing and missed nothing."""
+    return _flagship_bm25_over(_extended_index(sf_dir))
+
+
+def q_compact_bm25(sf_dir: str):
+    """Index compaction, oracle-verified: the base+delta extended index
+    (5 shards) is compacted into 2 consolidated shards in a NEW directory
+    (`pipelines/compact.py` — one Ray task per output shard, single-source
+    posting lists byte-copied, multi-source lists concatenated and
+    re-encoded with fresh skip blocks), then the flagship BM25 query runs
+    over the COMPACTED index. Same full-corpus SQL oracle as `bm25_topk`:
+    a hash match proves compaction changed nothing logical."""
+    from search_engine_framework_ray.pipelines.compact import compact_index
+
+    idx = _extended_index(sf_dir)
+    out = os.path.join(os.path.dirname(idx), "compacted")
+    compact_index(idx, out, num_shards=2)
+    return _flagship_bm25_over(out)
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (stages/graph.py) over a deterministic link
+    graph derived from the documents table: each doc links to
+    ``(id*7+1) % N``, docs with ``id%3>=1`` also to ``(id*13+5) % N``, and
+    docs with ``id%3>=2`` to ``(id*31+11) % N`` (dense 0-based ids keep
+    every target in-domain). Three power iterations in exact int64
+    micro-unit arithmetic — bit-reproducible across partitionings, so the
+    DuckDB twin hash-matches. Produces the per-document score table the
+    reference's LeToR consumes from a file (LearnToRank.java pagerank
+    feature; `pipelines/letor.py:read_score_file`)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import pagerank
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()  # metadata-only on an untransformed read
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        d1, d2 = d[d % 3 >= 1], d[d % 3 >= 2]
+        src = np.concatenate([d, d1, d2])
+        dst = np.concatenate([(d * 7 + 1) % n, (d1 * 13 + 5) % n, (d2 * 31 + 11) % n])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    out = pagerank(edges, nodes=nodes, iters=3).to_pandas()
+    out = out.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "rank_micros"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "rank_micros"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact duplicate-substring removal (stages/dedup.py substring_dedup —
+    the Lee et al. 2022 suffix-array dedup re-expressed on hashed token
+    8-grams): every non-first occurrence of an 8-token span is cut out,
+    overlapping spans merged. Output is (doc_id, n_removed, clean_text)
+    with clean_text rebuilt canonical-whitespace; the DuckDB twin groups by
+    the literal gram string, so a hash match also certifies the engine's
+    64-bit gram hashing collision-free on this corpus."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import substring_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = substring_dedup(ds, min_len=8).to_pandas()
+    for c in ("doc_id", "n_removed"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "n_removed", "clean_text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
 
 
 def q_curation(sf_dir: str):
@@ -1489,6 +1583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "cross_dup": q_cross_dup,
         "source_stats": q_source_stats,
+        "pagerank": q_pagerank,
+        "substring_dedup": q_substring_dedup,
         "ngram_topk": q_ngram_topk,
         "tfidf_topk": q_tfidf_topk,
         "docs_shuffle": q_docs_shuffle,
@@ -1496,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "weighted_sample": q_weighted_sample,
         "delta_bm25": q_delta_bm25,
+        "compact_bm25": q_compact_bm25,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -2170,12 +2267,98 @@ def _curation_sql() -> str:
     """
 
 
+# PageRank twin: same deterministic link graph, same exact int64 micro-unit
+# arithmetic (floor division per edge, damped integer update), 3 unrolled
+# power iterations. SUM(BIGINT) is HUGEINT in DuckDB — every intermediate is
+# integral, so the comparison is bit-exact, not tolerance-based.
+_PAGERANK_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % n FROM documents, nn WHERE doc_id % 3 >= 1
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 11) % n FROM documents, nn WHERE doc_id % 3 >= 2
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nd AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+c1 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+r1 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c1.s, 0) // 100 AS BIGINT) AS r
+       FROM nd LEFT JOIN c1 USING (node)),
+c2 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r2 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c2.s, 0) // 100 AS BIGINT) AS r
+       FROM nd LEFT JOIN c2 USING (node)),
+c3 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r3 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c3.s, 0) // 100 AS BIGINT) AS r
+       FROM nd LEFT JOIN c3 USING (node))
+SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "pagerank": _PAGERANK_SQL,
+        # duplicate-substring removal: positional 8-gram first-occurrence
+        # semantics over the literal gram strings (engine side uses 64-bit
+        # gram hashes; a hash match certifies them collision-free here).
+        # ORIGINAL-case tokens — span surgery must not alter kept text.
+        "substring_dedup": r"""
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
+toks AS (
+    SELECT doc_id, l[i] AS tok, i AS pos
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+),
+grams AS (
+    SELECT doc_id, pos,
+           string_agg(tok, ' ') OVER w AS g,
+           count(*) OVER w AS w_n
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+),
+g8 AS (SELECT doc_id, pos, g FROM grams WHERE w_n = 8),
+ranked AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM g8
+),
+dups AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+removed AS (
+    SELECT DISTINCT t.doc_id, t.pos
+    FROM toks t JOIN dups d
+      ON t.doc_id = d.doc_id AND t.pos BETWEEN d.pos AND d.pos + 7
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM toks t LEFT JOIN removed r USING (doc_id, pos)
+    WHERE r.pos IS NULL
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+rem_n AS (SELECT doc_id, count(*) AS n_removed FROM removed GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN rem_n r USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
         # same full-corpus truth — the engine side answered from an index
         # built incrementally (base build + extend_index delta append)
         "delta_bm25": _BM25_SQL,
+        # same again — the engine side answered from the COMPACTED copy of
+        # the extended index (shard merge must change nothing logical)
+        "compact_bm25": _BM25_SQL,
         "ranked_and": f"""
             {_TOKS}, tf AS (
                 SELECT doc_id, tok, count(*) AS tf FROM toks

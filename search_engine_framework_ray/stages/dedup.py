@@ -822,3 +822,142 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     inter = np.intersect1d(sa, sb).size
     union = sa.size + sb.size - inter
     return inter / union if union else 0.0
+
+
+def substring_dedup(
+    ds: Dataset,
+    *,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    doc_buckets: int = 64,
+) -> Dataset:
+    """Exact duplicate-substring REMOVAL (span surgery, the suffix-array
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", re-expressed on hashed token n-grams): every occurrence
+    of a ``min_len``-token span whose exact token sequence appeared earlier
+    in the corpus (global first = minimal ``(doc_id, pos)``) has its tokens
+    removed; overlapping duplicated spans merge. Returns a Dataset
+    ``(id_col, n_removed, clean_text)`` where ``clean_text`` is the kept
+    tokens joined by single spaces (canonical-whitespace rebuild).
+
+    Execution shape, O(tokens) rows through TWO narrow shuffles and never
+    the corpus on the driver:
+
+    1. ``map_batches``: per doc, RE2-aligned tokens → rolling degree-
+       ``min_len`` polynomial over per-word siphashes (the `_shingles`
+       machinery, kept positional) → ``(gram_hash, doc_id, pos)`` rows.
+    2. ``groupby(hash % n_buckets).map_groups``: vectorized sort per
+       bucket; every non-first occurrence of a gram emits ``(doc_id,
+       pos)`` — output is only the DUPLICATED grams (tiny vs corpus).
+    3. Tagged union of the docs and the dup positions, one
+       ``groupby(doc_id % doc_buckets)`` co-partition, then a vectorized
+       interval-merge (difference array + cumsum) cuts the spans per doc.
+
+    Gram identity is a 64-bit hash of the token sequence; the SQL oracle
+    groups by the literal gram string — collisions (~n_grams²/2⁶⁴, same
+    budget as the MinHash/SimHash sketches) are the only divergence risk.
+    """
+    from .textstats import RE2_TOKEN_RE
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        docs_out, pos_out, h_out = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            words = RE2_TOKEN_RE.findall(text or "")
+            m = len(words) - min_len + 1
+            if m <= 0:
+                continue
+            h = pd.util.hash_array(np.asarray(words, dtype=object))
+            acc = np.zeros(m, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(min_len):
+                    acc = acc * _POLY + h[j : j + m]
+            docs_out.append(np.full(m, doc_id, dtype=np.int64))
+            pos_out.append(np.arange(1, m + 1, dtype=np.int64))  # 1-based
+            h_out.append(acc)
+        if not docs_out:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="uint64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
+        h_all = np.concatenate(h_out)
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(docs_out),
+                "pos": np.concatenate(pos_out),
+                "h": h_all,
+                "bucket": (h_all % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    def find_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col, "pos"], kind="mergesort")
+        dup = g.loc[g["h"].duplicated(), [id_col, "pos"]]
+        return dup
+
+    dups = (
+        ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(find_dups, batch_format="pandas")
+    )
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "pos": np.int64(-1),
+                "text": batch[text_col],
+                "dbucket": (batch[id_col].to_numpy() % doc_buckets).astype(np.int64),
+            }
+        )
+
+    def tag_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].astype("int64"),
+                "pos": batch["pos"].astype("int64"),
+                "text": pd.Series([None] * len(batch), dtype="object"),
+                "dbucket": (batch[id_col].to_numpy() % doc_buckets).astype(np.int64),
+            }
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pandas").union(
+        dups.map_batches(tag_dups, batch_format="pandas")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0]
+        dup_pos = g[g["pos"] > 0]
+        by_doc = {k: v["pos"].to_numpy() for k, v in dup_pos.groupby(id_col)}
+        ids, n_rem, texts = [], [], []
+        for doc_id, text in zip(docs[id_col], docs["text"]):
+            words = np.asarray(RE2_TOKEN_RE.findall(text or ""), dtype=object)
+            n = len(words)
+            ps = by_doc.get(doc_id)
+            if ps is None or n == 0:
+                ids.append(doc_id)
+                n_rem.append(0)
+                texts.append(" ".join(words))
+                continue
+            diff = np.zeros(n + 1, dtype=np.int64)
+            p0 = ps - 1  # to 0-based
+            np.add.at(diff, p0, 1)
+            np.add.at(diff, np.minimum(p0 + min_len, n), -1)
+            mask = np.cumsum(diff[:n]) > 0
+            ids.append(doc_id)
+            n_rem.append(int(mask.sum()))
+            texts.append(" ".join(words[~mask]))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_removed": pd.Series(n_rem, dtype="int64"),
+                "clean_text": texts,
+            }
+        )
+
+    return tagged.groupby("dbucket").map_groups(rebuild, batch_format="pandas")

@@ -1,0 +1,63 @@
+"""PageRank (stages/graph.py): exact int64 micro-unit arithmetic vs a
+pure-Python reference, dangling nodes, and node-universe handling."""
+
+from collections import Counter
+
+import ray.data
+
+from search_engine_framework_ray.stages.graph import pagerank
+
+
+def ref_pagerank(edges, nodes, iters=3):
+    """Same integer arithmetic, single-threaded: rank//deg per edge,
+    150000 + 85*s//100 damped update, all int."""
+    deg = Counter(s for s, _ in edges)
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(iters):
+        c: dict = {}
+        for s, d in edges:
+            if s in r:
+                c[d] = c.get(d, 0) + r[s] // deg[s]
+        universe = set(nodes) | set(c)
+        r = {v: 150_000 + 85 * c.get(v, 0) // 100 for v in universe}
+    return dict(sorted(r.items()))
+
+
+def _run(edges, nodes, iters=3):
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    n = ray.data.from_items([{"node": v} for v in nodes]) if nodes is not None else None
+    out = pagerank(e, nodes=n, iters=iters, num_partitions=2).to_pandas()
+    return dict(
+        sorted(zip(out["node"].astype(int), out["rank_micros"].astype(int)))
+    )
+
+
+def test_pagerank_matches_integer_reference(ray_session):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 0), (4, 3)]
+    nodes = [0, 1, 2, 3, 4]
+    assert _run(edges, nodes) == ref_pagerank(edges, nodes)
+
+
+def test_pagerank_dangling_and_unlinked_nodes(ray_session):
+    # node 3 dangles (no out-edges), node 4 is fully isolated: both must
+    # stay in the rank vector (4 at the pure-teleport value after iter 1)
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3)]
+    nodes = [0, 1, 2, 3, 4]
+    got = _run(edges, nodes)
+    assert got == ref_pagerank(edges, nodes)
+    assert got[4] == 150_000  # teleport-only mass
+
+
+def test_pagerank_derives_node_universe_from_edges(ray_session):
+    edges = [(0, 1), (1, 0), (1, 2)]
+    got = _run(edges, nodes=None)
+    assert set(got) == {0, 1, 2}
+    assert got == ref_pagerank(edges, [0, 1, 2])
+
+
+def test_pagerank_single_iteration_closed_cycle(ray_session):
+    # a 3-cycle: every node keeps exactly the full mass through any number
+    # of iterations (1_000_000 → 150000 + 85% = 1_000_000)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = _run(edges, [0, 1, 2], iters=4)
+    assert got == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
