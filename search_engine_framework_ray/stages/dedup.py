@@ -907,22 +907,26 @@ def substring_dedup(
     )
 
     def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        # positional numpy columns only — incoming blocks carry arbitrary
+        # pandas indices, and mixing them with fresh Series misaligns rows
+        ids = batch[id_col].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
-                id_col: batch[id_col].astype("int64"),
-                "pos": np.int64(-1),
-                "text": batch[text_col],
-                "dbucket": (batch[id_col].to_numpy() % doc_buckets).astype(np.int64),
+                id_col: ids,
+                "pos": np.full(len(ids), -1, dtype=np.int64),
+                "text": batch[text_col].to_numpy(),
+                "dbucket": (ids % doc_buckets).astype(np.int64),
             }
         )
 
     def tag_dups(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
-                id_col: batch[id_col].astype("int64"),
-                "pos": batch["pos"].astype("int64"),
-                "text": pd.Series([None] * len(batch), dtype="object"),
-                "dbucket": (batch[id_col].to_numpy() % doc_buckets).astype(np.int64),
+                id_col: ids,
+                "pos": batch["pos"].to_numpy().astype(np.int64),
+                "text": np.full(len(ids), None, dtype=object),
+                "dbucket": (ids % doc_buckets).astype(np.int64),
             }
         )
 
