@@ -255,6 +255,26 @@ def q_term_stats(sf_dir: str):
     return df.sort_values("term", kind="mergesort").reset_index(drop=True)
 
 
+def q_postings_export(sf_dir: str):
+    """Full index-integrity check: decode EVERY body posting of the plain
+    index back into a (term, doc_id, tf) table (pipelines/export.py — one
+    decode task per shard) and hash-compare it against direct SQL
+    tokenization. Strictly stronger than `term_stats` (which only checks
+    the df/ctf sums): this certifies the postings content — docids, term
+    frequencies, and the codec round-trip — byte-for-byte."""
+    from search_engine_framework_ray.pipelines.export import export_postings
+
+    idx = _docs_index(sf_dir)
+    out = export_postings(idx, field="body").to_pandas()
+    out["doc_id"] = out["url"].str[3:].astype("int64")
+    out["tf"] = out["tf"].astype("int64")
+    return (
+        out[["term", "doc_id", "tf"]]
+        .sort_values(["term", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def q_doclen_stats(sf_dir: str):
     """Per-doc body doclen from the index doclens sidecar (DocLengthStore
     equivalent)."""
@@ -1558,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indri_wand": q_indri_wand,
         "indri_wsum": q_indri_wsum,
         "term_stats": q_term_stats,
+        "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
         "syn_root_tf": q_syn_root_tf,
@@ -2433,6 +2454,13 @@ ORDER BY d.doc_id
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
                    CAST(count(*) AS BIGINT) AS ctf
             FROM toks GROUP BY tok ORDER BY term
+        """,
+        # full postings content (every (term, doc, tf) cell of the inverted
+        # index) — the engine side decoded it back out of the varbyte shards
+        "postings_export": f"""
+            {_TOKS}
+            SELECT tok AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY tok, doc_id ORDER BY term, doc_id
         """,
         "doclen_stats": f"""
             {_TOKS}
