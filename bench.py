@@ -272,6 +272,16 @@ def run_bench() -> dict:
             ).count(),
         )
 
+        from search_engine_framework_ray.stages.dedup import substring_dedup
+
+        timeit(
+            "dedup_substring",
+            lambda: substring_dedup(
+                ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+                min_len=8,
+            ).count(),
+        )
+
         # ---- composed curation chain (langid -> quality -> dedup canonical) ----
         from search_engine_framework_ray.stages.corpus import curate
 

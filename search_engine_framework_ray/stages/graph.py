@@ -36,7 +36,30 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-__all__ = ["pagerank"]
+__all__ = ["link_graph", "pagerank"]
+
+
+def link_graph(corpus_paths: str | list[str]) -> ray.data.Dataset:
+    """Anchor edge list ``(src, dst)`` (source url → link target) from a
+    Common-Crawl-shaped HTML corpus, via the same ``ExtractStage`` the
+    index build uses (one streaming pass, html dropped at extraction).
+    Feeds :func:`pagerank` directly — node ids are urls (string keys work:
+    every key operation is a join/groupby, only rank values do arithmetic)
+    — completing the crawl → link graph → PageRank → LeToR-feature-file
+    lifecycle the reference starts from a precomputed score file
+    (LearnToRank.java pagerank feature)."""
+    from ..pipelines.build_index import ExtractStage
+
+    ds = ray.data.read_parquet(corpus_paths, columns=["url", "html", "lang"])
+    ds = ds.map_batches(ExtractStage(), batch_format="pyarrow")
+
+    def edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["kind"], "a"))
+        return pa.table({"src": t["src"], "dst": t["url"]})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
 
 
 def pagerank(

@@ -61,3 +61,29 @@ def test_pagerank_single_iteration_closed_cycle(ray_session):
     edges = [(0, 1), (1, 2), (2, 0)]
     got = _run(edges, [0, 1, 2], iters=4)
     assert got == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+
+
+def test_pagerank_string_nodes(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    out = pagerank(e, iters=2, num_partitions=2).to_pandas()
+    got = dict(zip(out["node"], out["rank_micros"].astype(int)))
+    assert got == ref_pagerank(edges, ["a", "b", "c"], iters=2)
+
+
+def test_link_graph_pagerank_over_html_corpus(ray_session, tmp_path):
+    """crawl → anchor extraction → PageRank over urls, end-to-end on the
+    deterministic synthetic corpus; checked against the single-threaded
+    integer reference on the SAME extracted edges."""
+    from search_engine_framework_ray.sources.corpus import synthesize_corpus
+    from search_engine_framework_ray.stages.graph import link_graph
+
+    corpus = str(tmp_path / "corpus")
+    synthesize_corpus(corpus, n_docs=200, n_files=4, seed=7)
+    edges_ds = link_graph(corpus).materialize()
+    edges = [(r["src"], r["dst"]) for r in edges_ds.take_all()]  # small fixture
+    assert len(edges) > 50  # the synthesizer emits anchors
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    got_df = pagerank(edges_ds, iters=3, num_partitions=2).to_pandas()
+    got = dict(zip(got_df["node"], got_df["rank_micros"].astype(int)))
+    assert got == ref_pagerank(edges, nodes)
