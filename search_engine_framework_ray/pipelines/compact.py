@@ -33,10 +33,10 @@ Design for 10¹²-doc scale:
   completed compaction is recognized by ``compact_key`` in stats.json.
 
 The reference engine (Jiacli/search-engine-framework) delegates index
-storage to Lucene, whose background segment merging this operator
-re-expresses for the sharded Ray-native layout (semantics per
-``Idx.java`` / ``IdxReader.java``: one logical index regardless of
-physical segmentation).
+storage to Lucene (``QryEval.java:54,102`` — one ``IndexReader`` over a
+``DirectoryReader``-opened index, logical view independent of physical
+segmentation); Lucene's background segment merging is the operation this
+module re-expresses for the sharded Ray-native layout.
 """
 
 from __future__ import annotations

@@ -16,9 +16,11 @@ file is decoded exactly once, sequentially); output rows stream through
 the object store, never the driver. Decoding skips positions
 (``with_positions=False`` reads only the docid/tf streams).
 
-Reference parity note: the reference exposes the same traversal as
-Lucene's ``TermsEnum``/``PostingsEnum`` iteration (``IdxReader.java``);
-this is that surface as a Dataset.
+Reference parity note: the reference traverses postings through Lucene's
+term/postings enumeration (``InvList.java`` constructs an in-memory
+inverted list per term from the Lucene index; ``QryEval.java:54`` owns the
+reader); this is that traversal surface as a Dataset over every term at
+once.
 """
 
 from __future__ import annotations
