@@ -90,6 +90,8 @@ def run_bench() -> dict:
         "dedup_exact": 1.2,
         "dedup_minhash": 3.7,
         "dedup_simhash": 2.9,
+        "dedup_substring": 4.8,
+        "curation": 5.2,
         "ann_brute_8q": 0.47,
         "window_tumbling": 2.6,
         "window_sliding": 1.9,
