@@ -305,6 +305,17 @@ def compact_index(
         .to_pandas()
     )
 
+    # A crashed earlier compaction with a DIFFERENT grouping may have left
+    # shards beyond this plan's range; list_shards scans directories, so
+    # stale survivors would double-count docs at query time — drop them.
+    for sid in lay.list_shards(out_dir):
+        if sid >= len(groups):
+            shutil.rmtree(lay.shard_dir(out_dir, sid), ignore_errors=True)
+            try:
+                os.remove(lay.docmap_path(out_dir, sid))
+            except FileNotFoundError:
+                pass
+
     # Global termstats are a pure function of per-term (df, ctf) sums, which
     # merging preserves — copy the bucket files verbatim.
     src_ts, dst_ts = lay.termstats_dir(index_dir), lay.termstats_dir(out_dir)

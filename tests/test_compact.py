@@ -156,3 +156,19 @@ def test_extend_after_compact(indices, corpora, tmp_path_factory):
         assert run_queries(out2, QS, ModelParams(model=model)) == run_queries(
             full_dir, QS, ModelParams(model=model)
         )
+
+
+def test_recompact_different_width_cleans_stale_shards(indices, tmp_path_factory):
+    """A directory first compacted to 3 shards then re-compacted to 2 (the
+    crashed-with-different-plan shape) must not leave shard 2 behind —
+    list_shards scans directories, so a stale survivor would double-count."""
+    ext_dir, _, full_dir, _ = indices
+    out3 = str(tmp_path_factory.mktemp("cmp3") / "index")
+    compact_index(ext_dir, out3, num_shards=3)
+    assert len(list_shards(out3)) == 3
+    compact_index(ext_dir, out3, num_shards=2)
+    assert len(list_shards(out3)) == 2
+    assert read_stats(out3)["n_docs"] == 500
+    assert run_queries(out3, QS, ModelParams(model="BM25")) == run_queries(
+        full_dir, QS, ModelParams(model="BM25")
+    )
