@@ -1186,6 +1186,24 @@ def q_pagerank(sf_dir: str):
     return out[["doc_id", "rank_micros"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_collocations(sf_dir: str):
+    """Top-20 bigram collocations by exact integer LIFT (= exp(PMI) · 10⁶,
+    `stages/corpus.py collocations`): cnt·N·10⁶ // (cx·cy) — log-free
+    ranking any SQL engine reproduces bit-for-bit. Four vocab-scale
+    shuffles, corpus read twice, driver sees k·B rows."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import collocations
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    out = collocations(ds, k=20, min_count=5)
+    for c in ("cnt", "lift_micros"):
+        out[c] = out[c].astype("int64")
+    return out[["gram", "cnt", "lift_micros"]].reset_index(drop=True)
+
+
 def q_substring_dedup(sf_dir: str):
     """Exact duplicate-substring removal (stages/dedup.py substring_dedup —
     the Lee et al. 2022 suffix-array dedup re-expressed on hashed token
@@ -1606,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q_source_stats,
         "pagerank": q_pagerank,
         "substring_dedup": q_substring_dedup,
+        "collocations": q_collocations,
         "ngram_topk": q_ngram_topk,
         "tfidf_topk": q_tfidf_topk,
         "docs_shuffle": q_docs_shuffle,
@@ -2324,6 +2343,27 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "pagerank": _PAGERANK_SQL,
+        # top-20 bigram collocations by exact integer lift (= exp(PMI)·1e6):
+        # cnt·N·1e6 // (cx·cy) — both engines rank on the same integers
+        "collocations": f"""
+            {_POS_TOKS},
+            uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            nn AS (SELECT count(*) AS n FROM toks),
+            bi AS (
+                SELECT t1.tok AS x, t2.tok AS y, count(*) AS cnt
+                FROM toks t1 JOIN toks t2
+                  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                GROUP BY t1.tok, t2.tok HAVING count(*) >= 5
+            )
+            SELECT bi.x || ' ' || bi.y AS gram,
+                   CAST(bi.cnt AS BIGINT) AS cnt,
+                   CAST(bi.cnt * nn.n * 1000000 // (ux.c * uy.c) AS BIGINT)
+                       AS lift_micros
+            FROM bi, nn
+            JOIN uni ux ON ux.tok = bi.x
+            JOIN uni uy ON uy.tok = bi.y
+            ORDER BY lift_micros DESC, gram ASC LIMIT 20
+        """,
         # duplicate-substring removal: positional 8-gram first-occurrence
         # semantics over the literal gram strings (engine side uses 64-bit
         # gram hashes; a hash match certifies them collision-free here).

@@ -469,3 +469,177 @@ def weighted_sample(
     cand = ds.map_batches(local, batch_format="pandas").to_pandas()
     cand = cand.sort_values(["key_picos", id_col], kind="mergesort").head(m)
     return cand.reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------------
+# collocation mining (PMI / lift over bigrams)
+# ----------------------------------------------------------------------------
+
+
+def collocations(
+    ds: Dataset,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Corpus-wide top-``k`` bigram collocations by LIFT (= exp(PMI):
+    ``P(xy) / (P(x)·P(y))``), the word2vec-era phrase-mining signal →
+    ``(gram, cnt, lift_micros)`` ordered by (lift desc, gram asc).
+
+    The ranking key is the exact integer
+    ``cnt · N · 10⁶ // (cx · cy)`` (N = corpus token count, cx/cy = unigram
+    counts) — no logs, no floats, so any SQL engine ranks identically.
+    Overflow bound: ``cnt · N · 10⁶ < 2⁶³`` ⇒ fine to ~3·10⁶ tokens ·
+    3·10⁶ top-gram count; beyond that, promote the multiply to Python ints
+    (the candidate table is small by then — min_count prunes the tail).
+
+    Distribution shape — four narrow, vocab-scale shuffles, corpus text
+    touched exactly twice and never on the driver:
+
+    1. per-batch unigram partials → bucket reduce = full (word, c) table
+       (+ the corpus token count N via a distributed sum);
+    2. per-batch bigram partials → bucket reduce, ``min_count`` filter ⇒
+       candidates; each emits two (word-keyed) probe rows;
+    3. probes co-partitioned WITH the unigram table on the same word
+       buckets (tagged union — no join actors) pick up cx/cy;
+    4. gram-bucket combine computes lift, local top-k per bucket, k·B-row
+       driver merge (the `ngram_topk` pattern).
+    """
+
+    def reduce_full(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", as_index=False)["cnt"].sum()
+        tot["bucket"] = g["bucket"].iloc[0]
+        return tot
+
+    uni = (
+        ds.map_batches(
+            lambda b: _batch_gram_counts(b, 1, text_col, n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(reduce_full, batch_format="pandas")
+        .materialize()
+    )
+    n_tokens = int(uni.sum("cnt"))
+
+    def bi_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", as_index=False)["cnt"].sum()
+        tot = tot[tot["cnt"] >= min_count]
+        if not len(tot):
+            return pd.DataFrame(
+                {
+                    "word": pd.Series(dtype="object"),
+                    "gram": pd.Series(dtype="object"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="object"),
+                    "wbucket": pd.Series(dtype="int64"),
+                }
+            )
+        xy = tot["gram"].str.split(" ", n=1, expand=True)
+        probes = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "word": xy[0].to_numpy(object),
+                        "gram": tot["gram"].to_numpy(object),
+                        "cnt": tot["cnt"].to_numpy(np.int64),
+                        "kind": "x",
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "word": xy[1].to_numpy(object),
+                        "gram": tot["gram"].to_numpy(object),
+                        "cnt": tot["cnt"].to_numpy(np.int64),
+                        "kind": "y",
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        probes["wbucket"] = (
+            pd.util.hash_array(probes["word"].to_numpy(object)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return probes
+
+    probes = (
+        ds.map_batches(
+            lambda b: _batch_gram_counts(b, 2, text_col, n_buckets),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(bi_candidates, batch_format="pandas")
+    )
+
+    def tag_uni(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "word": b["gram"].to_numpy(object),
+                "gram": np.full(len(b), "", dtype=object),
+                "cnt": b["cnt"].to_numpy(np.int64),
+                "kind": np.full(len(b), "u", dtype=object),
+                "wbucket": b["bucket"].to_numpy(np.int64),
+            }
+        )
+
+    def lookup(g: pd.DataFrame) -> pd.DataFrame:
+        wc = g[g["kind"] == "u"].set_index("word")["cnt"]
+        pr = g[g["kind"] != "u"]
+        if not len(pr):
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series(dtype="object"),
+                    "cnt": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="object"),
+                    "wc": pd.Series(dtype="int64"),
+                    "gbucket": pd.Series(dtype="int64"),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "gram": pr["gram"].to_numpy(object),
+                "cnt": pr["cnt"].to_numpy(np.int64),
+                "kind": pr["kind"].to_numpy(object),
+                "wc": wc.reindex(pr["word"]).to_numpy(np.int64),
+            }
+        )
+        out["gbucket"] = (
+            pd.util.hash_array(out["gram"].to_numpy(object)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    enriched = (
+        uni.map_batches(tag_uni, batch_format="pandas")
+        .union(probes)
+        .groupby("wbucket")
+        .map_groups(lookup, batch_format="pandas")
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.pivot_table(
+            index=["gram", "cnt"], columns="kind", values="wc", aggfunc="first"
+        ).reset_index()
+        lift = (
+            piv["cnt"].to_numpy(np.int64)
+            * np.int64(n_tokens)
+            * np.int64(1_000_000)
+            // (piv["x"].to_numpy(np.int64) * piv["y"].to_numpy(np.int64))
+        )
+        out = pd.DataFrame(
+            {
+                "gram": piv["gram"].to_numpy(object),
+                "cnt": piv["cnt"].to_numpy(np.int64),
+                "lift_micros": lift,
+            }
+        )
+        return out.sort_values(
+            ["lift_micros", "gram"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = enriched.groupby("gbucket").map_groups(combine, batch_format="pandas")
+    top = cand.to_pandas().sort_values(
+        ["lift_micros", "gram"], ascending=[False, True], kind="mergesort"
+    )
+    return top.head(k).reset_index(drop=True)[["gram", "cnt", "lift_micros"]]
