@@ -201,3 +201,24 @@ def test_weighted_sample_biased_and_exact(ray_session):
     want = df.assign(kp=kp.astype(np.int64)).sort_values(["kp", "doc_id"]).head(40)
     assert out["doc_id"].tolist() == want["doc_id"].tolist()
     assert out["key_picos"].tolist() == want["kp"].tolist()
+
+
+def test_collocations_planted_phrase(ray_session):
+    """A planted always-together bigram must out-lift independent pairs,
+    with the exact integer lift value cnt*N*1e6 // (cx*cy)."""
+    from search_engine_framework_ray.stages.corpus import collocations
+
+    # "aa bb" always adjacent (8 times); "cc" and "dd" co-occur but also
+    # appear apart, diluting their lift; filler "ee" is frequent everywhere.
+    docs = ["aa bb cc dd ee ee"] * 8 + ["cc ee dd ee ee"] * 8
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    out = collocations(ds, k=5, min_count=5, n_buckets=8)
+    n_tokens = 8 * 6 + 8 * 5  # 88
+    assert out.iloc[0]["gram"] == "aa bb"
+    assert out.iloc[0]["cnt"] == 8
+    # cx = cy = 8 → lift = 8*88*1e6 // 64
+    assert out.iloc[0]["lift_micros"] == 8 * n_tokens * 1_000_000 // (8 * 8)
+    grams = list(out["gram"])
+    assert "cc dd" in grams  # adjacent in the first 8 docs only
+    i = grams.index("cc dd")
+    assert out.iloc[i]["lift_micros"] < out.iloc[0]["lift_micros"]

@@ -535,3 +535,29 @@ def test_hot_key_guard_temporal_ops(ray_session):
         ray.data.from_pandas(ev), gap_s=10.0, hot_key_bound=10_000
     ).to_pandas()
     assert len(sess) == 1 and int(sess["n"].iloc[0]) == n
+
+
+def test_substring_dedup_semantics(ray_session):
+    """First occurrence (min (doc_id, pos)) keeps its span; later exact
+    8-token repeats are cut, overlapping duplicated spans merge, and short
+    docs pass through untouched (canonical-whitespace rebuild)."""
+    from search_engine_framework_ray.stages.dedup import substring_dedup
+
+    span = "q w e r t y u i"  # 8 tokens
+    docs = [
+        {"doc_id": 0, "text": f"{span} tail0"},          # first occurrence: kept
+        {"doc_id": 1, "text": f"head1 {span} tail1"},    # repeat: 8 tokens cut
+        {"doc_id": 2, "text": f"{span} o {span}"},       # two repeats in one doc
+        {"doc_id": 3, "text": "short doc"},              # < 8 tokens: untouched
+    ]
+    out = (
+        substring_dedup(ray.data.from_items(docs), min_len=8, n_buckets=8, doc_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_removed"]) == [0, 8, 16, 0]
+    assert out.loc[0, "clean_text"] == f"{span} tail0"
+    assert out.loc[1, "clean_text"] == "head1 tail1"
+    assert out.loc[2, "clean_text"] == "o"  # both spans cut, bridge token kept
+    assert out.loc[3, "clean_text"] == "short doc"
