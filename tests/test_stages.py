@@ -543,6 +543,8 @@ def test_substring_dedup_semantics(ray_session):
     docs pass through untouched (canonical-whitespace rebuild)."""
     from search_engine_framework_ray.stages.dedup import substring_dedup
 
+    import ray.data
+
     span = "q w e r t y u i"  # 8 tokens
     docs = [
         {"doc_id": 0, "text": f"{span} tail0"},          # first occurrence: kept
