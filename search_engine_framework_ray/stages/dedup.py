@@ -862,34 +862,45 @@ def substring_dedup(
     from .textstats import RE2_TOKEN_RE
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        docs_out, pos_out, h_out = [], [], []
-        for doc_id, text in zip(batch[id_col], batch[text_col]):
-            words = RE2_TOKEN_RE.findall(text or "")
-            m = len(words) - min_len + 1
-            if m <= 0:
-                continue
-            h = pd.util.hash_array(np.asarray(words, dtype=object))
-            acc = np.zeros(m, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                for j in range(min_len):
-                    acc = acc * _POLY + h[j : j + m]
-            docs_out.append(np.full(m, doc_id, dtype=np.int64))
-            pos_out.append(np.arange(1, m + 1, dtype=np.int64))  # 1-based
-            h_out.append(acc)
-        if not docs_out:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    "pos": pd.Series([], dtype="int64"),
-                    "h": pd.Series([], dtype="uint64"),
-                    "bucket": pd.Series([], dtype="int64"),
-                }
-            )
-        h_all = np.concatenate(h_out)
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "h": pd.Series([], dtype="uint64"),
+                "bucket": pd.Series([], dtype="int64"),
+            }
+        )
+        # fully vectorized over the BATCH: explode once, hash every token
+        # once, then min_len numpy passes build the rolling polynomial over
+        # the concatenated token stream; windows crossing a doc boundary
+        # are masked out afterward. (No pandas groupby-shift here: shifting
+        # a uint64 Series coerces to float64 and silently corrupts hash
+        # bits above 2^53.)
+        toks = batch[text_col].fillna("").str.findall(RE2_TOKEN_RE)
+        n_tok = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        total = int(n_tok.sum())
+        m = total - min_len + 1
+        if m <= 0:
+            return empty
+        h_tok = pd.util.hash_array(ex.to_numpy(object))
+        acc = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(min_len):
+                acc = acc * _POLY + h_tok[j : j + m]
+        doc_ord = np.repeat(np.arange(len(batch), dtype=np.int64), n_tok)
+        starts = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+        win = np.arange(m, dtype=np.int64)
+        valid = doc_ord[win] == doc_ord[win + min_len - 1]  # window within one doc
+        if not valid.any():
+            return empty
+        win = win[valid]
+        h_all = acc[valid]
+        ids = batch[id_col].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                id_col: np.concatenate(docs_out),
-                "pos": np.concatenate(pos_out),
+                id_col: ids[doc_ord[win]],
+                "pos": win - starts[doc_ord[win]] + 1,  # 1-based in-doc
                 "h": h_all,
                 "bucket": (h_all % np.uint64(n_buckets)).astype(np.int64),
             }
