@@ -491,9 +491,10 @@ def collocations(
     The ranking key is the exact integer
     ``cnt · N · 10⁶ // (cx · cy)`` (N = corpus token count, cx/cy = unigram
     counts) — no logs, no floats, so any SQL engine ranks identically.
-    Overflow bound: ``cnt · N · 10⁶ < 2⁶³`` ⇒ fine to ~3·10⁶ tokens ·
-    3·10⁶ top-gram count; beyond that, promote the multiply to Python ints
-    (the candidate table is small by then — min_count prunes the tail).
+    The int64 fast path holds while ``cnt · N · 10⁶ < 2⁶³``; past that the
+    combine kernel automatically promotes the multiply to arbitrary-
+    precision Python ints (the candidate table is min_count-pruned and
+    bucket-local, so the per-row cost is affordable exactly when needed).
 
     Distribution shape — four narrow, vocab-scale shuffles, corpus text
     touched exactly twice and never on the driver:
@@ -621,12 +622,23 @@ def collocations(
         piv = g.pivot_table(
             index=["gram", "cnt"], columns="kind", values="wc", aggfunc="first"
         ).reset_index()
-        lift = (
-            piv["cnt"].to_numpy(np.int64)
-            * np.int64(n_tokens)
-            * np.int64(1_000_000)
-            // (piv["x"].to_numpy(np.int64) * piv["y"].to_numpy(np.int64))
-        )
+        cnt_a = piv["cnt"].to_numpy(np.int64)
+        cx_a = piv["x"].to_numpy(np.int64)
+        cy_a = piv["y"].to_numpy(np.int64)
+        if cnt_a.size and int(cnt_a.max()) * n_tokens * 1_000_000 < 2**63:
+            lift = cnt_a * np.int64(n_tokens) * np.int64(1_000_000) // (cx_a * cy_a)
+        else:
+            # beyond ~3M tokens · 3M top count the int64 product overflows;
+            # the candidate table is min_count-pruned and bucket-local, so
+            # arbitrary-precision Python ints per row are affordable here
+            lift = np.fromiter(
+                (
+                    int(c) * n_tokens * 1_000_000 // (int(x) * int(y))
+                    for c, x, y in zip(cnt_a, cx_a, cy_a)
+                ),
+                dtype=np.int64,
+                count=cnt_a.size,
+            )
         out = pd.DataFrame(
             {
                 "gram": piv["gram"].to_numpy(object),
