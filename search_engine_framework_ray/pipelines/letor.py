@@ -503,3 +503,36 @@ def letor_rerank(
         g = g.sort_values(["score", "docid"], ascending=[False, True], kind="mergesort")
         out[str(qid)] = [(int(d), float(s)) for d, s in zip(g["docid"], g["score"])]
     return out
+
+
+def scores_from_dataset(
+    ds,
+    extids,
+    *,
+    key_col: str = "node",
+    score_col: str = "rank_micros",
+    scale: float = 1e-6,
+) -> dict[str, float]:
+    """``{extid: score}`` from a corpus-scale score Dataset (e.g. the
+    ``stages/graph.pagerank`` output) for the SMALL candidate set LeToR
+    actually scores: the extid set is broadcast once (``ray.put``), every
+    batch filters vectorized (``pc.is_in``), and only matching rows reach
+    the driver — O(candidates) pulled, never the corpus. Replaces
+    :func:`read_score_file` when the scores are computed in-cluster rather
+    than shipped as a file (LearnToRank.java:131-144 reads the file an
+    offline job wrote; this is the same handoff without the file)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    keys = pa.array(sorted({str(e) for e in extids}))
+    ref = ray.put(keys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[key_col], value_set=ray.get(ref)))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return {
+        str(k): float(v) * scale
+        for k, v in zip(rows[key_col], rows[score_col])
+    }

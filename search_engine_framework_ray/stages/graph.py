@@ -5,17 +5,27 @@ The reference engine CONSUMES PageRank as a per-document feature file
 ``pipelines/letor.py:read_score_file`` mirrors it). At Common-Crawl scale
 the score file itself has to come from somewhere — this stage computes it
 from the crawl's link graph, producing exactly the table the LeToR feature
-join expects.
+join expects (``pipelines/letor.py:scores_from_dataset`` is the handoff).
 
-Execution shape (per power iteration, the canonical data-parallel
-PageRank):
+Execution shape — the canonical data-parallel PageRank, expressed with the
+repo's tagged-union co-partition pattern (``stages/join.py`` style) rather
+than ``Dataset.join``: Ray's hash-join finalize cannot handle a partition
+whose build side came up empty (pyarrow "no match for FieldRef" on a
+schema-less table), which any skewed or small key domain can produce.
+Bucketed groupbys have no such failure mode and skip the join's aggregator
+actor spin-up besides.
 
-* one hash join ``edges ⋈ ranks`` on ``src`` (both sides large at web
-  scale → shuffle join, never a broadcast),
-* one ``groupby(dst).sum`` for the incoming contribution mass,
-* one ``groupby(node).sum`` over ``contribs ∪ zero-rows`` — the zero-row
-  union is the left-outer-join equivalent that keeps dangling/unlinked
-  nodes in the rank vector without a second join.
+* ONE setup shuffle: edges tagged and bucketed by ``hash(src) % B``; a
+  vectorized in-bucket ``transform("size")`` attaches each src's
+  out-degree (all rows of a src share its bucket by construction).
+* Per iteration, TWO bucket shuffles over narrow rows:
+  1. ranks (bucketed by the SAME key hash) union the prepared edges;
+     per-bucket vectorized lookup emits ``(dst, rank//deg)`` contribution
+     rows — nullable-Int64 transport, so ranks above 2^53 survive the
+     missing-src path unscathed;
+  2. contributions union per-node zero rows (the left-outer-join
+     equivalent that keeps dangling/unlinked nodes in the vector), then a
+     per-bucket int64 groupby-sum applies the damped update inline.
 
 Ranks are materialized once per iteration (the plan would otherwise grow
 multiplicatively), mirroring the Lloyd-iteration pattern in
@@ -23,16 +33,18 @@ multiplicatively), mirroring the Lloyd-iteration pattern in
 
 Numerics — exact-parity integer arithmetic: ranks are int64 MICRO-units,
 per-edge contributions use floor division (``rank // out_degree``) and the
-damping update is ``teleport + damp_num * s // damp_den``. Every
-intermediate is an integer ≤ 2^53, so float64 accumulation (Ray's sum
-aggregate, DuckDB's SUM alike) is EXACT regardless of reduction order —
-the whole computation is bit-reproducible across partitionings and
-engines, which is what lets the driver hash-compare it against a DuckDB
-twin. (Float PageRank would drift last-bits with summation order.)
+damping update is ``teleport + damp_num * s // damp_den``. Every reduce is
+an int64 pandas groupby-sum — exact regardless of partitioning or order —
+so the whole computation is bit-reproducible and the driver hash-compares
+it against a DuckDB twin. (Float PageRank would drift last-bits with
+summation order.) Node ids may be int64 OR strings (urls): keys only flow
+through hashes and groupbys; arithmetic touches rank values alone.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -43,11 +55,10 @@ def link_graph(corpus_paths: str | list[str]) -> ray.data.Dataset:
     """Anchor edge list ``(src, dst)`` (source url → link target) from a
     Common-Crawl-shaped HTML corpus, via the same ``ExtractStage`` the
     index build uses (one streaming pass, html dropped at extraction).
-    Feeds :func:`pagerank` directly — node ids are urls (string keys work:
-    every key operation is a join/groupby, only rank values do arithmetic)
-    — completing the crawl → link graph → PageRank → LeToR-feature-file
-    lifecycle the reference starts from a precomputed score file
-    (LearnToRank.java pagerank feature)."""
+    Feeds :func:`pagerank` directly — node ids are urls — completing the
+    crawl → link graph → PageRank → LeToR-feature-file lifecycle the
+    reference starts from a precomputed score file (LearnToRank.java
+    pagerank feature)."""
     from ..pipelines.build_index import ExtractStage
 
     ds = ray.data.read_parquet(corpus_paths, columns=["url", "html", "lang"])
@@ -62,6 +73,14 @@ def link_graph(corpus_paths: str | list[str]) -> ray.data.Dataset:
     return ds.map_batches(edges, batch_format="pyarrow")
 
 
+def _key_buckets(vals: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized key→bucket (fixed-key siphash; engine-side
+    routing only, never part of a result)."""
+    return (pd.util.hash_array(vals.astype(object)) % np.uint64(n_buckets)).astype(
+        np.int64
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     *,
@@ -71,18 +90,17 @@ def pagerank(
     teleport_micros: int = 150_000,
     damp_num: int = 85,
     damp_den: int = 100,
-    num_partitions: int = 8,
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """Power-iteration PageRank over ``edges`` (columns ``src``, ``dst``,
-    int64 node ids). Returns a Dataset ``(node, rank_micros)``.
+    """Power-iteration PageRank over ``edges`` (columns ``src``, ``dst``;
+    int64 or string node ids). Returns a Dataset ``(node, rank_micros)``.
 
     ``nodes`` (single column ``node``) fixes the node universe — pass it
     when it is already known (e.g. every doc_id) to skip a distinct-scan of
     the edge list. The edge list defines mass flow: a ``dst`` id absent
     from ``nodes`` still accumulates rank (pre-filter the edges if a strict
-    universe is required). ``num_partitions`` sizes the join's hash
-    partitions (≈ rows/10M at cluster scale — see the measured
-    over-partitioning note in ``__ray_entry__.q_revenue_by_priority``).
+    universe is required). ``n_buckets`` sizes the co-partition reduce
+    groups (≈ cluster cores at scale).
     """
     if nodes is None:
         srcs = edges.select_columns(["src"]).map_batches(
@@ -92,76 +110,153 @@ def pagerank(
             lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
         )
         nodes = srcs.union(dsts).groupby("node").count().select_columns(["node"])
-    nodes = nodes.materialize()
 
-    deg = (
-        edges.groupby("src")
-        .count()
-        .map_batches(
-            lambda t: t.rename_columns(["src", "deg"]), batch_format="pyarrow"
-        )
-    )
-    edges_deg = edges.join(
-        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
-    ).materialize()
-
-    def zero_rows(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        return pa.table(
-            {"node": t["node"], "s": pa.array(np.zeros(t.num_rows, dtype=np.int64))}
-        )
-
-    zeros = nodes.map_batches(zero_rows, batch_format="pyarrow").materialize()
-
-    def init_rows(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        return pa.table(
+    # ---- setup: edges bucketed by src hash, out-degree attached in-bucket
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        if "src" not in b.columns or not len(b):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype="object"),
+                    "dst": pd.Series(dtype="object"),
+                    "deg": pd.Series(dtype="int64"),
+                    "r": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="object"),
+                    "kbucket": pd.Series(dtype="int64"),
+                }
+            )
+        key = b["src"].to_numpy()
+        return pd.DataFrame(
             {
-                "rank_node": t["node"],
-                "r": pa.array(np.full(t.num_rows, base_micros, dtype=np.int64)),
+                "key": key,
+                "dst": b["dst"].to_numpy(),
+                "deg": np.zeros(len(b), dtype=np.int64),
+                "r": np.zeros(len(b), dtype=np.int64),
+                "kind": np.full(len(b), "e", dtype=object),
+                "kbucket": _key_buckets(key, n_buckets),
             }
         )
 
-    ranks = nodes.map_batches(init_rows, batch_format="pyarrow").materialize()
+    def add_deg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["deg"] = g.groupby("key")["key"].transform("size").astype(np.int64)
+        return g
+
+    edges_t = (
+        edges.map_batches(tag_edges, batch_format="pandas")
+        .groupby("kbucket")
+        .map_groups(add_deg, batch_format="pandas")
+        .materialize()
+    )
+
+    # ---- per-node constant rows: initial ranks and the zero-contribution
+    # rows that stand in for a left outer join (dangling/unlinked nodes)
+    def tag_nodes(b: pd.DataFrame, rank: int, kind: str) -> pd.DataFrame:
+        if "node" not in b.columns or not len(b):
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype="object"),
+                    "dst": pd.Series(dtype="object"),
+                    "deg": pd.Series(dtype="int64"),
+                    "r": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="object"),
+                    "kbucket": pd.Series(dtype="int64"),
+                }
+            )
+        key = b["node"].to_numpy()
+        return pd.DataFrame(
+            {
+                "key": key,
+                "dst": key,  # self-filler: same dtype, ignored by kernels
+                "deg": np.ones(len(b), dtype=np.int64),
+                "r": np.full(len(b), rank, dtype=np.int64),
+                "kind": np.full(len(b), kind, dtype=object),
+                "kbucket": _key_buckets(key, n_buckets),
+            }
+        )
+
+    nodes = nodes.materialize()
+    zeros = nodes.map_batches(
+        lambda b: tag_nodes(b, 0, "z"), batch_format="pandas"
+    ).materialize()
+    ranks = nodes.map_batches(
+        lambda b: tag_nodes(b, base_micros, "r"), batch_format="pandas"
+    ).materialize()
+
+    def emit_contribs(g: pd.DataFrame) -> pd.DataFrame:
+        """One key bucket: rank rows + edge rows → (dst, rank//deg)."""
+        rmap = g.loc[g["kind"] == "r"].set_index("key")["r"]
+        e = g.loc[g["kind"] == "e"]
+        out_cols = {
+            "key": pd.Series(dtype="object"),
+            "dst": pd.Series(dtype="object"),
+            "deg": pd.Series(dtype="int64"),
+            "r": pd.Series(dtype="int64"),
+            "kind": pd.Series(dtype="object"),
+            "kbucket": pd.Series(dtype="int64"),
+        }
+        if not len(e):
+            return pd.DataFrame(out_cols)
+        # nullable Int64: a missing src rank must not round-trip through
+        # float64 (ranks can exceed 2^53 at extreme node counts)
+        rr = rmap.reindex(e["key"]).astype("Int64")
+        keep = rr.notna().to_numpy()
+        if not keep.any():
+            return pd.DataFrame(out_cols)
+        node = e["dst"].to_numpy()[keep]
+        s = rr.to_numpy(dtype=np.int64, na_value=0)[keep] // e["deg"].to_numpy(
+            np.int64
+        )[keep]
+        return pd.DataFrame(
+            {
+                "key": node,
+                "dst": node,
+                "deg": np.ones(len(node), dtype=np.int64),
+                "r": s,  # contribution mass rides the rank column
+                "kind": np.full(len(node), "c", dtype=object),
+                "kbucket": _key_buckets(node, n_buckets),
+            }
+        )
+
+    def reduce_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        """One node bucket: contributions + zero rows → damped new ranks
+        (int64 pandas groupby-sum: exact, order-independent)."""
+        s = g.groupby("key", sort=False, as_index=False)["r"].sum()
+        key = s["key"].to_numpy()
+        r = teleport_micros + damp_num * s["r"].to_numpy(np.int64) // damp_den
+        return pd.DataFrame(
+            {
+                "key": key,
+                "dst": key,
+                "deg": np.ones(len(key), dtype=np.int64),
+                "r": r,
+                "kind": np.full(len(key), "r", dtype=object),
+                "kbucket": _key_buckets(key, n_buckets),
+            }
+        )
 
     for _ in range(iters):
-        joined = edges_deg.join(
-            ranks,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("src",),
-            right_on=("rank_node",),
+        contribs = (
+            ranks.union(edges_t)
+            .groupby("kbucket")
+            .map_groups(emit_contribs, batch_format="pandas")
+        )
+        ranks = (
+            contribs.union(zeros)
+            .groupby("kbucket")
+            .map_groups(reduce_ranks, batch_format="pandas")
+            .materialize()
         )
 
-        def contrib(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            c = pc.divide(t["r"], t["deg"])  # int64 // int64 floor division
-            return pa.table({"node": t["dst"], "s": c})
-
-        sums = (
-            joined.map_batches(contrib, batch_format="pyarrow")
-            .union(zeros)
-            .groupby("node")
-            .sum("s")
-        )
-
-        def damp(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            # sums of int64 micro-values are exact whatever the accumulator
-            # type (all intermediates ≤ 2^53); the cast is a no-op re-type
-            s = pc.cast(t["sum(s)"], pa.int64())
-            r = pc.add(
-                teleport_micros,
-                pc.divide(pc.multiply(damp_num, s), damp_den),
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in b.columns or not len(b):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="object"),
+                    "rank_micros": pd.Series(dtype="int64"),
+                }
             )
-            return pa.table({"rank_node": t["node"], "r": pc.cast(r, pa.int64())})
+        return pd.DataFrame(
+            {"node": b["key"].to_numpy(), "rank_micros": b["r"].to_numpy(np.int64)}
+        )
 
-        ranks = sums.map_batches(damp, batch_format="pyarrow").materialize()
-
-    return ranks.map_batches(
-        lambda t: t.rename_columns(["node", "rank_micros"]), batch_format="pyarrow"
-    )
+    return ranks.map_batches(finalize, batch_format="pandas")

@@ -26,7 +26,7 @@ def ref_pagerank(edges, nodes, iters=3):
 def _run(edges, nodes, iters=3):
     e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
     n = ray.data.from_items([{"node": v} for v in nodes]) if nodes is not None else None
-    out = pagerank(e, nodes=n, iters=iters, num_partitions=2).to_pandas()
+    out = pagerank(e, nodes=n, iters=iters, n_buckets=8).to_pandas()
     return dict(
         sorted(zip(out["node"].astype(int), out["rank_micros"].astype(int)))
     )
@@ -66,7 +66,7 @@ def test_pagerank_single_iteration_closed_cycle(ray_session):
 def test_pagerank_string_nodes(ray_session):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
     e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
-    out = pagerank(e, iters=2, num_partitions=2).to_pandas()
+    out = pagerank(e, iters=2, n_buckets=8).to_pandas()
     got = dict(zip(out["node"], out["rank_micros"].astype(int)))
     assert got == ref_pagerank(edges, ["a", "b", "c"], iters=2)
 
@@ -84,6 +84,22 @@ def test_link_graph_pagerank_over_html_corpus(ray_session, tmp_path):
     edges = [(r["src"], r["dst"]) for r in edges_ds.take_all()]  # small fixture
     assert len(edges) > 50  # the synthesizer emits anchors
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    got_df = pagerank(edges_ds, iters=3, num_partitions=2).to_pandas()
+    got_df = pagerank(edges_ds, iters=3, n_buckets=8).to_pandas()
     got = dict(zip(got_df["node"], got_df["rank_micros"].astype(int)))
     assert got == ref_pagerank(edges, nodes)
+
+
+def test_pagerank_scores_into_letor(ray_session):
+    """Closing the lifecycle: pagerank output feeds LeToR's pagerank
+    feature through the broadcast-filter adapter — only the candidate
+    extids reach the driver, values are the micro ranks scaled."""
+    from search_engine_framework_ray.pipelines.letor import scores_from_dataset
+
+    edges = [("u0", "u1"), ("u1", "u2"), ("u2", "u0"), ("u0", "u2")]
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    pr = pagerank(e, iters=2, n_buckets=8)
+    want = ref_pagerank(edges, ["u0", "u1", "u2"], iters=2)
+    got = scores_from_dataset(pr, ["u0", "u2", "missing"])
+    assert set(got) == {"u0", "u2"}  # candidates only; absent extid dropped
+    assert got["u0"] == want["u0"] * 1e-6
+    assert got["u2"] == want["u2"] * 1e-6
