@@ -1267,6 +1267,98 @@ def q_weighted_sample(sf_dir: str):
     return out[["doc_id", "weight", "key_picos"]].reset_index(drop=True)
 
 
+def q_dsir(sf_dir: str):
+    """DSIR importance weights (hashed-unigram log-likelihood-ratio data
+    selection, arXiv 2302.03169): target = lang='en' docs, raw = whole
+    corpus, vocabulary hashed into 512 md5-low64 buckets so the weight
+    model is fixed-size at any corpus scale. Per-bucket micro-weight is
+    rounded BEFORE the per-doc integer sum — exact engine/SQL agreement
+    (stages/selection.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import dsir_weights
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = dsir_weights(ds, target_value="en", n_buckets=512).to_pandas()
+    for c in ("doc_id", "dsir_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "dsir_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction pass: PII-bearing text is synthesized deterministically
+    from doc_id (the word-salad fixture has none), then emails / IPv4s /
+    phone numbers are scrubbed with vectorized RE2-subset regexes; the SQL
+    twin replays the same synthesis + regexp_replace chain and the md5
+    fingerprint covers every byte of the rewrite (stages/selection.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import pii_scrub
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def add_pii(b):
+        d = b["doc_id"].astype("int64")
+        b = b.copy()
+        b["text"] = (
+            b["text"].fillna("")
+            + " contact user" + d.astype(str) + "@example.com from 10."
+            + (d % 256).astype(str) + "." + ((d // 256) % 256).astype(str)
+            + "." + (d % 100).astype(str) + " call 415-555-"
+            + (1000 + d % 9000).astype(str)
+        )
+        return b
+
+    out = pii_scrub(ds.map_batches(add_pii, batch_format="pandas")).to_pandas()
+    for c in ("doc_id", "n_email", "n_ip", "n_phone"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "n_email", "n_ip", "n_phone", "scrub_md5"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_mm_meta(sf_dir: str):
+    """Multimodal plumbing, driver-checked end-to-end: documents →
+    deterministic binary payload column (2-byte dimension header + text
+    bytes) → actor-pool MediaMetaStage parses the header FROM THE BYTES and
+    fingerprints the whole blob. Real Arrow binary columns through the
+    object store with small batches; only the codec is the sanctioned
+    deterministic stand-in (stages/multimodal.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import (
+        MediaMetaStage,
+        synthesize_media,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = synthesize_media(ds)
+    out = media.map_batches(
+        MediaMetaStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    ).to_pandas()
+    for c in ("doc_id", "width", "height", "n_bytes"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "width", "height", "n_bytes", "payload_md5"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_tumbling(sf_dir: str):
     import ray.data
 
@@ -1631,6 +1723,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "curation": q_curation,
         "weighted_sample": q_weighted_sample,
+        "dsir_weights": q_dsir,
+        "pii_scrub": q_pii_scrub,
+        "mm_meta": q_mm_meta,
         "delta_bm25": q_delta_bm25,
         "compact_bm25": q_compact_bm25,
         "events_tumbling": q_events_tumbling,
@@ -2895,6 +2990,99 @@ ORDER BY d.doc_id
             )
             SELECT doc_id, n_chars::BIGINT AS weight, key_picos
             FROM keyed ORDER BY key_picos, doc_id LIMIT 50
+        """,
+        # DSIR (arXiv 2302.03169) replay: md5-low64 % 512 bucket hash ==
+        # engine's _md5_hash64 (DuckDB md5_number_lower, BASELINE notes);
+        # per-bucket micro-weight rounded BEFORE the per-doc integer sum so
+        # both sides sum exactly, in any order
+        "dsir_weights": r"""
+            WITH toks AS (
+                SELECT doc_id, lang, lower(tok) AS tok
+                FROM (SELECT doc_id, lang,
+                             unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+                      FROM documents)
+            ),
+            bk AS (
+                SELECT doc_id, lang,
+                       CAST(md5_number_lower(tok) % 512 AS BIGINT) AS bucket
+                FROM toks
+            ),
+            cnt AS (
+                SELECT bucket,
+                       (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS c_tgt,
+                       count(*)::BIGINT AS c_all
+                FROM bk GROUP BY bucket
+            ),
+            tot AS (SELECT sum(c_tgt)::DOUBLE AS t_tgt,
+                           sum(c_all)::DOUBLE AS t_all FROM cnt),
+            w AS (
+                SELECT bucket,
+                       CAST(round((ln((c_tgt + 1) / (t.t_tgt + 512.0))
+                                 - ln((c_all + 1) / (t.t_all + 512.0)))
+                                 * 1000000) AS BIGINT) AS w
+                FROM cnt, tot t
+            ),
+            sc AS (
+                SELECT b.doc_id, sum(w.w)::BIGINT AS dsir_micros
+                FROM bk b JOIN w USING (bucket) GROUP BY b.doc_id
+            )
+            SELECT d.doc_id, coalesce(sc.dsir_micros, 0)::BIGINT AS dsir_micros
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # identical deterministic PII synthesis + the same RE2-subset regex
+        # chain (email → ip → phone, counts taken before each replace)
+        "pii_scrub": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact user' || doc_id
+                         || '@example.com from 10.' || (doc_id % 256) || '.'
+                         || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+                         || ' call 415-555-' || (1000 + doc_id % 9000) AS t
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                           AS n_email,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t
+                FROM p
+            ),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ip,
+                       regexp_replace(t,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') AS t
+                FROM s1
+            ),
+            s3 AS (
+                SELECT doc_id, n_email, n_ip,
+                       len(regexp_extract_all(t,
+                           '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phone,
+                       regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b',
+                           '<PHONE>', 'g') AS t
+                FROM s2
+            )
+            SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
+            FROM s3 ORDER BY doc_id
+        """,
+        # media payload = chr(width)||chr(height)||text (single-byte chars);
+        # the engine PARSES width/height from the blob it built — the oracle
+        # recomputes them arithmetically and md5s the identical byte string
+        "mm_meta": r"""
+            SELECT doc_id,
+                   (33 + doc_id % 64)::BIGINT AS width,
+                   (33 + (doc_id // 64) % 64)::BIGINT AS height,
+                   (2 + strlen(coalesce(text, '')))::BIGINT AS n_bytes,
+                   md5(chr((33 + doc_id % 64)::INT)
+                       || chr((33 + (doc_id // 64) % 64)::INT)
+                       || coalesce(text, '')) AS payload_md5
+            FROM documents ORDER BY doc_id
         """,
         # Laplace-smoothed bigram LM: same counts → join → ln() dataflow as
         # stages/lm.py, in SQL (float64 ln; integer-micros rounding)

@@ -158,6 +158,60 @@ class VideoFrameSampleStage:
         )
 
 
+def synthesize_media(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """documents → media table with a REAL ``binary`` payload column:
+    2-byte dimension header (width/height as single printable bytes so a
+    DuckDB ``chr(..)||chr(..)`` oracle reproduces the blob exactly) followed
+    by the UTF-8 text bytes. Deterministic per doc_id — the sandbox's
+    sanctioned stand-in for a crawl's image bytes; everything downstream
+    (Arrow binary columns through the object store, actor-pool parsing,
+    small-batch sizing) is the real plumbing."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        payloads = [
+            bytes([33 + d % 64, 33 + (d // 64) % 64]) + (t or "").encode("utf-8")
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(["image"] * len(ids)),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class MediaMetaStage:
+    """Actor-pool stage: binary payload → typed metadata row
+    (doc_id, width, height, n_bytes, payload_md5). The header parse reads
+    the payload bytes themselves — this is the stage a real decoder would
+    replace — and the md5 fingerprints every payload byte so a value-hash
+    oracle covers the whole blob round-trip."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, widths, heights, nbytes, md5s = [], [], [], [], []
+        for d, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            raw = p.as_py()
+            ids.append(d)
+            widths.append(raw[0] if len(raw) > 0 else -1)
+            heights.append(raw[1] if len(raw) > 1 else -1)
+            nbytes.append(len(raw))
+            md5s.append(hashlib.md5(raw).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(widths, type=pa.int64()),
+                "height": pa.array(heights, type=pa.int64()),
+                "n_bytes": pa.array(nbytes, type=pa.int64()),
+                "payload_md5": pa.array(md5s),
+            }
+        )
+
+
 def decode_media(ds, kind: str = "image", concurrency: int = 2, batch_size: int = 64):
     """Wire a media dataset through the right actor-pool decode stage —
     small batches because payloads are wide (ray_guide memory notes)."""

@@ -1,0 +1,232 @@
+"""Data-selection operators for training-corpus curation.
+
+* :func:`dsir_weights` — hashed-n-gram importance weights (the DSIR recipe:
+  Xie et al. 2023, "Data Selection for Language Models via Importance
+  Resampling", public arXiv 2302.03169): score each document by the
+  log-likelihood ratio of a *target* unigram distribution vs the *raw* corpus
+  distribution, with the vocabulary hashed into a fixed number of buckets so
+  the model size is bounded regardless of corpus size (the property that
+  makes the method viable at 100 TB — the weight table is ``n_buckets``
+  int64s however big the crawl is).
+
+* :func:`pii_scrub` — vectorized regex redaction of emails / IPv4 addresses /
+  phone numbers, the standard pre-training privacy pass. Patterns are written
+  in the RE2-compatible subset (no lookaround / backrefs) so a DuckDB
+  ``regexp_replace`` oracle reproduces the engine byte-for-byte.
+
+Scale notes (100 TB design):
+- dsir_weights runs TWO streaming passes: pass 1 reduces per-batch bucket
+  count partials through one tiny ``groupby(bucket)`` (≤ ``n_buckets`` rows
+  cross the wire per batch — the corpus itself never shuffles); pass 2
+  broadcasts the ``n_buckets``-entry weight vector via ``ray.put`` and scores
+  docs embarrassingly parallel. Per-token md5 is cached per actor (Zipf
+  vocabulary ⇒ the cache converges to the live vocab after a few batches).
+- pii_scrub is a stateless single pass, all pandas ``str`` kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+from .dedup import _md5_hash64
+from .textstats import RE2_TOKEN_RE as _WS_RE
+
+# ----------------------------------------------------------------------------
+# DSIR importance weights
+# ----------------------------------------------------------------------------
+
+
+def _round_away(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero — DuckDB ``round()`` (numpy rounds half-to-even)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+class _BucketCounter:
+    """map_batches actor: text → per-batch partial (bucket, c_target, c_all)
+    token counts. Token→bucket is md5-low64 % n_buckets — byte-identical to
+    DuckDB ``md5_number_lower(tok) % n`` so the SQL oracle can replay the
+    whole model — memoised per actor (the Python-loop md5 only ever runs
+    once per distinct live token per actor)."""
+
+    def __init__(self, n_buckets: int, target_col: str, target_value: str,
+                 text_col: str):
+        self.n_buckets = n_buckets
+        self.target_col = target_col
+        self.target_value = target_value
+        self.text_col = text_col
+        self._cache: dict[str, int] = {}
+
+    def _buckets(self, toks: pd.Series) -> np.ndarray:
+        cache, n = self._cache, self.n_buckets
+        uniq = toks.unique()
+        missing = [t for t in uniq if t not in cache]
+        for t in missing:
+            cache[t] = _md5_hash64(t) % n
+        return toks.map(cache).to_numpy(np.int64)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)  # positional index (pandas-misalign guard)
+        is_tgt = (b[self.target_col] == self.target_value).to_numpy()
+        toks = b[self.text_col].fillna("").str.lower().str.findall(_WS_RE)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"),
+                 "c_tgt": pd.Series(dtype="int64"),
+                 "c_all": pd.Series(dtype="int64")}
+            )
+        bk = self._buckets(ex.astype(str))
+        tgt_row = is_tgt[ex.index.to_numpy()]
+        c_all = np.bincount(bk, minlength=self.n_buckets)
+        c_tgt = np.bincount(bk[tgt_row], minlength=self.n_buckets)
+        live = c_all > 0
+        return pd.DataFrame(
+            {
+                "bucket": np.nonzero(live)[0].astype(np.int64),
+                "c_tgt": c_tgt[live].astype(np.int64),
+                "c_all": c_all[live].astype(np.int64),
+            }
+        )
+
+
+class _DsirScorer:
+    """map_batches actor: text → (doc_id, dsir_micros) given the broadcast
+    weight vector (one ``ray.get`` per actor, not per batch)."""
+
+    def __init__(self, weights_ref, n_buckets: int, text_col: str,
+                 id_col: str):
+        self.w = ray.get(weights_ref)          # int64[n_buckets], once
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.id_col = id_col
+        self._cache: dict[str, int] = {}
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)  # positional index (pandas-misalign guard)
+        toks = b[self.text_col].fillna("").str.lower().str.findall(_WS_RE)
+        ex = toks.explode().dropna()
+        scores = np.zeros(len(b), dtype=np.int64)
+        if not ex.empty:
+            cache, n = self._cache, self.n_buckets
+            for t in ex.unique():
+                if t not in cache:
+                    cache[t] = _md5_hash64(t) % n
+            bk = ex.map(cache).to_numpy(np.int64)
+            # integer sum of per-bucket micro-weights — exact, order-free
+            np.add.at(scores, ex.index.to_numpy(np.int64), self.w[bk])
+        return pd.DataFrame(
+            {"doc_id": b[self.id_col].to_numpy(np.int64),
+             "dsir_micros": scores}
+        )
+
+
+def dsir_weights(
+    ds: Dataset,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """DSIR importance score per document → (doc_id, dsir_micros).
+
+    score(d) = Σ_tok round(1e6·[ln((c_tgt(b)+1)/(T_tgt+n_buckets))
+                            − ln((c_all(b)+1)/(T_all+n_buckets))])
+    where b = md5low64(token) % n_buckets and counts come from one streaming
+    pass over the corpus. The per-bucket micro-weight is rounded BEFORE the
+    per-doc integer sum, so engine and SQL agree exactly regardless of
+    summation order. Smoothing is add-1 over the bucket space (the hashed
+    vocabulary), per the DSIR construction.
+    """
+    partials = ds.map_batches(
+        _BucketCounter,
+        fn_constructor_kwargs=dict(
+            n_buckets=n_buckets, target_col=target_col,
+            target_value=target_value, text_col=text_col,
+        ),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        partials.groupby("bucket")
+        .aggregate(Sum("c_tgt", alias_name="c_tgt"),
+                   Sum("c_all", alias_name="c_all"))
+        .to_pandas()
+    )  # ≤ n_buckets rows — driver-safe at any corpus size
+    t_tgt = float(cnt["c_tgt"].sum())
+    t_all = float(cnt["c_all"].sum())
+    w = np.zeros(n_buckets, dtype=np.int64)
+    lr = np.log((cnt["c_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + n_buckets)) \
+        - np.log((cnt["c_all"].to_numpy(np.float64) + 1.0) / (t_all + n_buckets))
+    w[cnt["bucket"].to_numpy(np.int64)] = _round_away(lr * 1e6).astype(np.int64)
+    w_ref = ray.put(w)
+    return ds.map_batches(
+        _DsirScorer,
+        fn_constructor_kwargs=dict(
+            weights_ref=w_ref, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+# ----------------------------------------------------------------------------
+# PII scrub
+# ----------------------------------------------------------------------------
+
+# RE2-compatible subset (also valid Python re): no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> Dataset:
+    """Redact emails / IPv4s / phone numbers → (doc_id, n_email, n_ip,
+    n_phone, scrub_md5[, text]).
+
+    Order matters and is fixed: email → ip → phone (an IP never contains an
+    '@', a phone never contains a '.', so the passes don't interact — but the
+    oracle replays the identical order regardless). ``scrub_md5`` fingerprints
+    the redacted text so a value-hash check covers every byte of the rewrite
+    without shipping the corpus back.
+    """
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("")
+        n_email = t.str.count(PII_EMAIL_RE).to_numpy(np.int64)
+        t = t.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+        n_ip = t.str.count(PII_IPV4_RE).to_numpy(np.int64)
+        t = t.str.replace(PII_IPV4_RE, "<IP>", regex=True)
+        n_phone = t.str.count(PII_PHONE_RE).to_numpy(np.int64)
+        t = t.str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+        import hashlib
+
+        out = pd.DataFrame(
+            {
+                "doc_id": b[id_col].to_numpy(np.int64),
+                "n_email": n_email,
+                "n_ip": n_ip,
+                "n_phone": n_phone,
+                "scrub_md5": [
+                    hashlib.md5(s.encode("utf-8")).hexdigest() for s in t
+                ],
+            }
+        )
+        if keep_text:
+            out["text"] = t.to_numpy(object)
+        return out
+
+    return ds.map_batches(scrub, batch_format="pandas")

@@ -1,0 +1,149 @@
+"""Handcrafted-semantics tests for the data-selection stages
+(stages/selection.py: DSIR importance weights, PII scrub) and the
+driver-checked multimodal metadata path (stages/multimodal.py)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk_docs(rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+# ----------------------------------------------------------------------------
+# DSIR
+# ----------------------------------------------------------------------------
+
+
+def test_dsir_weights_match_hand_formula(ray_session):
+    from search_engine_framework_ray.stages.dedup import _md5_hash64
+    from search_engine_framework_ray.stages.selection import dsir_weights
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta", "alpha alpha", "gamma delta", "beta gamma"],
+            "lang": ["en", "en", "fr", "fr"],
+        }
+    )
+    nb = 64
+    got = (
+        dsir_weights(_mk_docs(rows), target_value="en", n_buckets=nb)
+        .to_pandas()
+        .set_index("doc_id")["dsir_micros"]
+        .sort_index()
+    )
+
+    # independent recomputation straight from the DSIR definition
+    toks = rows.assign(tok=rows["text"].str.split()).explode("tok")
+    toks["bucket"] = toks["tok"].map(lambda t: _md5_hash64(t) % nb)
+    cnt = toks.groupby("bucket").agg(
+        c_tgt=("lang", lambda s: int((s == "en").sum())),
+        c_all=("lang", "size"),
+    )
+    t_tgt = float(cnt["c_tgt"].sum())
+    t_all = float(cnt["c_all"].sum())
+
+    def w(b):
+        c = cnt.loc[b]
+        lr = math.log((c["c_tgt"] + 1) / (t_tgt + nb)) - math.log(
+            (c["c_all"] + 1) / (t_all + nb)
+        )
+        v = lr * 1e6
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    want = toks.assign(wm=toks["bucket"].map(w)).groupby("doc_id")["wm"].sum()
+    assert got.to_dict() == want.to_dict()
+    # target-language docs must outrank the rest under their own target dist
+    assert min(got[0], got[1]) > max(got[2], got[3])
+
+
+def test_dsir_empty_text_scores_zero(ray_session):
+    from search_engine_framework_ray.stages.selection import dsir_weights
+
+    rows = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["hello world", ""], "lang": ["en", "en"]}
+    )
+    got = dsir_weights(_mk_docs(rows), n_buckets=32).to_pandas()
+    assert int(got.set_index("doc_id").loc[1, "dsir_micros"]) == 0
+
+
+# ----------------------------------------------------------------------------
+# PII scrub
+# ----------------------------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_redaction(ray_session):
+    from search_engine_framework_ray.stages.selection import pii_scrub
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "write a.b-c@mail.example.org or x@y.io now",
+                "server 192.168.0.1 and 10.0.0.255 call 412-268-3564",
+                "no pii here at all",
+            ],
+        }
+    )
+    got = (
+        pii_scrub(_mk_docs(rows), keep_text=True)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["n_email"].tolist() == [2, 0, 0]
+    assert got["n_ip"].tolist() == [0, 2, 0]
+    assert got["n_phone"].tolist() == [0, 1, 0]
+    assert got.loc[0, "text"] == "write <EMAIL> or <EMAIL> now"
+    assert got.loc[1, "text"] == "server <IP> and <IP> call <PHONE>"
+    assert got.loc[2, "text"] == "no pii here at all"
+    for i in range(3):
+        assert got.loc[i, "scrub_md5"] == hashlib.md5(
+            got.loc[i, "text"].encode()
+        ).hexdigest()
+
+
+# ----------------------------------------------------------------------------
+# multimodal metadata path
+# ----------------------------------------------------------------------------
+
+
+def test_media_meta_header_roundtrip(ray_session):
+    from search_engine_framework_ray.stages.multimodal import (
+        MediaMetaStage,
+        synthesize_media,
+    )
+
+    rows = pd.DataFrame({"doc_id": [0, 65, 129], "text": ["aa", "b", ""]})
+    media = synthesize_media(_mk_docs(rows))
+    out = (
+        media.map_batches(
+            MediaMetaStage, batch_format="pyarrow", batch_size=2,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    for d, t in zip(rows["doc_id"], rows["text"]):
+        assert out.loc[d, "width"] == 33 + d % 64
+        assert out.loc[d, "height"] == 33 + (d // 64) % 64
+        assert out.loc[d, "n_bytes"] == 2 + len(t)
+        payload = bytes([33 + d % 64, 33 + (d // 64) % 64]) + t.encode()
+        assert out.loc[d, "payload_md5"] == hashlib.md5(payload).hexdigest()
+
+
+def test_media_payload_is_binary_column(ray_session):
+    from search_engine_framework_ray.stages.multimodal import synthesize_media
+
+    rows = pd.DataFrame({"doc_id": [7], "text": ["xyz"]})
+    tbl = synthesize_media(_mk_docs(rows)).take_batch(1, batch_format="pyarrow")
+    assert pa.types.is_binary(tbl.schema.field("payload").type)
