@@ -1359,6 +1359,61 @@ def q_mm_meta(sf_dir: str):
     )
 
 
+def q_domain_mix(sf_dir: str):
+    """Temperature-scaled corpus mixing (GPT-3/Llama-style multi-domain
+    sampling, τ=0.5 upweighting small domains): per-lang token counts →
+    largest-remainder apportionment of a 200-doc budget → each quota filled
+    with the smallest-md5(doc_id) docs. Deterministic end-to-end; the SQL
+    twin replays pow/floor/remainder seating and the hash order exactly
+    (stages/selection.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import domain_mix
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = domain_mix(ds, group_col="lang", budget=200, temperature=0.5)
+    for c in ("doc_id", "n_alloc"):
+        out[c] = out[c].astype("int64")
+    return out[["lang", "doc_id", "n_alloc"]].reset_index(drop=True)
+
+
+def q_feature_corr(sf_dir: str):
+    """One-pass distributed Pearson correlation over three integer text
+    features (n_chars, n_tokens, n_alpha) via exact int64 sufficient
+    statistics — the aggregation pattern a quality-classifier fit needs at
+    corpus scale; only |pairs| rows ever shuffle (stages/selection.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import feature_corr
+    from search_engine_framework_ray.stages.textstats import RE2_TOKEN_RE
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def feats(b):
+        t = b["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "n_chars": b["n_chars"].astype("int64"),
+                "n_tokens": t.str.count(RE2_TOKEN_RE).astype("int64"),
+                "n_alpha": t.str.count(r"[A-Za-z]").astype("int64"),
+            }
+        )
+
+    out = feature_corr(
+        ds.map_batches(feats, batch_format="pandas"),
+        ["n_alpha", "n_chars", "n_tokens"],
+    )
+    for c in ("n", "sum_x", "sum_y", "sum_xy", "corr_micros"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_events_tumbling(sf_dir: str):
     import ray.data
 
@@ -1726,6 +1781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
         "mm_meta": q_mm_meta,
+        "domain_mix": q_domain_mix,
+        "feature_corr": q_feature_corr,
         "delta_bm25": q_delta_bm25,
         "compact_bm25": q_compact_bm25,
         "events_tumbling": q_events_tumbling,
@@ -3083,6 +3140,100 @@ ORDER BY d.doc_id
                        || chr((33 + (doc_id // 64) % 64)::INT)
                        || coalesce(text, '')) AS payload_md5
             FROM documents ORDER BY doc_id
+        """,
+        # temperature mixing: pow → sum → divide → floor in the same float64
+        # order as the engine; leftover seats to largest remainders (ties by
+        # lang); quotas filled in md5-low64(doc_id) order
+        "domain_mix": r"""
+            WITH cnt AS (
+                SELECT lang,
+                       sum(len(regexp_extract_all(coalesce(text, ''),
+                           '[^ \t\n\f\r]+')))::BIGINT AS c
+                FROM documents GROUP BY lang
+            ),
+            p AS (SELECT lang, pow(c::DOUBLE, 0.5) AS cw FROM cnt),
+            q AS (
+                SELECT lang,
+                       CAST(round(200 * (cw / (SELECT sum(cw) FROM p)) * 1000000)
+                            AS BIGINT) AS qm
+                FROM p
+            ),
+            b AS (
+                SELECT lang, qm // 1000000 AS base, qm % 1000000 AS rem
+                FROM q
+            ),
+            r AS (
+                SELECT lang, base,
+                       row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                       greatest(0, (SELECT 200 - sum(base) FROM b)) AS leftover
+                FROM b
+            ),
+            alloc AS (
+                SELECT lang,
+                       (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                           ::BIGINT AS n_alloc
+                FROM r
+            ),
+            keyed AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT k.lang, CAST(k.doc_id AS BIGINT) AS doc_id, a.n_alloc
+            FROM keyed k JOIN alloc a USING (lang)
+            WHERE k.rn <= a.n_alloc
+            ORDER BY lang, doc_id
+        """,
+        # exact integer sufficient statistics per feature pair, then the
+        # textbook Pearson formula in float64 (same operation order as the
+        # engine: products of DOUBLE casts of the exact sums)
+        "feature_corr": r"""
+            WITH f AS (
+                SELECT n_chars::BIGINT AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '[^ \t\n\f\r]+'))::BIGINT AS n_tokens,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '[A-Za-z]'))::BIGINT AS n_alpha
+                FROM documents
+            ),
+            pairs AS (
+                SELECT 'n_alpha' AS feat_x, 'n_chars' AS feat_y,
+                       count(*)::BIGINT AS n,
+                       sum(n_alpha)::BIGINT AS sum_x,
+                       sum(n_chars)::BIGINT AS sum_y,
+                       sum(n_alpha * n_alpha)::BIGINT AS sum_xx,
+                       sum(n_chars * n_chars)::BIGINT AS sum_yy,
+                       sum(n_alpha * n_chars)::BIGINT AS sum_xy
+                FROM f
+                UNION ALL
+                SELECT 'n_alpha', 'n_tokens', count(*)::BIGINT,
+                       sum(n_alpha)::BIGINT, sum(n_tokens)::BIGINT,
+                       sum(n_alpha * n_alpha)::BIGINT,
+                       sum(n_tokens * n_tokens)::BIGINT,
+                       sum(n_alpha * n_tokens)::BIGINT
+                FROM f
+                UNION ALL
+                SELECT 'n_chars', 'n_tokens', count(*)::BIGINT,
+                       sum(n_chars)::BIGINT, sum(n_tokens)::BIGINT,
+                       sum(n_chars * n_chars)::BIGINT,
+                       sum(n_tokens * n_tokens)::BIGINT,
+                       sum(n_chars * n_tokens)::BIGINT
+                FROM f
+            )
+            SELECT feat_x, feat_y, n, sum_x, sum_y, sum_xy,
+                   CASE WHEN (n::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+                           * (n::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE) > 0
+                        THEN CAST(round(
+                            (n::DOUBLE * sum_xy::DOUBLE - sum_x::DOUBLE * sum_y::DOUBLE)
+                            / sqrt((n::DOUBLE * sum_xx::DOUBLE - sum_x::DOUBLE * sum_x::DOUBLE)
+                                 * (n::DOUBLE * sum_yy::DOUBLE - sum_y::DOUBLE * sum_y::DOUBLE))
+                            * 1000000) AS BIGINT)
+                        ELSE 0 END AS corr_micros
+            FROM pairs ORDER BY feat_x, feat_y
         """,
         # Laplace-smoothed bigram LM: same counts → join → ln() dataflow as
         # stages/lm.py, in SQL (float64 ln; integer-micros rounding)

@@ -14,6 +14,20 @@
   in the RE2-compatible subset (no lookaround / backrefs) so a DuckDB
   ``regexp_replace`` oracle reproduces the engine byte-for-byte.
 
+* :func:`domain_mix` — temperature-scaled corpus mixing (the multi-corpus
+  sampling recipe of GPT-3 / Llama / The Pile: sample domain g with
+  probability ∝ c_g^τ, τ<1 upweighting small domains): one streaming pass
+  counts tokens per domain, the document budget is apportioned by the
+  largest-remainder method (deterministic — no RNG), and each domain's
+  quota is filled with the docs of smallest md5-low64(doc_id), the repo's
+  standard reproducible subset selector.
+
+* :func:`feature_corr` — one-pass distributed Pearson correlation over
+  integer text-statistic columns via exact sufficient statistics
+  (n, Σx, Σy, Σx², Σy², Σxy accumulated as int64 per-batch partials, one
+  tiny ≤|pairs|-row shuffle); the classic sufficient-statistics pattern a
+  quality-classifier or mixing-weight fit needs at corpus scale.
+
 Scale notes (100 TB design):
 - dsir_weights runs TWO streaming passes: pass 1 reduces per-batch bucket
   count partials through one tiny ``groupby(bucket)`` (≤ ``n_buckets`` rows
@@ -230,3 +244,182 @@ def pii_scrub(
         return out
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------------
+# Temperature-scaled domain mixing
+# ----------------------------------------------------------------------------
+
+
+def domain_mix(
+    ds: Dataset,
+    *,
+    group_col: str = "lang",
+    budget: int = 200,
+    temperature: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Deterministic temperature-mixed document selection →
+    (group, doc_id, n_alloc) with Σ n_alloc distinct groups' quotas = budget.
+
+    p_g ∝ c_g^τ over per-group token counts c_g; quotas are apportioned by
+    the largest-remainder method (floor(budget·p_g) base seats, leftovers to
+    the largest fractional remainders, ties broken by group name) — integer
+    seats, no RNG, SQL-replayable. Each group's quota is filled with its
+    docs of smallest md5-low64(doc_id), carried as two int64 halves so the
+    uint64 order is exact at any id.
+
+    Scale: pass 1 ships ≤|groups| rows per batch through one tiny groupby;
+    the allocation table (|groups| rows) broadcasts in the closure; pass 2
+    pre-filters each batch to its local per-group quota before the one
+    per-group shuffle — global top-n ⊆ union of per-batch top-n.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _md5_hash64
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        n = b[text_col].fillna("").str.count(_WS_RE).to_numpy(np.int64)
+        g = pd.DataFrame({group_col: b[group_col], "c": n})
+        out = g.groupby(group_col, sort=False, observed=True)["c"].sum()
+        return pd.DataFrame(
+            {group_col: out.index, "c": out.to_numpy(np.int64)}
+        )
+
+    cnt = (
+        ds.map_batches(count_tokens, batch_format="pandas")
+        .groupby(group_col)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )  # ≤ |groups| rows — driver-safe at any corpus size
+
+    # largest-remainder apportionment on MICRO-quantized quotas: the float64
+    # pow/divide runs in the same operation order as the SQL twin, then the
+    # quota is rounded to integer micro-seats BEFORE floor/remainder — so a
+    # last-ulp summation-order difference between numpy and DuckDB cannot
+    # flip a seat, and remainder ties are broken in exact integers
+    cw = np.power(cnt["c"].to_numpy(np.float64), temperature)
+    quota = budget * (cw / cw.sum())
+    qm = _round_away(quota * 1e6).astype(np.int64)
+    base = qm // 1_000_000
+    rem = qm % 1_000_000
+    leftover = max(0, int(budget - base.sum()))
+    seat_rank = (
+        pd.DataFrame({"g": cnt[group_col], "rem": rem})
+        .sort_values(["rem", "g"], ascending=[False, True], kind="mergesort")
+        .index.to_numpy()
+    )
+    n_alloc = base.copy()
+    n_alloc[seat_rank[:leftover]] += 1
+    alloc = dict(zip(cnt[group_col], (int(x) for x in n_alloc)))
+
+    def local_topn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        hs = [_md5_hash64(str(int(i))) for i in b[id_col]]
+        out = pd.DataFrame(
+            {
+                group_col: b[group_col],
+                id_col: b[id_col].astype("int64"),
+                "h_hi": pd.Series([h >> 32 for h in hs], dtype="int64"),
+                "h_lo": pd.Series([h & 0xFFFFFFFF for h in hs], dtype="int64"),
+            }
+        )
+        out = out.sort_values(["h_hi", "h_lo", id_col], kind="mergesort")
+        cc = out.groupby(group_col, sort=False, observed=True).cumcount()
+        return out[cc.to_numpy() < out[group_col].map(alloc).to_numpy()]
+
+    def group_topn(g: pd.DataFrame) -> pd.DataFrame:
+        n = alloc.get(g[group_col].iloc[0], 0)
+        g = g.sort_values(["h_hi", "h_lo", id_col], kind="mergesort").head(n)
+        out = g[[group_col, id_col]].copy()
+        out["n_alloc"] = np.int64(n)
+        return out
+
+    picked = (
+        ds.map_batches(local_topn, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(group_topn, batch_format="pandas")
+        .to_pandas()
+    )
+    return picked.sort_values([group_col, id_col]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------------
+# One-pass pairwise feature correlation (sufficient statistics)
+# ----------------------------------------------------------------------------
+
+
+def feature_corr(ds: Dataset, cols: list[str]) -> pd.DataFrame:
+    """Pearson correlation for every ordered pair of integer columns →
+    (feat_x, feat_y, n, sum_x, sum_y, sum_xy, corr_micros), one row per
+    i<j pair, computed from EXACT int64 sufficient statistics.
+
+    One streaming pass: each batch emits one partial row per pair
+    (n, Σx, Σy, Σx², Σy², Σxy — all integer, all exact), one tiny
+    groupby(pair) reduces them (|pairs| rows total cross the wire), and the
+    driver finishes with the textbook formula in float64 —
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ᵗᵒᵗ)·(n·Σy² − Σy²ᵗᵒᵗ)) —
+    in the same operation order as the SQL twin, rounded half-away to
+    micros. int64 partials hold to ~10¹² docs of 10³-scale features; past
+    that the same pattern runs on float64 partials (documented tradeoff).
+    """
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    pairs = list(combinations(cols, 2))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        vals = {c: b[c].to_numpy(np.int64) for c in cols}
+        for cx, cy in pairs:
+            x, y = vals[cx], vals[cy]
+            rows.append(
+                {
+                    "pair": f"{cx}|{cy}",
+                    "n": np.int64(len(x)),
+                    "sum_x": x.sum(),
+                    "sum_y": y.sum(),
+                    "sum_xx": (x * x).sum(),
+                    "sum_yy": (y * y).sum(),
+                    "sum_xy": (x * y).sum(),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    agg = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("pair")
+        .aggregate(
+            *(Sum(c, alias_name=c)
+              for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"))
+        )
+        .to_pandas()
+    )  # |pairs| rows
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sum_x"].to_numpy(np.float64)
+    sy = agg["sum_y"].to_numpy(np.float64)
+    sxx = agg["sum_xx"].to_numpy(np.float64)
+    syy = agg["sum_yy"].to_numpy(np.float64)
+    sxy = agg["sum_xy"].to_numpy(np.float64)
+    # zero-variance feature (or n<2) ⇒ correlation undefined; define it as 0
+    # on both sides (the SQL twin carries the same CASE guard)
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    num = n * sxy - sx * sy
+    corr = np.divide(num, np.sqrt(den2), where=den2 > 0,
+                     out=np.zeros_like(num))
+    out = pd.DataFrame(
+        {
+            "feat_x": agg["pair"].str.split("|").str[0],
+            "feat_y": agg["pair"].str.split("|").str[1],
+            "n": agg["n"].astype("int64"),
+            "sum_x": agg["sum_x"].astype("int64"),
+            "sum_y": agg["sum_y"].astype("int64"),
+            "sum_xy": agg["sum_xy"].astype("int64"),
+            "corr_micros": _round_away(corr * 1e6).astype(np.int64),
+        }
+    )
+    return out.sort_values(["feat_x", "feat_y"]).reset_index(drop=True)

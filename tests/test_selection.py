@@ -147,3 +147,117 @@ def test_media_payload_is_binary_column(ray_session):
     rows = pd.DataFrame({"doc_id": [7], "text": ["xyz"]})
     tbl = synthesize_media(_mk_docs(rows)).take_batch(1, batch_format="pyarrow")
     assert pa.types.is_binary(tbl.schema.field("payload").type)
+
+# ----------------------------------------------------------------------------
+# domain mixing
+# ----------------------------------------------------------------------------
+
+
+def test_domain_mix_largest_remainder_and_hash_order(ray_session):
+    from search_engine_framework_ray.stages.dedup import _md5_hash64
+    from search_engine_framework_ray.stages.selection import domain_mix
+
+    # en: 3 docs x 4 tokens = 12; fr: 2 docs x 1 token = 2; de: 1 doc x 9
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                "a b c d", "e f g h", "i j k l",
+                "m", "n",
+                "o p q r s t u v w",
+            ],
+            "lang": ["en", "en", "en", "fr", "fr", "de"],
+        }
+    )
+    budget, tau = 4, 0.5
+    got = domain_mix(
+        _mk_docs(rows), group_col="lang", budget=budget, temperature=tau
+    )
+
+    # independent largest-remainder apportionment on micro-quantized quotas
+    c = {"en": 12, "fr": 2, "de": 9}
+    cw = {g: v ** tau for g, v in c.items()}
+    s = sum(cw[g] for g in sorted(cw))
+    qm = {g: int(math.copysign(math.floor(abs(budget * cw[g] / s * 1e6) + 0.5),
+                               1)) for g in cw}
+    base = {g: qm[g] // 1_000_000 for g in qm}
+    rem = {g: qm[g] % 1_000_000 for g in qm}
+    left = budget - sum(base.values())
+    for g in sorted(rem, key=lambda g: (-rem[g], g))[:left]:
+        base[g] += 1
+    assert sum(base.values()) == budget
+    per_group = got.groupby("lang")["doc_id"].count().to_dict()
+    assert per_group == {g: n for g, n in base.items() if n > 0}
+    assert (got.groupby("lang")["n_alloc"].first().to_dict()
+            == {g: n for g, n in base.items() if n > 0})
+
+    # each group's picks are its smallest-md5 doc_ids
+    for g, n in base.items():
+        if n == 0:
+            continue
+        ids = rows.loc[rows["lang"] == g, "doc_id"]
+        want = sorted(ids, key=lambda d: (_md5_hash64(str(d)), d))[:n]
+        assert sorted(got.loc[got["lang"] == g, "doc_id"]) == sorted(want)
+
+
+def test_domain_mix_budget_exhausts_small_groups(ray_session):
+    from search_engine_framework_ray.stages.selection import domain_mix
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["x y z", "q"],
+            "lang": ["en", "fr"],
+        }
+    )
+    got = domain_mix(_mk_docs(rows), budget=2, temperature=0.5)
+    # quota can exceed group size only if budget > corpus; here it cannot
+    assert len(got) == 2
+    assert set(got["doc_id"]) == {0, 1}
+
+
+# ----------------------------------------------------------------------------
+# feature correlation
+# ----------------------------------------------------------------------------
+
+
+def test_feature_corr_matches_numpy(ray_session):
+    from search_engine_framework_ray.stages.selection import feature_corr
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 100, 200)
+    b = a * 2 + rng.integers(0, 10, 200)      # strongly correlated
+    c = rng.integers(0, 100, 200)             # independent
+    df = pd.DataFrame({"fa": a, "fb": b, "fc": c})
+    got = feature_corr(_mk_docs(df), ["fa", "fb", "fc"]).set_index(
+        ["feat_x", "feat_y"]
+    )
+    for (x, y) in [("fa", "fb"), ("fa", "fc"), ("fb", "fc")]:
+        want = np.corrcoef(df[x], df[y])[0, 1]
+        got_c = got.loc[(x, y), "corr_micros"] / 1e6
+        assert abs(got_c - want) < 1e-5
+        assert got.loc[(x, y), "sum_xy"] == int((df[x] * df[y]).sum())
+    assert got.loc[("fa", "fb"), "corr_micros"] > 990_000
+
+
+def test_feature_corr_exact_across_partitions(ray_session):
+    """Partial-sum reduction must be exact regardless of block split."""
+    from search_engine_framework_ray.stages.selection import feature_corr
+
+    df = pd.DataFrame({"u": np.arange(1000), "v": np.arange(1000)[::-1]})
+    one = feature_corr(_mk_docs(df), ["u", "v"])
+    import ray.data
+
+    many = feature_corr(
+        ray.data.from_pandas(df).repartition(13), ["u", "v"]
+    )
+    assert one.equals(many)
+    assert int(one.loc[0, "corr_micros"]) == -1_000_000
+
+
+def test_feature_corr_zero_variance_is_zero(ray_session):
+    from search_engine_framework_ray.stages.selection import feature_corr
+
+    df = pd.DataFrame({"k": np.full(50, 7), "v": np.arange(50)})
+    got = feature_corr(_mk_docs(df), ["k", "v"])
+    assert int(got.loc[0, "corr_micros"]) == 0
