@@ -1186,6 +1186,48 @@ def q_pagerank(sf_dir: str):
     return out[["doc_id", "rank_micros"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_link_components(sf_dir: str):
+    """Distributed connected components (stages/graph.py
+    ``connected_components``: hash-min label propagation + pointer doubling,
+    O(log diameter) rounds of three narrow bucket shuffles) over a
+    deterministic link graph: every doc links to ``(id+4) % N`` (four rings
+    when 4 | N) and docs with ``id % 16 == 0`` also to ``(id*9+2) % N``
+    (cross-links that merge two of the rings). Exact min-id labels ⇒
+    bit-identical at any partitioning; the DuckDB twin is a recursive-CTE
+    reachability closure."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import connected_components
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()  # metadata-only on an untransformed read
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        d2 = d[d % 16 == 0]
+        src = np.concatenate([d, d2])
+        dst = np.concatenate([(d + 4) % n, (d2 * 9 + 2) % n])
+        return pa.table({"src": src, "dst": dst})
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    # n_buckets ≈ cluster cores at scale; at fixture scale the dominant cost
+    # is per-task scheduling (~10 label rows/bucket), so size buckets down
+    out = connected_components(
+        edges, nodes=nodes, n_buckets=8 if n <= 100_000 else 64
+    ).to_pandas()
+    out = out.rename(columns={"node": "doc_id"})
+    for c in ("doc_id", "comp"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "comp"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_collocations(sf_dir: str):
     """Top-20 bigram collocations by exact integer LIFT (= exp(PMI) · 10⁶,
     `stages/corpus.py collocations`): cnt·N·10⁶ // (cx·cy) — log-free
@@ -1770,6 +1812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dup": q_cross_dup,
         "source_stats": q_source_stats,
         "pagerank": q_pagerank,
+        "link_components": q_link_components,
         "substring_dedup": q_substring_dedup,
         "collocations": q_collocations,
         "ngram_topk": q_ngram_topk,
@@ -2495,6 +2538,27 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "pagerank": _PAGERANK_SQL,
+        # recursive-CTE reachability closure over the same deterministic
+        # undirected graph; comp = min reachable doc_id
+        "link_components": r"""
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+                SELECT doc_id AS src, (doc_id + 4) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 9 + 2) % nn.n
+                FROM documents, nn WHERE doc_id % 16 = 0
+            ),
+            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(lbl) AS BIGINT) AS comp
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
         # top-20 bigram collocations by exact integer lift (= exp(PMI)·1e6):
         # cnt·N·1e6 // (cx·cy) — both engines rank on the same integers
         "collocations": f"""

@@ -48,7 +48,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-__all__ = ["link_graph", "pagerank"]
+__all__ = ["link_graph", "pagerank", "connected_components"]
 
 
 def link_graph(corpus_paths: str | list[str]) -> ray.data.Dataset:
@@ -260,3 +260,208 @@ def pagerank(
         )
 
     return ranks.map_batches(finalize, batch_format="pandas")
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    *,
+    nodes: ray.data.Dataset | None = None,
+    n_buckets: int = 64,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Undirected connected components over ``edges`` (columns ``src``,
+    ``dst``; int64 or string node ids) → Dataset ``(node, comp)`` with
+    ``comp`` = the smallest node id in the node's component.
+
+    Algorithm: hash-min label propagation WITH pointer doubling — per round
+    (1) every node takes the min of its own label and its neighbours'
+    labels, then (2) every node jumps to its label's label
+    (``lbl ← lbl[lbl]``, monotone since labels only decrease). Doubling
+    collapses chains geometrically, so a path / ring of length L converges
+    in O(log L) rounds instead of O(L) — the property that makes min-label
+    components viable on web graphs whose diameter is thousands of hops.
+    Each round is THREE narrow bucket shuffles (candidate emit, min reduce,
+    pointer resolve) over the repo's tagged-union co-partition layout (no
+    ``Dataset.join`` — see the module docstring for why), plus one scalar
+    ``sum`` per round for the convergence check; rounds stop at the first
+    all-quiet fixpoint.
+
+    Labels are node ids and every reduce is an exact ``min`` — the result
+    is bit-identical at any partitioning, so a recursive-CTE SQL twin can
+    hash-check it. Edges whose endpoint is outside the node universe are
+    dropped (pre-filter or pass ``nodes=None`` to derive the universe from
+    the edge list itself).
+    """
+    if nodes is None:
+        srcs = edges.select_columns(["src"]).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        dsts = edges.select_columns(["dst"]).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        nodes = srcs.union(dsts).groupby("node").count().select_columns(["node"])
+
+    _EMPTY = {
+        "key": pd.Series(dtype="object"),
+        "val": pd.Series(dtype="object"),
+        "flag": pd.Series(dtype="int64"),
+        "kind": pd.Series(dtype="object"),
+        "kbucket": pd.Series(dtype="int64"),
+    }
+
+    def _frame(key, val, flag, kind) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": key,
+                "val": val,
+                "flag": flag,
+                "kind": np.full(len(key), kind, dtype=object),
+                "kbucket": _key_buckets(np.asarray(key), n_buckets),
+            }
+        )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        if "src" not in b.columns or not len(b):
+            return pd.DataFrame(_EMPTY)
+        s = b["src"].to_numpy()
+        d = b["dst"].to_numpy()
+        key = np.concatenate([s, d])  # both directions: undirected closure
+        val = np.concatenate([d, s])
+        return _frame(key, val, np.zeros(len(key), dtype=np.int64), "e")
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in b.columns or not len(b):
+            return pd.DataFrame(_EMPTY)
+        key = b["node"].to_numpy()
+        return _frame(key, key, np.zeros(len(key), dtype=np.int64), "l")
+
+    # Every materialized intermediate is coalesced to n_buckets blocks
+    # (repartition without shuffle = split/merge, no data exchange).
+    # Without this the loop's block count EXPLODES: Ray's sort shuffle
+    # emits one output block per input block, and each round unions the
+    # previous labels into its own lineage twice (candidates + resolve), so
+    # blocks double per round — measured 8 s → 94 s per round by round 4 on
+    # a 500-doc graph before the cap, flat ~2 s/round after.
+    edges_t = (
+        edges.map_batches(tag_edges, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    labels = (
+        nodes.materialize()
+        .map_batches(tag_labels, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    def emit_cands(g: pd.DataFrame) -> pd.DataFrame:
+        """One src bucket: label rows + edge rows → (dst, lbl[src])."""
+        lmap = g.loc[g["kind"] == "l"].set_index("key")["val"]
+        e = g.loc[g["kind"] == "e"]
+        if not len(e):
+            return pd.DataFrame(_EMPTY)
+        # positional gather, NOT reindex: a reindex miss (src outside the
+        # node universe) upcasts the whole result to float64+NaN, and
+        # pd.util.hash_array buckets 2007.0 differently from 2007 — one
+        # out-of-universe edge would silently mis-bucket every downstream
+        # label lookup (observed: full-graph NaN cascade in round 1)
+        idx = lmap.index.get_indexer(e["key"].to_numpy())
+        keep = idx >= 0
+        if not keep.any():
+            return pd.DataFrame(_EMPTY)
+        dst = e["val"].to_numpy()[keep]
+        lbl = lmap.to_numpy()[idx[keep]]
+        return _frame(dst, lbl, np.zeros(len(dst), dtype=np.int64), "c")
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        """One node bucket: current labels + candidates → min label, with a
+        changed flag for the convergence check."""
+        cur = g.loc[g["kind"] == "l"]
+        if not len(cur):
+            return pd.DataFrame(_EMPTY)
+        new = g.groupby("key", sort=False)["val"].min()
+        # only keys with a label row are real nodes (a candidate aimed at a
+        # node outside the universe carries no 'l' row and is dropped)
+        old = cur.set_index("key")["val"]
+        new = new.reindex(old.index)
+        key = old.index.to_numpy()
+        return _frame(
+            key,
+            new.to_numpy(),
+            (new.to_numpy() != old.to_numpy()).astype(np.int64),
+            "l",
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        """One label bucket: label rows + jump requests → lbl[lbl[node]].
+        A label is itself a node id, so the lookup always hits. The emitted
+        flag ORs the carried reduce-step flag with the jump flag, so ONE
+        scalar sum per round covers both convergence conditions (label
+        stability AND pointer flatness)."""
+        lmap = g.loc[g["kind"] == "l"].set_index("key")["val"]
+        q = g.loc[g["kind"] == "q"]
+        out = []
+        if len(q):
+            # positional gather (see emit_cands): never let a miss upcast
+            # labels to float64. A miss here is an algorithm invariant
+            # violation (every label IS a node id) — fail loudly.
+            idx = lmap.index.get_indexer(q["key"].to_numpy())
+            if (idx < 0).any():
+                raise RuntimeError(
+                    "connected_components: label row missing in its own "
+                    "bucket (dtype-inconsistent node ids across edges/nodes?)"
+                )
+            lbl2 = lmap.to_numpy()[idx]
+            node = q["val"].to_numpy()
+            jumped = lbl2 != q["key"].to_numpy()
+            carried = q["flag"].to_numpy().astype(bool)
+            out.append(
+                _frame(node, lbl2, (carried | jumped).astype(np.int64), "l")
+            )
+        return pd.concat(out) if out else pd.DataFrame(_EMPTY)
+
+    def to_requests(b: pd.DataFrame) -> pd.DataFrame:
+        # request row: key = the label to look up, val = the asking node,
+        # flag = the node's reduce-step changed flag (carried through)
+        if "key" not in b.columns or not len(b):
+            return pd.DataFrame(_EMPTY)
+        lbl = b["val"].to_numpy()
+        return _frame(lbl, b["key"].to_numpy(), b["flag"].to_numpy(), "q")
+
+    for _ in range(max_rounds):
+        cands = (
+            labels.union(edges_t)
+            .groupby("kbucket")
+            .map_groups(emit_cands, batch_format="pandas")
+        )
+        labels = (
+            cands.union(labels)
+            .groupby("kbucket")
+            .map_groups(reduce_min, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        requests = labels.map_batches(to_requests, batch_format="pandas")
+        labels = (
+            requests.union(labels)
+            .groupby("kbucket")
+            .map_groups(resolve, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        if (labels.sum("flag") or 0) == 0:
+            break
+
+    def finalize_cc(b: pd.DataFrame) -> pd.DataFrame:
+        if "key" not in b.columns or not len(b):
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype="object"),
+                    "comp": pd.Series(dtype="object"),
+                }
+            )
+        return pd.DataFrame(
+            {"node": b["key"].to_numpy(), "comp": b["val"].to_numpy()}
+        )
+
+    return labels.map_batches(finalize_cc, batch_format="pandas")

@@ -103,3 +103,99 @@ def test_pagerank_scores_into_letor(ray_session):
     assert set(got) == {"u0", "u2"}  # candidates only; absent extid dropped
     assert got["u0"] == want["u0"] * 1e-6
     assert got["u2"] == want["u2"] * 1e-6
+
+
+# ----------------------------------------------------------------------------
+# connected components (hash-min + pointer doubling)
+# ----------------------------------------------------------------------------
+
+
+def _cc(edges, nodes=None, **kw):
+    from search_engine_framework_ray.stages.graph import connected_components
+
+    e = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    n = (
+        ray.data.from_items([{"node": v} for v in nodes])
+        if nodes is not None
+        else None
+    )
+    out = connected_components(e, nodes=n, n_buckets=8, **kw).to_pandas()
+    return dict(zip(out["node"], out["comp"]))
+
+
+def ref_cc(edges, nodes):
+    """Single-threaded union-find reference."""
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        if s in parent and d in parent:
+            a, b = find(s), find(d)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    # min id per component
+    comp = {}
+    for v in nodes:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(ms) for r, ms in comp.items() for v in ms}
+
+
+def test_cc_merged_int_graph(ray_session):
+    """ONE CC run over a disjoint union of every int-graph case (Ray Data's
+    per-execution overhead at the 4-cpu fixture makes one run per case
+    prohibitively slow; disjoint id ranges keep the cases independent):
+
+    - ids 1-99: two small components + an isolated node
+    - ids 1000-1059: a 60-node path — naive min propagation needs 59
+      rounds; pointer doubling must finish inside max_rounds=10
+    - ids 2000-2021: an 8-ring plus a cross-linked pendant pair
+    - ids 3001-3003: an edge whose endpoint (3777) is outside the node
+      universe and must be dropped
+    - ids 4000-4199: a 200-node random graph, fed through repartition(7)/
+      repartition(3) to exercise partitioning invariance
+    """
+    import numpy as np
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    nodes = [1, 2, 3, 10, 11, 99]
+    edges += [(1000 + i, 1001 + i) for i in range(59)]
+    nodes += [1000 + i for i in range(60)]
+    edges += [(2000 + i, 2000 + (i + 1) % 8) for i in range(8)]
+    edges += [(2020, 2021), (2021, 2004)]
+    nodes += [2000 + i for i in range(8)] + [2020, 2021]
+    edges += [(3001, 3002), (3002, 3777)]  # 3777 not in the universe
+    nodes += [3001, 3002, 3003]
+    rng = np.random.default_rng(11)
+    edges += [
+        (4000 + int(a), 4000 + int(b))
+        for a, b in rng.integers(0, 200, size=(150, 2))
+    ]
+    nodes += [4000 + i for i in range(200)]
+
+    want = ref_cc(edges, nodes)
+    from search_engine_framework_ray.stages.graph import connected_components
+
+    e = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in edges]
+    ).repartition(7)
+    n = ray.data.from_items([{"node": v} for v in nodes]).repartition(3)
+    out = connected_components(
+        e, nodes=n, n_buckets=8, max_rounds=10
+    ).to_pandas()
+    got = dict(zip(out["node"], out["comp"]))
+    assert got == want
+    assert got[99] == 99  # isolated node survives with its own label
+    assert all(got[1000 + i] == 1000 for i in range(60))  # path collapsed
+    assert got[3003] == 3003  # out-of-universe edge dropped, 3003 isolated
+
+
+def test_cc_string_nodes(ray_session):
+    edges = [("b", "a"), ("c", "b"), ("x", "y")]
+    nodes = ["a", "b", "c", "x", "y"]
+    got = _cc(edges, nodes)
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
