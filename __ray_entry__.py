@@ -502,6 +502,119 @@ def q_letor_rerank(sf_dir: str):
     )
 
 
+# trec_eval query set: 4 bag-of-words BM25 queries over the plain index.
+# Relevance is a deterministic arithmetic rule so the qrels need no file:
+# rel(qi, doc) = (doc_id + 37·i) % 9 == 0 (~11% of the corpus per query).
+_TREC_QSET = [
+    ("q1", ["spark", "join"]),
+    ("q2", ["hash", "table"]),
+    ("q3", ["window", "agg", "batch"]),
+    ("q4", ["customer", "query", "scan"]),
+]
+_TREC_REL_MOD = 9
+_TREC_DEPTH = 100
+
+
+def q_trec_eval(sf_dir: str):
+    """TREC effectiveness metrics P@10/20/30 + (M)AP per query and the
+    ``all`` mean row (the reference's committed metric set — capture.pl
+    goldens, hw4test.py:46-47/test.pl:51-65 — computed natively instead of
+    via the remote trec_eval service; definitions in
+    sources/evalmetrics.py). Rankings come from the distributed BM25 batch
+    path; |relevant| per query is ONE vectorized counting pass over the
+    corpus (≤4 partial rows per batch); per-query metrics are a cumsum
+    kernel inside groupby(qid).map_groups. Ranking order is
+    (score_micros DESC, doc_id ASC) — the micros tie-break both engines
+    share — with the run cut to the reference's depth-100 after that sort."""
+    import ray.data
+
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    res = run_queries(
+        idx,
+        [(qid, " ".join(terms)) for qid, terms in _TREC_QSET],
+        ModelParams(model="BM25"),
+        k=10_000,  # full candidate set; depth cut happens after micros sort
+    )
+    runs = []
+    for qid, _terms in _TREC_QSET:
+        df = pd.DataFrame(
+            {
+                "doc_id": [int(u[3:]) for u, _, _ in res[qid]],
+                "score": [s for _, s, _ in res[qid]],
+            }
+        )
+        df["score_micros"] = _micros(df["score"])
+        df = df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(_TREC_DEPTH)
+        df["qid"] = qid
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        runs.append(df[["qid", "rnk", "doc_id"]])
+    run = pd.concat(runs, ignore_index=True)
+
+    # |relevant(qid)| over the WHOLE corpus: distributed partial counts
+    # (4 ints per batch), summed — the corpus never reaches the driver
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    qnums = {qid: int(qid[1:]) for qid, _ in _TREC_QSET}
+
+    def rel_counts(t) -> pd.DataFrame:
+        d = t["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                qid: [int(((d + 37 * i) % _TREC_REL_MOD == 0).sum())]
+                for qid, i in qnums.items()
+            }
+        )
+
+    totals = (
+        docs.map_batches(rel_counts, batch_format="pandas").sum(list(qnums))
+        or {}
+    )
+    r_by_qid = {qid: int(totals[f"sum({qid})"]) for qid in qnums}
+
+    def metrics(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["qid"].iloc[0]
+        g = g.sort_values("rnk")
+        i = qnums[qid]
+        rel = ((g["doc_id"].to_numpy() + 37 * i) % _TREC_REL_MOD == 0).astype(
+            np.int64
+        )
+        rnk = g["rnk"].to_numpy()
+        c = np.cumsum(rel)
+        r_total = r_by_qid[qid]
+        pk = {
+            f"p{k}_micros": int(_round_away(rel[rnk <= k].sum() / k * 1e6))
+            for k in (10, 20, 30)
+        }
+        ap = float((rel * c / rnk).sum() / r_total) if r_total else 0.0
+        return pd.DataFrame(
+            {"qid": [qid], **{k: [v] for k, v in pk.items()},
+             "ap_micros": [int(_round_away(ap * 1e6))]}
+        )
+
+    perq = (
+        ray.data.from_pandas(run)
+        .groupby("qid")
+        .map_groups(metrics, batch_format="pandas")
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    cols = ["p10_micros", "p20_micros", "p30_micros", "ap_micros"]
+    allrow = {"qid": "all"}
+    for c in cols:
+        allrow[c] = int(_round_away(perq[c].to_numpy(np.float64).mean()))
+    out = pd.concat([perq, pd.DataFrame([allrow])], ignore_index=True)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 3600 s, slide 900 s): each event replicated to
     its 4 covering windows inside map_batches (with a per-batch combiner),
@@ -1792,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_features": q_letor_features,
         "letor_core": q_letor_core,
         "letor_rerank": q_letor_rerank,
+        "trec_eval": q_trec_eval,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -1895,6 +2009,85 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# trec_eval twin: the same 4-query BM25 run (micros-tie-break ranking cut at
+# depth 100), arithmetic qrels rule, and trec_eval P@k / AP / 'all'-mean
+# definitions (sources/evalmetrics.py) as window-function SQL.
+_TREC_Q_VALUES = ", ".join(
+    f"('{qid}', {int(qid[1:])}, '{tok}')"
+    for qid, terms in _TREC_QSET
+    for tok in terms
+)
+_TREC_EVAL_SQL = f"""
+{_TOKS},
+q(qid, i, tok) AS (VALUES {_TREC_Q_VALUES}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT q.qid, tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM q
+    JOIN tf ON tf.tok = q.tok
+    JOIN df ON df.tok = q.tok
+    JOIN doclen ON doclen.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+    SELECT qid, doc_id,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+           ) AS rnk
+    FROM scores
+),
+qi AS (SELECT DISTINCT qid, i FROM q),
+rcnt AS (
+    SELECT qi.qid, count(*) AS r FROM qi
+    JOIN documents d ON (d.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+    GROUP BY qi.qid
+),
+hits AS (
+    SELECT t.qid, t.rnk,
+           CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                THEN 1 ELSE 0 END AS rel
+    FROM ranked t JOIN qi USING (qid) WHERE t.rnk <= {_TREC_DEPTH}
+),
+cum AS (
+    SELECT qid, rnk, rel,
+           sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS c
+    FROM hits
+),
+perq AS (
+    SELECT cum.qid,
+           CAST(round(sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) / 10.0 * 1000000) AS BIGINT) AS p10_micros,
+           CAST(round(sum(CASE WHEN rnk <= 20 THEN rel ELSE 0 END) / 20.0 * 1000000) AS BIGINT) AS p20_micros,
+           CAST(round(sum(CASE WHEN rnk <= 30 THEN rel ELSE 0 END) / 30.0 * 1000000) AS BIGINT) AS p30_micros,
+           CAST(round(sum(CASE WHEN rel = 1 THEN c * 1.0 / rnk ELSE 0 END) / max(rcnt.r) * 1000000) AS BIGINT) AS ap_micros
+    FROM cum JOIN rcnt ON rcnt.qid = cum.qid
+    GROUP BY cum.qid
+)
+SELECT qid, p10_micros, p20_micros, p30_micros, ap_micros FROM perq
+UNION ALL
+SELECT 'all',
+       CAST(round(avg(p10_micros)) AS BIGINT),
+       CAST(round(avg(p20_micros)) AS BIGINT),
+       CAST(round(avg(p30_micros)) AS BIGINT),
+       CAST(round(avg(ap_micros)) AS BIGINT)
+FROM perq
+ORDER BY qid
 """
 
 
@@ -2538,6 +2731,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "pagerank": _PAGERANK_SQL,
+        "trec_eval": _TREC_EVAL_SQL,
         # recursive-CTE reachability closure over the same deterministic
         # undirected graph; comp = min reachable doc_id
         "link_components": r"""

@@ -46,3 +46,28 @@ def test_evaluate_run_with_all_row(tmp_path):
     assert m["1"]["P2"] == 0.5 and m["1"]["map"] == (1.0 + 2 / 3) / 3
     assert m["2"]["P2"] == 0.5 and m["2"]["map"] == 0.5
     assert m["all"]["map"] == (m["1"]["map"] + m["2"]["map"]) / 2
+
+
+def test_vectorized_entry_kernel_matches_definitions():
+    """The driver entry (``__ray_entry__.q_trec_eval``) recomputes P@k/AP as
+    a vectorized cumsum kernel; pin it to these reference definitions on a
+    run with relevant docs at mixed ranks and unretrieved relevant docs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    docs = rng.permutation(200)[:50]  # ranked run of 50 distinct doc ids
+    relevant = {int(d) for d in range(200) if d % 9 == 0}  # |rel| = 23
+
+    run = [f"d{d}" for d in docs]
+    rel_ids = {f"d{d}" for d in relevant}
+    want_ap = average_precision(run, rel_ids)
+    want_pk = {k: precision_at_k(run, rel_ids, k) for k in (10, 20, 30)}
+
+    # the entry's kernel arithmetic (cumsum form)
+    rel = np.array([int(d) in relevant for d in docs], dtype=np.int64)
+    rnk = np.arange(1, len(docs) + 1, dtype=np.int64)
+    c = np.cumsum(rel)
+    got_ap = float((rel * c / rnk).sum() / len(relevant))
+    assert got_ap == want_ap
+    for k in (10, 20, 30):
+        assert float(rel[rnk <= k].sum() / k) == want_pk[k]
