@@ -1161,6 +1161,30 @@ def q_embedding_clusters(sf_dir: str):
     return out[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup composition (stages/ann.py ``semantic_dedup``): the
+    deterministic k-means fit buckets the embeddings, then one
+    cluster-co-partitioned Gram-matrix pass marks every vector with a
+    lower-id clustermate at cosine >= 0.46 (the fixture's pair-cosine gap —
+    see ``embedding_neardup``) as a drop. SQL twin = the kmeans replay CTEs
+    + a within-cluster list_cosine_similarity self-join."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = semantic_dedup(ds, k=10, iters=2, threshold_micros=460_000).to_pandas()
+    for c in ("vec_id", "cluster", "keep"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["vec_id", "cluster", "keep"]]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
 def _extended_index(sf_dir: str) -> str:
     """Build (cached) the incrementally-built index: documents split 60/40
     into a base `build_index` + a delta `extend_index` append (new shards,
@@ -1933,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "docs_shuffle": q_docs_shuffle,
         "embedding_clusters": q_embedding_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "curation": q_curation,
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
@@ -2088,6 +2113,50 @@ SELECT 'all',
        CAST(round(avg(ap_micros)) AS BIGINT)
 FROM perq
 ORDER BY qid
+"""
+
+
+# kmeans replay CTEs (seeds -> 2 unrolled Lloyd iterations -> final
+# assignment a3) shared by the embedding_clusters and semantic_dedup twins
+_KMEANS_REPLAY_CTES = r"""
+            WITH seeds AS (
+                SELECT vec_id, embedding,
+                       (row_number() OVER (
+                            ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
+                        ) - 1) AS cid
+                FROM embeddings QUALIFY cid < 10
+            ),
+            pts AS (
+                SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            c0 AS (
+                SELECT cid, i - 1 AS dim,
+                       round(CAST(embedding[i] AS DOUBLE) * 1000000) / 1000000 AS v
+                FROM seeds, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            d1 AS (SELECT p.vec_id, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c0 c USING (dim) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a.cid, p.dim, round(avg(p.x) * 1000000) / 1000000 AS v
+                   FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+            d2 AS (SELECT p.vec_id, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c1 c USING (dim) GROUP BY 1, 2),
+            a2 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d2) WHERE rn = 1),
+            c2 AS (SELECT a.cid, p.dim, round(avg(p.x) * 1000000) / 1000000 AS v
+                   FROM a2 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+            d3 AS (SELECT p.vec_id, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c2 c USING (dim) GROUP BY 1, 2),
+            a3 AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid, row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d3) WHERE rn = 1)
 """
 
 
@@ -3250,46 +3319,33 @@ ORDER BY d.doc_id
         # replay of kmeans_clusters: quantized seed centroids (c0) → two
         # Lloyd rounds (assign aN on micros-rounded squared-L2, update cN =
         # micros-quantized per-dim avg) → final assignment a3
-        "embedding_clusters": r"""
-            WITH seeds AS (
-                SELECT vec_id, embedding,
-                       (row_number() OVER (
-                            ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)), vec_id
-                        ) - 1) AS cid
-                FROM embeddings QUALIFY cid < 10
-            ),
-            pts AS (
-                SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-            ),
-            c0 AS (
-                SELECT cid, i - 1 AS dim,
-                       round(CAST(embedding[i] AS DOUBLE) * 1000000) / 1000000 AS v
-                FROM seeds, unnest(range(1, len(embedding) + 1)) AS t(i)
-            ),
-            d1 AS (SELECT p.vec_id, c.cid,
-                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
-                   FROM pts p JOIN c0 c USING (dim) GROUP BY 1, 2),
-            a1 AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d1) WHERE rn = 1),
-            c1 AS (SELECT a.cid, p.dim, round(avg(p.x) * 1000000) / 1000000 AS v
-                   FROM a1 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
-            d2 AS (SELECT p.vec_id, c.cid,
-                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
-                   FROM pts p JOIN c1 c USING (dim) GROUP BY 1, 2),
-            a2 AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d2) WHERE rn = 1),
-            c2 AS (SELECT a.cid, p.dim, round(avg(p.x) * 1000000) / 1000000 AS v
-                   FROM a2 a JOIN pts p USING (vec_id) GROUP BY 1, 2),
-            d3 AS (SELECT p.vec_id, c.cid,
-                          CAST(floor(sum((p.x - c.v) * (p.x - c.v)) * 1000000 + 0.5) AS BIGINT) AS dm
-                   FROM pts p JOIN c2 c USING (dim) GROUP BY 1, 2),
-            a3 AS (SELECT vec_id, cid FROM (
-                       SELECT vec_id, cid, row_number() OVER (
-                           PARTITION BY vec_id ORDER BY dm, cid) AS rn FROM d3) WHERE rn = 1)
+        "embedding_clusters": _KMEANS_REPLAY_CTES
+        + """
             SELECT vec_id, cid AS cluster FROM a3 ORDER BY vec_id
+        """,
+        # SemDeDup twin: same kmeans replay, then a within-cluster
+        # lower-id self-join; cosine quantized with floor(x*1e6 + 0.5),
+        # the engine kernel's exact expression
+        "semantic_dedup": _KMEANS_REPLAY_CTES
+        + """,
+            asg AS (
+                SELECT a3.vec_id, a3.cid AS cluster, e.embedding
+                FROM a3 JOIN embeddings e USING (vec_id)
+            ),
+            dup AS (
+                SELECT a.vec_id,
+                       max(CASE WHEN CAST(floor(
+                               list_cosine_similarity(a.embedding, b.embedding)
+                               * 1000000 + 0.5) AS BIGINT) >= 460000
+                           THEN 1 ELSE 0 END) AS d
+                FROM asg a JOIN asg b
+                  ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+                GROUP BY a.vec_id
+            )
+            SELECT asg.vec_id, asg.cluster,
+                   CAST(1 - coalesce(dup.d, 0) AS BIGINT) AS keep
+            FROM asg LEFT JOIN dup USING (vec_id)
+            ORDER BY asg.vec_id
         """,
         "curation": _curation_sql(),
         # A-ES weighted sampling: k = -ln(u)/w with u md5-derived; ranked on

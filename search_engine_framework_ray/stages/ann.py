@@ -366,15 +366,25 @@ def embedding_neardup_pairs(
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
 
 
-def kmeans_clusters(
+def _kmeans_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    # direct (x-c)^2 sum (same formula the SQL twin evaluates), micros-
+    # rounded before the argmin so last-ulp sum-order noise can't flip
+    # it; centroid ids ascending ⇒ argmin's first-on-tie = lowest id
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return np.floor(d * 1e6 + 0.5).argmin(axis=1)
+
+
+def _kmeans_fit(
     ds: Dataset,
     *,
     k: int = 10,
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-) -> Dataset:
-    """Deterministic distributed Lloyd k-means → (vec_id, cluster).
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the deterministic Lloyd centroids → (cluster_ids, centroids);
+    the determinism contract is documented on :func:`kmeans_clusters`,
+    which is this fit plus one assignment pass.
 
     The clustering step of a curation pipeline (topic bucketing, IVF coarse
     quantizer, per-cluster sampling) made reproducible AND SQL-verifiable:
@@ -423,12 +433,7 @@ def kmeans_clusters(
     # the SQL twin joins on cid, so labels must never be re-densified.
     cids = np.arange(k, dtype=np.int64)
 
-    def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
-        # direct (x-c)^2 sum (same formula the SQL twin evaluates), micros-
-        # rounded before the argmin so last-ulp sum-order noise can't flip
-        # it; cids ascending ⇒ argmin's first-on-tie = lowest cluster id
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return np.floor(d * 1e6 + 0.5).argmin(axis=1)
+    assign = _kmeans_assign
 
     for _ in range(iters):
         C, ids_now = centroids, cids
@@ -457,15 +462,108 @@ def kmeans_clusters(
         cids = np.asarray(new_ids, dtype=np.int64)
         centroids = np.stack(new_c)
 
-    Cf, idf = centroids, cids
+    return cids, centroids
+
+
+def kmeans_clusters(
+    ds: Dataset,
+    *,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Deterministic distributed Lloyd k-means → (vec_id, cluster).
+
+    The clustering step of a curation pipeline (topic bucketing, IVF coarse
+    quantizer, per-cluster sampling) made reproducible AND SQL-verifiable:
+
+    * seeds = the ``k`` vectors with the smallest md5-low64(id) (the
+      hash-mod sample the IVF trainer uses — no data-order bias);
+    * every centroid is QUANTIZED to 1e-6 after each update, so the DuckDB
+      twin (which rebuilds the same iterations with unnest/avg arithmetic)
+      feeds bit-identical centroids into the next round — float summation
+      order can then never flip an argmin;
+    * assignment = argmin of micros-rounded squared-L2 distance, ties to
+      the lower cluster id — a total order both engines agree on.
+
+    Scale shape: seeds via per-batch local top-k (k·n_batches candidate
+    rows to the driver); each Lloyd round is ONE streaming pass emitting
+    k·n_batches partial (cluster, count, sum-vector) rows; the corpus
+    never leaves the object store. Empty clusters are dropped (both sides)
+    so ids stay aligned with the SQL twin.
+    """
+    cids, cents = _kmeans_fit(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
 
     def final(b: pd.DataFrame) -> pd.DataFrame:
         X = _stack_embeddings(b, emb_col)
         return pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(),
-                "cluster": idf[assign(X, Cf)].astype(np.int64),
+                "cluster": cids[_kmeans_assign(X, cents)].astype(np.int64),
             }
         )
 
     return ds.map_batches(final, batch_format="pandas")
+
+
+def semantic_dedup(
+    ds: Dataset,
+    *,
+    k: int = 10,
+    iters: int = 2,
+    threshold_micros: int = 460_000,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """SemDeDup-style embedding deduplication (k-means bucketing + within-
+    cluster pairwise cosine; semantics of Abbas et al., arXiv 2303.09540):
+    → (id, cluster, keep) where ``keep = 0`` iff some LOWER-id clustermate
+    has micros-quantized cosine ≥ ``threshold_micros`` (lowest id is the
+    cluster-canonical survivor, matching the repo's other dedup families).
+
+    Scale shape: centroids are fit with streaming passes
+    (:func:`_kmeans_fit`) and broadcast once (k·d floats inside the batch
+    closure); ONE narrow shuffle co-partitions (id, embedding) rows by
+    cluster; the per-cluster kernel is a vectorized Gram matrix — O(m²)
+    per cluster, the SemDeDup design point (size ``k`` so clusters stay
+    ~10⁴ vectors; a pathologically hot cluster should be re-fit with a
+    larger ``k``, the paper's own protocol).
+
+    Determinism: cosine = dot/(|a|·|b|) quantized with floor(x·1e6 + 0.5)
+    — the exact expression the SQL twin evaluates via
+    ``list_cosine_similarity`` — and the keep rule compares ids, so the
+    output is partition-invariant.
+    """
+    cids, cents = _kmeans_fit(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack_embeddings(b, emb_col)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "cluster": cids[_kmeans_assign(X, cents)].astype(np.int64),
+                emb_col: b[emb_col].to_numpy(),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        X = _stack_embeddings(g, emb_col)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0] = 1.0  # zero vectors: cosine treated as 0 vs everything
+        cos = np.floor((X @ X.T) / np.outer(n, n) * 1e6 + 0.5)
+        dup = (np.tril(cos, -1) >= threshold_micros).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster": g["cluster"].to_numpy(),
+                "keep": (~dup).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("cluster")
+        .map_groups(dedup_group, batch_format="pandas")
+    )

@@ -563,3 +563,37 @@ def test_substring_dedup_semantics(ray_session):
     assert out.loc[1, "clean_text"] == "head1 tail1"
     assert out.loc[2, "clean_text"] == "o"  # both spans cut, bridge token kept
     assert out.loc[3, "clean_text"] == "short doc"
+
+
+def test_semantic_dedup_planted_duplicates(ray_session):
+    """SemDeDup keep/drop semantics: exact duplicates planted with HIGHER
+    ids must be dropped (lowest id is the cluster-canonical survivor), the
+    originals and the isolated vectors all kept, and the kmeans bucketing
+    must agree with kmeans_clusters."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import (
+        kmeans_clusters,
+        semantic_dedup,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().head(60)
+    dup = emb.head(15).copy()
+    dup["vec_id"] = dup["vec_id"] + 5000  # exact duplicates, higher ids
+    both = pd.concat([emb, dup]).reset_index(drop=True)
+    ds = ray.data.from_pandas(both)
+
+    out = (
+        semantic_dedup(ds, k=5, iters=2, threshold_micros=999_000)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == len(both)
+    # every planted copy dropped, every original kept (cosine(self)=1.0)
+    for v in dup["vec_id"]:
+        assert out.loc[int(v), "keep"] == 0
+    for v in emb["vec_id"]:
+        assert out.loc[int(v), "keep"] == 1
+    # bucketing identical to the standalone kmeans operator
+    kc = kmeans_clusters(ds, k=5, iters=2).to_pandas().set_index("vec_id")
+    assert out["cluster"].sort_index().equals(kc["cluster"].sort_index())
