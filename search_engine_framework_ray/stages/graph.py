@@ -234,17 +234,24 @@ def pagerank(
             }
         )
 
+    def _rebase(d: ray.data.Dataset) -> ray.data.Dataset:
+        # execute and reset lineage (zero-copy block-ref handoff): an
+        # iterative dataflow that unions its own materialized output back
+        # in doubles the logical plan every round, and plan construction
+        # eventually driver-bounds the loop — see connected_components,
+        # where this was measured and fixed first
+        return ray.data.from_pandas_refs(d.materialize().to_pandas_refs())
+
     for _ in range(iters):
         contribs = (
             ranks.union(edges_t)
             .groupby("kbucket")
             .map_groups(emit_contribs, batch_format="pandas")
         )
-        ranks = (
+        ranks = _rebase(
             contribs.union(zeros)
             .groupby("kbucket")
             .map_groups(reduce_ranks, batch_format="pandas")
-            .materialize()
         )
 
     def finalize(b: pd.DataFrame) -> pd.DataFrame:
@@ -342,17 +349,12 @@ def connected_components(
     # previous labels into its own lineage twice (candidates + resolve), so
     # blocks double per round — measured 8 s → 94 s per round by round 4 on
     # a 500-doc graph before the cap, flat ~2 s/round after.
-    edges_t = (
-        edges.map_batches(tag_edges, batch_format="pandas")
-        .repartition(n_buckets)
-        .materialize()
+    edges_t = edges.map_batches(tag_edges, batch_format="pandas").repartition(
+        n_buckets
     )
-    labels = (
-        nodes.materialize()
-        .map_batches(tag_labels, batch_format="pandas")
-        .repartition(n_buckets)
-        .materialize()
-    )
+    labels = nodes.materialize().map_batches(
+        tag_labels, batch_format="pandas"
+    ).repartition(n_buckets)
 
     def emit_cands(g: pd.DataFrame) -> pd.DataFrame:
         """One src bucket: label rows + edge rows → (dst, lbl[src])."""
@@ -428,26 +430,37 @@ def connected_components(
         lbl = b["val"].to_numpy()
         return _frame(lbl, b["key"].to_numpy(), b["flag"].to_numpy(), "q")
 
+    def _rebase(d: ray.data.Dataset) -> ray.data.Dataset:
+        """Execute and RESET LINEAGE: hand the materialized pandas block
+        refs to a fresh dataset (zero-copy, blocks stay in the object
+        store). ``materialize()`` alone keeps the full logical plan, and an
+        iterative dataflow that unions its own output back in doubles that
+        plan every round — measured on a 100k-node run: executions stayed
+        at 2-7 s while the DRIVER burned 47 s, then 77 s, then minutes of
+        plan construction between executions by round ~13."""
+        return ray.data.from_pandas_refs(d.materialize().to_pandas_refs())
+
+    edges_t = _rebase(edges_t)
+    labels = _rebase(labels)
+
     for _ in range(max_rounds):
         cands = (
             labels.union(edges_t)
             .groupby("kbucket")
             .map_groups(emit_cands, batch_format="pandas")
         )
-        labels = (
+        labels = _rebase(
             cands.union(labels)
             .groupby("kbucket")
             .map_groups(reduce_min, batch_format="pandas")
             .repartition(n_buckets)
-            .materialize()
         )
         requests = labels.map_batches(to_requests, batch_format="pandas")
-        labels = (
+        labels = _rebase(
             requests.union(labels)
             .groupby("kbucket")
             .map_groups(resolve, batch_format="pandas")
             .repartition(n_buckets)
-            .materialize()
         )
         if (labels.sum("flag") or 0) == 0:
             break
