@@ -81,19 +81,19 @@ def run_bench() -> dict:
     # first. Co-tenant load here oscillates on a ~minutes period, so a
     # handful of extra ~5 s trials frequently spans a quiet window.
     steady_best = {
-        "index_build": 3.6,
+        "index_build": 3.0,
         "shuffle_join_agg": 4.4,
         "query_batch_data_path": 3.8,
-        "query_p50": 0.022,
-        "query_p90": 0.031,
+        "query_p50": 0.019,
+        "query_p90": 0.025,
         "html_extract_index": 3.0,
         "dedup_exact": 1.2,
         "dedup_minhash": 3.7,
         "dedup_simhash": 2.9,
-        "dedup_substring": 4.8,
-        "curation": 5.2,
+        "dedup_substring": 3.4,
+        "curation": 4.1,
         "ann_brute_8q": 0.47,
-        "window_tumbling": 2.6,
+        "window_tumbling": 2.1,
         "window_sliding": 1.9,
         "fb_expansion_4q": 6.4,
         "letor_features_2q": 4.5,
