@@ -1316,7 +1316,11 @@ def q_pagerank(sf_dir: str):
     nodes = docs.map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
-    out = pagerank(edges, nodes=nodes, iters=3).to_pandas()
+    # n_buckets ≈ cluster cores at scale; at fixture scale per-task
+    # scheduling dominates (~10 rank rows per bucket), so size buckets down
+    out = pagerank(
+        edges, nodes=nodes, iters=3, n_buckets=8 if n <= 100_000 else 64
+    ).to_pandas()
     out = out.rename(columns={"node": "doc_id"})
     for c in ("doc_id", "rank_micros"):
         out[c] = out[c].astype("int64")
