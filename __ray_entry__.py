@@ -1635,6 +1635,30 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+def q_events_sessions_salted(sf_dir: str):
+    """HOT-KEY sessionization path (stages/window.py salt_slice_s): events
+    sessionized per (user, 2-hour time slice) — any one group bounded to a
+    slice's events — then the per-slice session INTERVALS merged per user
+    with the same gap rule. Associative across slices ⇒ bit-identical to
+    the single-group scan, so this entry shares `events_sessions`' SQL
+    oracle verbatim: the driver hash proves the salted path exact."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import session_windows
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = session_windows(ds, gap_s=1800, salt_slice_s=7200).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out["value_sum_micros"] = _micros(out["value_sum"])
+    for c in ("session_start", "session_end"):
+        out[c + "_us"] = out[c].astype("datetime64[us]").astype("int64")
+    return (
+        out[["user_id", "session_start_us", "session_end_us", "n", "value_sum_micros"]]
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
     """TPC-H-Q1-ish pre-aggregated groupby (general columnar-agg path)."""
     import pyarrow as pa
@@ -1974,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "events_sessions_salted": q_events_sessions_salted,
         "events_asof": q_events_asof,
         "events_in_sessions": q_events_in_sessions,
         "lineitem_agg": q_lineitem_agg,
@@ -3649,6 +3674,28 @@ ORDER BY d.doc_id
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+        """,
+        # the salted hot-key path must be BIT-IDENTICAL to the plain scan —
+        # same oracle, verbatim
+        "events_sessions_salted": """
             WITH o AS (
                 SELECT user_id, ts, value, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL

@@ -106,9 +106,29 @@ def session_windows(
     ts_col: str = "ts",
     value_col: str = "value",
     hot_key_bound: int | None = None,
+    salt_slice_s: int | None = None,
 ) -> Dataset:
     """Per-key session windows (gap-based): ``groupby(key)`` then a sorted
-    gap scan per group → (key, session_start, session_end, n, value_sum)."""
+    gap scan per group → (key, session_start, session_end, n, value_sum).
+
+    ``salt_slice_s`` enables the HOT-KEY path: events are first sessionized
+    per (key, time-slice) — bounding any one group to a slice's worth of
+    events — then the per-slice sessions (intervals, usually ≪ events for
+    the dense keys that ARE the hot keys) are merged per key with the SAME
+    gap rule. Sessionization composes associatively across time slices, so
+    the salted output is BIT-IDENTICAL to the single-group scan at any
+    slice width (the cross-slice gap comparison is the same
+    ``start − prev_end > gap`` rule the in-slice scan applies)."""
+    if salt_slice_s is not None:
+        return _session_windows_salted(
+            ds,
+            gap_s,
+            key=key,
+            ts_col=ts_col,
+            value_col=value_col,
+            hot_key_bound=hot_key_bound,
+            salt_slice_s=salt_slice_s,
+        )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         from .join import check_hot_key
@@ -138,3 +158,84 @@ def session_windows(
         return out
 
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+
+
+def _session_windows_salted(
+    ds: Dataset,
+    gap_s: int,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    hot_key_bound: int | None,
+    salt_slice_s: int,
+) -> Dataset:
+    """Two-pass salted sessionization (see :func:`session_windows`)."""
+    from .join import check_hot_key
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        epoch_us = b[ts_col].astype("datetime64[us]").astype("int64")
+        b["_slice"] = epoch_us // (salt_slice_s * 1_000_000)
+        return b
+
+    def slice_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        """One (key, slice) group: the in-slice gap scan — identical rule
+        to the unsalted kernel, bounded input."""
+        g = g.sort_values(ts_col, kind="mergesort")
+        epoch_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = np.diff(epoch_us) > gap_s * 1_000_000
+        sid = np.cumsum(new_session)
+        return (
+            g.assign(_sid=sid)
+            .groupby("_sid")
+            .agg(
+                **{
+                    key: (key, "first"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                    "n": (ts_col, "size"),
+                    "value_sum": (value_col, "sum"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+
+    partial = (
+        ds.map_batches(add_slice, batch_format="pandas")
+        .groupby([key, "_slice"])
+        .map_groups(slice_sessions, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        """One key group over partial SESSIONS (intervals): merge
+        consecutive sessions whose boundary gap ≤ gap_s — the same rule,
+        lifted from events to intervals. Slices partition time, so sorted
+        session_start order == time order and the scan is exact."""
+        check_hot_key(g, key, hot_key_bound)
+        g = g.sort_values("session_start", kind="mergesort")
+        start_us = g["session_start"].astype("datetime64[us]").astype("int64")
+        end_us = g["session_end"].astype("datetime64[us]").astype("int64")
+        new_session = np.ones(len(g), dtype=bool)
+        new_session[1:] = (
+            start_us.to_numpy()[1:] - end_us.to_numpy()[:-1]
+            > gap_s * 1_000_000
+        )
+        sid = np.cumsum(new_session)
+        return (
+            g.assign(_sid=sid)
+            .groupby("_sid")
+            .agg(
+                **{
+                    key: (key, "first"),
+                    "session_start": ("session_start", "min"),
+                    "session_end": ("session_end", "max"),
+                    "n": ("n", "sum"),
+                    "value_sum": ("value_sum", "sum"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+
+    return partial.groupby(key).map_groups(merge, batch_format="pandas")

@@ -597,3 +597,56 @@ def test_semantic_dedup_planted_duplicates(ray_session):
     # bucketing identical to the standalone kmeans operator
     kc = kmeans_clusters(ds, k=5, iters=2).to_pandas().set_index("vec_id")
     assert out["cluster"].sort_index().equals(kc["cluster"].sort_index())
+
+
+def test_session_windows_salted_bit_identical(ray_session):
+    """The salted hot-key path must reproduce the single-group scan
+    EXACTLY — including a dense hot key spanning many slices, sessions
+    that straddle slice boundaries, and a sparse key whose every event is
+    its own session."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import session_windows
+
+    rng = np.random.default_rng(17)
+    rows = []
+    # hot key: 2,000 events at ~60 s spacing (one long session crossing
+    # every 2h slice) plus occasional >gap holes that split it
+    t = 0
+    for i in range(2000):
+        t += int(rng.integers(30, 120)) if i % 400 else 4000
+        rows.append(("hot", t, 1.0))
+    # sparse key: every event isolated
+    rows += [("sparse", i * 10_000, 2.0) for i in range(20)]
+    # boundary key: events hugging slice edges (7200 s slices)
+    rows += [("edge", s, 0.5) for s in (7199, 7201, 14399, 14401, 21603)]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "value": [r[2] for r in rows],
+        }
+    )
+
+    def run(**kw):
+        out = session_windows(
+            ray.data.from_pandas(df), gap_s=1800, **kw
+        ).to_pandas()
+        return (
+            out.sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)[
+                ["user_id", "session_start", "session_end", "n", "value_sum"]
+            ]
+        )
+
+    plain = run()
+    salted = run(salt_slice_s=7200)
+    pd.testing.assert_frame_equal(plain, salted)
+    # the salted path keeps per-group inputs bounded: a bound the raw hot
+    # key would blow (2,000 events) passes because merge sees SESSIONS
+    salted_bounded = run(salt_slice_s=7200, hot_key_bound=500)
+    pd.testing.assert_frame_equal(plain, salted_bounded)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="hot key"):
+        run(hot_key_bound=500)  # unsalted guard still trips
