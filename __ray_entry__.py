@@ -691,6 +691,45 @@ def q_events_asof(sf_dir: str):
     )
 
 
+def q_events_asof_salted(sf_dir: str):
+    """HOT-KEY as-of path (stages/join.py salt_slice_s): both sides shuffle
+    on (user, 2-hour slice); each probe slice gets ONE carry-in right row —
+    the nearest earlier occupied slice's kernel-tie-sort latest view. The
+    in-slice merge_asof then reproduces the single-group join exactly, so
+    this entry shares `events_asof`'s SQL oracle verbatim."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import asof_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    left = ds.select_columns(["event_id", "ts", "user_id"])
+
+    def views(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"] == "view"]
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "ts": b["ts"], "event_id": b["event_id"]}
+        )
+
+    right = ds.map_batches(views, batch_format="pandas")
+    out = asof_join(
+        left, right, by="user_id", on="ts", salt_slice_s=7200
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["last_view_id"] = out["r_event_id"].astype("int64")
+    out["lag_us"] = (
+        out["ts"].astype("datetime64[us]").astype("int64")
+        - out["r_ts"].astype("datetime64[us]").astype("int64")
+    )
+    return (
+        out[["event_id", "last_view_id", "lag_us"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_in_sessions(sf_dir: str):
     """Composition: session windows → range join back (stages/join.py):
     every event matched to its containing session interval per user — the
@@ -2000,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_sessions_salted": q_events_sessions_salted,
         "events_asof": q_events_asof,
+        "events_asof_salted": q_events_asof_salted,
         "events_in_sessions": q_events_in_sessions,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_nation": q_orders_by_nation,
@@ -3630,6 +3670,20 @@ ORDER BY d.doc_id
             FROM w GROUP BY ws ORDER BY ws
         """,
         "events_asof": """
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(m.view_id AS BIGINT) AS last_view_id,
+                   CAST(epoch_us(e.ts) - epoch_us(m.ts) AS BIGINT) AS lag_us
+            FROM events e
+            JOIN LATERAL (
+                SELECT v.event_id AS view_id, v.ts FROM events v
+                WHERE v.user_id = e.user_id AND v.event_type = 'view'
+                  AND v.ts <= e.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) m ON true
+            ORDER BY event_id
+        """,
+        # the salted hot-key as-of path must be bit-identical — same oracle
+        "events_asof_salted": """
             SELECT CAST(e.event_id AS BIGINT) AS event_id,
                    CAST(m.view_id AS BIGINT) AS last_view_id,
                    CAST(epoch_us(e.ts) - epoch_us(m.ts) AS BIGINT) AS lag_us

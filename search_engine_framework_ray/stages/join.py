@@ -93,9 +93,21 @@ def asof_join(
     direction: str = "backward",
     right_prefix: str = "r_",
     hot_key_bound: int | None = None,
+    salt_slice_s: int | None = None,
 ) -> Dataset:
     """Inner as-of join → Dataset with all left columns + prefixed right
-    columns (left rows with no eligible right row are dropped)."""
+    columns (left rows with no eligible right row are dropped).
+
+    ``salt_slice_s`` enables the HOT-KEY path (``on`` must be a timestamp):
+    both sides shuffle on ``(key, time-slice)`` instead of ``key``, and each
+    probe slice additionally receives ONE carry-in right row — the latest
+    right row of the nearest earlier occupied slice (backward; symmetric
+    for forward). Slices partition the ``on`` axis, so the in-slice
+    ``merge_asof`` with that carry-in reproduces the single-group result
+    BIT-IDENTICALLY: a probe either matches an in-slice right row or the
+    carry-in, which is exactly the global predecessor. Carry-in selection
+    per slice pair is the same ``(on, *value-cols)`` tie sort the kernel
+    uses, so ties resolve identically."""
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
     ls, rs = left.schema(), right.schema()
@@ -157,7 +169,85 @@ def asof_join(
         merged = merged.dropna(subset=[right_prefix + on])
         return merged[out_cols]
 
-    return both.groupby(by).map_groups(group_fn, batch_format="pandas")
+    if salt_slice_s is None:
+        return both.groupby(by).map_groups(group_fn, batch_format="pandas")
+
+    # ---- salted hot-key path -------------------------------------------
+    if lkind[on] != "ts":
+        raise ValueError("salt_slice_s requires a timestamp 'on' column")
+    slice_us = salt_slice_s * 1_000_000
+    backward = direction == "backward"
+    cols_s = [*cols, "_slice"]
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_slice"] = (
+            b[on].astype("datetime64[us]").astype("int64") // slice_us
+        )
+        return b[cols_s]
+
+    sliced = both.map_batches(add_slice, batch_format="pandas")
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        """Per-batch combiner → candidate boundary rows: the kernel-tie-sort
+        extreme RIGHT row per (key, slice) ('R') and the distinct probe
+        slices ('P'). Ships ≤ 2·|keys×occupied slices| rows per batch."""
+        parts = []
+        r = b.loc[b["_side"] == "R"]
+        if len(r):
+            r = r.sort_values([on, *pref], kind="mergesort")
+            grp = r.groupby([by, "_slice"], sort=False)
+            parts.append(grp.tail(1) if backward else grp.head(1))
+        l = b.loc[b["_side"] == "L"]
+        if len(l):
+            p = l.drop_duplicates([by, "_slice"]).copy()
+            p["_side"] = "P"
+            parts.append(p)
+        return (
+            pd.concat(parts)[cols_s]
+            if parts
+            else b[cols_s].iloc[0:0]
+        )
+
+    def emit_carries(g: pd.DataFrame) -> pd.DataFrame:
+        """One key over boundary rows: for each probe slice s, re-emit the
+        extreme right row of the nearest occupied slice strictly before
+        (backward) / after (forward) s, retagged into slice s."""
+        r = g.loc[g["_side"] == "R"]
+        probes = np.unique(
+            g.loc[g["_side"] == "P", "_slice"].to_numpy(dtype=np.int64)
+        )
+        if not len(r) or not len(probes):
+            return g[cols_s].iloc[0:0]
+        # batches may each contribute a candidate per slice: re-reduce
+        r = r.sort_values([on, *pref], kind="mergesort")
+        grp = r.groupby("_slice", sort=False)
+        r = (grp.tail(1) if backward else grp.head(1)).sort_values("_slice")
+        rslices = r["_slice"].to_numpy(dtype=np.int64)
+        if backward:
+            idx = np.searchsorted(rslices, probes, side="left") - 1
+            ok = idx >= 0
+        else:
+            idx = np.searchsorted(rslices, probes, side="right")
+            ok = idx < len(rslices)
+        out = r.iloc[idx[ok]].copy()
+        out["_slice"] = probes[ok]
+        return out[cols_s]
+
+    carries = (
+        sliced.map_batches(summarize, batch_format="pandas")
+        .groupby(by)
+        .map_groups(emit_carries, batch_format="pandas")
+    )
+
+    def group_fn_sliced(g: pd.DataFrame) -> pd.DataFrame:
+        return group_fn(g)
+
+    return (
+        sliced.union(carries)
+        .groupby([by, "_slice"])
+        .map_groups(group_fn_sliced, batch_format="pandas")
+    )
 
 
 def range_join(

@@ -650,3 +650,61 @@ def test_session_windows_salted_bit_identical(ray_session):
 
     with _pytest.raises(Exception, match="hot key"):
         run(hot_key_bound=500)  # unsalted guard still trips
+
+
+def test_asof_join_salted_bit_identical(ray_session):
+    """Salted as-of (carry-in per probe slice) must equal the single-group
+    join in BOTH directions: probes whose predecessor lives many slices
+    back, right rows hugging slice edges, ties on `on`, and keys with no
+    match at all."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(29)
+    # hot key: 1,500 probes over 20 slices (7200 s each), sparse right side
+    lt = np.sort(rng.integers(0, 20 * 7200, size=1500))
+    rt = np.sort(rng.choice(20 * 7200, size=40, replace=False))
+    rows_l = [("hot", int(t), i) for i, t in enumerate(lt)]
+    rows_r = [("hot", int(t), 10_000 + i) for i, t in enumerate(rt)]
+    # duplicate `on` tie on the right (kernel tie-sort must agree)
+    rows_r += [("hot", int(rt[5]), 20_000)]
+    # edge key: right rows exactly at slice boundaries
+    rows_l += [("edge", 7200, 1), ("edge", 7201, 2), ("edge", 14400, 3)]
+    rows_r += [("edge", 7200, 30_000), ("edge", 14400, 30_001)]
+    # lonely key: probes with no right rows at all (must drop)
+    rows_l += [("lonely", 50, 7)]
+
+    def mk(rows):
+        import pyarrow as pa
+
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "user_id": [r[0] for r in rows],
+                        "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+                        "event_id": [r[2] for r in rows],
+                    }
+                )
+            ).combine_chunks()
+        )
+
+    for direction in ("backward", "forward"):
+        plain = asof_join(
+            mk(rows_l), mk(rows_r), by="user_id", on="ts", direction=direction
+        ).to_pandas()
+        salted = asof_join(
+            mk(rows_l), mk(rows_r), by="user_id", on="ts",
+            direction=direction, salt_slice_s=7200,
+        ).to_pandas()
+
+        def norm(df):
+            df = df.copy()
+            df["r_event_id"] = df["r_event_id"].astype("int64")
+            return df.sort_values(["user_id", "ts", "event_id"]).reset_index(
+                drop=True
+            )
+
+        pd.testing.assert_frame_equal(norm(plain), norm(salted))
+        assert not (norm(plain)["user_id"] == "lonely").any()
