@@ -765,6 +765,44 @@ def q_events_in_sessions(sf_dir: str):
     )
 
 
+def q_events_in_sessions_salted(sf_dir: str):
+    """HOT-KEY range-join path (stages/join.py salt_slice_s): probes
+    shuffle on (user, 1-hour slice) and every session interval replicates
+    to each slice it overlaps — a probe lives in exactly one slice so each
+    (event, session) match surfaces exactly once. Shares
+    `events_in_sessions`'s SQL oracle verbatim: the hash proves the salted
+    path bit-identical."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import range_join
+    from search_engine_framework_ray.stages.window import session_windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    sess = session_windows(ds, gap_s=1800)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["user_id", "session_start", "session_end"]]
+
+    right = sess.map_batches(project, batch_format="pandas")
+    left = ds.select_columns(["event_id", "ts", "user_id"])
+    out = range_join(
+        left, right, by="user_id", on="ts", lo="session_start",
+        hi="session_end", salt_slice_s=3600,
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["session_start_us"] = (
+        out["r_session_start"].astype("datetime64[us]").astype("int64")
+    )
+    return (
+        out[["event_id", "session_start_us"]]
+        .sort_values(["event_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data
 
@@ -2041,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_asof_salted": q_events_asof_salted,
         "events_in_sessions": q_events_in_sessions,
+        "events_in_sessions_salted": q_events_in_sessions_salted,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_nation": q_orders_by_nation,
         "revenue_by_priority": q_revenue_by_priority,
@@ -3697,6 +3736,31 @@ ORDER BY d.doc_id
             ORDER BY event_id
         """,
         "events_in_sessions": """
+            WITH o AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            sess AS (
+                SELECT user_id, min(ts) AS st, max(ts) AS en
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(epoch_us(sess.st) AS BIGINT) AS session_start_us
+            FROM events e
+            JOIN sess ON sess.user_id = e.user_id
+                     AND e.ts BETWEEN sess.st AND sess.en
+            ORDER BY event_id, session_start_us
+        """,
+        # the salted hot-key range join must be bit-identical — same oracle
+        "events_in_sessions_salted": """
             WITH o AS (
                 SELECT event_id, user_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL

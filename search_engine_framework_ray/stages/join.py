@@ -260,13 +260,22 @@ def range_join(
     hi: str = "hi",
     right_prefix: str = "r_",
     hot_key_bound: int | None = None,
+    salt_slice_s: int | None = None,
 ) -> Dataset:
     """Interval-containment join: each left row matched to EVERY right
     interval of the same key with ``lo ≤ left.on ≤ hi`` (inner; a left row
     in k intervals yields k rows). Same co-partitioning shape as
     :func:`asof_join`; the in-group kernel sorts events once and uses two
     ``searchsorted`` probes per interval (O(E log E + I log E + matches)),
-    no per-row Python loop. Same dtype note as asof_join."""
+    no per-row Python loop. Same dtype note as asof_join.
+
+    ``salt_slice_s`` enables the HOT-KEY path (``on``/``lo``/``hi`` must be
+    timestamps): probes shuffle on ``(key, time-slice)`` and every interval
+    replicates to each slice it overlaps. A probe lives in exactly one
+    slice, so every (probe, interval) match surfaces exactly once — the
+    salted output is BIT-IDENTICAL with no dedup step. Replication factor
+    is ``interval_span / slice + 1``: size the slice to the typical
+    interval (e.g. session-length) so the blowup stays ~2×."""
     ls, rs = left.schema(), right.schema()
     lkind = {c: _kind(t) for c, t in zip(ls.names, ls.types)}
     rkind = {c: _kind(t) for c, t in zip(rs.names, rs.types)}
@@ -326,4 +335,44 @@ def range_join(
         rmat = r.iloc[r_idx][pref].reset_index(drop=True)
         return pd.concat([lmat, rmat], axis=1)[out_cols]
 
-    return both.groupby(by).map_groups(group_fn, batch_format="pandas")
+    if salt_slice_s is None:
+        return both.groupby(by).map_groups(group_fn, batch_format="pandas")
+
+    # ---- salted hot-key path: probes sliced, intervals replicated ------
+    if not (
+        lkind[on] == "ts"
+        and rkind[lo] == "ts"
+        and rkind[hi] == "ts"
+    ):
+        raise ValueError("salt_slice_s requires timestamp on/lo/hi columns")
+    slice_us = salt_slice_s * 1_000_000
+    cols_s = [*cols, "_slice"]
+
+    def _us(s: pd.Series) -> np.ndarray:
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+    def add_slice(b: pd.DataFrame) -> pd.DataFrame:
+        l = b.loc[b["_side"] == "L"].copy()
+        r = b.loc[b["_side"] == "R"]
+        parts = []
+        if len(l):
+            l["_slice"] = _us(l[on]) // slice_us
+            parts.append(l)
+        if len(r):
+            s0 = _us(r[right_prefix + lo]) // slice_us
+            s1 = _us(r[right_prefix + hi]) // slice_us
+            counts = (s1 - s0 + 1).clip(min=0)
+            rr = r.iloc[np.repeat(np.arange(len(r)), counts)].copy()
+            rr["_slice"] = np.concatenate(
+                [np.arange(a, b_ + 1) for a, b_ in zip(s0, s1) if b_ >= a]
+            )
+            parts.append(rr)
+        return (
+            pd.concat(parts)[cols_s] if parts else b.assign(_slice=0)[cols_s].iloc[0:0]
+        )
+
+    return (
+        both.map_batches(add_slice, batch_format="pandas")
+        .groupby([by, "_slice"])
+        .map_groups(group_fn, batch_format="pandas")
+    )

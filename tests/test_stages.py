@@ -708,3 +708,60 @@ def test_asof_join_salted_bit_identical(ray_session):
 
         pd.testing.assert_frame_equal(norm(plain), norm(salted))
         assert not (norm(plain)["user_id"] == "lonely").any()
+
+
+def test_range_join_salted_bit_identical(ray_session):
+    """Salted range join (interval replication across slices) must equal
+    the single-group join exactly: intervals spanning many slices, probes
+    at interval endpoints, nested/overlapping intervals, and empty keys."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import range_join
+
+    rng = np.random.default_rng(41)
+    lt = np.sort(rng.integers(0, 15 * 3600, size=800))
+    rows_l = [("hot", int(t), i) for i, t in enumerate(lt)]
+    ivals = []
+    for i in range(25):  # overlapping, some spanning 5+ slices
+        a = int(rng.integers(0, 13 * 3600))
+        ivals.append((a, a + int(rng.integers(60, 6 * 3600))))
+    rows_r = [("hot", a, b, 500 + i) for i, (a, b) in enumerate(ivals)]
+    # endpoint probes: on == lo and on == hi must match (inclusive)
+    rows_l += [("edge", ivals[0][0], 9000), ("edge", ivals[0][1], 9001)]
+    rows_r += [("edge", ivals[0][0], ivals[0][1], 9500)]
+    rows_l += [("lonely", 42, 9002)]
+
+    def mk_l(rows):
+        return ray.data.from_arrow(pa.Table.from_pandas(pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "event_id": [r[2] for r in rows],
+        })).combine_chunks())
+
+    def mk_r(rows):
+        return ray.data.from_arrow(pa.Table.from_pandas(pd.DataFrame({
+            "user_id": [r[0] for r in rows],
+            "lo": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "hi": pd.to_datetime([r[2] for r in rows], unit="s"),
+            "ival_id": [r[3] for r in rows],
+        })).combine_chunks())
+
+    def norm(df):
+        df = df.copy()
+        df["r_ival_id"] = df["r_ival_id"].astype("int64")
+        return df.sort_values(
+            ["user_id", "event_id", "r_ival_id"]
+        ).reset_index(drop=True)
+
+    plain = range_join(
+        mk_l(rows_l), mk_r(rows_r), by="user_id", on="ts", lo="lo", hi="hi"
+    ).to_pandas()
+    salted = range_join(
+        mk_l(rows_l), mk_r(rows_r), by="user_id", on="ts", lo="lo", hi="hi",
+        salt_slice_s=3600,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(norm(plain), norm(salted))
+    got = norm(plain)
+    assert len(got[got["user_id"] == "edge"]) == 2  # inclusive endpoints
+    assert not (got["user_id"] == "lonely").any()
