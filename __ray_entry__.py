@@ -531,12 +531,21 @@ def q_trec_eval(sf_dir: str):
     from search_engine_framework_ray.query.executor import run_queries
     from search_engine_framework_ray.query.models import ModelParams
 
+    import pyarrow.parquet as papq
+
     idx = _docs_index(sf_dir)
+    # k must cover the FULL candidate set (depth cut happens after the
+    # micros re-sort): a k below the corpus size could drop a doc that the
+    # SQL twin's (score_micros DESC, doc_id ASC) order ranks inside the
+    # top-100 when a raw-score tie group straddles the cut
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
     res = run_queries(
         idx,
         [(qid, " ".join(terms)) for qid, terms in _TREC_QSET],
         ModelParams(model="BM25"),
-        k=10_000,  # full candidate set; depth cut happens after micros sort
+        k=max(10_000, n_corpus),
     )
     runs = []
     for qid, _terms in _TREC_QSET:

@@ -81,6 +81,17 @@ def _key_buckets(vals: np.ndarray, n_buckets: int) -> np.ndarray:
     )
 
 
+def _rebase(d: ray.data.Dataset) -> ray.data.Dataset:
+    """Execute and RESET LINEAGE: hand the materialized pandas block refs
+    to a fresh dataset (zero-copy, blocks stay in the object store).
+    ``materialize()`` alone keeps the full logical plan, and an iterative
+    dataflow that unions its own output back in doubles that plan every
+    round — measured on a 100k-node connected-components run: executions
+    stayed at 2-7 s while the DRIVER burned 47 s, then 77 s, then minutes
+    of plan construction between executions by round ~13."""
+    return ray.data.from_pandas_refs(d.materialize().to_pandas_refs())
+
+
 def pagerank(
     edges: ray.data.Dataset,
     *,
@@ -233,14 +244,6 @@ def pagerank(
                 "kbucket": _key_buckets(key, n_buckets),
             }
         )
-
-    def _rebase(d: ray.data.Dataset) -> ray.data.Dataset:
-        # execute and reset lineage (zero-copy block-ref handoff): an
-        # iterative dataflow that unions its own materialized output back
-        # in doubles the logical plan every round, and plan construction
-        # eventually driver-bounds the loop — see connected_components,
-        # where this was measured and fixed first
-        return ray.data.from_pandas_refs(d.materialize().to_pandas_refs())
 
     for _ in range(iters):
         contribs = (
@@ -430,16 +433,6 @@ def connected_components(
         lbl = b["val"].to_numpy()
         return _frame(lbl, b["key"].to_numpy(), b["flag"].to_numpy(), "q")
 
-    def _rebase(d: ray.data.Dataset) -> ray.data.Dataset:
-        """Execute and RESET LINEAGE: hand the materialized pandas block
-        refs to a fresh dataset (zero-copy, blocks stay in the object
-        store). ``materialize()`` alone keeps the full logical plan, and an
-        iterative dataflow that unions its own output back in doubles that
-        plan every round — measured on a 100k-node run: executions stayed
-        at 2-7 s while the DRIVER burned 47 s, then 77 s, then minutes of
-        plan construction between executions by round ~13."""
-        return ray.data.from_pandas_refs(d.materialize().to_pandas_refs())
-
     edges_t = _rebase(edges_t)
     labels = _rebase(labels)
 
@@ -464,6 +457,12 @@ def connected_components(
         )
         if (labels.sum("flag") or 0) == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_rounds="
+            f"{max_rounds}; the graph's diameter needs more pointer-doubling"
+            f" rounds — raise max_rounds (labels would be silently partial)"
+        )
 
     def finalize_cc(b: pd.DataFrame) -> pd.DataFrame:
         if "key" not in b.columns or not len(b):

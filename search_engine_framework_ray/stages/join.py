@@ -186,7 +186,9 @@ def asof_join(
         )
         return b[cols_s]
 
-    sliced = both.map_batches(add_slice, batch_format="pandas")
+    # materialized ONCE: consumed by both the carries branch and the final
+    # union — left lazy, Ray would replay the whole read+tag lineage twice
+    sliced = both.map_batches(add_slice, batch_format="pandas").materialize()
 
     def summarize(b: pd.DataFrame) -> pd.DataFrame:
         """Per-batch combiner → candidate boundary rows: the kernel-tie-sort
@@ -362,11 +364,12 @@ def range_join(
             s0 = _us(r[right_prefix + lo]) // slice_us
             s1 = _us(r[right_prefix + hi]) // slice_us
             counts = (s1 - s0 + 1).clip(min=0)
-            rr = r.iloc[np.repeat(np.arange(len(r)), counts)].copy()
-            rr["_slice"] = np.concatenate(
-                [np.arange(a, b_ + 1) for a, b_ in zip(s0, s1) if b_ >= a]
-            )
-            parts.append(rr)
+            if counts.sum() > 0:  # all-degenerate (hi < lo) batch → no rows
+                rr = r.iloc[np.repeat(np.arange(len(r)), counts)].copy()
+                rr["_slice"] = np.concatenate(
+                    [np.arange(a, b_ + 1) for a, b_ in zip(s0, s1) if b_ >= a]
+                )
+                parts.append(rr)
         return (
             pd.concat(parts)[cols_s] if parts else b.assign(_slice=0)[cols_s].iloc[0:0]
         )

@@ -118,7 +118,11 @@ def session_windows(
     gap rule. Sessionization composes associatively across time slices, so
     the salted output is BIT-IDENTICAL to the single-group scan at any
     slice width (the cross-slice gap comparison is the same
-    ``start − prev_end > gap`` rule the in-slice scan applies)."""
+    ``start − prev_end > gap`` rule the in-slice scan applies) — except
+    that ``value_sum`` for a boundary-straddling session is a sum of
+    per-slice partial float sums; float addition being non-associative,
+    it can differ from the flat sum in the last ulp (counts and interval
+    bounds are exact; the driver oracle hash verifies the fixture)."""
     if salt_slice_s is not None:
         return _session_windows_salted(
             ds,
@@ -181,7 +185,10 @@ def _session_windows_salted(
 
     def slice_sessions(g: pd.DataFrame) -> pd.DataFrame:
         """One (key, slice) group: the in-slice gap scan — identical rule
-        to the unsalted kernel, bounded input."""
+        to the unsalted kernel, bounded input. The hot-key guard still
+        applies PER SLICE: a burst that overflows a single slice must fail
+        loudly (narrow the slice), not OOM the worker silently."""
+        check_hot_key(g, key, hot_key_bound)
         g = g.sort_values(ts_col, kind="mergesort")
         epoch_us = g[ts_col].astype("datetime64[us]").astype("int64")
         new_session = np.ones(len(g), dtype=bool)
