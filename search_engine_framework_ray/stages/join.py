@@ -54,12 +54,54 @@ def check_hot_key(g: pd.DataFrame, by: str, bound: int | None) -> None:
         )
 
 
-def _kind(t: pa.DataType) -> str:
-    if pa.types.is_timestamp(t):
+_COARSE_BUCKETS = 64
+
+
+def coarse_bucket(cols: list[pd.Series], n: int = _COARSE_BUCKETS) -> np.ndarray:
+    """Deterministic routing hash over one or more key columns — key groups
+    stay whole (all rows of a key tuple share a bucket), but one Ray
+    map_groups group holds MANY key tuples, so Ray's per-group dispatch
+    cost is paid n-buckets times instead of n-keys times. Measured: per-key
+    dispatch over ~1M mostly-singleton sparse-key groups was 8× the whole
+    salted-session stage on 3M events; bucketed+vectorized it vanishes."""
+    h = pd.util.hash_array(cols[0].to_numpy().astype(object))
+    for c in cols[1:]:
+        h = h ^ (
+            pd.util.hash_array(c.to_numpy().astype(object))
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+    return (h % np.uint64(n)).astype(np.int64)
+
+
+def check_sizes(sizes: pd.Series, key: str, bound: int | None) -> None:
+    """Vectorized per-key bound check for bucketed kernels (same contract
+    as :func:`check_hot_key`, evaluated from a descending size Series)."""
+    bound = HOT_KEY_ROW_BOUND if bound is None else bound
+    if len(sizes) and int(sizes.iloc[0]) > bound:
+        raise ValueError(
+            f"hot key {sizes.index[0]!r}: {int(sizes.iloc[0]):,} rows in one "
+            f"group exceed the per-key bound {bound:,}. Salt the key "
+            f"(salt_slice_s=…) or raise the bound (hot_key_bound=…)."
+        )
+
+
+def _kind(t) -> str:
+    """Transport kind from a schema type — pyarrow (parquet-backed
+    datasets) OR numpy/pandas dtype (``Dataset.schema()`` of a
+    pandas-block dataset, e.g. after a ``map_batches`` chain)."""
+    if isinstance(t, pa.DataType):
+        if pa.types.is_timestamp(t):
+            return "ts"
+        if pa.types.is_integer(t):
+            return "int"  # nullable Int64 — float64 would corrupt ids ≥ 2^53
+        if pa.types.is_floating(t) or pa.types.is_boolean(t):
+            return "num"
+        return "obj"
+    if pd.api.types.is_datetime64_any_dtype(t):
         return "ts"
-    if pa.types.is_integer(t):
-        return "int"  # nullable Int64 — float64 would corrupt ids ≥ 2^53
-    if pa.types.is_floating(t) or pa.types.is_boolean(t):
+    if pd.api.types.is_integer_dtype(t):
+        return "int"
+    if pd.api.types.is_float_dtype(t) or pd.api.types.is_bool_dtype(t):
         return "num"
     return "obj"
 
@@ -152,7 +194,27 @@ def asof_join(
     out_cols = [*lcols, *pref]
 
     def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        check_hot_key(g, by, hot_key_bound)
+        """One COARSE bucket of many keys, matched in ONE vectorized
+        ``merge_asof(by=…)`` call (per-key Ray map_groups dispatch was the
+        stage at sparse-key scale — see :func:`coarse_bucket`). Globally
+        on-sorted frames with the kernel tie-sort as the secondary right
+        key preserve the per-key tie semantics exactly: merge_asof matches
+        within ``by`` groups in frame order."""
+        if not len(g) or "_side" not in g.columns:
+            # Ray's sort shuffle can hand map_groups a schema-less empty
+            # block; rebuild the output schema with proper dtypes
+            return pd.DataFrame(
+                {
+                    **{c: _null_series(0, lkind[c]) for c in lcols},
+                    **{c: _null_series(0, prefkind[c]) for c in pref},
+                }
+            )
+        by_cols = [by] + (["_slice"] if "_slice" in g.columns else [])
+        check_sizes(
+            g.groupby(by_cols, sort=False).size().sort_values(ascending=False),
+            by,
+            hot_key_bound,
+        )
         l = g[g["_side"] == "L"]
         r = g[g["_side"] == "R"]
         if not len(l) or not len(r):
@@ -161,16 +223,29 @@ def asof_join(
         l = l.sort_values(lsort, kind="mergesort")
         r = r.sort_values([on, *pref], kind="mergesort")
         merged = pd.merge_asof(
-            l[lcols].reset_index(drop=True),
-            r[[on, *pref]].reset_index(drop=True),
+            l[lcols + by_cols[1:]].reset_index(drop=True),
+            r[[*by_cols, on, *pref]].reset_index(drop=True),
             on=on,
+            by=by_cols,
             direction=direction,
         )
         merged = merged.dropna(subset=[right_prefix + on])
         return merged[out_cols]
 
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if by not in b.columns:
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = coarse_bucket([b[by]])
+        return b
+
     if salt_slice_s is None:
-        return both.groupby(by).map_groups(group_fn, batch_format="pandas")
+        return (
+            both.map_batches(add_bkt, batch_format="pandas")
+            .groupby("_bkt")
+            .map_groups(group_fn, batch_format="pandas")
+        )
 
     # ---- salted hot-key path -------------------------------------------
     if lkind[on] != "ts":
@@ -212,43 +287,81 @@ def asof_join(
         )
 
     def emit_carries(g: pd.DataFrame) -> pd.DataFrame:
-        """One key over boundary rows: for each probe slice s, re-emit the
-        extreme right row of the nearest occupied slice strictly before
-        (backward) / after (forward) s, retagged into slice s."""
+        """One COARSE bucket of keys over boundary rows: for each (key,
+        probe slice s), re-emit the extreme right row of that key's nearest
+        occupied slice strictly before (backward) / after (forward) s,
+        retagged into slice s. The inner loop runs only over keys that have
+        BOTH right rows and probes — boundary rows, not events."""
+        if not len(g) or "_side" not in g.columns:
+            return pd.DataFrame(
+                {
+                    **{c: _null_series(0, lkind[c]) for c in lcols},
+                    "_side": pd.Series(dtype="object"),
+                    **{c: _null_series(0, prefkind[c]) for c in pref},
+                    "_slice": pd.Series(dtype="int64"),
+                }
+            )
         r = g.loc[g["_side"] == "R"]
-        probes = np.unique(
-            g.loc[g["_side"] == "P", "_slice"].to_numpy(dtype=np.int64)
-        )
-        if not len(r) or not len(probes):
+        p = g.loc[g["_side"] == "P"]
+        if not len(r) or not len(p):
             return g[cols_s].iloc[0:0]
+        pmap = {
+            k: np.unique(v.to_numpy(dtype=np.int64))
+            for k, v in p.groupby(by, sort=False)["_slice"]
+        }
         # batches may each contribute a candidate per slice: re-reduce
         r = r.sort_values([on, *pref], kind="mergesort")
-        grp = r.groupby("_slice", sort=False)
-        r = (grp.tail(1) if backward else grp.head(1)).sort_values("_slice")
-        rslices = r["_slice"].to_numpy(dtype=np.int64)
-        if backward:
-            idx = np.searchsorted(rslices, probes, side="left") - 1
-            ok = idx >= 0
-        else:
-            idx = np.searchsorted(rslices, probes, side="right")
-            ok = idx < len(rslices)
-        out = r.iloc[idx[ok]].copy()
-        out["_slice"] = probes[ok]
-        return out[cols_s]
+        out = []
+        for k, rsub in r.groupby(by, sort=False):
+            probes = pmap.get(k)
+            if probes is None:
+                continue
+            grp = rsub.groupby("_slice", sort=False)
+            rr = (grp.tail(1) if backward else grp.head(1)).sort_values(
+                "_slice"
+            )
+            rslices = rr["_slice"].to_numpy(dtype=np.int64)
+            if backward:
+                idx = np.searchsorted(rslices, probes, side="left") - 1
+                ok = idx >= 0
+            else:
+                idx = np.searchsorted(rslices, probes, side="right")
+                ok = idx < len(rslices)
+            if not ok.any():
+                continue
+            sel = rr.iloc[idx[ok]].copy()
+            sel["_slice"] = probes[ok]
+            out.append(sel)
+        return pd.concat(out)[cols_s] if out else g[cols_s].iloc[0:0]
+
+    def add_key_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if by not in b.columns:
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = coarse_bucket([b[by]])
+        return b
 
     carries = (
         sliced.map_batches(summarize, batch_format="pandas")
-        .groupby(by)
+        .map_batches(add_key_bkt, batch_format="pandas")
+        .groupby("_bkt")
         .map_groups(emit_carries, batch_format="pandas")
     )
 
-    def group_fn_sliced(g: pd.DataFrame) -> pd.DataFrame:
-        return group_fn(g)
+    def add_slice_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if by not in b.columns:
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = coarse_bucket([b[by], b["_slice"]])
+        return b
 
     return (
         sliced.union(carries)
-        .groupby([by, "_slice"])
-        .map_groups(group_fn_sliced, batch_format="pandas")
+        .map_batches(add_slice_bkt, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(group_fn, batch_format="pandas")
     )
 
 
@@ -314,13 +427,9 @@ def range_join(
     )
     out_cols = [*lcols, *pref]
 
-    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
-        check_hot_key(g, by, hot_key_bound)
-        l = g[g["_side"] == "L"]
-        r = g[g["_side"] == "R"]
-        if not len(l) or not len(r):
-            return g[out_cols].iloc[0:0]
-        l = l.sort_values([on] + [c for c in lcols if c not in (by, on)], kind="mergesort")
+    def _probe_one(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame | None:
+        """Interval probes within ONE key (or key-slice) group: l is
+        on-sorted; two searchsorted per interval, no per-row loop."""
         ts = l[on].to_numpy()
         los = r[right_prefix + lo].to_numpy()
         his = r[right_prefix + hi].to_numpy()
@@ -328,7 +437,7 @@ def range_join(
         ends = np.searchsorted(ts, his, side="right")
         counts = (ends - starts).clip(min=0)
         if counts.sum() == 0:
-            return g[out_cols].iloc[0:0]
+            return None
         l_idx = np.concatenate(
             [np.arange(s, e) for s, e in zip(starts, ends) if e > s]
         )
@@ -337,8 +446,65 @@ def range_join(
         rmat = r.iloc[r_idx][pref].reset_index(drop=True)
         return pd.concat([lmat, rmat], axis=1)[out_cols]
 
+    def group_fn(g: pd.DataFrame) -> pd.DataFrame:
+        """One COARSE bucket of many keys (see :func:`coarse_bucket` — per-
+        key Ray dispatch was the stage at sparse-key scale). The inner loop
+        runs ONLY over keys that have intervals, probing the key's l
+        segment via the groupby index — sparse probe-only keys cost one
+        dict lookup, not an iteration."""
+        if not len(g) or "_side" not in g.columns:
+            # schema-less empty block from the sort shuffle (see asof_join)
+            return pd.DataFrame(
+                {
+                    **{c: _null_series(0, lkind[c]) for c in lcols},
+                    **{c: _null_series(0, prefkind[c]) for c in pref},
+                }
+            )
+        by_cols = [by] + (["_slice"] if "_slice" in g.columns else [])
+        check_sizes(
+            g.groupby(by_cols, sort=False).size().sort_values(ascending=False),
+            by,
+            hot_key_bound,
+        )
+        l = g[g["_side"] == "L"]
+        r = g[g["_side"] == "R"]
+        if not len(l) or not len(r):
+            return g[out_cols].iloc[0:0]
+        l = l.sort_values(
+            by_cols + [on] + [c for c in lcols if c not in (by, on)],
+            kind="mergesort",
+        )
+        # positional index only — building a sub-frame per probe-only key
+        # would re-introduce the per-sparse-key cost the bucket avoids.
+        # Scalar grouper for a single key: pandas iterates a LIST grouper
+        # with 1-tuple keys but builds .indices with scalar keys — mixing
+        # them silently misses every lookup
+        gb_key = by_cols if len(by_cols) > 1 else by_cols[0]
+        lidx = l.groupby(gb_key, sort=False).indices
+        out = []
+        for k, rsub in r.groupby(gb_key, sort=False):
+            pos = lidx.get(k)
+            if pos is None:
+                continue
+            m = _probe_one(l.iloc[pos], rsub)
+            if m is not None:
+                out.append(m)
+        return pd.concat(out)[out_cols] if out else g[out_cols].iloc[0:0]
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if by not in b.columns:
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = coarse_bucket([b[by]])
+        return b
+
     if salt_slice_s is None:
-        return both.groupby(by).map_groups(group_fn, batch_format="pandas")
+        return (
+            both.map_batches(add_bkt, batch_format="pandas")
+            .groupby("_bkt")
+            .map_groups(group_fn, batch_format="pandas")
+        )
 
     # ---- salted hot-key path: probes sliced, intervals replicated ------
     if not (
@@ -374,8 +540,17 @@ def range_join(
             pd.concat(parts)[cols_s] if parts else b.assign(_slice=0)[cols_s].iloc[0:0]
         )
 
+    def add_slice_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        if by not in b.columns:
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = coarse_bucket([b[by], b["_slice"]])
+        return b
+
     return (
         both.map_batches(add_slice, batch_format="pandas")
-        .groupby([by, "_slice"])
+        .map_batches(add_slice_bkt, batch_format="pandas")
+        .groupby("_bkt")
         .map_groups(group_fn, batch_format="pandas")
     )

@@ -4,9 +4,10 @@
 Ray Data has no watermarks; the input is treated as an ordered, partitioned
 log (ray_guide "streaming-shaped workloads"): windows are pure functions of
 ``ts``, so tumbling/sliding aggregates are a bucket column + pre-aggregated
-``groupby``, and session windows are per-key gap scans inside
-``groupby(key).map_groups`` (ordering assumption: within one key-group we
-sort by ts — late rows are simply rows; no watermark needed for batch).
+``groupby``, and session windows are vectorized gap scans over COARSE key
+buckets (many keys per map_groups group — per-key dispatch was 8× the
+stage at sparse-key scale; ordering assumption: within the scan we sort by
+(key, ts) — late rows are simply rows; no watermark needed for batch).
 """
 
 from __future__ import annotations
@@ -14,6 +15,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from ray.data import Dataset
+
+from .join import check_sizes as _check_sizes
+from .join import coarse_bucket as _coarse_bucket
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 
@@ -134,18 +138,33 @@ def session_windows(
             salt_slice_s=salt_slice_s,
         )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        from .join import check_hot_key
+    gap_us = gap_s * 1_000_000
 
-        check_hot_key(g, key, hot_key_bound)
-        g = g.sort_values(ts_col, kind="mergesort")
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = _coarse_bucket([b[key]])
+        return b
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        """One COARSE bucket holding many keys, scanned VECTORIZED: new
+        session where the key changes or the gap exceeds gap_us. Per-key
+        map_groups dispatch was the stage at sparse-key scale — measured
+        8× slower than this on 3M events over 1M mostly-singleton
+        (key, slice) groups in the salted path; the same dispatch cost
+        applies here."""
+        _check_sizes(g[key].value_counts(), key, hot_key_bound)
+        g = g.sort_values([key, ts_col], kind="mergesort")
         # full-microsecond gap comparison (a 1800.8 s gap must split the
         # session exactly as the SQL INTERVAL oracle does — no flooring)
-        epoch_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        epoch_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
         new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = np.diff(epoch_us) > gap_s * 1_000_000
+        if len(g) > 1:
+            new_session[1:] = (kv[1:] != kv[:-1]) | (
+                np.diff(epoch_us) > gap_us
+            )
         sid = np.cumsum(new_session)
-        out = (
+        return (
             g.assign(_sid=sid)
             .groupby("_sid")
             .agg(
@@ -159,9 +178,12 @@ def session_windows(
             )
             .reset_index(drop=True)
         )
-        return out
 
-    return ds.groupby(key).map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bkt, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )
 
 
 def _session_windows_salted(
@@ -174,25 +196,43 @@ def _session_windows_salted(
     hot_key_bound: int | None,
     salt_slice_s: int,
 ) -> Dataset:
-    """Two-pass salted sessionization (see :func:`session_windows`)."""
-    from .join import check_hot_key
+    """Two-pass salted sessionization (see :func:`session_windows`). Both
+    passes shuffle on a COARSE bucket and scan vectorized — the first
+    version grouped on (key, slice) directly and paid Ray's per-group
+    dispatch for every sparse key's singleton group (measured: 8× the
+    stage on 3M events / 10k sparse keys)."""
+    gap_us = gap_s * 1_000_000
 
     def add_slice(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         epoch_us = b[ts_col].astype("datetime64[us]").astype("int64")
         b["_slice"] = epoch_us // (salt_slice_s * 1_000_000)
+        b["_bkt"] = _coarse_bucket([b[key], b["_slice"]])
         return b
 
     def slice_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        """One (key, slice) group: the in-slice gap scan — identical rule
-        to the unsalted kernel, bounded input. The hot-key guard still
-        applies PER SLICE: a burst that overflows a single slice must fail
-        loudly (narrow the slice), not OOM the worker silently."""
-        check_hot_key(g, key, hot_key_bound)
-        g = g.sort_values(ts_col, kind="mergesort")
-        epoch_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        """One coarse bucket of (key, slice) groups, scanned vectorized:
+        new session where key OR slice changes, or the gap exceeds gap_us.
+        The hot-key guard applies PER (key, slice): a burst overflowing a
+        single slice fails loudly (narrow the slice), never OOMs."""
+        _check_sizes(
+            g.groupby([key, "_slice"], sort=False).size().sort_values(
+                ascending=False
+            ),
+            key,
+            hot_key_bound,
+        )
+        g = g.sort_values([key, "_slice", ts_col], kind="mergesort")
+        epoch_us = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
+        sv = g["_slice"].to_numpy()
         new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = np.diff(epoch_us) > gap_s * 1_000_000
+        if len(g) > 1:
+            new_session[1:] = (
+                (kv[1:] != kv[:-1])
+                | (sv[1:] != sv[:-1])
+                | (np.diff(epoch_us) > gap_us)
+            )
         sid = np.cumsum(new_session)
         return (
             g.assign(_sid=sid)
@@ -211,24 +251,35 @@ def _session_windows_salted(
 
     partial = (
         ds.map_batches(add_slice, batch_format="pandas")
-        .groupby([key, "_slice"])
+        .groupby("_bkt")
         .map_groups(slice_sessions, batch_format="pandas")
     )
 
+    def add_key_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = _coarse_bucket([b[key]])
+        return b
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        """One key group over partial SESSIONS (intervals): merge
-        consecutive sessions whose boundary gap ≤ gap_s — the same rule,
-        lifted from events to intervals. Slices partition time, so sorted
-        session_start order == time order and the scan is exact."""
-        check_hot_key(g, key, hot_key_bound)
-        g = g.sort_values("session_start", kind="mergesort")
-        start_us = g["session_start"].astype("datetime64[us]").astype("int64")
-        end_us = g["session_end"].astype("datetime64[us]").astype("int64")
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (
-            start_us.to_numpy()[1:] - end_us.to_numpy()[:-1]
-            > gap_s * 1_000_000
+        """One coarse bucket of keys over partial SESSIONS (intervals):
+        merge consecutive same-key sessions whose boundary gap ≤ gap_s —
+        the same rule, lifted from events to intervals. Slices partition
+        time, so sorted session_start order == time order per key and the
+        scan is exact."""
+        _check_sizes(g[key].value_counts(), key, hot_key_bound)
+        g = g.sort_values([key, "session_start"], kind="mergesort")
+        kv = g[key].to_numpy()
+        start_us = (
+            g["session_start"].astype("datetime64[us]").astype("int64").to_numpy()
         )
+        end_us = (
+            g["session_end"].astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (kv[1:] != kv[:-1]) | (
+                start_us[1:] - end_us[:-1] > gap_us
+            )
         sid = np.cumsum(new_session)
         return (
             g.assign(_sid=sid)
@@ -245,4 +296,8 @@ def _session_windows_salted(
             .reset_index(drop=True)
         )
 
-    return partial.groupby(key).map_groups(merge, batch_format="pandas")
+    return (
+        partial.map_batches(add_key_bkt, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+    )
