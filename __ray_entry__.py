@@ -1174,6 +1174,38 @@ def q_source_stats(sf_dir: str):
     )
 
 
+def q_kmv_distinct(sf_dir: str):
+    """Per-source distinct-vocabulary estimate via mergeable KMV (bottom-k)
+    sketches: one streaming partial pass (≤ k narrow rows per source per
+    batch) + one tiny groupby merge; the integer bottom-k estimator
+    ``((k-1)·2⁶⁴) // h_k`` is evaluated exactly on both sides
+    (stages/sketch.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import kmv_distinct
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    out = kmv_distinct(ds, key_col="source", text_col="text", k=64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_kmv_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard from the same KMV sketches:
+    bottom-k of the merged sketch, share present in both — reported as the
+    exact integer ratio ``(n_both·10⁶) // k_eff`` (stages/sketch.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import kmv_jaccard_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    out = kmv_jaccard_pairs(ds, key_col="source", text_col="text", k=64)
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
 def q_ngram_topk(sf_dir: str):
     """Corpus-wide top-20 bigrams — per-batch partial counts, md5-bucket
     reduce owning each gram fully, k·B-row driver merge (stages/corpus.py)."""
@@ -2063,6 +2095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "cross_dup": q_cross_dup,
         "source_stats": q_source_stats,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_jaccard": q_kmv_jaccard,
         "pagerank": q_pagerank,
         "link_components": q_link_components,
         "substring_dedup": q_substring_dedup,
@@ -3384,6 +3418,76 @@ ORDER BY d.doc_id
                    sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))::BIGINT AS n_tokens,
                    sum(length(text))::BIGINT AS n_chars_total
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # KMV sketches: the k smallest distinct md5-low64 token hashes per
+        # source; estimator in exact HUGEINT arithmetic (2⁶⁴ spelled as
+        # 4294967296² — HUGEINT-safe on every DuckDB literal parser)
+        "kmv_distinct": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+                FROM documents
+            ),
+            d AS (SELECT DISTINCT source, md5_number_lower(tok) AS h FROM toks),
+            r AS (
+                SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n_distinct
+                FROM d
+            )
+            SELECT source,
+                   CAST(LEAST(n_distinct, 64) AS BIGINT) AS k_used,
+                   CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+                             THEN CAST(h AS HUGEINT)
+                                  - CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+                             ELSE CAST(h AS HUGEINT) END AS BIGINT) AS kth_hash,
+                   CAST(CASE WHEN n_distinct < 64 THEN CAST(n_distinct AS HUGEINT)
+                             ELSE (CAST(63 AS HUGEINT)
+                                   * CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT))
+                                  // CAST(h AS HUGEINT)
+                        END AS BIGINT) AS est_distinct
+            FROM r
+            WHERE rn = LEAST(n_distinct, 64)
+            ORDER BY source
+        """,
+        "kmv_jaccard": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+                FROM documents
+            ),
+            d AS (SELECT DISTINCT source, md5_number_lower(tok) AS h FROM toks),
+            sk AS (
+                SELECT source, h FROM (
+                    SELECT source, h,
+                           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                    FROM d
+                ) WHERE rn <= 64
+            ),
+            pairs AS (
+                SELECT a.source AS key_a, b.source AS key_b
+                FROM (SELECT DISTINCT source FROM sk) a
+                JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+            ),
+            u AS (
+                SELECT p.key_a, p.key_b, s.h,
+                       max(CASE WHEN s.source = p.key_a THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN s.source = p.key_b THEN 1 ELSE 0 END) AS in_b
+                FROM pairs p JOIN sk s ON s.source IN (p.key_a, p.key_b)
+                GROUP BY p.key_a, p.key_b, s.h
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
+                    FROM u
+                ) WHERE rn <= 64
+            )
+            SELECT key_a, key_b,
+                   CAST(count(*) AS BIGINT) AS k_eff,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+                   CAST((CAST(sum(in_a * in_b) AS HUGEINT) * 1000000)
+                        // CAST(count(*) AS HUGEINT) AS BIGINT) AS j_micros
+            FROM kept GROUP BY key_a, key_b ORDER BY key_a, key_b
         """,
         "ngram_topk": r"""
             WITH lists AS (

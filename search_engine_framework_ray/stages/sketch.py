@@ -1,0 +1,211 @@
+"""Mergeable KMV (k-minimum-values) distinct-count sketches.
+
+A 100-TB curation run wants cardinality answers — "how many distinct
+tokens does each crawl source contribute?", "how much vocabulary do two
+dumps share?" — without a full-vocabulary shuffle. The KMV sketch
+(Bar-Yossef et al. 2002, the bottom-k estimator) answers both with k
+hash values per key:
+
+* keep the k smallest *distinct* hash values of the set;
+* if fewer than k survive, the set was small and the sketch IS the set
+  (exact count); otherwise estimate ``|S| ≈ (k-1) · 2⁶⁴ / h₍ₖ₎`` where
+  ``h₍ₖ₎`` is the k-th smallest hash (uniform on [0, 2⁶⁴));
+* sketches merge by "union then re-take the k smallest" — the global k
+  smallest of a union are each among their own partition's k smallest,
+  so per-batch partials compose associatively (the same argument that
+  makes the partial/groupby combiner pattern exact for min/max).
+
+Scale shape: one streaming pass computes per-batch partials (≤ k rows
+per key per batch, two narrow columns — token text never leaves the
+batch), then ONE tiny groupby over ``(key, hash)`` partials merges them.
+A Zipf-hot key contributes ≤ k·n_batches partial rows, never its tokens.
+Pairwise-Jaccard post-processing touches only the finished sketches
+(k rows per key), so it is driver-side by design — the "big" side of the
+computation is entirely inside the streaming pass.
+
+Determinism / oracle parity: hashes are md5-low64 (DuckDB
+``md5_number_lower``), the estimator is evaluated in exact integer
+arithmetic (``((k-1) << 64) // h_k``, HUGEINT floor-division in SQL), and
+tokenization is the RE2-aligned ASCII class shared with the textstats
+oracles — so a DuckDB SQL twin reproduces every sketch AND every estimate
+bit-for-bit. No float enters the result.
+
+Reference parity: the reference engine has no sketch layer (SURVEY.md
+§2.10 extension surface); this is an LLM-pipeline addition in the same
+family as `stages/corpus.py`'s census operators.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _md5_hash64
+from .textstats import RE2_TOKEN_RE as _WS_RE
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+_TWO64 = 1 << 64
+
+
+def _batch_kmv_partial(
+    b: pd.DataFrame, key_col: str, text_col: str, k: int
+) -> pd.DataFrame:
+    """One batch → ≤ k (key, hash) rows per key: explode tokens, hash each
+    *unique* token once (md5-low64, cached across keys within the batch),
+    dedupe per key, keep the k smallest."""
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype="object"),
+            "h": pd.Series(dtype="uint64"),
+        }
+    )
+    ex = b[text_col].fillna("").str.findall(_WS_RE).explode().dropna()
+    if ex.empty:
+        return empty
+    keys = b[key_col].reindex(ex.index)
+    pairs = pd.DataFrame(
+        {key_col: keys.to_numpy(object), "tok": ex.to_numpy(object)}
+    ).drop_duplicates()
+    # md5 once per distinct token in the batch (tokens repeat across keys)
+    uniq = pd.unique(pairs["tok"].to_numpy(object))
+    hmap = {t: _md5_hash64(t) for t in uniq}
+    pairs["h"] = pd.array(
+        [hmap[t] for t in pairs["tok"].to_numpy(object)], dtype="uint64"
+    )
+    out = (
+        pairs.drop(columns=["tok"])
+        .drop_duplicates()  # distinct hashes per key (md5 collisions fold)
+        .sort_values([key_col, "h"], kind="mergesort")
+        .groupby(key_col, sort=False)
+        .head(k)
+    )
+    return out.reset_index(drop=True)
+
+
+def _merge_group(g: pd.DataFrame, key_col: str, k: int) -> pd.DataFrame:
+    """Merge one key's partials: distinct hashes, k smallest kept."""
+    hs = np.unique(g["h"].to_numpy(np.uint64))[:k]
+    return pd.DataFrame({key_col: [g[key_col].iloc[0]] * len(hs), "h": hs})
+
+
+def kmv_sketches(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key KMV token-vocabulary sketches: ≤ k ``(key, h)`` rows per
+    key, h = md5-low64 of the raw whitespace token, the k smallest
+    distinct values surviving. One streaming partial pass + one narrow
+    groupby merge."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return _batch_kmv_partial(b, key_col, text_col, k)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return _merge_group(g, key_col, k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def kmv_estimate(hashes: np.ndarray, k: int) -> int:
+    """Bottom-k estimator in exact integer arithmetic. ``hashes`` is a
+    finished sketch (sorted or not): < k values ⇒ the set was that small
+    ⇒ exact count; else ``((k-1) << 64) // h_k`` (floor)."""
+    hs = np.sort(np.asarray(hashes, dtype=np.uint64))
+    if len(hs) < k:
+        return int(len(hs))
+    h_k = int(hs[k - 1])
+    return ((k - 1) << 64) // max(h_k, 1)
+
+
+def _signed64(v: int) -> int:
+    return v - _TWO64 if v >= (1 << 63) else v
+
+
+def kmv_distinct(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> pd.DataFrame:
+    """Per-key distinct-token estimates from KMV sketches. Returns one row
+    per key: ``(key, k_used, kth_hash, est_distinct)`` — ``kth_hash`` is
+    the largest retained hash as signed int64 (the DuckDB BIGINT view),
+    ``est_distinct`` the integer bottom-k estimate. Only the k·n_keys
+    sketch rows ever reach the driver."""
+    sk = kmv_sketches(ds, key_col=key_col, text_col=text_col, k=k).to_pandas()
+    rows = []
+    for key, g in sk.groupby(key_col, sort=True):
+        hs = np.sort(g["h"].to_numpy(np.uint64))
+        rows.append(
+            {
+                key_col: key,
+                "k_used": int(len(hs)),
+                "kth_hash": _signed64(int(hs[-1])),
+                "est_distinct": kmv_estimate(hs, k),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("k_used", "kth_hash", "est_distinct"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def kmv_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+    scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """Pairwise vocabulary-Jaccard estimates between keys, from the same
+    sketches: merge the two sketches, keep the k smallest of the union
+    (k' = min(k, |union sketch|)), and count how many of those k' hashes
+    appear in BOTH input sketches — ``J ≈ |both| / k'`` (the bottom-k
+    Jaccard estimator; Broder's MinHash argument applied to one shared
+    hash function). Reported as an exact integer ratio
+    ``j_micros = (|both| · scale) // k'`` so the SQL twin matches
+    bit-for-bit.
+
+    The pairwise pass runs over finished sketches only (k rows per key) —
+    at k=64 and 10⁴ keys that is 640k tiny rows, driver-side by design;
+    the corpus-sized work all happened in the streaming sketch pass."""
+    sk = kmv_sketches(ds, key_col=key_col, text_col=text_col, k=k).to_pandas()
+    by_key = {
+        key: np.sort(g["h"].to_numpy(np.uint64))
+        for key, g in sk.groupby(key_col, sort=True)
+    }
+    keys = sorted(by_key)
+    rows = []
+    for i, a in enumerate(keys):
+        ha = by_key[a]
+        for b_ in keys[i + 1 :]:
+            hb = by_key[b_]
+            union = np.union1d(ha, hb)[:k]
+            k_eff = len(union)
+            both = int(
+                np.isin(union, ha).astype(np.int64)
+                @ np.isin(union, hb).astype(np.int64)
+            )
+            rows.append(
+                {
+                    "key_a": a,
+                    "key_b": b_,
+                    "k_eff": k_eff,
+                    "n_both": both,
+                    "j_micros": (both * scale) // max(k_eff, 1),
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("k_eff", "n_both", "j_micros"):
+        out[c] = out[c].astype("int64")
+    return out

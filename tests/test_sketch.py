@@ -1,0 +1,164 @@
+"""KMV bottom-k sketch: estimator accuracy (the n ≥ k formula branch the
+tiny-vocab driver fixture never reaches), mergeability, and Ray-vs-DuckDB
+parity on a large-vocabulary synthetic corpus."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_framework_ray.stages.dedup import _md5_hash64
+from search_engine_framework_ray.stages.sketch import (
+    _batch_kmv_partial,
+    kmv_distinct,
+    kmv_estimate,
+    kmv_jaccard_pairs,
+)
+
+
+def _hashes(tokens):
+    return np.array(sorted({_md5_hash64(t) for t in tokens}), dtype=np.uint64)
+
+
+def test_estimator_exact_below_k():
+    toks = [f"w{i}" for i in range(40)]
+    assert kmv_estimate(_hashes(toks), k=64) == 40
+
+
+def test_estimator_accuracy_above_k():
+    # 5,000 distinct tokens, k=64 → relative standard error ≈ 1/√(k-2) ≈ 13%
+    toks = [f"tok{i}" for i in range(5000)]
+    est = kmv_estimate(_hashes(toks), k=64)
+    assert 0.6 * 5000 < est < 1.5 * 5000
+
+
+def test_sketch_merge_equals_whole():
+    # bottom-k of the union == bottom-k of (bottom-k(A) ∪ bottom-k(B))
+    a = [f"a{i}" for i in range(500)]
+    b = [f"b{i}" for i in range(500)] + a[:100]
+    k = 64
+    whole = _hashes(a + b)[:k]
+    merged = np.unique(np.concatenate([_hashes(a)[:k], _hashes(b)[:k]]))[:k]
+    assert np.array_equal(whole, merged)
+
+
+def test_batch_partial_caps_per_key():
+    b = pd.DataFrame(
+        {
+            "source": ["s1"] * 3 + ["s2"],
+            "text": [
+                " ".join(f"w{i}" for i in range(100)),
+                " ".join(f"w{i}" for i in range(50, 150)),
+                "w1 w2 w3",
+                "only two",
+            ],
+        }
+    )
+    out = _batch_kmv_partial(b, "source", "text", k=16)
+    sizes = out.groupby("source")["h"].agg(["size", "nunique"])
+    assert sizes.loc["s1", "size"] == 16  # capped, distinct across docs
+    assert sizes.loc["s2", "size"] == 2  # below k → the whole set
+    assert (sizes["size"] == sizes["nunique"]).all()
+    # the retained hashes ARE the k smallest of the key's distinct set
+    want = _hashes([f"w{i}" for i in range(150)])[:16]
+    got = np.sort(out[out["source"] == "s1"]["h"].to_numpy(np.uint64))
+    assert np.array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def big_vocab_docs(ray_session, tmp_path_factory):
+    # 3 sources × 120 docs × 40 tokens drawn from per-source vocabularies
+    # with controlled overlap: src_a ∩ src_b large, src_c disjoint.
+    rng = np.random.default_rng(7)
+    vocab_a = [f"common{i}" for i in range(3000)] + [f"a{i}" for i in range(1000)]
+    vocab_b = [f"common{i}" for i in range(3000)] + [f"b{i}" for i in range(1000)]
+    vocab_c = [f"c{i}" for i in range(4000)]
+    rows = []
+    for src, vocab in (("src_a", vocab_a), ("src_b", vocab_b), ("src_c", vocab_c)):
+        for d in range(120):
+            toks = rng.choice(vocab, size=40, replace=True)
+            rows.append({"source": src, "text": " ".join(toks)})
+    pdf = pd.DataFrame(rows)
+    path = tmp_path_factory.mktemp("kmv") / "docs.parquet"
+    pdf.to_parquet(path)
+    return str(path), pdf
+
+
+def test_kmv_distinct_parity_big_vocab(big_vocab_docs):
+    import ray.data
+
+    path, pdf = big_vocab_docs
+    ds = ray.data.read_parquet(path)
+    got = kmv_distinct(ds, k=64).sort_values("source").reset_index(drop=True)
+    assert (got["k_used"] == 64).all()  # formula branch exercised
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    want = con.sql(
+        r"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+            FROM docs
+        ),
+        d AS (SELECT DISTINCT source, md5_number_lower(tok) AS h FROM toks),
+        r AS (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n_distinct
+            FROM d
+        )
+        SELECT source,
+               CAST(LEAST(n_distinct, 64) AS BIGINT) AS k_used,
+               CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+                         THEN CAST(h AS HUGEINT)
+                              - CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+                         ELSE CAST(h AS HUGEINT) END AS BIGINT) AS kth_hash,
+               CAST(CASE WHEN n_distinct < 64 THEN CAST(n_distinct AS HUGEINT)
+                         ELSE (CAST(63 AS HUGEINT)
+                               * CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT))
+                              // CAST(h AS HUGEINT)
+                    END AS BIGINT) AS est_distinct
+        FROM r WHERE rn = LEAST(n_distinct, 64) ORDER BY source
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["source", "k_used", "kth_hash", "est_distinct"]],
+        want,
+        check_dtype=False,
+        check_exact=True,
+    )
+    # sanity: true distincts are ~4000/source; k=64 keeps the estimate coarse
+    truth = (
+        pdf.assign(tok=pdf["text"].str.split(" "))
+        .explode("tok")
+        .groupby("source")["tok"]
+        .nunique()
+    )
+    for _, row in got.iterrows():
+        t = truth[row["source"]]
+        assert 0.5 * t < row["est_distinct"] < 2.0 * t
+
+
+def test_kmv_jaccard_overlap_structure(big_vocab_docs):
+    import ray.data
+
+    path, pdf = big_vocab_docs
+    ds = ray.data.read_parquet(path)
+    out = kmv_jaccard_pairs(ds, k=64).set_index(["key_a", "key_b"])
+    # a∩b share the 3k common vocab; c is disjoint from both. k=64 has
+    # SE ≈ √(J(1−J)/k) ≈ 0.06, so check against the TRUE sampled-set
+    # Jaccard within a generous ±0.20 band.
+    tok_sets = (
+        pdf.assign(tok=pdf["text"].str.split(" "))
+        .explode("tok")
+        .groupby("source")["tok"]
+        .agg(set)
+    )
+    true_j = len(tok_sets["src_a"] & tok_sets["src_b"]) / len(
+        tok_sets["src_a"] | tok_sets["src_b"]
+    )
+    est_j = out.loc[("src_a", "src_b"), "j_micros"] / 1e6
+    assert abs(est_j - true_j) < 0.20 and est_j > 0
+    assert out.loc[("src_a", "src_c"), "j_micros"] == 0
+    assert out.loc[("src_b", "src_c"), "j_micros"] == 0
+    assert (out["k_eff"] == 64).all()
