@@ -573,18 +573,26 @@ def q_trec_eval(sf_dir: str):
 
     def rel_counts(t) -> pd.DataFrame:
         d = t["doc_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                qid: [int(((d + 37 * i) % _TREC_REL_MOD == 0).sum())]
-                for qid, i in qnums.items()
-            }
-        )
+        cols = {}
+        for qid, i in qnums.items():
+            rel = (d + 37 * i) % _TREC_REL_MOD == 0
+            # graded judgments: grade 2 for doc_id % 3 == 0, else 1
+            cols[qid] = [int(rel.sum())]
+            cols[f"{qid}_g2"] = [int((rel & (d % 3 == 0)).sum())]
+        return pd.DataFrame(cols)
 
+    count_cols = list(qnums) + [f"{q}_g2" for q in qnums]
     totals = (
-        docs.map_batches(rel_counts, batch_format="pandas").sum(list(qnums))
+        docs.map_batches(rel_counts, batch_format="pandas").sum(count_cols)
         or {}
     )
     r_by_qid = {qid: int(totals[f"sum({qid})"]) for qid in qnums}
+    g2_by_qid = {qid: int(totals[f"sum({qid}_g2)"]) for qid in qnums}
+
+    def _idcg(n2: int, n1: int, k: int) -> float:
+        r = np.arange(1, k + 1, dtype=np.int64)
+        g = np.where(r <= n2, 2, np.where(r <= n2 + n1, 1, 0))
+        return float((g / np.log(r + 1)).sum())
 
     def metrics(g: pd.DataFrame) -> pd.DataFrame:
         qid = g["qid"].iloc[0]
@@ -601,9 +609,22 @@ def q_trec_eval(sf_dir: str):
             for k in (10, 20, 30)
         }
         ap = float((rel * c / rnk).sum() / r_total) if r_total else 0.0
+        # NDCG@k, linear gain (grade 2 when doc_id % 3 == 0), ln discount
+        # (the log base cancels in the DCG/IDCG ratio)
+        grade = rel * np.where(g["doc_id"].to_numpy() % 3 == 0, 2, 1)
+        n2 = g2_by_qid[qid]
+        n1 = r_total - n2
+        nd = {}
+        for k in (10, 20):
+            dcg = float((grade / np.log(rnk + 1.0))[rnk <= k].sum())
+            ideal = _idcg(n2, n1, k)
+            nd[f"ndcg{k}_micros"] = int(
+                _round_away(dcg / ideal * 1e6) if ideal > 0 else 0
+            )
         return pd.DataFrame(
             {"qid": [qid], **{k: [v] for k, v in pk.items()},
-             "ap_micros": [int(_round_away(ap * 1e6))]}
+             "ap_micros": [int(_round_away(ap * 1e6))],
+             **{k: [v] for k, v in nd.items()}}
         )
 
     perq = (
@@ -614,7 +635,10 @@ def q_trec_eval(sf_dir: str):
         .sort_values("qid")
         .reset_index(drop=True)
     )
-    cols = ["p10_micros", "p20_micros", "p30_micros", "ap_micros"]
+    cols = [
+        "p10_micros", "p20_micros", "p30_micros", "ap_micros",
+        "ndcg10_micros", "ndcg20_micros",
+    ]
     allrow = {"qid": "all"}
     for c in cols:
         allrow[c] = int(_round_away(perq[c].to_numpy(np.float64).mean()))
@@ -2238,30 +2262,65 @@ rcnt AS (
 hits AS (
     SELECT t.qid, t.rnk,
            CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
-                THEN 1 ELSE 0 END AS rel
+                THEN 1 ELSE 0 END AS rel,
+           CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                THEN (CASE WHEN t.doc_id % 3 = 0 THEN 2 ELSE 1 END)
+                ELSE 0 END AS grade
     FROM ranked t JOIN qi USING (qid) WHERE t.rnk <= {_TREC_DEPTH}
 ),
 cum AS (
-    SELECT qid, rnk, rel,
+    SELECT qid, rnk, rel, grade,
            sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS c
     FROM hits
+),
+gcnt AS (
+    SELECT qi.qid,
+           sum(CASE WHEN d.doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n2,
+           sum(CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END) AS n1
+    FROM qi JOIN documents d ON (d.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+    GROUP BY qi.qid
+),
+rk AS (SELECT unnest(range(1, 21)) AS r),
+idcg AS (
+    SELECT g.qid,
+           sum(CASE WHEN rk.r <= 10
+                    THEN (CASE WHEN rk.r <= g.n2 THEN 2
+                               WHEN rk.r <= g.n2 + g.n1 THEN 1
+                               ELSE 0 END) / ln(rk.r + 1)
+                    ELSE 0 END) AS i10,
+           sum((CASE WHEN rk.r <= g.n2 THEN 2
+                     WHEN rk.r <= g.n2 + g.n1 THEN 1
+                     ELSE 0 END) / ln(rk.r + 1)) AS i20
+    FROM gcnt g CROSS JOIN rk GROUP BY g.qid
 ),
 perq AS (
     SELECT cum.qid,
            CAST(round(sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) / 10.0 * 1000000) AS BIGINT) AS p10_micros,
            CAST(round(sum(CASE WHEN rnk <= 20 THEN rel ELSE 0 END) / 20.0 * 1000000) AS BIGINT) AS p20_micros,
            CAST(round(sum(CASE WHEN rnk <= 30 THEN rel ELSE 0 END) / 30.0 * 1000000) AS BIGINT) AS p30_micros,
-           CAST(round(sum(CASE WHEN rel = 1 THEN c * 1.0 / rnk ELSE 0 END) / max(rcnt.r) * 1000000) AS BIGINT) AS ap_micros
-    FROM cum JOIN rcnt ON rcnt.qid = cum.qid
+           CAST(round(sum(CASE WHEN rel = 1 THEN c * 1.0 / rnk ELSE 0 END) / max(rcnt.r) * 1000000) AS BIGINT) AS ap_micros,
+           CAST(round(CASE WHEN max(idcg.i10) > 0
+                           THEN sum(CASE WHEN rnk <= 10 THEN grade / ln(rnk + 1.0) ELSE 0 END) / max(idcg.i10)
+                           ELSE 0 END * 1000000) AS BIGINT) AS ndcg10_micros,
+           CAST(round(CASE WHEN max(idcg.i20) > 0
+                           THEN sum(CASE WHEN rnk <= 20 THEN grade / ln(rnk + 1.0) ELSE 0 END) / max(idcg.i20)
+                           ELSE 0 END * 1000000) AS BIGINT) AS ndcg20_micros
+    FROM cum
+    JOIN rcnt ON rcnt.qid = cum.qid
+    JOIN idcg ON idcg.qid = cum.qid
     GROUP BY cum.qid
 )
-SELECT qid, p10_micros, p20_micros, p30_micros, ap_micros FROM perq
+SELECT qid, p10_micros, p20_micros, p30_micros, ap_micros,
+       ndcg10_micros, ndcg20_micros
+FROM perq
 UNION ALL
 SELECT 'all',
        CAST(round(avg(p10_micros)) AS BIGINT),
        CAST(round(avg(p20_micros)) AS BIGINT),
        CAST(round(avg(p30_micros)) AS BIGINT),
-       CAST(round(avg(ap_micros)) AS BIGINT)
+       CAST(round(avg(ap_micros)) AS BIGINT),
+       CAST(round(avg(ndcg10_micros)) AS BIGINT),
+       CAST(round(avg(ndcg20_micros)) AS BIGINT)
 FROM perq
 ORDER BY qid
 """

@@ -8,6 +8,8 @@ is the standard trec_eval computation done locally:
 * P@k  = |relevant ∩ top-k| / k (ranks beyond the run count as misses);
 * AP   = (Σ_{r : doc_r relevant} P@r) / |relevant(qid)| over the full run,
   0 when the query has no judged-relevant docs;
+* NDCG@k = DCG@k / ideal-DCG@k with LINEAR gain (trec_eval's ``ndcg``)
+  and a natural-log discount (the log base cancels in the ratio);
 * ``all`` row = arithmetic mean over queries (trec_eval's convention).
 
 Relevance = qrels grade > 0 (graded judgments binarized, as trec_eval's
@@ -37,6 +39,28 @@ def average_precision(run: list[str], relevant: set[str]) -> float:
     return ap / len(relevant)
 
 
+def dcg_at_k(gains: list[int], k: int) -> float:
+    """Discounted cumulative gain over the first k ranks, LINEAR gain and
+    natural-log discount: ``Σ_{r≤k} g_r / ln(r+1)``. trec_eval's ndcg uses
+    log2; the base is a constant factor that cancels in the NDCG ratio, and
+    ln() is the transcendental both this engine and its DuckDB oracles
+    already share (see lm/tfidf parity notes)."""
+    import math
+
+    return sum(g / math.log(r + 1) for r, g in enumerate(gains[:k], start=1) if g)
+
+
+def ndcg_at_k(gains: list[int], all_grades: list[int], k: int) -> float:
+    """NDCG@k = DCG@k(run) / DCG@k(ideal). ``gains`` are the run's grades
+    in rank order (misses = 0); ``all_grades`` are the grades of EVERY
+    judged-relevant doc for the query (the ideal ranking sorts them
+    descending). 0 when the query has no relevant docs."""
+    ideal = dcg_at_k(sorted(all_grades, reverse=True), k)
+    if ideal <= 0:
+        return 0.0
+    return dcg_at_k(gains, k) / ideal
+
+
 def evaluate_run(
     run: dict[str, list[tuple[str, float]]],
     qrels: dict[str, dict[str, int]],
@@ -58,9 +82,14 @@ def evaluate_run(
         ranked = [d for d, _ in rows]
         m = {f"P{k}": precision_at_k(ranked, relevant, k) for k in ks}
         m["map"] = average_precision(ranked, relevant)
+        all_grades = [g for g in judged.values() if g > 0]
+        gains = [judged.get(d, 0) for d in ranked]
+        gains = [g if g > 0 else 0 for g in gains]
+        for k in (10, 20):
+            m[f"ndcg{k}"] = ndcg_at_k(gains, all_grades, k)
         out[qid] = m
     if out:
-        keys = [f"P{k}" for k in ks] + ["map"]
+        keys = [f"P{k}" for k in ks] + ["map", "ndcg10", "ndcg20"]
         out["all"] = {
             key: sum(m[key] for q, m in out.items() if q != "all") / len(out)
             for key in keys

@@ -2,10 +2,29 @@
 
 from search_engine_framework_ray.sources.evalmetrics import (
     average_precision,
+    dcg_at_k,
     evaluate_run,
+    ndcg_at_k,
     precision_at_k,
     read_qrels_grouped,
 )
+
+
+def test_dcg_and_ndcg():
+    import math
+
+    # run grades in rank order: 2, 0, 1; judged grades overall: {2, 1, 1}
+    gains = [2, 0, 1]
+    all_grades = [1, 2, 1]
+    dcg = 2 / math.log(2) + 1 / math.log(4)
+    assert dcg_at_k(gains, 10) == dcg
+    ideal = 2 / math.log(2) + 1 / math.log(3) + 1 / math.log(4)
+    assert ndcg_at_k(gains, all_grades, 10) == dcg / ideal
+    # perfect ranking → 1.0 exactly
+    assert ndcg_at_k([2, 1, 1], all_grades, 10) == 1.0
+    # k cuts both run and ideal
+    assert ndcg_at_k(gains, all_grades, 1) == 1.0  # 2/ln2 over 2/ln2
+    assert ndcg_at_k(gains, [], 10) == 0.0
 
 
 def test_precision_at_k():
