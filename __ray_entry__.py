@@ -648,6 +648,58 @@ def q_trec_eval(sf_dir: str):
     return out.sort_values("qid").reset_index(drop=True)
 
 
+def q_bm25_snippets(sf_dir: str):
+    """Display snippets for the BM25 top-10 of q1 ("spark join"): each
+    doc's best 10-token window (most query-term hits, earliest on ties),
+    found by ONE streaming corpus pass against the broadcast top-k map
+    (query/snippets.py). Ranking replays the trec_eval recipe
+    (score_micros DESC, doc_id ASC). The SQL twin re-ranks, re-scans
+    every window position, and rebuilds the snippet string byte-for-byte."""
+    import ray.data
+
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.query.snippets import snippets_for_topk
+
+    import pyarrow.parquet as papq
+
+    idx = _docs_index(sf_dir)
+    qid, terms = _TREC_QSET[0]
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    res = run_queries(
+        idx, [(qid, " ".join(terms))], ModelParams(model="BM25"),
+        k=max(10_000, n_corpus),
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res[qid]],
+            "score": [s for _, s, _ in res[qid]],
+        }
+    )
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    doc_ranks = {
+        int(d): r for r, d in enumerate(df["doc_id"].to_numpy(), start=1)
+    }
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = snippets_for_topk(docs, doc_ranks, set(terms), width=10).to_pandas()
+    out["qid"] = qid
+    for c in ("rnk", "doc_id", "win_start", "win_score"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["qid", "rnk", "doc_id", "win_start", "win_score", "snippet"]]
+        .sort_values("rnk")
+        .reset_index(drop=True)
+    )
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (size 3600 s, slide 900 s): each event replicated to
     its 4 covering windows inside map_batches (with a per-batch combiner),
@@ -2100,6 +2152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_core": q_letor_core,
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
+        "bm25_snippets": q_bm25_snippets,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
@@ -2323,6 +2376,81 @@ SELECT 'all',
        CAST(round(avg(ndcg20_micros)) AS BIGINT)
 FROM perq
 ORDER BY qid
+"""
+
+
+# Snippet twin: BM25-rank q1 exactly like the trec_eval twin, then scan
+# every 10-token window start of each top-10 doc and rebuild the snippet
+_BM25_SNIPPETS_SQL = f"""
+{_POS_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+topd AS (
+    SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+               ) AS rnk
+        FROM scores
+    ) WHERE rnk <= 10
+),
+dt AS (
+    SELECT t.doc_id, t.pos,
+           t.tok,
+           CASE WHEN t.tok IN ('spark', 'join') THEN 1 ELSE 0 END AS hit
+    FROM toks t JOIN topd USING (doc_id)
+),
+dl2 AS (SELECT doc_id, max(pos) AS n FROM dt GROUP BY doc_id),
+starts AS (
+    SELECT d.doc_id, i AS p
+    FROM dl2 d, unnest(range(1, greatest(d.n - 10 + 1, 1) + 1)) AS t(i)
+),
+wscore AS (
+    SELECT s.doc_id, s.p, sum(dt.hit) AS score
+    FROM starts s
+    JOIN dt ON dt.doc_id = s.doc_id AND dt.pos >= s.p AND dt.pos < s.p + 10
+    GROUP BY s.doc_id, s.p
+),
+best AS (
+    SELECT doc_id, p, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, p
+        ) AS rn FROM wscore
+    ) WHERE rn = 1
+),
+snip AS (
+    SELECT b.doc_id, string_agg(dt.tok, ' ' ORDER BY dt.pos) AS snippet
+    FROM best b
+    JOIN dt ON dt.doc_id = b.doc_id AND dt.pos >= b.p AND dt.pos < b.p + 10
+    GROUP BY b.doc_id
+)
+SELECT 'q1' AS qid, topd.rnk, b.doc_id,
+       CAST(b.p AS BIGINT) AS win_start,
+       CAST(b.score AS BIGINT) AS win_score,
+       s.snippet
+FROM best b
+JOIN topd USING (doc_id)
+JOIN snip s USING (doc_id)
+ORDER BY topd.rnk
 """
 
 
@@ -3011,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "pagerank": _PAGERANK_SQL,
         "trec_eval": _TREC_EVAL_SQL,
+        "bm25_snippets": _BM25_SNIPPETS_SQL,
         # recursive-CTE reachability closure over the same deterministic
         # undirected graph; comp = min reachable doc_id
         "link_components": r"""
