@@ -1263,7 +1263,7 @@ def q_kmv_distinct(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
     )
-    out = kmv_distinct(ds, key_col="source", text_col="text", k=64)
+    out = kmv_distinct(ds, key_col="source", text_col="text", k=16)
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -1278,7 +1278,7 @@ def q_kmv_jaccard(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
     )
-    out = kmv_jaccard_pairs(ds, key_col="source", text_col="text", k=64)
+    out = kmv_jaccard_pairs(ds, key_col="source", text_col="text", k=16)
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
@@ -3624,18 +3624,18 @@ ORDER BY d.doc_id
                 FROM d
             )
             SELECT source,
-                   CAST(LEAST(n_distinct, 64) AS BIGINT) AS k_used,
+                   CAST(LEAST(n_distinct, 16) AS BIGINT) AS k_used,
                    CAST(CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
                              THEN CAST(h AS HUGEINT)
                                   - CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
                              ELSE CAST(h AS HUGEINT) END AS BIGINT) AS kth_hash,
-                   CAST(CASE WHEN n_distinct < 64 THEN CAST(n_distinct AS HUGEINT)
-                             ELSE (CAST(63 AS HUGEINT)
+                   CAST(CASE WHEN n_distinct < 16 THEN CAST(n_distinct AS HUGEINT)
+                             ELSE (CAST(15 AS HUGEINT)
                                    * CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT))
                                   // CAST(h AS HUGEINT)
                         END AS BIGINT) AS est_distinct
             FROM r
-            WHERE rn = LEAST(n_distinct, 64)
+            WHERE rn = LEAST(n_distinct, 16)
             ORDER BY source
         """,
         "kmv_jaccard": r"""
@@ -3650,7 +3650,7 @@ ORDER BY d.doc_id
                     SELECT source, h,
                            row_number() OVER (PARTITION BY source ORDER BY h) AS rn
                     FROM d
-                ) WHERE rn <= 64
+                ) WHERE rn <= 16
             ),
             pairs AS (
                 SELECT a.source AS key_a, b.source AS key_b
@@ -3668,7 +3668,7 @@ ORDER BY d.doc_id
                 SELECT * FROM (
                     SELECT *, row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
                     FROM u
-                ) WHERE rn <= 64
+                ) WHERE rn <= 16
             )
             SELECT key_a, key_b,
                    CAST(count(*) AS BIGINT) AS k_eff,
