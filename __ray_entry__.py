@@ -1250,6 +1250,27 @@ def q_source_stats(sf_dir: str):
     )
 
 
+def q_facet_counts(sf_dir: str):
+    """Faceted search: per-(source, lang) doc counts over the
+    #AND(spark join) boolean match set — the retrieved ids (bounded by the
+    query's top-k) broadcast into one metadata pass with per-batch
+    combiners, then a tiny groupby (stages/corpus.py facet_counts)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import facet_counts
+
+    df = _run(
+        sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})",
+        "UnrankedBoolean", k=10_000,
+    )
+    ids = {int(x) for x in df["doc_id"]}
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang"],
+    )
+    return facet_counts(docs, ids, ["source", "lang"])
+
+
 def q_kmv_distinct(sf_dir: str):
     """Per-source distinct-vocabulary estimate via mergeable KMV (bottom-k)
     sketches: one streaming partial pass (≤ k narrow rows per source per
@@ -2172,6 +2193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "cross_dup": q_cross_dup,
         "source_stats": q_source_stats,
+        "facet_counts": q_facet_counts,
         "kmv_distinct": q_kmv_distinct,
         "kmv_jaccard": q_kmv_jaccard,
         "pagerank": q_pagerank,
@@ -3606,6 +3628,15 @@ ORDER BY d.doc_id
                    sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))::BIGINT AS n_tokens,
                    sum(length(text))::BIGINT AS n_chars_total
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "facet_counts": f"""
+            {_TOKS}, tf AS (
+                SELECT doc_id, tok FROM toks
+                WHERE tok IN ('spark','join') GROUP BY doc_id, tok),
+            m AS (SELECT doc_id FROM tf GROUP BY doc_id HAVING count(*) = 2)
+            SELECT d.source, d.lang, count(*)::BIGINT AS n_docs
+            FROM documents d JOIN m USING (doc_id)
+            GROUP BY d.source, d.lang ORDER BY d.source, d.lang
         """,
         # KMV sketches: the k smallest distinct md5-low64 token hashes per
         # source; estimator in exact HUGEINT arithmetic (2⁶⁴ spelled as

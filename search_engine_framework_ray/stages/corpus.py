@@ -94,6 +94,52 @@ def source_stats(
     return partials.groupby(source_col).map_groups(combine, batch_format="pandas")
 
 
+def facet_counts(
+    ds: Dataset,
+    match_ids: set[int],
+    facet_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Faceted-search counts: per-``facet_cols`` doc counts over a retrieved
+    id set → one row per facet combination, ``n_docs`` each.
+
+    The retrieved set (a boolean/BM25 match list, bounded by the query's
+    top-k) is broadcast into ONE metadata pass; each batch pre-aggregates
+    its matches (≤ |facet combos| rows per batch cross the exchange), then
+    a tiny groupby sums the partials. Right while |match_ids| ≪ corpus —
+    the retrieval depth caps it; if a use case ever needs facets over an
+    UNBOUNDED match set, co-partition on ``id_col`` and join instead of
+    broadcasting (the `revenue_by_priority` pattern)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[b[id_col].isin(match_ids)]
+        if not len(m):
+            return pd.DataFrame(
+                {**{c: pd.Series(dtype=b[c].dtype) for c in facet_cols},
+                 "n_docs": pd.Series(dtype="int64")}
+            )
+        g = m.groupby(facet_cols, as_index=False).size()
+        return g.rename(columns={"size": "n_docs"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = (
+        partials.groupby(facet_cols)
+        .sum("n_docs")
+        .to_pandas()
+        .rename(columns={"sum(n_docs)": "n_docs"})
+    )
+    if "n_docs" not in out.columns:  # every batch empty → schemaless result
+        out = pd.DataFrame(
+            {**{c: pd.Series(dtype="object") for c in facet_cols},
+             "n_docs": pd.Series(dtype="int64")}
+        )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[facet_cols + ["n_docs"]].sort_values(facet_cols).reset_index(
+        drop=True
+    )
+
+
 # ----------------------------------------------------------------------------
 # global n-gram frequency
 # ----------------------------------------------------------------------------

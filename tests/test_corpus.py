@@ -222,3 +222,31 @@ def test_collocations_planted_phrase(ray_session):
     assert "cc dd" in grams  # adjacent in the first 8 docs only
     i = grams.index("cc dd")
     assert out.iloc[i]["lift_micros"] < out.iloc[0]["lift_micros"]
+
+
+def test_facet_counts(ray_session):
+    import ray.data
+    from search_engine_framework_ray.stages.corpus import facet_counts
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["s1", "s2"] * 5,
+            "lang": ["en"] * 6 + ["de"] * 4,
+        }
+    )
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    out = facet_counts(ds, {0, 1, 2, 6, 7}, ["source", "lang"])
+    want = (
+        pdf[pdf["doc_id"].isin({0, 1, 2, 6, 7})]
+        .groupby(["source", "lang"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_docs"})
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+    want["n_docs"] = want["n_docs"].astype("int64")
+    pd.testing.assert_frame_equal(out, want)
+    # empty match set → zero rows, schema intact
+    empty = facet_counts(ds, set(), ["source", "lang"])
+    assert len(empty) == 0 and list(empty.columns) == ["source", "lang", "n_docs"]
