@@ -143,6 +143,15 @@ def kmv_distinct(
     ``est_distinct`` the integer bottom-k estimate. Only the k·n_keys
     sketch rows ever reach the driver."""
     sk = kmv_sketches(ds, key_col=key_col, text_col=text_col, k=k).to_pandas()
+    if sk.empty:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="object"),
+                "k_used": pd.Series(dtype="int64"),
+                "kth_hash": pd.Series(dtype="int64"),
+                "est_distinct": pd.Series(dtype="int64"),
+            }
+        )
     rows = []
     for key, g in sk.groupby(key_col, sort=True):
         hs = np.sort(g["h"].to_numpy(np.uint64))
@@ -180,6 +189,17 @@ def kmv_jaccard_pairs(
     at k=64 and 10⁴ keys that is 640k tiny rows, driver-side by design;
     the corpus-sized work all happened in the streaming sketch pass."""
     sk = kmv_sketches(ds, key_col=key_col, text_col=text_col, k=k).to_pandas()
+    empty = pd.DataFrame(
+        {
+            "key_a": pd.Series(dtype="object"),
+            "key_b": pd.Series(dtype="object"),
+            "k_eff": pd.Series(dtype="int64"),
+            "n_both": pd.Series(dtype="int64"),
+            "j_micros": pd.Series(dtype="int64"),
+        }
+    )
+    if sk.empty:
+        return empty
     by_key = {
         key: np.sort(g["h"].to_numpy(np.uint64))
         for key, g in sk.groupby(key_col, sort=True)
@@ -205,6 +225,8 @@ def kmv_jaccard_pairs(
                     "j_micros": (both * scale) // max(k_eff, 1),
                 }
             )
+    if not rows:  # fewer than two keys → no pairs
+        return empty
     out = pd.DataFrame(rows)
     for c in ("k_eff", "n_both", "j_micros"):
         out[c] = out[c].astype("int64")

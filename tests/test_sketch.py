@@ -162,3 +162,17 @@ def test_kmv_jaccard_overlap_structure(big_vocab_docs):
     assert out.loc[("src_a", "src_c"), "j_micros"] == 0
     assert out.loc[("src_b", "src_c"), "j_micros"] == 0
     assert (out["k_eff"] == 64).all()
+
+
+def test_empty_and_single_key_edges(ray_session):
+    import ray.data
+
+    pdf_empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                              "text": pd.Series(dtype="object")})
+    ds = ray.data.from_pandas(pdf_empty)
+    assert len(kmv_distinct(ds, k=8)) == 0
+    assert len(kmv_jaccard_pairs(ds, k=8)) == 0
+    one = ray.data.from_pandas(pd.DataFrame({"source": ["s"], "text": ["a b c"]}))
+    d = kmv_distinct(one, k=8)
+    assert d["est_distinct"].tolist() == [3]
+    assert len(kmv_jaccard_pairs(one, k=8)) == 0  # one key → no pairs
