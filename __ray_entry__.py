@@ -722,6 +722,33 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_events_window_topk(sf_dir: str):
+    """Continuous top-3 per tumbling hour by value: per-batch LOCAL top-k
+    per window before the one shuffle (global top-k ⊆ union of local
+    top-ks), bounded per-window finalize (stages/window.py window_topk)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import window_topk
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "value"],
+    )
+    out = window_topk(ds, 3600, 3).to_pandas()
+    out["window_start_s"] = (
+        out["window_start"].astype("datetime64[us]").astype("int64") // 1_000_000
+    )
+    out["value_micros"] = _micros(out["value"])
+    out = out.rename(columns={"rank": "rnk"})
+    for c in ("window_start_s", "rnk", "event_id", "value_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["window_start_s", "rnk", "event_id", "value_micros"]]
+        .sort_values(["window_start_s", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_packing(sf_dir: str):
     """LM-training document packing (stages/packing.py): contiguous-fill
     assignment of docs to 512-token packs via a distributed two-level
@@ -2215,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_bm25": q_delta_bm25,
         "compact_bm25": q_compact_bm25,
         "events_tumbling": q_events_tumbling,
+        "events_window_topk": q_events_window_topk,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_sessions_salted": q_events_sessions_salted,
@@ -4122,6 +4150,23 @@ ORDER BY d.doc_id
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_window_topk": """
+            WITH w AS (
+                SELECT event_id, value,
+                       CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT)
+                           AS window_start_s
+                FROM events
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY window_start_s ORDER BY value DESC, event_id
+                ) AS rnk
+                FROM w
+            )
+            SELECT window_start_s, CAST(rnk AS BIGINT) AS rnk, event_id,
+                   CAST(round(value * 1000000) AS BIGINT) AS value_micros
+            FROM r WHERE rnk <= 3 ORDER BY window_start_s, rnk
         """,
         "events_sessions": """
             WITH o AS (

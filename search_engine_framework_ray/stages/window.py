@@ -65,6 +65,51 @@ def tumbling_window(
     return out.map_batches(finish, batch_format="pandas")
 
 
+def window_topk(
+    ds: Dataset,
+    size_s: int,
+    k: int,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> Dataset:
+    """Continuous top-k per tumbling window: the k highest-``value_col``
+    rows of each window (ties → lowest id), ranked 1..k.
+
+    The streaming-top-k shape (SAP, ICDE'18 family): each batch keeps only
+    its LOCAL top-k per window before the exchange — the global top-k of a
+    window is a subset of the union of per-batch top-ks, so ≤ k·n_batches
+    narrow rows per window cross the one shuffle regardless of window
+    population; the per-window finalizer re-ranks that bounded set."""
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, ts_col, value_col]].copy()
+        b["window_start"] = _bucket_start(b[ts_col], size_s)
+        b = b.sort_values(
+            ["window_start", value_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return b.groupby("window_start", sort=False).head(k)[
+            ["window_start", id_col, value_col]
+        ]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [value_col, id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .groupby("window_start")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def sliding_window(
     ds: Dataset,
     size_s: int,

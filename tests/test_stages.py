@@ -765,3 +765,42 @@ def test_range_join_salted_bit_identical(ray_session):
     got = norm(plain)
     assert len(got[got["user_id"] == "edge"]) == 2  # inclusive endpoints
     assert not (got["user_id"] == "lonely").any()
+
+
+def test_window_topk_matches_naive(ray_session):
+    import ray.data
+    from search_engine_framework_ray.stages.window import window_topk
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.integers(0, 20 * 3600, n), unit="s"),
+            "value": rng.normal(size=n).round(3),  # rounding makes TIES
+        }
+    )
+    ds = ray.data.from_pandas(pdf).repartition(7)  # windows split across batches
+    got = (
+        window_topk(ds, 3600, 3)
+        .to_pandas()
+        .sort_values(["window_start", "rank"])
+        .reset_index(drop=True)
+    )
+    naive = pdf.copy()
+    naive["window_start"] = pd.to_datetime(
+        (naive["ts"].astype("datetime64[us]").astype("int64") // 10**6 // 3600)
+        * 3600,
+        unit="s",
+    )
+    naive = naive.sort_values(
+        ["window_start", "value", "event_id"], ascending=[True, False, True]
+    )
+    naive = naive.groupby("window_start", sort=True).head(3)
+    naive["rank"] = naive.groupby("window_start").cumcount() + 1
+    naive = naive[["window_start", "event_id", "value", "rank"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["window_start", "event_id", "value", "rank"]],
+        naive,
+        check_dtype=False,
+    )
