@@ -749,6 +749,31 @@ def q_events_window_topk(sf_dir: str):
     )
 
 
+def q_events_decayed(sf_dir: str):
+    """Exponentially time-decayed counters per event type at ref = max(ts),
+    half-life 30 min — per-row weights are reference-fixed so per-batch
+    combiners collapse to ≤ |types| rows per batch before one tiny groupby
+    (stages/window.py decayed_agg)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import decayed_agg
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["ts", "event_type", "value"])
+    ref = ds.max("ts")
+    out = decayed_agg(
+        ray.data.read_parquet(path, columns=["ts", "event_type", "value"]),
+        ref, 1800.0, keys=["event_type"],
+    ).to_pandas()
+    out["decayed_n_micros"] = _micros(out["decayed_n"])
+    out["decayed_sum_micros"] = _micros(out["decayed_sum"])
+    return (
+        out[["event_type", "decayed_n_micros", "decayed_sum_micros"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_packing(sf_dir: str):
     """LM-training document packing (stages/packing.py): contiguous-fill
     assignment of docs to 512-token packs via a distributed two-level
@@ -2243,6 +2268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_bm25": q_compact_bm25,
         "events_tumbling": q_events_tumbling,
         "events_window_topk": q_events_window_topk,
+        "events_decayed": q_events_decayed,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_sessions_salted": q_events_sessions_salted,
@@ -4150,6 +4176,19 @@ ORDER BY d.doc_id
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_decayed": """
+            WITH t AS (SELECT epoch_us(max(ts)) AS u FROM events),
+            w AS (
+                SELECT event_type, value,
+                       exp(-(ln(2) / 1800.0)
+                           * ((t.u - epoch_us(ts)) / 1000000.0)) AS w
+                FROM events, t
+            )
+            SELECT event_type,
+                   CAST(round(sum(w) * 1000000) AS BIGINT) AS decayed_n_micros,
+                   CAST(round(sum(w * value) * 1000000) AS BIGINT) AS decayed_sum_micros
+            FROM w GROUP BY event_type ORDER BY event_type
         """,
         "events_window_topk": """
             WITH w AS (

@@ -110,6 +110,53 @@ def window_topk(
     )
 
 
+def decayed_agg(
+    ds: Dataset,
+    ref_ts: "pd.Timestamp",
+    half_life_s: float,
+    *,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> Dataset:
+    """Exponentially time-decayed aggregates at a fixed reference instant:
+    per key, ``decayed_n = Σ w_i`` and ``decayed_sum = Σ w_i·value_i`` with
+    ``w_i = exp(-ln2 · (ref − ts_i)/half_life)`` — the trending-counter
+    every freshness-aware ranking keeps.
+
+    Decay to a FIXED reference is associative (each row's weight is
+    independent of every other row), so this is the cheapest wide shape
+    there is: per-batch combiners collapse to ≤ |keys| rows per batch,
+    then one tiny groupby sums the partials. A streaming deployment
+    advances ``ref_ts`` by multiplying finished counters by a constant —
+    nothing here needs re-scanning."""
+    keys = list(keys or [])
+    if not keys:
+        raise ValueError("decayed_agg needs at least one grouping key")
+    lam = np.log(2.0) / float(half_life_s)
+    ref_us = pd.Timestamp(ref_ts).value // 1_000  # ns → µs
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        age_s = (
+            ref_us - b[ts_col].astype("datetime64[us]").astype("int64")
+        ) / 1_000_000.0
+        w = np.exp(-lam * age_s.to_numpy())
+        g = pd.DataFrame(
+            {
+                **{k: b[k].to_numpy() for k in keys},
+                "_n": w,
+                "_sum": w * b[value_col].to_numpy(),
+            }
+        )
+        return g.groupby(keys, as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(keys).aggregate(
+        Sum("_n", alias_name="decayed_n"),
+        Sum("_sum", alias_name="decayed_sum"),
+    )
+
+
 def sliding_window(
     ds: Dataset,
     size_s: int,

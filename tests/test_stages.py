@@ -804,3 +804,27 @@ def test_window_topk_matches_naive(ray_session):
         naive,
         check_dtype=False,
     )
+
+
+def test_decayed_agg_half_life(ray_session):
+    import ray.data
+    from search_engine_framework_ray.stages.window import decayed_agg
+
+    ref = pd.Timestamp("2026-01-01 12:00:00")
+    pdf = pd.DataFrame(
+        {
+            "ts": [ref, ref - pd.Timedelta(seconds=1800),
+                   ref - pd.Timedelta(seconds=3600)],
+            "event_type": ["a", "a", "a"],
+            "value": [4.0, 4.0, 4.0],
+        }
+    )
+    ds = ray.data.from_pandas(pdf).repartition(3)
+    out = decayed_agg(ds, ref, 1800.0, keys=["event_type"]).to_pandas()
+    # weights: 1, 1/2, 1/4 → decayed_n = 1.75, decayed_sum = 7.0
+    assert abs(out["decayed_n"].iloc[0] - 1.75) < 1e-12
+    assert abs(out["decayed_sum"].iloc[0] - 7.0) < 1e-11
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decayed_agg(ds, ref, 1800.0, keys=[])
