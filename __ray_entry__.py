@@ -1103,6 +1103,45 @@ def q_ann_cosine_topk(sf_dir: str):
     return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
 
 
+def q_knn_join(sf_dir: str):
+    """k-NN join: every query-table row (vec_id % 50 == 3) gets its 5
+    nearest corpus neighbours by cosine, self-matches excluded — the
+    retrieval side of semantic dedup/augmentation. The bounded query block
+    is broadcast once; each corpus batch computes one matmul against it
+    and keeps LOCAL top-k per query, so k·n_batches rows per query reach
+    the final re-rank (stages/ann.py brute_force_topk)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qdf = pq.read_table(path).to_pandas()
+    qdf = qdf[qdf["vec_id"] % 50 == 3].sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, dtype=np.float64) for e in qdf["embedding"]])
+    ds = ray.data.read_parquet(path)
+    res = brute_force_topk(ds, qmat, k=6)  # k+1: room to drop the self hit
+    res["qid"] = res["query_id"].map({i: int(v) for i, v in enumerate(qids)})
+    res = res[res["vec_id"] != res["qid"]]
+    out = []
+    for qid, g in res.groupby("qid", sort=True):
+        g = g.sort_values(
+            ["score", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(5).copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    res["cosine_micros"] = _micros(res["score"])
+    for c in ("qid", "rnk", "vec_id"):
+        res[c] = res[c].astype("int64")
+    return (
+        res[["qid", "rnk", "vec_id", "cosine_micros"]]
+        .sort_values(["qid", "rnk"])
+        .reset_index(drop=True)
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF approximate top-10 (nlist=8, nprobe=8 == exhaustive probing, so
     results equal brute force and the SQL oracle)."""
@@ -2233,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_join": q_knn_join,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count": q_token_count,
@@ -3478,9 +3518,9 @@ ORDER BY d.doc_id
         """,
         "embedding_neardup": """
             SELECT x.vec_id AS a, y.vec_id AS b,
-                   CAST(round(list_cosine_similarity(x.embedding, y.embedding) * 1000000) AS BIGINT) AS cosine_micros
+                   CAST(round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) * 1000000) AS BIGINT) AS cosine_micros
             FROM embeddings x JOIN embeddings y ON y.vec_id > x.vec_id
-            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.46
+            WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])) >= 0.46
             ORDER BY a, b
         """,
         "jaccard_pairs": r"""
@@ -3513,7 +3553,7 @@ ORDER BY d.doc_id
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
                 SELECT vec_id,
-                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cos
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cos
                 FROM embeddings
             ),
             ranked AS (
@@ -3524,11 +3564,31 @@ ORDER BY d.doc_id
             SELECT rank, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
             FROM ranked WHERE rank <= 10 ORDER BY rank
         """,
+        "knn_join": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id % 50 = 3
+            ),
+            scored AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS cos
+                FROM embeddings e, q WHERE e.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY cos DESC, vec_id
+                ) AS rnk
+                FROM scored
+            )
+            SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id,
+                   CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
+            FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
+        """,
         "ann_ivf_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
                 SELECT vec_id,
-                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS cos
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cos
                 FROM embeddings
             ),
             ranked AS (
@@ -3829,7 +3889,7 @@ ORDER BY d.doc_id
             dup AS (
                 SELECT a.vec_id,
                        max(CASE WHEN CAST(floor(
-                               list_cosine_similarity(a.embedding, b.embedding)
+                               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                                * 1000000 + 0.5) AS BIGINT) >= 460000
                            THEN 1 ELSE 0 END) AS d
                 FROM asg a JOIN asg b
