@@ -1142,6 +1142,37 @@ def q_knn_join(sf_dir: str):
     )
 
 
+def q_source_centroids(sf_dir: str):
+    """Per-source mean embedding (domain profile vectors): the domain key
+    is attached by a tagged-union co-partition (Ray's hash join rejects
+    list payloads; broadcasting the id→key map would be corpus-sized),
+    then vector aggregation WITHOUT a second vector shuffle — each batch
+    emits |sources|·dim narrow (key, dim, psum, n) partials, one tiny
+    groupby finishes (stages/ann.py attach_key_copartition +
+    grouped_centroids)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import (
+        centroids_from_partials,
+        keyed_centroid_partials,
+    )
+
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    partials = keyed_centroid_partials(emb, docs)
+    out = centroids_from_partials(partials, key_col="source").to_pandas()
+    out["centroid_micros"] = _micros(out["centroid"])
+    for c in ("dim", "n"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["source", "dim", "n", "centroid_micros"]]
+        .sort_values(["source", "dim"])
+        .reset_index(drop=True)
+    )
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF approximate top-10 (nlist=8, nprobe=8 == exhaustive probing, so
     results equal brute force and the SQL oracle)."""
@@ -2273,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
+        "source_centroids": q_source_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count": q_token_count,
@@ -3563,6 +3595,20 @@ ORDER BY d.doc_id
             )
             SELECT rank, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
             FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        "source_centroids": """
+            WITH e AS (
+                SELECT d.source, i - 1 AS dim,
+                       CAST(em.embedding[i] AS DOUBLE) AS x
+                FROM embeddings em
+                JOIN documents d ON em.vec_id = d.doc_id,
+                     unnest(range(1, len(em.embedding) + 1)) AS t(i)
+            )
+            SELECT source, CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(sum(x) / count(*) * 1000000) AS BIGINT)
+                       AS centroid_micros
+            FROM e GROUP BY source, dim ORDER BY source, dim
         """,
         "knn_join": """
             WITH q AS (

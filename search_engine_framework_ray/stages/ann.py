@@ -366,6 +366,161 @@ def embedding_neardup_pairs(
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
 
 
+def keyed_centroid_partials(
+    emb_ds: Dataset,
+    key_ds: Dataset,
+    *,
+    id_col: str = "vec_id",
+    key_id_col: str = "doc_id",
+    key_col: str = "source",
+    emb_col: str = "embedding",
+    n_buckets: int = 16,
+) -> Dataset:
+    """Attach a narrow per-id key to embedding rows AND reduce them to
+    per-key vector-sum partials → (key, dim, psum, n), ≤ |keys|·dim rows
+    per bucket. Ray's hash join rejects list-typed payload columns and
+    broadcasting the id→key map is corpus-sized, so this is the repo's
+    tagged-union co-partition (the pagerank/LeToR-handoff pattern): both
+    sides bucketed on a coarse id hash, embeddings transported as raw
+    float64 BYTES (fixed-width Arrow binary — the tensor-extension
+    inference that trips on mixed object columns never runs), ONE
+    shuffle, positional ``get_indexer`` lookups inside each bucket (never
+    ``reindex`` — the float-upcasting miss note in stages/join.py)."""
+
+    def tag_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_bkt": (b[key_id_col] % n_buckets).astype(np.int64),
+                id_col: b[key_id_col].to_numpy(np.int64),
+                key_col: b[key_col].astype(object).to_numpy(),
+                "_emb": [b""] * len(b),
+            }
+        )
+
+    def tag_emb(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_bkt": (b[id_col] % n_buckets).astype(np.int64),
+                id_col: b[id_col].to_numpy(np.int64),
+                key_col: [None] * len(b),
+                "_emb": [
+                    np.asarray(e, dtype=np.float64).tobytes()
+                    for e in b[emb_col]
+                ],
+            }
+        )
+
+    u = key_ds.map_batches(tag_keys, batch_format="pandas").union(
+        emb_ds.map_batches(tag_emb, batch_format="pandas")
+    )
+
+    def attach_and_partial(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="object"),
+                "dim": pd.Series(dtype="int64"),
+                "psum": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        is_key = g[key_col].notna().to_numpy()
+        keys, emb = g[is_key], g[~is_key]
+        if not len(emb) or not len(keys):
+            return empty
+        idx = pd.Index(keys[id_col].to_numpy(np.int64))
+        pos = idx.get_indexer(emb[id_col].to_numpy(np.int64))
+        m = pos >= 0
+        if not m.any():
+            return empty
+        mat = np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in emb["_emb"].to_numpy()[m]]
+        )
+        ks = keys[key_col].to_numpy(object)[pos[m]]
+        d = mat.shape[1]
+        frames = []
+        for key, rows in pd.Series(range(len(ks))).groupby(ks).groups.items():
+            sel = np.asarray(rows, dtype=np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: key,
+                        "dim": np.arange(d, dtype=np.int64),
+                        "psum": mat[sel].sum(axis=0),
+                        "n": np.int64(len(sel)),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return u.groupby("_bkt").map_groups(attach_and_partial, batch_format="pandas")
+
+
+def grouped_centroids(
+    ds: Dataset,
+    *,
+    key_col: str,
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Per-key mean embedding (domain profile vectors) in LONG form →
+    ``(key, dim, psum, n)`` partials reduced to ``(key, dim, centroid)``.
+
+    Vector aggregation without a vector shuffle: each batch stacks its
+    embeddings once, sums per key (one vectorized ``sum(axis=0)`` per key
+    present in the batch), and emits |keys|·dim NARROW partial rows; one
+    tiny groupby finishes. The corpus-sized list column never crosses the
+    exchange. The key column is expected alongside the embeddings — at
+    fixture shape that is an upstream hash join (see ``q_source_centroids``);
+    production tables carry the domain key in the embedding shard."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype="object"),
+                    "dim": pd.Series(dtype="int64"),
+                    "psum": pd.Series(dtype="float64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        m = _stack_embeddings(b, emb_col)
+        d = m.shape[1]
+        frames = []
+        for key, idx in b.groupby(key_col).indices.items():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        key_col: key,
+                        "dim": np.arange(d, dtype=np.int64),
+                        "psum": m[idx].sum(axis=0),
+                        "n": np.int64(len(idx)),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return centroids_from_partials(
+        ds.map_batches(partial, batch_format="pandas"), key_col=key_col
+    )
+
+
+def centroids_from_partials(partials: Dataset, *, key_col: str) -> Dataset:
+    """(key, dim, psum, n) partial rows → (key, dim, n, centroid): one tiny
+    groupby over narrow partials, then the mean division."""
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby([key_col, "dim"]).aggregate(
+        Sum("psum", alias_name="sum_"), Sum("n", alias_name="n_")
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["centroid"] = b["sum_"] / b["n_"]
+        return b[[key_col, "dim", "n_", "centroid"]].rename(columns={"n_": "n"})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def _kmeans_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     # direct (x-c)^2 sum (same formula the SQL twin evaluates), micros-
     # rounded before the argmin so last-ulp sum-order noise can't flip

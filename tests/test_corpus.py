@@ -250,3 +250,52 @@ def test_facet_counts(ray_session):
     # empty match set → zero rows, schema intact
     empty = facet_counts(ds, set(), ["source", "lang"])
     assert len(empty) == 0 and list(empty.columns) == ["source", "lang", "n_docs"]
+
+
+def test_source_centroids_copartition(ray_session):
+    import ray.data
+    from search_engine_framework_ray.stages.ann import (
+        centroids_from_partials,
+        keyed_centroid_partials,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 120, 8
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [rng.normal(size=d).astype(np.float32) for _ in range(n)],
+        }
+    )
+    keys = pd.DataFrame(
+        {
+            "doc_id": np.arange(n - 10, dtype=np.int64),  # last 10 ids unkeyed
+            "source": ["s" + str(i % 3) for i in range(n - 10)],
+        }
+    )
+    got = centroids_from_partials(
+        keyed_centroid_partials(
+            ray.data.from_pandas(emb).repartition(5),
+            ray.data.from_pandas(keys).repartition(3),
+        ),
+        key_col="source",
+    ).to_pandas().sort_values(["source", "dim"]).reset_index(drop=True)
+
+    m = np.stack([e.astype(np.float64) for e in emb["embedding"]])
+    naive = []
+    for s in ("s0", "s1", "s2"):
+        ids = keys[keys["source"] == s]["doc_id"].to_numpy()
+        naive.append(
+            pd.DataFrame(
+                {
+                    "source": s,
+                    "dim": np.arange(d, dtype=np.int64),
+                    "n": np.int64(len(ids)),
+                    "centroid": m[ids].sum(axis=0) / len(ids),
+                }
+            )
+        )
+    want = pd.concat(naive, ignore_index=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-12)
+    # unkeyed embeddings contribute nowhere: per-dim doc counts sum to 110
+    assert got[got["dim"] == 0]["n"].sum() == n - 10
