@@ -1393,6 +1393,39 @@ def q_facet_counts(sf_dir: str):
     return facet_counts(docs, ids, ["source", "lang"])
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over a deterministic ring-with-chords graph
+    derived from doc ids (i → i+1, i → i+2 mod N): degree-ordered-
+    orientation triangle enumeration (wedges bounded by Σ outdeg²,
+    outdeg = O(√m) under the orientation), three narrow tagged-union
+    bucket shuffles (stages/graph.py triangle_counts)."""
+    import ray.data
+
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.stages.graph import triangle_counts
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = papq.read_metadata(path).num_rows
+
+    def mk_edges(b: pd.DataFrame) -> pd.DataFrame:
+        i = b["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([i, i]),
+                "dst": np.concatenate([(i + 1) % n_docs, (i + 2) % n_docs]),
+            }
+        )
+
+    edges = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        mk_edges, batch_format="pandas"
+    )
+    out = triangle_counts(edges).to_pandas()
+    for c in ("node", "n_triangles"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_kmv_distinct(sf_dir: str):
     """Per-source distinct-vocabulary estimate via mergeable KMV (bottom-k)
     sketches: one streaming partial pass (≤ k narrow rows per source per
@@ -2318,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dup": q_cross_dup,
         "source_stats": q_source_stats,
         "facet_counts": q_facet_counts,
+        "triangles": q_triangles,
         "kmv_distinct": q_kmv_distinct,
         "kmv_jaccard": q_kmv_jaccard,
         "pagerank": q_pagerank,
@@ -3788,6 +3822,32 @@ ORDER BY d.doc_id
                    sum(len(regexp_extract_all(text, '[^ \t\n\f\r]+')))::BIGINT AS n_tokens,
                    sum(length(text))::BIGINT AS n_chars_total
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "triangles": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            raw AS (
+                SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM n) AS d
+                FROM documents
+                UNION ALL
+                SELECT doc_id, (doc_id + 2) % (SELECT n FROM n) FROM documents
+            ),
+            e AS (
+                SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+                FROM raw WHERE s != d
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            nodes AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node, count(*)::BIGINT AS n_triangles
+            FROM nodes GROUP BY node ORDER BY node
         """,
         "facet_counts": f"""
             {_TOKS}, tf AS (

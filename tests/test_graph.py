@@ -3,6 +3,8 @@ pure-Python reference, dangling nodes, and node-universe handling."""
 
 from collections import Counter
 
+import numpy as np
+import pandas as pd
 import ray.data
 
 from search_engine_framework_ray.stages.graph import pagerank
@@ -199,3 +201,55 @@ def test_cc_string_nodes(ray_session):
     nodes = ["a", "b", "c", "x", "y"]
     got = _cc(edges, nodes)
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_triangle_counts_vs_bruteforce(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(2)
+    n_nodes, n_edges = 60, 240
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    got = (
+        triangle_counts(
+            ray.data.from_pandas(pd.DataFrame({"src": src, "dst": dst})).repartition(5)
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    E = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    adj: dict[int, set[int]] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = set()
+    for a, b in E:
+        for c in adj[a] & adj[b]:
+            tri.add(tuple(sorted((a, b, c))))
+    from collections import Counter
+
+    cnt = Counter(v for t in tri for v in t)
+    want = pd.DataFrame(sorted(cnt.items()), columns=["node", "n_triangles"]).astype(
+        "int64"
+    )
+    assert got.values.tolist() == want.values.tolist()
+    assert len(tri) > 0
+
+
+def test_triangle_counts_ring_exact(ray_session):
+    # i→i+1, i→i+2 over a 12-ring: exactly one triangle per i, every node in 3
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import triangle_counts
+
+    i = np.arange(12, dtype=np.int64)
+    edges = pd.DataFrame(
+        {"src": np.concatenate([i, i]), "dst": np.concatenate([(i + 1) % 12, (i + 2) % 12])}
+    )
+    out = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
+    assert out["n_triangles"].sum() == 3 * 12
+    assert (out["n_triangles"] == 3).all() and len(out) == 12
