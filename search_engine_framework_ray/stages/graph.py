@@ -514,26 +514,54 @@ def triangle_counts(
         c = b[dst_col].to_numpy(np.int64)
         lo, hi = np.minimum(a, c), np.maximum(a, c)
         m = lo != hi  # drop self-loops
-        return pd.DataFrame({"a": lo[m], "b": hi[m]}).drop_duplicates()
+        out = pd.DataFrame({"a": lo[m], "b": hi[m]}).drop_duplicates()
+        # coarse pair bucket, NOT groupby(a, b): per-pair groups are
+        # mostly singletons and Ray's per-group dispatch would dominate
+        # (the salted-sessions lesson — 8-80× the kernel work)
+        out["pb"] = (
+            (
+                pd.util.hash_array(out["a"].to_numpy().astype(object))
+                ^ pd.util.hash_array(out["b"].to_numpy().astype(object))
+            )
+            % np.uint64(n_buckets * 4)
+        ).astype(np.int64)
+        return out
 
-    e = edges.map_batches(canon, batch_format="pandas").groupby(["a", "b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas"
+    e = (
+        edges.map_batches(canon, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(
+            lambda g: g[["a", "b"]].drop_duplicates(), batch_format="pandas"
+        )
     )
     e = _rebase(e)  # consumed three times below; execute once
 
-    # -- per-node degrees: per-batch combiner, one narrow groupby --------
+    # -- per-node degrees: per-batch combiner → COARSE-bucket pandas sum.
+    # Ray-level groupby(node).aggregate over ~|V| distinct keys is the
+    # many-group trap (measured 105 s for 100k nodes where the bucketed
+    # sum takes ~2 s — the pagerank design note); all per-node reduces
+    # here go through _key_buckets + an in-bucket vectorized groupby-sum.
     def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
         vc = pd.concat([b["a"], b["b"]]).value_counts(sort=False)
+        n = vc.index.to_numpy(np.int64)
         return pd.DataFrame(
-            {"node": vc.index.to_numpy(np.int64), "d": vc.to_numpy(np.int64)}
+            {"bkt": _key_buckets(n, n_buckets), "node": n,
+             "d": vc.to_numpy(np.int64)}
         )
 
-    from ray.data.aggregate import Sum
+    def bucket_sum(alias: str):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", sort=False)["d"].sum()
+            return pd.DataFrame(
+                {"node": s.index.to_numpy(np.int64),
+                 alias: s.to_numpy(np.int64)}
+            )
+        return f
 
     deg = (
         e.map_batches(deg_partial, batch_format="pandas")
-        .groupby("node")
-        .aggregate(Sum("d", alias_name="deg"))
+        .groupby("bkt")
+        .map_groups(bucket_sum("deg"), batch_format="pandas")
     )
 
     # -- attach (deg_a, deg_b) via tagged-union co-partition -------------
@@ -608,24 +636,34 @@ def triangle_counts(
         )
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for src, rows in g.groupby("src").indices.items():
-            nb = np.sort(g["dst"].to_numpy(np.int64)[rows])
-            k = len(nb)
-            if k < 2:
-                continue
-            iu, ju = np.triu_indices(k, k=1)
-            outs.append(
-                pd.DataFrame(
-                    {"lo": nb[iu], "hi": nb[ju],
-                     "wit": np.full(len(iu), src, dtype=np.int64)}
-                )
-            )
-        if not outs:
-            return pd.DataFrame(
-                {c: pd.Series(dtype="int64") for c in ("lo", "hi", "wit")}
-            )
-        return pd.concat(outs, ignore_index=True)
+        # fully vectorized across ALL srcs in the bucket (a per-src Python
+        # loop building one frame per node was ~100× the kernel at 100k
+        # nodes): sort by (src, dst), then every row pairs with the rows
+        # after it inside its src run via repeat/offset index math.
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in ("lo", "hi", "wit")}
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        src = g["src"].to_numpy(np.int64)
+        dst = g["dst"].to_numpy(np.int64)
+        new = np.r_[True, src[1:] != src[:-1]]
+        starts = np.flatnonzero(new)
+        k = np.diff(np.r_[starts, len(src)])
+        gidx = np.cumsum(new) - 1
+        loc = np.arange(len(src)) - starts[gidx]
+        rep = k[gidx] - loc - 1  # rows after this one in the same src run
+        tot = int(rep.sum())
+        if tot == 0:
+            return empty
+        cum = np.r_[0, np.cumsum(rep)]
+        first = np.repeat(np.arange(len(src)), rep)
+        offset = np.arange(tot) - np.repeat(cum[:-1], rep)
+        second = first + 1 + offset
+        return pd.DataFrame(
+            {"lo": dst[first], "hi": dst[second], "wit": src[first]}
+        )
 
     wedge_ds = (
         e2.map_batches(orient, batch_format="pandas")
@@ -689,5 +727,23 @@ def triangle_counts(
         .groupby("pb")
         .map_groups(close, batch_format="pandas")
     )
-    out = closed.groupby("node").aggregate(Sum("t", alias_name="n_triangles"))
-    return out
+
+    def node_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["node"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"bkt": _key_buckets(n, n_buckets), "node": n,
+             "d": b["t"].to_numpy(np.int64)}
+        )
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["d"].sum()
+        return pd.DataFrame(
+            {"node": s.index.to_numpy(np.int64),
+             "n_triangles": s.to_numpy(np.int64)}
+        )
+
+    return (
+        closed.map_batches(node_bkt, batch_format="pandas")
+        .groupby("bkt")
+        .map_groups(final_sum, batch_format="pandas")
+    )
