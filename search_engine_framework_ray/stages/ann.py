@@ -504,21 +504,41 @@ def grouped_centroids(
     )
 
 
-def centroids_from_partials(partials: Dataset, *, key_col: str) -> Dataset:
-    """(key, dim, psum, n) partial rows → (key, dim, n, centroid): one tiny
-    groupby over narrow partials, then the mean division."""
-    from ray.data.aggregate import Sum
+def centroids_from_partials(
+    partials: Dataset, *, key_col: str, n_buckets: int = 64
+) -> Dataset:
+    """(key, dim, psum, n) partial rows → (key, dim, n, centroid). The
+    reduce is bucketed on the KEY hash, not Ray-grouped on (key, dim):
+    |keys|·dim distinct Ray groups is the many-group trap at web-scale
+    key counts (see the triangle_counts degrees note); each bucket sums
+    its keys' partials with one vectorized pandas groupby."""
 
-    out = partials.groupby([key_col, "dim"]).aggregate(
-        Sum("psum", alias_name="sum_"), Sum("n", alias_name="n_")
-    )
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
+    def bkt(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["centroid"] = b["sum_"] / b["n_"]
-        return b[[key_col, "dim", "n_", "centroid"]].rename(columns={"n_": "n"})
+        if not len(b):  # hash_array raises on empty object arrays
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = (
+            pd.util.hash_array(b[key_col].to_numpy(object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return b
 
-    return out.map_batches(finish, batch_format="pandas")
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby([key_col, "dim"], sort=False)
+            .agg(sum_=("psum", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+        s["centroid"] = s["sum_"] / s["n"]
+        s["n"] = s["n"].astype("int64")
+        return s[[key_col, "dim", "n", "centroid"]]
+
+    return (
+        partials.map_batches(bkt, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
 
 
 def _kmeans_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:

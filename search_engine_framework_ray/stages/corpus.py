@@ -71,6 +71,8 @@ def source_stats(
     reduces the partials with a single small ``groupby``.
     """
 
+    n_buckets = 64
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         texts = b[text_col].fillna("")
         g = pd.DataFrame(
@@ -81,17 +83,30 @@ def source_stats(
                 "n_chars_total": texts.str.len().to_numpy(),
             }
         ).groupby(source_col, as_index=False).sum()
+        if not len(g):  # hash_array raises on empty object arrays
+            g["_bkt"] = pd.Series(dtype="int64")
+            return g
+        # coarse source-hash bucket: Ray-grouping on the source itself
+        # pays per-group dispatch for every distinct origin (10⁵+ hosts
+        # on a real crawl — the many-group trap)
+        g["_bkt"] = (
+            pd.util.hash_array(g[source_col].to_numpy(object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return g
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.iloc[:1][[source_col]].copy()
-        out["n_docs"] = np.int64(g["n_docs"].sum())
-        out["n_tokens"] = np.int64(g["n_tokens"].sum())
-        out["n_chars_total"] = np.int64(g["n_chars_total"].sum())
+        out = (
+            g.groupby(source_col, sort=False, as_index=False)[
+                ["n_docs", "n_tokens", "n_chars_total"]
+            ].sum()
+        )
+        for c in ("n_docs", "n_tokens", "n_chars_total"):
+            out[c] = out[c].astype("int64")
         return out
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(source_col).map_groups(combine, batch_format="pandas")
+    return partials.groupby("_bkt").map_groups(combine, batch_format="pandas")
 
 
 def facet_counts(

@@ -86,10 +86,19 @@ def _batch_kmv_partial(
     return out.reset_index(drop=True)
 
 
-def _merge_group(g: pd.DataFrame, key_col: str, k: int) -> pd.DataFrame:
-    """Merge one key's partials: distinct hashes, k smallest kept."""
-    hs = np.unique(g["h"].to_numpy(np.uint64))[:k]
-    return pd.DataFrame({key_col: [g[key_col].iloc[0]] * len(hs), "h": hs})
+def _merge_bucket(g: pd.DataFrame, key_col: str, k: int) -> pd.DataFrame:
+    """Merge ALL keys of one coarse bucket vectorized: distinct (key, h),
+    k smallest per key. Grouping Ray-level on the key itself would pay
+    per-group dispatch for every key (the many-group trap — see
+    stages/graph.py triangle_counts degrees note)."""
+    out = (
+        g[[key_col, "h"]]
+        .drop_duplicates()
+        .sort_values([key_col, "h"], kind="mergesort")
+        .groupby(key_col, sort=False)
+        .head(k)
+    )
+    return out.reset_index(drop=True)
 
 
 def kmv_sketches(
@@ -103,15 +112,25 @@ def kmv_sketches(
     distinct values surviving. One streaming partial pass + one narrow
     groupby merge."""
 
+    n_buckets = 64
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return _batch_kmv_partial(b, key_col, text_col, k)
+        out = _batch_kmv_partial(b, key_col, text_col, k)
+        if not len(out):  # hash_array raises on empty object arrays
+            out["_bkt"] = pd.Series(dtype="int64")
+            return out
+        out["_bkt"] = (
+            pd.util.hash_array(out[key_col].to_numpy(object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return _merge_group(g, key_col, k)
+        return _merge_bucket(g, key_col, k)
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(key_col)
+        .groupby("_bkt")
         .map_groups(merge, batch_format="pandas")
     )
 

@@ -83,6 +83,8 @@ def window_topk(
     narrow rows per window cross the one shuffle regardless of window
     population; the per-window finalizer re-ranks that bounded set."""
 
+    n_buckets = 64
+
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[id_col, ts_col, value_col]].copy()
         b["window_start"] = _bucket_start(b[ts_col], size_s)
@@ -91,21 +93,33 @@ def window_topk(
             ascending=[True, False, True],
             kind="mergesort",
         )
-        return b.groupby("window_start", sort=False).head(k)[
+        out = b.groupby("window_start", sort=False).head(k)[
             ["window_start", id_col, value_col]
         ]
+        # COARSE window-hash bucket: a long range at a small window size
+        # means ~|windows| Ray groups, and per-group dispatch dominates
+        # (the many-group trap); the finalizer handles all of a bucket's
+        # windows vectorized instead.
+        out = out.copy()
+        out["_bkt"] = (
+            out["window_start"].astype("datetime64[us]").astype("int64")
+            // np.int64(size_s * 1_000_000)
+        ) % np.int64(n_buckets)
+        return out
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            [value_col, id_col], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+            ["window_start", value_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("window_start", sort=False).head(k).copy()
+        g["rank"] = g.groupby("window_start", sort=False).cumcount() + 1
+        return g[["window_start", id_col, value_col, "rank"]]
 
     return (
         ds.map_batches(local_topk, batch_format="pandas")
-        .groupby("window_start")
+        .groupby("_bkt")
         .map_groups(finish, batch_format="pandas")
     )
 
