@@ -749,6 +749,25 @@ def q_events_window_topk(sf_dir: str):
     )
 
 
+def q_events_funnel(sf_dir: str):
+    """view → click → purchase funnel within 30-min-gap sessions: sessions
+    reaching each step, step k+1 strictly later than the session's first
+    completion of step k — exact integer counts, one coarse key-bucket
+    shuffle, vectorized per-bucket masked groupby-mins
+    (stages/window.py session_funnel)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import session_funnel
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    out = session_funnel(ds, 1800, ["view", "click", "purchase"])
+    out["step"] = out["step"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_events_decayed(sf_dir: str):
     """Exponentially time-decayed counters per event type at ref = max(ts),
     half-life 30 min — per-row weights are reference-fixed so per-batch
@@ -2375,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": q_events_tumbling,
         "events_window_topk": q_events_window_topk,
         "events_decayed": q_events_decayed,
+        "events_funnel": q_events_funnel,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_sessions_salted": q_events_sessions_salted,
@@ -4342,6 +4362,44 @@ ORDER BY d.doc_id
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(round(sum(value) * 1000000) AS BIGINT) AS value_sum_micros
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_funnel": """
+            WITH o AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            ev AS (
+                SELECT user_id, ts, event_type,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            s1 AS (
+                SELECT user_id, sid, min(ts) AS t FROM ev
+                WHERE event_type = 'view' GROUP BY user_id, sid
+            ),
+            s2 AS (
+                SELECT e.user_id, e.sid, min(e.ts) AS t
+                FROM ev e JOIN s1 ON s1.user_id = e.user_id AND s1.sid = e.sid
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id, e.sid
+            ),
+            s3 AS (
+                SELECT e.user_id, e.sid, min(e.ts) AS t
+                FROM ev e JOIN s2 ON s2.user_id = e.user_id AND s2.sid = e.sid
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id, e.sid
+            )
+            SELECT 1::BIGINT AS step, 'view' AS step_name,
+                   (SELECT count(*) FROM s1)::BIGINT AS n_sessions
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ORDER BY step
         """,
         "events_decayed": """
             WITH t AS (SELECT epoch_us(max(ts)) AS u FROM events),

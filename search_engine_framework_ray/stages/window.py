@@ -292,6 +292,85 @@ def session_windows(
     )
 
 
+def session_funnel(
+    ds: Dataset,
+    gap_s: int,
+    steps: list[str],
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> pd.DataFrame:
+    """Funnel analysis within gap-based sessions: how many sessions reach
+    each ordered step, where step k+1 must occur STRICTLY LATER than the
+    session's earliest completion of step k (the standard product-funnel
+    semantics). → (step, step_name, n_sessions) — exact integer counts,
+    no float anywhere.
+
+    Same scale shape as :func:`session_windows`: ONE coarse key-bucket
+    shuffle, each bucket's sessions scanned vectorized (gap scan + per-
+    step masked groupby-min over session ids; step thresholds looked up
+    positionally via ``get_indexer`` — an int→float ``reindex`` would
+    round µs epochs above 2⁵³). Only ``len(steps)`` count rows leave each
+    bucket."""
+    gap_us = gap_s * 1_000_000
+    _INF = np.iinfo(np.int64).max
+
+    def add_bkt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, ts_col, type_col]].copy()
+        b["_bkt"] = _coarse_bucket([b[key]])
+        return b
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"step": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        epoch = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        kv = g[key].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (kv[1:] != kv[:-1]) | (np.diff(epoch) > gap_us)
+        sid = np.cumsum(new_session)
+        types = g[type_col].to_numpy(object)
+        t_by_sid = None  # epoch of the previous step's first completion
+        rows = []
+        for j, step in enumerate(steps):
+            m = types == step
+            if t_by_sid is not None:
+                pos = t_by_sid.index.get_indexer(sid)
+                thr = np.where(pos >= 0, t_by_sid.to_numpy()[pos], _INF)
+                m = m & (epoch > thr)
+            masked = np.where(m, epoch, _INF)
+            s = pd.Series(masked).groupby(sid).min()
+            s = s[s < _INF]
+            rows.append({"step": j + 1, "n": len(s)})
+            if not len(s):
+                rows.extend(
+                    {"step": jj + 1, "n": 0} for jj in range(j + 1, len(steps))
+                )
+                break
+            t_by_sid = s
+        return pd.DataFrame(rows).astype("int64")
+
+    partials = (
+        ds.map_batches(add_bkt, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(bucket_funnel, batch_format="pandas")
+        .to_pandas()  # ≤ len(steps)·n_buckets rows
+    )
+    out = partials.groupby("step", as_index=False)["n"].sum()
+    out["step_name"] = [steps[i - 1] for i in out["step"]]
+    out["n_sessions"] = out["n"].astype("int64")
+    return (
+        out[["step", "step_name", "n_sessions"]]
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+
+
 def _session_windows_salted(
     ds: Dataset,
     gap_s: int,

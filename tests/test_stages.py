@@ -828,3 +828,29 @@ def test_decayed_agg_half_life(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decayed_agg(ds, ref, 1800.0, keys=[])
+
+
+def test_session_funnel(ray_session):
+    import ray.data
+    from search_engine_framework_ray.stages.window import session_funnel
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    rows = [
+        # user 1, one session: full funnel in order
+        (1, t0, "view"), (1, t0 + pd.Timedelta("1min"), "click"),
+        (1, t0 + pd.Timedelta("2min"), "purchase"),
+        # user 2: click BEFORE view → reaches view only
+        (2, t0, "click"), (2, t0 + pd.Timedelta("1min"), "view"),
+        # user 2, SECOND session (gap > 30min): view then click
+        (2, t0 + pd.Timedelta("2h"), "view"),
+        (2, t0 + pd.Timedelta("2h 1min"), "click"),
+        # user 3: view and click at the SAME timestamp → strict > excludes
+        (3, t0, "view"), (3, t0, "click"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = session_funnel(
+        ray.data.from_pandas(pdf).repartition(3), 1800,
+        ["view", "click", "purchase"],
+    )
+    assert out["n_sessions"].tolist() == [4, 2, 1]
+    assert out["step_name"].tolist() == ["view", "click", "purchase"]
