@@ -1492,6 +1492,51 @@ def q_ngram_topk(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """Cross-document line-level dedup (stages/dedup.py line_dedup — the
+    CCNet/RefinedWeb paragraph dedup: every line whose exact text appeared
+    earlier in the corpus is dropped, first occurrence = minimal
+    (doc_id, line_no)). The fixture text is single-line, so "lines" are
+    the fixed 8-token windows (same derivation in the SQL twin); the twin
+    groups by the literal line string, so a green hash also certifies the
+    engine's 64-bit line hashing collision-free on this corpus."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import line_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = line_dedup(ds, tokens_per_line=8).to_pandas()
+    for c in ("doc_id", "n_kept", "n_dropped"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "n_kept", "n_dropped", "clean_text"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """EXACT top-5 tokens via Misra-Gries mergeable summaries + a
+    candidate-only exact verify pass (stages/sketch.py heavy_hitters) —
+    the bounded-memory sibling of ngram_topk: ≤ m+1 narrow rows leave
+    each batch instead of its vocabulary. m=30 < the fixture's 31-token
+    vocab, so the decrement/merge-error branch is exercised at sf0.01
+    while the guarantee (k-th lower bound > total decrement) still holds;
+    the output is exact, hence SQL-hash-checkable."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    out = heavy_hitters(ds, m=30, k=5)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["term", "cnt"]].reset_index(drop=True)
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 terms per doc by tf·ln(N/df) — bucket-reduced df table
     broadcast once, one streaming scoring pass; ranked on the
@@ -2376,6 +2421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "link_components": q_link_components,
         "substring_dedup": q_substring_dedup,
+        "line_dedup": q_line_dedup,
+        "heavy_hitters": q_heavy_hitters,
         "collocations": q_collocations,
         "ngram_topk": q_ngram_topk,
         "tfidf_topk": q_tfidf_topk,
@@ -3434,6 +3481,49 @@ LEFT JOIN rem_n r USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
 ORDER BY d.doc_id
 """,
+        # lines = fixed 8-token windows (the fixture is single-line text);
+        # the twin groups by the literal line string — a hash match also
+        # certifies the engine's 64-bit line hashing collision-free here
+        "line_dedup": r"""
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
+toks AS (
+    SELECT doc_id, l[i] AS tok, i AS pos
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+),
+lines AS (
+    SELECT doc_id, (pos - 1) // 8 AS line_no,
+           string_agg(tok, ' ' ORDER BY pos) AS line
+    FROM toks GROUP BY doc_id, (pos - 1) // 8
+),
+flag AS (
+    SELECT doc_id, line_no, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+    FROM lines
+),
+agg AS (
+    SELECT doc_id,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           count(*) FILTER (WHERE rn > 1) AS n_dropped,
+           COALESCE(string_agg(line, ' ' ORDER BY line_no)
+                    FILTER (WHERE rn = 1), '') AS clean_text
+    FROM flag GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        # the engine side computed this through Misra-Gries summaries +
+        # exact candidate verify — the result is exact, so the twin is the
+        # plain full-corpus top-5 count
+        "heavy_hitters": f"""
+            {_TOKS}
+            SELECT tok AS term, CAST(count(*) AS BIGINT) AS cnt FROM toks
+            GROUP BY tok ORDER BY cnt DESC, term LIMIT 5
+        """,
         # same full-corpus truth — the engine side answered from an index
         # built incrementally (base build + extend_index delta append)
         "delta_bm25": _BM25_SQL,

@@ -976,3 +976,163 @@ def substring_dedup(
         )
 
     return tagged.groupby("dbucket").map_groups(rebuild, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------------
+# cross-document line-level dedup (CCNet / RefinedWeb paragraph dedup)
+# ----------------------------------------------------------------------------
+
+
+def _doc_lines(texts: pd.Series, tokens_per_line: int | None) -> pd.Series:
+    """Split each document into its dedup units ("lines").
+
+    ``tokens_per_line=None``: literal newline split (the CCNet shape —
+    web pages carry real line structure). An integer chunks the
+    RE2-aligned whitespace tokens into fixed windows of that many tokens
+    (the adapter for single-line corpora; the SQL twin derives the same
+    windows), last partial window kept. Empty text ⇒ zero lines either
+    way.
+    """
+    from .textstats import RE2_TOKEN_RE
+
+    if tokens_per_line is None:
+        return texts.fillna("").map(
+            lambda t: t.split("\n") if t else [], na_action=None
+        )
+
+    n = int(tokens_per_line)
+
+    def chunk(t: str) -> list[str]:
+        toks = RE2_TOKEN_RE.findall(t)
+        return [" ".join(toks[i : i + n]) for i in range(0, len(toks), n)]
+
+    return texts.fillna("").map(chunk)
+
+
+def line_dedup(
+    ds: "Dataset",
+    *,
+    tokens_per_line: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    doc_buckets: int = 64,
+) -> "Dataset":
+    """Cross-document line-level dedup (the CCNet / RefinedWeb paragraph
+    dedup: Wenzek et al. 2020 §3.2; Penedo et al. 2023 — drop every line
+    whose exact text appeared earlier in the corpus, "earlier" = minimal
+    ``(doc_id, line_no)``). Boilerplate (navbars, cookie banners, footer
+    chrome) collapses to its first occurrence; documents survive with
+    their unique content. Returns ``(id_col, n_kept, n_dropped,
+    clean_text)`` — clean_text is the kept lines joined in order
+    (newline-joined in newline mode, space-joined in token-window mode).
+
+    Execution shape (the :func:`substring_dedup` recipe — O(lines) narrow
+    rows through two shuffles, corpus text never on the driver):
+
+    1. ``map_batches``: doc → lines → ``(line_hash, doc_id, line_no)``.
+       Line identity is the 64-bit hash; the SQL twin groups by the
+       literal line string, so a green hash also certifies collision-free
+       hashing on the corpus (the MinHash/SimHash collision budget).
+    2. ``groupby(hash % n_buckets)``: each bucket owns its hashes fully;
+       a vectorized sort marks every non-first occurrence — output is
+       only the DROPPED ``(doc_id, line_no)`` pairs (tiny when the dup
+       fraction is low).
+    3. Tagged union of the docs and the drop list, ONE
+       ``groupby(doc_id % doc_buckets)`` co-partition, vectorized mask +
+       join per doc rebuilds the surviving text.
+    """
+
+    def line_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "line_no": pd.Series([], dtype="int64"),
+                "h": pd.Series([], dtype="uint64"),
+                "bucket": pd.Series([], dtype="int64"),
+            }
+        )
+        lines = _doc_lines(batch[text_col], tokens_per_line)
+        n = lines.str.len().to_numpy(np.int64)
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        ex = lines.explode().dropna()  # empty docs contribute no rows
+        ids = np.repeat(batch[id_col].to_numpy(np.int64), n)
+        starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+        line_no = np.arange(total, dtype=np.int64) - np.repeat(starts, n)
+        h = pd.util.hash_array(ex.to_numpy(object))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "line_no": line_no,
+                "h": h,
+                "bucket": (h % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    def find_drops(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col, "line_no"], kind="mergesort")
+        return g.loc[g["h"].duplicated(), [id_col, "line_no"]]
+
+    drops = (
+        ds.map_batches(line_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(find_drops, batch_format="pandas")
+    )
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "line_no": np.full(len(ids), -1, dtype=np.int64),
+                "text": batch[text_col].to_numpy(),
+                "dbucket": (ids % doc_buckets).astype(np.int64),
+            }
+        )
+
+    def tag_drops(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "line_no": batch["line_no"].to_numpy().astype(np.int64),
+                "text": np.full(len(ids), None, dtype=object),
+                "dbucket": (ids % doc_buckets).astype(np.int64),
+            }
+        )
+
+    tagged = ds.map_batches(tag_docs, batch_format="pandas").union(
+        drops.map_batches(tag_drops, batch_format="pandas")
+    )
+
+    sep = "\n" if tokens_per_line is None else " "
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["line_no"] < 0]
+        drop_rows = g[g["line_no"] >= 0]
+        by_doc = {k: v["line_no"].to_numpy() for k, v in drop_rows.groupby(id_col)}
+        all_lines = _doc_lines(
+            docs["text"].reset_index(drop=True), tokens_per_line
+        )
+        ids, n_kept, n_drop, texts = [], [], [], []
+        for doc_id, lines in zip(docs[id_col], all_lines):
+            mask = np.ones(len(lines), dtype=bool)
+            ds_drop = by_doc.get(doc_id)
+            if ds_drop is not None:
+                mask[ds_drop] = False
+            ids.append(doc_id)
+            n_kept.append(int(mask.sum()))
+            n_drop.append(int(len(lines) - mask.sum()))
+            texts.append(sep.join(np.asarray(lines, dtype=object)[mask]))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_kept": pd.Series(n_kept, dtype="int64"),
+                "n_dropped": pd.Series(n_drop, dtype="int64"),
+                "clean_text": texts,
+            }
+        )
+
+    return tagged.groupby("dbucket").map_groups(rebuild, batch_format="pandas")

@@ -250,3 +250,167 @@ def kmv_jaccard_pairs(
     for c in ("k_eff", "n_both", "j_micros"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ----------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequency summaries + exact verify)
+# ----------------------------------------------------------------------------
+
+
+def _mg_summary(counts: pd.Series, m: int) -> tuple[pd.Series, int]:
+    """Reduce exact per-term counts to a Misra-Gries summary of ≤ m
+    counters: subtract the (m+1)-th largest count from every counter and
+    keep the positives. Every surviving counter undercounts its term by
+    exactly the decrement; every dropped term's count was ≤ the decrement
+    (Misra & Gries 1982; merge bound per Agarwal et al. 2013, "Mergeable
+    Summaries"). Returns ``(lower_bounds, decrement)``."""
+    if len(counts) <= m:
+        return counts, 0
+    counts = counts.sort_values(ascending=False, kind="mergesort")
+    dec = int(counts.iloc[m])
+    kept = counts.iloc[:m] - dec
+    return kept[kept > 0], dec
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    m: int = 8,
+    k: int = 5,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """EXACT global top-k most frequent tokens via bounded-memory
+    Misra-Gries summaries + a candidate-only exact-count verify pass —
+    the scale path for when the vocabulary is too large to shuffle even
+    hash-bucketed (:func:`~..corpus.ngram_topk` is the full-shuffle
+    sibling; this ships ≤ m+1 narrow rows per batch instead of the batch
+    vocabulary).
+
+    Math making the result EXACT, not approximate: per-batch summaries
+    undercount any term by ≤ that batch's decrement; summing survivors
+    per term gives a lower bound ``lb(t)`` with ``true(t) - lb(t) ≤ D``
+    (D = Σ per-batch decrements — the mergeable-summaries bound). With
+    ``lb_k`` = k-th largest lower bound, every true top-k term satisfies
+    ``lb(t) ≥ lb_k - D``, so the candidate set ``{t : lb(t) ≥ lb_k - D}``
+    is a guaranteed superset; an exact count of candidates only (the
+    verify pass, broadcast set + per-batch combiner) then yields the
+    exact top-k. If ``lb_k ≤ D`` the superset argument collapses (a term
+    could hide below every summary) — that regime means m is too small
+    for the skew and the operator FAILS LOUDLY with the remedy rather
+    than silently returning a plausible-but-unverified list.
+
+    Tokens are lowercased whitespace tokens (RE2-aligned class, oracle
+    parity). Ties order ``(count DESC, term ASC)``. Returns a driver-side
+    ``(term, cnt)`` DataFrame of k rows — the big sides (summary build,
+    candidate counting) are streaming ``map_batches`` passes with one
+    narrow bucket-groupby each.
+    """
+    import ray.data  # noqa: F401  (Dataset ops on ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].fillna("").str.lower().str.findall(_WS_RE).explode().dropna()
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "lb": pd.Series([], dtype="int64"),
+                "dec": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(ex):
+            return empty
+        kept, dec = _mg_summary(ex.value_counts(), m)
+        terms = kept.index.to_numpy(object)
+        lb = kept.to_numpy(np.int64)
+        if len(terms) == 0:  # all counts equal: summary empty, decrement real
+            terms = np.asarray([""], dtype=object)
+            lb = np.zeros(1, dtype=np.int64)
+        decs = np.zeros(len(terms), dtype=np.int64)
+        decs[0] = dec
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "lb": lb,
+                "dec": decs,
+                "bucket": (
+                    pd.util.hash_array(terms) % np.uint64(n_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    d_total = int(partials.sum("dec") or 0)
+
+    def sum_terms(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["term"] != ""]
+        s = g.groupby("term", sort=False)["lb"].sum()
+        return pd.DataFrame(
+            {"term": s.index.to_numpy(object), "lb": s.to_numpy(np.int64)}
+        )
+
+    merged = (
+        partials.groupby("bucket")
+        .map_groups(sum_terms, batch_format="pandas")
+        .materialize()
+    )
+
+    # k-th largest lower bound: per-block top-k is a superset of the
+    # global top-k lbs, so the driver sees ≤ k rows per block, never the
+    # surviving-vocabulary table.
+    tops = merged.map_batches(
+        lambda b: b.nlargest(k, "lb"), batch_format="pandas"
+    ).to_pandas()
+    lb_k = int(tops["lb"].nlargest(k).iloc[-1]) if len(tops) >= k else 0
+    if lb_k <= d_total and d_total > 0:
+        raise ValueError(
+            f"heavy_hitters: k-th lower bound {lb_k} ≤ total decrement "
+            f"{d_total}; the summary size m={m} is too small for this "
+            f"corpus skew — raise m (counters per batch) until the heavy "
+            f"terms clear the merge error."
+        )
+    thresh = lb_k - d_total
+    cands = merged.map_batches(
+        lambda b: b[b["lb"] >= thresh][["term"]], batch_format="pandas"
+    ).to_pandas()
+    cand_set = set(cands["term"])
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].fillna("").str.lower().str.findall(_WS_RE).explode().dropna()
+        ex = ex[ex.isin(cand_set)]
+        vc = ex.value_counts()
+        terms = vc.index.to_numpy(object)
+        if len(terms) == 0:
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "cnt": vc.to_numpy(np.int64),
+                "bucket": (
+                    pd.util.hash_array(terms) % np.uint64(n_buckets)
+                ).astype(np.int64),
+            }
+        )
+
+    def sum_exact(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("term", sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {"term": s.index.to_numpy(object), "cnt": s.to_numpy(np.int64)}
+        )
+
+    exact = (
+        ds.map_batches(exact_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sum_exact, batch_format="pandas")
+        .to_pandas()
+    )
+    exact = exact.sort_values(
+        ["cnt", "term"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return exact.reset_index(drop=True)

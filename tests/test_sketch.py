@@ -176,3 +176,60 @@ def test_empty_and_single_key_edges(ray_session):
     d = kmv_distinct(one, k=8)
     assert d["est_distinct"].tolist() == [3]
     assert len(kmv_jaccard_pairs(one, k=8)) == 0  # one key → no pairs
+
+
+# ----------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ----------------------------------------------------------------------------
+
+
+def test_mg_summary_decrement_semantics():
+    from search_engine_framework_ray.stages.sketch import _mg_summary
+
+    counts = pd.Series({"a": 10, "b": 7, "c": 3, "d": 2, "e": 1})
+    kept, dec = _mg_summary(counts, m=2)
+    # (m+1)-th largest = 3; survivors undercount by exactly 3
+    assert dec == 3
+    assert kept.to_dict() == {"a": 7, "b": 4}
+    # below-m input passes through exactly, no decrement
+    kept2, dec2 = _mg_summary(counts, m=5)
+    assert dec2 == 0 and kept2.to_dict() == counts.to_dict()
+
+
+def test_heavy_hitters_exact_across_batches(ray_session):
+    """Skewed multi-block corpus: the MG+verify path must return the exact
+    top-k even though each per-batch summary decrements (m < per-batch
+    vocab), because the candidate superset rule retains every true heavy
+    term."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # 2 heavy terms + 40 rare ones, spread over 8 blocks
+    docs = []
+    for i in range(64):
+        toks = ["heavy1"] * 30 + ["heavy2"] * 20 + [
+            f"rare{rng.integers(0, 40)}" for _ in range(10)
+        ]
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"text": docs})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = heavy_hitters(ds, m=6, k=2)
+    assert out["term"].tolist() == ["heavy1", "heavy2"]
+    assert out["cnt"].tolist() == [30 * 64, 20 * 64]
+
+
+def test_heavy_hitters_fails_loudly_on_flat_skew(ray_session):
+    """Uniform counts with m far below the vocabulary: the superset
+    guarantee collapses (lb_k ≤ D) and the operator must refuse rather
+    than return a plausible-but-unverified list."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import heavy_hitters
+
+    docs = [" ".join(f"t{j}" for j in range(50)) for _ in range(32)]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(4)
+    with pytest.raises(ValueError, match="raise m"):
+        heavy_hitters(ds, m=4, k=3)

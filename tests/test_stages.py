@@ -854,3 +854,59 @@ def test_session_funnel(ray_session):
     )
     assert out["n_sessions"].tolist() == [4, 2, 1]
     assert out["step_name"].tolist() == ["view", "click", "purchase"]
+
+
+def test_line_dedup_newline_mode(ray_session):
+    """CCNet shape: literal newline lines, first occurrence (minimal
+    (doc_id, line_no)) survives, every later exact copy is dropped —
+    including a doc's own internal repeats."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import line_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "cookie banner\nunique alpha\ncookie banner",
+                "cookie banner\nunique beta",
+                "",
+            ],
+        }
+    )
+    out = (
+        line_dedup(ray.data.from_pandas(pdf))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == [
+        "cookie banner\nunique alpha",
+        "unique beta",
+        "",
+    ]
+    assert out["n_kept"].tolist() == [2, 1, 0]
+    assert out["n_dropped"].tolist() == [1, 1, 0]
+
+
+def test_line_dedup_token_windows(ray_session):
+    """Token-window mode: 2-token windows, the duplicate window in the
+    later doc is removed while the partial tail window survives."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import line_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 20],
+            "text": ["a b c d", "a b x"],  # doc 20: windows "a b", "x"
+        }
+    )
+    out = (
+        line_dedup(ray.data.from_pandas(pdf), tokens_per_line=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == ["a b c d", "x"]
+    assert out["n_dropped"].tolist() == [0, 1]
