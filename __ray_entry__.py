@@ -1122,6 +1122,36 @@ def q_ann_cosine_topk(sf_dir: str):
     return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
 
 
+def q_ann_sq_topk(sf_dir: str):
+    """Scalar-quantized (SQ8) ANN: per-dim (lo,hi) minmax pass → uint8
+    codes (4× less scan bandwidth than f32 — the memory-bound scale
+    knob) → asymmetric search (raw f64 query vs reconstructed codes),
+    micros-rounded rank key (stages/ann.py sq_minmax/sq_encode/sq_topk).
+    The SQL twin quantizes, reconstructs and scores with the identical
+    f64 expressions, so the hash certifies codes AND ranking."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import (
+        sq_encode,
+        sq_minmax,
+        sq_topk,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(path)
+    lo, hi = sq_minmax(ds)
+    codes = sq_encode(ds, lo, hi)
+    out = sq_topk(codes, lo, hi, q, k=10)
+    for c in ("rank", "vec_id", "cosine_micros"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
+
+
 def q_knn_join(sf_dir: str):
     """k-NN join: every query-table row (vec_id % 50 == 3) gets its 5
     nearest corpus neighbours by cosine, self-matches excluded — the
@@ -2403,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": q_knn_join,
         "source_centroids": q_source_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_sq_topk": q_ann_sq_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count": q_token_count,
         "doc_packing": q_doc_packing,
@@ -3738,6 +3769,49 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                 FROM scored
             )
             SELECT rank, vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
+            FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        # SQ8: quantize/reconstruct/score with the exact f64 expressions
+        # the engine uses; rank key is the micros-rounded cosine (ties →
+        # vec_id) so ordering is accumulation-order independent
+        "ann_sq_topk": """
+            WITH e AS (
+                SELECT vec_id, i - 1 AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            mm AS (SELECT dim, min(x) AS lo, max(x) AS hi FROM e GROUP BY dim),
+            recon AS (
+                SELECT e.vec_id, e.dim,
+                       CASE WHEN hi > lo
+                            THEN lo + round((x - lo) * 255.0 / (hi - lo))
+                                      * (hi - lo) / 255.0
+                            ELSE lo END AS r
+                FROM e JOIN mm USING (dim)
+            ),
+            q AS (SELECT dim, x FROM e WHERE vec_id = 0),
+            sc AS (
+                SELECT r.vec_id,
+                       sum(q.x * r.r) AS dot,
+                       sqrt(sum(q.x * q.x)) AS qn,
+                       sqrt(sum(r.r * r.r)) AS rn
+                FROM recon r JOIN q USING (dim)
+                GROUP BY r.vec_id
+            ),
+            micros AS (
+                SELECT vec_id,
+                       CAST(round(dot / (CASE WHEN rn > 0 THEN rn ELSE 1 END
+                                         * qn) * 1000000) AS BIGINT)
+                           AS cosine_micros
+                FROM sc
+            ),
+            ranked AS (
+                SELECT vec_id, cosine_micros,
+                       row_number() OVER (
+                           ORDER BY cosine_micros DESC, vec_id) AS rank
+                FROM micros
+            )
+            SELECT CAST(rank AS BIGINT) AS rank, vec_id, cosine_micros
             FROM ranked WHERE rank <= 10 ORDER BY rank
         """,
         "source_centroids": """

@@ -910,3 +910,40 @@ def test_line_dedup_token_windows(ray_session):
     )
     assert out["clean_text"].tolist() == ["a b c d", "x"]
     assert out["n_dropped"].tolist() == [0, 1]
+
+
+def test_sq_quantization_roundtrip_and_recall(ray_session):
+    """SQ8: codes are uint8, constant dims code to 0 and reconstruct to
+    the constant, and asymmetric SQ search keeps high recall@10 vs exact
+    brute force on random vectors (8-bit grid error ≪ neighbour gaps)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import (
+        brute_force_topk,
+        sq_encode,
+        sq_minmax,
+        sq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 2000, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb[:, 5] = 1.25  # constant dimension
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(emb)}
+    )
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    lo, hi = sq_minmax(ds)
+    assert lo[5] == hi[5] == np.float64(np.float32(1.25))
+    codes_ds = sq_encode(ds, lo, hi)
+    codes = codes_ds.to_pandas()
+    first = np.asarray(codes["codes"].iloc[0])
+    assert first.dtype == np.uint8
+    assert all(np.asarray(c)[5] == 0 for c in codes["codes"].head(50))
+
+    q = emb[7].astype(np.float64)
+    sq = sq_topk(codes_ds, lo, hi, q, k=10)
+    exact = brute_force_topk(ds, q, k=10)
+    overlap = len(set(sq["vec_id"]) & set(exact["vec_id"]))
+    assert sq["vec_id"].iloc[0] == 7  # self is nearest either way
+    assert overlap >= 8  # recall@10 ≥ 0.8 from 8-bit quantization
