@@ -1522,6 +1522,35 @@ def q_ngram_topk(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_global_quantiles(sf_dir: str):
+    """EXACT global p50/p90/p99 of events.value with NO task ever holding
+    the column: iterative histogram-refine selection (stages/aggregate.py
+    exact_quantiles) — one minmax pass, then per-round streaming
+    histograms whose brackets snap to the chosen bin's value range, then
+    an exact pick over the ≤ final_bound bracket survivors. n_bins=32 /
+    final_bound=512 are sized BELOW the sf0.01 row count so the refine
+    rounds actually run under the driver hash (the rank-k definition
+    floor(q·(n−1)) matches the SQL OFFSET twin)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    out = exact_quantiles(
+        ds, "value", [0.5, 0.9, 0.99], n_bins=32, final_bound=512, max_refine=8
+    )
+    out["q_pct"] = (out["q"] * 100).round().astype("int64")
+    out["value_micros"] = _micros(out["value"])
+    out["n"] = out["n"].astype("int64")
+    return (
+        out[["q_pct", "value_micros", "n"]]
+        .sort_values("q_pct")
+        .reset_index(drop=True)
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """Cross-document line-level dedup (stages/dedup.py line_dedup — the
     CCNet/RefinedWeb paragraph dedup: every line whose exact text appeared
@@ -2487,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": q_docs_sample,
         "docs_stratified": q_docs_stratified,
         "events_quantiles": q_events_quantiles,
+        "global_quantiles": q_global_quantiles,
         "event_types": q_event_types,
     }
 
@@ -4687,6 +4717,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
             FROM h WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        # exact order statistics at rank floor(q*(n-1)) over the non-NULL
+        # values; the engine side never held the column in one task
+        "global_quantiles": """
+            WITH v AS (
+                SELECT value,
+                       row_number() OVER (ORDER BY value) - 1 AS rk
+                FROM events WHERE value IS NOT NULL
+            ),
+            n AS (SELECT count(*) AS n FROM v),
+            ks AS (SELECT * FROM (VALUES (50, 0.5), (90, 0.9), (99, 0.99))
+                   AS t(q_pct, q))
+            SELECT CAST(k.q_pct AS BIGINT) AS q_pct,
+                   CAST(round(v.value * 1000000) AS BIGINT) AS value_micros,
+                   CAST((SELECT n FROM n) AS BIGINT) AS n
+            FROM ks k JOIN v
+              ON v.rk = CAST(floor(k.q * ((SELECT n FROM n) - 1)) AS BIGINT)
+            ORDER BY q_pct
         """,
         "events_quantiles": """
             WITH r AS (

@@ -46,3 +46,166 @@ def salted_groupby_sum(
     stage1 = ds.groupby(keys + [salt_col]).aggregate(*aggs)
     stage2 = stage1.groupby(keys).aggregate(*aggs)
     return stage2
+
+
+# ----------------------------------------------------------------------------
+# exact global quantiles via histogram-refine selection (bounded memory)
+# ----------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    n_bins: int = 4096,
+    final_bound: int = 65_536,
+    max_refine: int = 6,
+) -> pd.DataFrame:
+    """EXACT global quantiles of a numeric column WITHOUT any task ever
+    holding the column: iterative histogram-refine selection (the
+    distributed k-th-smallest classic). Quantile q = the 0-based rank
+    ``floor(q·(n−1))`` order statistic — the engine-agnostic definition
+    the repo's rank-quantile SQL oracles use (``ORDER BY … OFFSET k``).
+
+    Per round, ONE streaming pass histograms every still-active rank's
+    bracket into ``n_bins`` equi-width bins (per-batch ``searchsorted``,
+    O(n_bins·|qs|) partial rows to the driver), tracking each bin's
+    actual value min/max; the next bracket SNAPS to the chosen bin's
+    value range (adaptive, ≥ n_bins× shrink per round), and a bin whose
+    min == max IS the answer — so duplicate mass (90% of a column equal)
+    resolves in one round instead of defeating equi-width refinement.
+    When a bracket's population ≤ ``final_bound``, a last filtered pass
+    pulls just those values for the exact pick. Rows with NaN are
+    excluded (SQL NULL-comparison parity).
+
+    Contrast: :func:`~.window.rank quantiles` / the events_quantiles
+    entry sort ONE KEY GROUP in a task (fine while a key's rows fit a
+    worker); this is the global/unbounded-key-free path — memory is
+    O(n_bins·|qs|) per task regardless of corpus size.
+    """
+    import numpy as np
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
+        return pd.DataFrame(
+            {"lo": [v.min()], "hi": [v.max()], "n": [len(v)]}
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    if not len(mm) or mm["n"].sum() == 0:
+        return pd.DataFrame({"q": qs, "value": np.nan, "n": 0})
+    n_total = int(mm["n"].sum())
+    glo, ghi = float(mm["lo"].min()), float(mm["hi"].max())
+
+    # state per quantile: bracket [a, b], rank r within values in [a, b]
+    # (values < a are already accounted). Bracket intervals are half-open
+    # [a, b) except the global top, which is closed via a tiny epsilon on b.
+    state = []
+    for q in qs:
+        k = int(np.floor(q * (n_total - 1)))
+        state.append(
+            {"q": q, "a": glo, "b": np.nextafter(ghi, np.inf), "r": k,
+             "m": n_total, "value": None}
+        )
+
+    for _round in range(max_refine):
+        active = [s for s in state if s["value"] is None and s["m"] > final_bound]
+        if not active:
+            break
+        edge_list = []
+        for s in active:
+            if s["a"] == s["b"] or np.nextafter(s["a"], np.inf) >= s["b"]:
+                s["value"] = s["a"]  # bracket collapsed to one float
+                continue
+            edge_list.append(np.linspace(s["a"], s["b"], n_bins + 1))
+        active = [s for s in active if s["value"] is None]
+        if not active:
+            break
+        # plain-value capture only: (bracket, edges) tuples by index — the
+        # state dicts stay driver-side (worker copies would have new ids)
+        plan = [
+            (s["a"], s["b"], e) for s, e in zip(active, edge_list)
+        ]
+
+        def hist_partial(b: pd.DataFrame, plan=plan):
+            v = b[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            rows = {"qi": [], "bin": [], "cnt": [], "vmin": [], "vmax": []}
+            for qi, (a, hi_b, e) in enumerate(plan):
+                w = v[(v >= a) & (v < hi_b)]
+                if not len(w):
+                    continue
+                idx = np.clip(np.searchsorted(e, w, side="right") - 1, 0, n_bins - 1)
+                binc = np.bincount(idx, minlength=n_bins)
+                bmin = np.full(n_bins, np.inf)
+                bmax = np.full(n_bins, -np.inf)
+                np.minimum.at(bmin, idx, w)
+                np.maximum.at(bmax, idx, w)
+                nz = np.nonzero(binc)[0]
+                rows["qi"].extend([qi] * len(nz))
+                rows["bin"].extend(nz.tolist())
+                rows["cnt"].extend(binc[nz].tolist())
+                rows["vmin"].extend(bmin[nz].tolist())
+                rows["vmax"].extend(bmax[nz].tolist())
+            return pd.DataFrame(rows)
+
+        hist = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+        for qi, s in enumerate(active):
+            h = hist[hist["qi"] == qi].groupby("bin").agg(
+                cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+            )
+            counts = np.zeros(n_bins, dtype=np.int64)
+            counts[h.index.to_numpy()] = h["cnt"].to_numpy()
+            cum = np.cumsum(counts)
+            b_idx = int(np.searchsorted(cum, s["r"] + 1, side="left"))
+            below = int(cum[b_idx - 1]) if b_idx > 0 else 0
+            s["r"] -= below
+            s["m"] = int(counts[b_idx])
+            vmin = float(h.loc[b_idx, "vmin"])
+            vmax = float(h.loc[b_idx, "vmax"])
+            if vmin == vmax:
+                # the chosen bin holds ONE distinct value (duplicate mass)
+                s["value"] = vmin
+            else:
+                # adaptive shrink: snap the bracket to the bin's actual
+                # value range, not its equi-width edges
+                s["a"], s["b"] = vmin, float(np.nextafter(vmax, np.inf))
+
+    # final exact pick per unresolved quantile: pull only the bracket
+    unresolved = [s for s in state if s["value"] is None]
+    if unresolved:
+        if any(s["m"] > final_bound for s in unresolved):
+            worst = max(s["m"] for s in unresolved)
+            raise ValueError(
+                f"exact_quantiles: a bracket still holds {worst:,} rows after "
+                f"{max_refine} refine rounds (bound {final_bound:,}) — raise "
+                f"max_refine/n_bins, or the column is pathologically "
+                f"adversarial to equi-width refinement."
+            )
+
+        def in_bracket(b: pd.DataFrame, unresolved=unresolved):
+            v = b[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            rows = {"qi": [], "v": []}
+            for qi, s in enumerate(unresolved):
+                w = v[(v >= s["a"]) & (v < s["b"])]
+                rows["qi"].extend([qi] * len(w))
+                rows["v"].extend(w.tolist())
+            return pd.DataFrame(rows)
+
+        vals = ds.map_batches(in_bracket, batch_format="pandas").to_pandas()
+        for qi, s in enumerate(unresolved):
+            w = np.sort(vals.loc[vals["qi"] == qi, "v"].to_numpy(np.float64))
+            s["value"] = float(w[s["r"]])
+
+    return pd.DataFrame(
+        {
+            "q": [s["q"] for s in state],
+            "value": [s["value"] for s in state],
+            "n": n_total,
+        }
+    )

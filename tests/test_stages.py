@@ -947,3 +947,31 @@ def test_sq_quantization_roundtrip_and_recall(ray_session):
     overlap = len(set(sq["vec_id"]) & set(exact["vec_id"]))
     assert sq["vec_id"].iloc[0] == 7  # self is nearest either way
     assert overlap >= 8  # recall@10 ≥ 0.8 from 8-bit quantization
+
+
+def test_exact_quantiles_refine_and_duplicate_mass(ray_session):
+    """Histogram-refine selection: exact order statistics with tight
+    final_bound (forcing refine rounds), 90%-duplicate mass resolving via
+    the single-distinct-value bin, NaN exclusion, and the no-refine tiny
+    path."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import exact_quantiles
+
+    rng = np.random.default_rng(11)
+    v = np.concatenate(
+        [rng.standard_normal(60_000), np.full(20_000, 1.5), [np.nan] * 50]
+    )
+    ds = ray.data.from_pandas(pd.DataFrame({"value": v})).repartition(8)
+    out = exact_quantiles(
+        ds, "value", [0.5, 0.9, 0.99], n_bins=32, final_bound=256, max_refine=8
+    )
+    clean = np.sort(v[~np.isnan(v)])
+    for _, r in out.iterrows():
+        k = int(np.floor(r["q"] * (len(clean) - 1)))
+        assert r["value"] == clean[k], (r["q"], r["value"], clean[k])
+    assert int(out["n"].iloc[0]) == len(clean)
+
+    tiny = ray.data.from_pandas(pd.DataFrame({"value": [5.0, 1.0, 3.0]}))
+    got = exact_quantiles(tiny, "value", [0.0, 0.5, 1.0])
+    assert got["value"].tolist() == [1.0, 3.0, 5.0]
