@@ -1522,6 +1522,62 @@ def q_ngram_topk(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _bloom_join(sf_dir: str, anti: bool):
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import bloom_semi_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    build = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    ).map_batches(
+        lambda b: b[b["l_quantity"] >= 45][["l_orderkey"]],
+        batch_format="pandas",
+    )
+    # bits=16384 (NOT the production 2^20) so ~25% of non-matching keys
+    # are Bloom false positives at sf0.01 — the exact-verify co-partition
+    # has to kill them under the driver hash, and the anti path's
+    # no-shuffle definite stream still carries the other ~75%
+    out = bloom_semi_join(
+        orders,
+        build,
+        probe_key="o_orderkey",
+        build_key="l_orderkey",
+        anti=anti,
+        bits=16384,
+        k_hashes=2,
+    ).to_pandas()
+    for c in ("o_orderkey", "o_custkey"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["o_orderkey", "o_custkey", "o_orderpriority"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """EXACT semi join with a broadcast Bloom runtime filter
+    (stages/join.py bloom_semi_join): the probe side is pruned before the
+    shuffle (the runtime-filter pattern for selective star joins), then
+    one tagged-union key co-partition verifies candidates exactly —
+    false positives die there, so the result is exact and SQL-EXISTS
+    checkable."""
+    return _bloom_join(sf_dir, anti=False)
+
+
+def q_anti_join_bloom(sf_dir: str):
+    """EXACT anti join, Bloom-accelerated: rows failing the filter are
+    DEFINITE non-matches and stream through with no shuffle at all; only
+    the false-positive sliver rides the verify co-partition
+    (stages/join.py bloom_semi_join anti=True)."""
+    return _bloom_join(sf_dir, anti=True)
+
+
 def q_global_quantiles(sf_dir: str):
     """EXACT global p50/p90/p99 of events.value with NO task ever holding
     the column: iterative histogram-refine selection (stages/aggregate.py
@@ -2517,6 +2573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified": q_docs_stratified,
         "events_quantiles": q_events_quantiles,
         "global_quantiles": q_global_quantiles,
+        "semi_join_bloom": q_semi_join_bloom,
+        "anti_join_bloom": q_anti_join_bloom,
         "event_types": q_event_types,
     }
 
@@ -4717,6 +4775,25 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
             FROM h WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        # the engine pruned the probe side with a deliberately small Bloom
+        # filter (~25% false positives at sf0.01) and verified exactly in a
+        # key co-partition; the result is plain EXISTS semantics
+        "semi_join_bloom": """
+            SELECT o_orderkey, o_custkey, o_orderpriority
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity >= 45)
+            ORDER BY o_orderkey
+        """,
+        "anti_join_bloom": """
+            SELECT o_orderkey, o_custkey, o_orderpriority
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_quantity >= 45)
+            ORDER BY o_orderkey
         """,
         # exact order statistics at rank floor(q*(n-1)) over the non-NULL
         # values; the engine side never held the column in one task

@@ -554,3 +554,181 @@ def range_join(
         .groupby("_bkt")
         .map_groups(group_fn, batch_format="pandas")
     )
+
+
+# ----------------------------------------------------------------------------
+# Bloom-prefiltered semi / anti join (runtime-filter pattern)
+# ----------------------------------------------------------------------------
+
+
+_BLOOM_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_positions(keys: np.ndarray, bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: ``(h1 + i·h2) mod bits``
+    (Kirsch & Mitzenmacher 2006 — two hashes simulate k). Keys are hashed
+    as int64 (cast both sides identically — hash_array on mixed dtypes
+    diverges silently)."""
+    h1 = pd.util.hash_array(keys.astype(np.int64))
+    with np.errstate(over="ignore"):
+        h2 = (h1 * _BLOOM_MULT) | np.uint64(1)
+        i = np.arange(k_hashes, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(bits)).astype(
+            np.uint64
+        )
+
+
+def bloom_build(
+    ds: "Dataset", key: str, *, bits: int = 1 << 20, k_hashes: int = 4
+) -> np.ndarray:
+    """Build a Bloom filter of the build side's keys: per-batch partial
+    word arrays OR-merged on the driver (``bits/8`` bytes per batch — the
+    filter, never the keys, crosses the wire). Returns the packed uint64
+    word array."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(bits // 64, dtype=np.uint64)
+        keys = b[key].dropna().to_numpy()
+        if len(keys):
+            pos = _bloom_positions(keys, bits, k_hashes).ravel()
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        return pd.DataFrame({"words": [words.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros(bits // 64, dtype=np.uint64)
+    for buf in parts["words"]:
+        out |= np.frombuffer(buf, dtype=np.uint64)
+    return out
+
+
+def bloom_semi_join(
+    probe: "Dataset",
+    build: "Dataset",
+    *,
+    probe_key: str,
+    build_key: str,
+    anti: bool = False,
+    bits: int = 1 << 20,
+    k_hashes: int = 4,
+    n_buckets: int = 64,
+) -> "Dataset":
+    """EXACT semi (or anti) join with a broadcast Bloom runtime filter:
+    the probe side is pruned BEFORE the shuffle, so the all-to-all moves
+    ~|matches| + false-positive rows instead of the whole probe table —
+    the runtime-filter pattern production engines use for selective
+    star-schema joins.
+
+    * semi: bloom-passing probe rows are verified exactly against the
+      build keys in ONE tagged-union key-hash co-partition (false
+      positives die there).
+    * anti: bloom-FAILING rows are definite non-matches and stream
+      straight through with NO shuffle at all; only the passing sliver
+      goes through the verify shuffle (kept when it fails the exact
+      check). Result is exact either way.
+    """
+    words = bloom_build(build, build_key, bits=bits, k_hashes=k_hashes)
+    import ray
+
+    words_ref = ray.put(words)
+
+    def bloom_test(b: pd.DataFrame, want_pass: bool) -> pd.DataFrame:
+        w = ray.get(words_ref)
+        keys = b[probe_key].to_numpy()
+        pos = _bloom_positions(keys, bits, k_hashes)
+        hits = (
+            (w[(pos >> np.uint64(6)).astype(np.int64)]
+             >> (pos & np.uint64(63))) & np.uint64(1)
+        ).all(axis=1)
+        return b[hits] if want_pass else b[~hits]
+
+    candidates = probe.map_batches(
+        lambda b: bloom_test(b, True), batch_format="pandas"
+    )
+
+    # tagged-union transport: integer payload columns travel as NULLABLE
+    # Int64 so the build side's NA fill can't upcast them to float64 and
+    # silently corrupt ids ≥ 2^53 (the asof-join transport rule); cast
+    # back downstream if plain int64 is needed.
+    import pyarrow as pa
+
+    _schema = probe.schema()
+    probe_names = list(_schema.names)
+    _types = dict(zip(_schema.names, _schema.types))
+
+    def _type_kind(t) -> str:
+        # ds.schema() yields Arrow types for Arrow blocks but numpy/python
+        # dtypes for pandas blocks (e.g. from_pandas) — handle both
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return "int"
+            if pa.types.is_floating(t):
+                return "float"
+            if pa.types.is_timestamp(t):
+                return "ts"
+            return "obj"
+        try:
+            k = np.dtype(t).kind
+        except TypeError:
+            return "obj"
+        return {"i": "int", "u": "int", "f": "float", "M": "ts"}.get(k, "obj")
+
+    def _placeholder_col(c: str, n: int) -> pd.Series:
+        """Typed placeholder column matching the probe schema — avoids
+        both the all-NA concat deprecation and object upcasts across the
+        union. Build rows never survive verify(), values are irrelevant."""
+        kind = _type_kind(_types[c])
+        if kind == "int":
+            return pd.Series(pd.array([pd.NA] * n, dtype="Int64"))
+        if kind == "float":
+            return pd.Series(np.full(n, np.nan))
+        if kind == "ts":
+            return pd.Series([pd.NaT] * n, dtype="datetime64[us]")
+        return pd.Series([""] * n, dtype=object)
+
+    def tag_probe(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        for c in out.columns:
+            if str(out[c].dtype).startswith("int"):
+                out[c] = out[c].astype("Int64")
+        out["_side"] = np.int8(0)
+        out["_jb"] = coarse_bucket([b[probe_key]], n_buckets)
+        return out
+
+    def tag_build(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b[build_key].dropna().drop_duplicates()
+        out = pd.DataFrame({probe_key: pd.array(keys.to_numpy(), dtype="Int64")})
+        for c in probe_names:
+            if c != probe_key:
+                out[c] = _placeholder_col(c, len(out))
+        out = out[probe_names]
+        out["_side"] = np.int8(1)
+        out["_jb"] = coarse_bucket([keys], n_buckets)
+        return out
+
+    tagged = candidates.map_batches(tag_probe, batch_format="pandas").union(
+        build.map_batches(tag_build, batch_format="pandas")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        probe_rows = g[g["_side"] == 0]
+        build_keys = g.loc[g["_side"] == 1, probe_key]
+        hit = probe_rows[probe_key].isin(set(build_keys))
+        kept = probe_rows[~hit] if anti else probe_rows[hit]
+        return kept.drop(columns=["_side", "_jb"])
+
+    verified = tagged.groupby("_jb").map_groups(verify, batch_format="pandas")
+    if not anti:
+        return verified
+
+    def definite_cast(b: pd.DataFrame) -> pd.DataFrame:
+        out = bloom_test(b, False).copy()
+        for c in out.columns:
+            if str(out[c].dtype).startswith("int"):
+                out[c] = out[c].astype("Int64")
+        return out
+
+    definite = probe.map_batches(definite_cast, batch_format="pandas")
+    return definite.union(verified)

@@ -975,3 +975,39 @@ def test_exact_quantiles_refine_and_duplicate_mass(ray_session):
     tiny = ray.data.from_pandas(pd.DataFrame({"value": [5.0, 1.0, 3.0]}))
     got = exact_quantiles(tiny, "value", [0.0, 0.5, 1.0])
     assert got["value"].tolist() == [1.0, 3.0, 5.0]
+
+
+def test_bloom_semi_anti_join_with_false_positives(ray_session):
+    """A deliberately saturated Bloom filter (64 bits for 40 build keys ⇒
+    most probes are false positives) must still yield EXACT semi and anti
+    results — the verify co-partition kills every FP. Also checks dtype
+    survival through the tagged union (int64 ids stay integral)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.join import bloom_semi_join
+
+    probe = pd.DataFrame(
+        {
+            "k": np.arange(1000, dtype=np.int64),
+            "payload": [f"p{i}" for i in range(1000)],
+        }
+    )
+    build = pd.DataFrame({"bk": np.arange(0, 80, 2, dtype=np.int64)})  # evens < 80
+    pds = ray.data.from_pandas(probe).repartition(4)
+    bds = ray.data.from_pandas(build).repartition(2)
+    semi = (
+        bloom_semi_join(pds, bds, probe_key="k", build_key="bk", bits=64, k_hashes=2)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert semi["k"].astype("int64").tolist() == list(range(0, 80, 2))
+    anti = (
+        bloom_semi_join(
+            pds, bds, probe_key="k", build_key="bk", anti=True, bits=64, k_hashes=2
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    expect_anti = sorted(set(range(1000)) - set(range(0, 80, 2)))
+    assert anti["k"].astype("int64").tolist() == expect_anti
+    assert anti["payload"].iloc[0] == f"p{expect_anti[0]}"
