@@ -91,6 +91,8 @@ def run_bench() -> dict:
         "dedup_minhash": 3.7,
         "dedup_simhash": 2.9,
         "dedup_substring": 3.4,
+        "dedup_line": 3.4,
+        "global_quantiles": 2.3,
         "curation": 4.1,
         "ann_brute_8q": 0.47,
         "window_tumbling": 2.1,
@@ -282,6 +284,31 @@ def run_bench() -> dict:
                 ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
                 min_len=8,
             ).count(),
+        )
+
+        from search_engine_framework_ray.stages.dedup import line_dedup
+
+        timeit(
+            "dedup_line",
+            lambda: line_dedup(
+                ray.data.read_parquet(docs_path, columns=["doc_id", "text"]),
+                tokens_per_line=8,
+            ).count(),
+        )
+
+        # ---- exact global quantiles (histogram-refine selection) ----
+        from search_engine_framework_ray.stages.aggregate import exact_quantiles
+
+        events_quant_path = os.path.join(sf_dir, "events.parquet")
+        timeit(
+            "global_quantiles",
+            lambda: exact_quantiles(
+                ray.data.read_parquet(events_quant_path, columns=["value"]),
+                "value",
+                [0.5, 0.9, 0.99],
+                n_bins=32,
+                final_bound=512,
+            ),
         )
 
         # ---- composed curation chain (langid -> quality -> dedup canonical) ----
