@@ -2460,6 +2460,136 @@ def q_event_types(sf_dir: str):
     return pd.DataFrame({"event_type": vals})
 
 
+def q_left_join(sf_dir: str):
+    """LEFT OUTER join via Ray Data's native hash shuffle join
+    (``Dataset.join(join_type="left_outer")``): sampled customers against
+    their high-value orders — unmatched customers survive with null fills
+    (surfaced as -1 sentinels so the int columns stay exact-hashable).
+    Column-pruned reads; both filters run per-batch BEFORE the shuffle so
+    the exchange moves only qualifying rows."""
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(
+        lambda b: b[b["c_custkey"] % 100 == 0], batch_format="pandas"
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b[b["o_totalprice"] >= 400_000.0], batch_format="pandas"
+    )
+    out = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=4,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).to_pandas()
+    ok = out["o_orderkey"].to_numpy(dtype=np.float64, na_value=np.nan)
+    tp = out["o_totalprice"].to_numpy(dtype=np.float64, na_value=np.nan)
+    out["o_orderkey"] = np.where(np.isnan(ok), -1, ok).astype("int64")
+    out["price_cents"] = np.where(
+        np.isnan(tp), -1, _round_away(tp * 100)
+    ).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return (
+        out[["c_custkey", "o_orderkey", "price_cents"]]
+        .sort_values(["c_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_running(sf_dir: str):
+    """Row-level running sum per key (the SUM() OVER (PARTITION BY …
+    ORDER BY … ROWS UNBOUNDED PRECEDING) window function): cumulative
+    spend per user over event time. Values quantized to exact integer
+    micros BEFORE the scan — float prefix sums are order-dependent, int
+    sums are exact at any parallelism."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import running_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def quantize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["value_micros"] = _round_away(
+            b["value"].to_numpy(np.float64) * 1_000_000
+        ).astype("int64")
+        return b.drop(columns=["value"])
+
+    out = running_sum(
+        ds.map_batches(quantize, batch_format="pandas"),
+        key="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="value_micros",
+    ).to_pandas()
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype("int64")
+    out = out.drop(columns=["ts"]).rename(columns={"running": "running_micros"})
+    for c in ("user_id", "event_id", "value_micros", "running_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["user_id", "ts_us", "event_id", "value_micros", "running_micros"]]
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_pivot(sf_dir: str):
+    """Long→wide pivot: per-user conditional counts of each event type
+    (``count(*) FILTER``). Per-batch crosstab combiners collapse each
+    batch to one row per user before the one narrow shuffle."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    out = pivot_counts(
+        ds, key="user_id", cat_col="event_type", categories=cats
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_latest(sf_dir: str):
+    """Keep-latest compaction (CDC upsert): each user's most recent event
+    — the "latest crawl snapshot per url" pattern on the events table.
+    Winner-per-key is associative, so per-batch combiners bound the
+    shuffle at one row per user per batch."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import latest_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    out = latest_by_key(
+        ds, key="user_id", order_cols=[("ts", False), ("event_id", False)]
+    ).to_pandas()
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype("int64")
+    out["value_micros"] = _round_away(
+        out["value"].to_numpy(np.float64) * 1_000_000
+    ).astype("int64")
+    out = out.drop(columns=["ts", "value"])
+    for c in ("user_id", "event_id"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["user_id", "ts_us", "event_id", "event_type", "value_micros"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 # ----------------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------------
@@ -2576,6 +2706,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_bloom": q_semi_join_bloom,
         "anti_join_bloom": q_anti_join_bloom,
         "event_types": q_event_types,
+        "left_join": q_left_join,
+        "events_running": q_events_running,
+        "events_pivot": q_events_pivot,
+        "events_latest": q_events_latest,
     }
 
 
@@ -4763,6 +4897,55 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         """,
         "event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        # unmatched probe rows survive with -1 sentinels (exact-int hashing
+        # instead of NULL-ordering ambiguity across engines)
+        "left_join": """
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(CAST(round(o.o_totalprice * 100) AS BIGINT), -1)
+                       AS price_cents
+            FROM customer c LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000
+            WHERE c.c_custkey % 100 = 0
+            ORDER BY c_custkey, o_orderkey
+        """,
+        # integer-micros prefix sum: exact under any execution order
+        "events_running": """
+            WITH v AS (
+                SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+                       CAST(round(value * 1000000) AS BIGINT) AS value_micros
+                FROM events
+            )
+            SELECT user_id, ts_us, event_id, value_micros,
+                   CAST(SUM(value_micros) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_micros
+            FROM v ORDER BY user_id, ts_us, event_id
+        """,
+        "events_pivot": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "events_latest": """
+            WITH r AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   event_type,
+                   CAST(round(value * 1000000) AS BIGINT) AS value_micros
+            FROM r WHERE rn = 1 ORDER BY user_id
         """,
         "docs_stratified": """
             WITH h AS (

@@ -209,3 +209,116 @@ def exact_quantiles(
             "n": n_total,
         }
     )
+
+
+# ----------------------------------------------------------------------------
+# pivot (long -> wide conditional counts) and latest-by-key compaction
+# ----------------------------------------------------------------------------
+
+
+def pivot_counts(
+    ds: Dataset,
+    *,
+    key: str,
+    cat_col: str,
+    categories: list[str],
+    n_buckets: int = 64,
+) -> Dataset:
+    """Pivot a categorical column into per-key count columns
+    (``n_<category>`` int64 each) — the conditional-aggregation pivot
+    ``count(*) FILTER (WHERE cat = …)``.
+
+    ``categories`` is the FIXED output column set (pivots need a schema
+    known up front; values outside the list are dropped, and that is the
+    documented contract — discover the set with ``Dataset.unique`` first
+    when it isn't known). Per-batch crosstab combiners collapse each
+    batch to ≤ |keys-in-batch| narrow rows before ONE coarse key-hash
+    bucket shuffle; a Zipf-hot key contributes ≤ n_batches partial rows,
+    never its events.
+    """
+    from .join import coarse_bucket as _coarse_bucket
+
+    cols = [f"n_{c}" for c in categories]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {key: pd.Series(dtype=b[key].dtype if len(b.columns) else "object"),
+             **{c: pd.Series(dtype="int64") for c in cols},
+             "_bkt": pd.Series(dtype="int64")}
+        )
+        if not len(b):
+            return empty
+        ct = pd.crosstab(b[key], b[cat_col])
+        ct = ct.reindex(columns=list(categories), fill_value=0)
+        ct.columns = cols
+        ct = ct.reset_index().rename(columns={ct.index.name or "index": key})
+        for c in cols:
+            ct[c] = ct[c].fillna(0).astype("int64")
+        ct["_bkt"] = _coarse_bucket([ct[key]], n_buckets)
+        return ct
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key, sort=False)[cols].sum().reset_index()
+        for c in cols:
+            s[c] = s[c].astype("int64")
+        return s
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def latest_by_key(
+    ds: Dataset,
+    *,
+    key: str,
+    order_cols: list[tuple[str, bool]],
+    n_buckets: int = 64,
+) -> Dataset:
+    """Keep exactly one row per key: the FIRST row under ``order_cols``
+    (``[(col, ascending), …]`` — pass descending timestamps for
+    keep-latest). The CDC / snapshot-compaction upsert: "latest crawl of
+    each url" is ``latest_by_key(key="url", order_cols=[("warc_ts",
+    False)])``.
+
+    The winner under a total order is associative (the winner of a union
+    is the winner among partition winners), so each batch combines to
+    ≤ |keys-in-batch| rows before ONE coarse key-hash bucket shuffle and
+    the per-bucket finalize replays the same sort+first vectorized.
+    ``order_cols`` must be a total order per key (include a unique id as
+    the last column) or ties fall to an unspecified-but-deterministic
+    mergesort order within one run.
+    """
+    from .join import coarse_bucket as _coarse_bucket
+
+    by = [c for c, _ in order_cols]
+    asc = [a for _, a in order_cols]
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            b = b.copy()
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        out = (
+            b.sort_values([key] + by, ascending=[True] + asc, kind="mergesort")
+            .drop_duplicates(key, keep="first")
+            .copy()
+        )
+        out["_bkt"] = _coarse_bucket([out[key]], n_buckets)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns=["_bkt"])
+            .sort_values([key] + by, ascending=[True] + asc, kind="mergesort")
+            .drop_duplicates(key, keep="first")
+            .reset_index(drop=True)
+        )
+
+    return (
+        ds.map_batches(pick, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -486,3 +486,50 @@ def _session_windows_salted(
         .groupby("_bkt")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def running_sum(
+    ds: Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value_micros",
+    hot_key_bound: int | None = None,
+) -> Dataset:
+    """Per-key ordered running (cumulative) sum — the row-level window
+    function ``SUM(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING)``.
+
+    ``value_col`` must be an INTEGER column: a prefix sum is
+    order-dependent in float arithmetic, so callers quantize floats to
+    exact integers (micros) first and the scan is exact at any
+    parallelism. ONE coarse key-hash bucket shuffle (all rows of a key
+    co-locate; many keys per Ray group — the per-key-dispatch trap), then
+    a vectorized multi-key cumsum per bucket (pandas C-level groupby
+    scan, no Python per-key loop). A key's rows must fit one task —
+    ``check_sizes`` fails loudly with the salting remedy otherwise (a
+    prefix sum salts by time slice: scan each slice, then add the
+    previous slices' per-key totals as carry-in).
+    """
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, ts_col, id_col, value_col]].copy()
+        if not len(b):
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = _coarse_bucket([b[key]])
+        return b
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        _check_sizes(g[key].value_counts(), key, hot_key_bound)
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        g = g.drop(columns=["_bkt"])
+        g["running"] = g.groupby(key, sort=False)[value_col].cumsum()
+        return g.reset_index(drop=True)
+
+    return (
+        ds.map_batches(route, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(scan, batch_format="pandas")
+    )

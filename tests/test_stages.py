@@ -1011,3 +1011,130 @@ def test_bloom_semi_anti_join_with_false_positives(ray_session):
     expect_anti = sorted(set(range(1000)) - set(range(0, 80, 2)))
     assert anti["k"].astype("int64").tolist() == expect_anti
     assert anti["payload"].iloc[0] == f"p{expect_anti[0]}"
+
+
+def test_running_sum_matches_naive(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import running_sum
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value_micros": rng.integers(-500, 500, n).astype(np.int64),
+        }
+    )
+    got = (
+        running_sum(
+            ray.data.from_pandas(df).repartition(8),
+            key="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            value_col="value_micros",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    want["running"] = want.groupby("user_id")["value_micros"].cumsum()
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "running"]],
+        want[["user_id", "event_id", "running"]],
+        check_dtype=False,
+    )
+
+
+def test_running_sum_hot_key_guard(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import running_sum
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.zeros(100, dtype=np.int64),
+            "ts": pd.to_datetime(np.arange(100), unit="s"),
+            "event_id": np.arange(100, dtype=np.int64),
+            "value_micros": np.ones(100, dtype=np.int64),
+        }
+    )
+    ds = running_sum(
+        ray.data.from_pandas(df).repartition(4),
+        key="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        value_col="value_micros",
+        hot_key_bound=10,
+    )
+    with pytest.raises(Exception, match="hot key"):
+        ds.to_pandas()
+
+
+def test_pivot_counts_matches_crosstab(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import pivot_counts
+
+    rng = np.random.default_rng(11)
+    n = 3_000
+    cats = ["a", "b", "c"]
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, n),
+            # 'z' is outside the declared category set -> dropped
+            "event_type": rng.choice(cats + ["z"], n),
+        }
+    )
+    got = (
+        pivot_counts(
+            ray.data.from_pandas(df).repartition(6),
+            key="user_id",
+            cat_col="event_type",
+            categories=cats,
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.crosstab(df["user_id"], df["event_type"])
+        .reindex(columns=cats, fill_value=0)
+        .rename(columns={c: f"n_{c}" for c in cats})
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want.columns.name = None
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_latest_by_key_ties_and_parallelism(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import latest_by_key
+
+    # two rows share the max ts for user 1 -> event_id breaks the tie
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime([5, 9, 9, 3, 4], unit="s"),
+            "event_id": [10, 11, 12, 20, 21],
+            "payload": ["a", "b", "c", "d", "e"],
+        }
+    )
+    got = (
+        latest_by_key(
+            ray.data.from_pandas(df).repartition(5),
+            key="user_id",
+            order_cols=[("ts", False), ("event_id", False)],
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == [12, 21]
+    assert got["payload"].tolist() == ["c", "e"]
