@@ -2590,6 +2590,101 @@ def q_events_latest(sf_dir: str):
     )
 
 
+def q_events_paths(sf_dir: str):
+    """Ordered per-key string aggregation (``string_agg(… ORDER BY …)``):
+    each user's event-type path in time order — the clickstream-path
+    feature a funnel/recommendation pipeline derives."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import grouped_concat
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = grouped_concat(
+        ds,
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        val_col="event_type",
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_docs_rollup(sf_dir: str):
+    """Hierarchical ROLLUP census: char volume and doc counts per
+    (source, lang), per source, and the grand total, in ONE corpus pass
+    (additive aggregates roll up exactly from the finest level)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import rollup_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "n_chars"],
+    )
+    out = rollup_counts(ds, keys=["source", "lang"], micros_col="n_chars")
+    out = out.rename(columns={"n_chars": "chars_sum"})
+    return (
+        out[["source", "lang", "chars_sum", "n"]]
+        .sort_values(["source", "lang"])
+        .reset_index(drop=True)
+    )
+
+
+def q_events_winsorized(sf_dir: str):
+    """Percentile winsorization: clip the value column at the EXACT
+    global p01/p99 order statistics (computed by the bounded-memory
+    histogram-refine selection — no task ever holds the column), then a
+    per-type combiner aggregate of the clipped column. The two stages
+    compose: quantile selection feeds a broadcast clip."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    qdf = exact_quantiles(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"]),
+        "value",
+        [0.01, 0.99],
+    )
+    lo, hi = float(qdf["value"].iloc[0]), float(qdf["value"].iloc[1])
+
+    def clip_agg(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        cl = np.clip(v, lo, hi)
+        t = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n": np.int64(1),
+                "n_lo": (v < lo).astype(np.int64),
+                "n_hi": (v > hi).astype(np.int64),
+                "clipped_sum_micros": _round_away(cl * 1_000_000).astype(np.int64),
+            }
+        )
+        return t.groupby("event_type", as_index=False, sort=False).sum()
+
+    out = (
+        ds.map_batches(clip_agg, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(
+            lambda g: g.groupby("event_type", as_index=False, sort=False).sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    for c in ("n", "n_lo", "n_hi", "clipped_sum_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n", "n_lo", "n_hi", "clipped_sum_micros"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 # ----------------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------------
@@ -2710,6 +2805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "events_pivot": q_events_pivot,
         "events_latest": q_events_latest,
+        "events_paths": q_events_paths,
+        "docs_rollup": q_docs_rollup,
+        "events_winsorized": q_events_winsorized,
     }
 
 
@@ -4946,6 +5044,42 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    event_type,
                    CAST(round(value * 1000000) AS BIGINT) AS value_micros
             FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "events_paths": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # '(all)' sentinels mark rolled-up levels (exact-hashable, no NULL
+        # ordering ambiguity); additive measures roll up from the finest level
+        "docs_rollup": """
+            SELECT COALESCE(source, '(all)') AS source,
+                   COALESCE(lang, '(all)') AS lang,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY ROLLUP(source, lang)
+            ORDER BY source, lang
+        """,
+        # clip bounds = the exact p01/p99 order statistics (rank
+        # floor(q*(n-1))), identical floats to the histogram-refine engine
+        "events_winsorized": """
+            WITH v AS (
+                SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk
+                FROM events WHERE value IS NOT NULL
+            ),
+            n AS (SELECT count(*) AS n FROM v),
+            b AS (SELECT
+                (SELECT value FROM v WHERE rk =
+                    CAST(floor(0.01 * ((SELECT n FROM n) - 1)) AS BIGINT)) AS lo,
+                (SELECT value FROM v WHERE rk =
+                    CAST(floor(0.99 * ((SELECT n FROM n) - 1)) AS BIGINT)) AS hi)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE value < lo) AS BIGINT) AS n_lo,
+                   CAST(count(*) FILTER (WHERE value > hi) AS BIGINT) AS n_hi,
+                   CAST(sum(CAST(round(GREATEST(LEAST(value, hi), lo) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS clipped_sum_micros
+            FROM events, b GROUP BY event_type ORDER BY event_type
         """,
         "docs_stratified": """
             WITH h AS (

@@ -13,6 +13,7 @@ Two scale patterns (SURVEY.md §4, north_rule skew requirement):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from ray.data import Dataset
 from ray.data.aggregate import Sum
@@ -322,3 +323,98 @@ def latest_by_key(
         .groupby("_bkt")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def grouped_concat(
+    ds: Dataset,
+    *,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    sep: str = ",",
+    hot_key_bound: int | None = None,
+) -> Dataset:
+    """Ordered per-key string aggregation — ``string_agg(val, sep ORDER
+    BY …)``: e.g. each user's event-type path in time order.
+
+    Concatenation is ordered, so rows (not partials) cross ONE coarse
+    key-hash bucket shuffle and the in-bucket finalize sorts once and
+    joins per key with a C-level pandas groupby-agg (no Python per-key
+    loop over singleton Ray groups). A key's rows must fit one task;
+    ``check_sizes`` fails loudly with the time-slice remedy (segments
+    concatenate associatively once each carries its first order key).
+    """
+    from .join import check_sizes as _check_sizes
+    from .join import coarse_bucket as _coarse_bucket
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key, *order_cols, val_col]].copy()
+        if not len(b):
+            b["_bkt"] = pd.Series(dtype="int64")
+            return b
+        b["_bkt"] = _coarse_bucket([b[key]])
+        return b
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        _check_sizes(g[key].value_counts(), key, hot_key_bound)
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        s = g.groupby(key, sort=False)[val_col].agg(sep.join)
+        return pd.DataFrame({key: s.index.to_numpy(), "path": s.to_numpy(object)})
+
+    return (
+        ds.map_batches(route, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def rollup_counts(
+    ds: Dataset,
+    *,
+    keys: list[str],
+    micros_col: str,
+    total_label: str = "(all)",
+) -> pd.DataFrame:
+    """Hierarchical ROLLUP totals: one row per finest ``keys`` group plus
+    subtotal rows per prefix level up to the grand total, with
+    ``total_label`` standing in for the rolled-up key (exact-hashable —
+    no NULL-ordering ambiguity between engines).
+
+    Additive aggregates roll up exactly from the finest level, so the
+    corpus is touched ONCE: per-batch combiners collapse each batch to
+    one row per finest group, one narrow groupby merges them, and the
+    subtotal levels are derived from that (small) finest table — at
+    cluster scale each level is another tiny groupby over |groups| rows,
+    never a second corpus pass. ``micros_col`` must be integer
+    (quantize floats first; int sums are order-independent).
+    """
+
+    pre = pre_aggregate_sum(ds.map_batches(
+        lambda b: b[keys + [micros_col]].assign(n=np.int64(1))
+        if len(b) else b.assign(n=pd.Series(dtype="int64")),
+        batch_format="pandas",
+    ), keys, [micros_col, "n"])
+    finest = (
+        pre.groupby(keys[0])
+        .map_groups(
+            lambda g: g.groupby(keys, as_index=False, sort=False)[
+                [micros_col, "n"]
+            ].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    levels = [finest]
+    for lvl in range(len(keys) - 1, -1, -1):
+        sub = finest.groupby(keys[:lvl], as_index=False, sort=False)[
+            [micros_col, "n"]
+        ].sum() if lvl else pd.DataFrame(
+            {micros_col: [finest[micros_col].sum()], "n": [finest["n"].sum()]}
+        )
+        for k in keys[lvl:]:
+            sub[k] = total_label
+        levels.append(sub[keys + [micros_col, "n"]])
+    out = pd.concat(levels, ignore_index=True)
+    out[micros_col] = out[micros_col].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(keys + ["n"]).reset_index(drop=True)

@@ -1138,3 +1138,67 @@ def test_latest_by_key_ties_and_parallelism(ray_session):
     )
     assert got["event_id"].tolist() == [12, 21]
     assert got["payload"].tolist() == ["c", "e"]
+
+
+def test_grouped_concat_ordered(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import grouped_concat
+
+    rng = np.random.default_rng(3)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 30, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**5, n), unit="s"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    got = (
+        grouped_concat(
+            ray.data.from_pandas(df).repartition(7),
+            key="user_id",
+            order_cols=["ts", "event_id"],
+            val_col="event_type",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["event_type"]
+        .agg(",".join)
+        .reset_index()
+        .rename(columns={"event_type": "path"})
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollup_counts_levels(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import rollup_counts
+
+    df = pd.DataFrame(
+        {
+            "source": ["s1", "s1", "s1", "s2", "s2"],
+            "lang": ["en", "en", "fr", "en", "de"],
+            "m": np.array([1, 2, 4, 8, 16], dtype=np.int64),
+        }
+    )
+    out = rollup_counts(
+        ray.data.from_pandas(df).repartition(3), keys=["source", "lang"], micros_col="m"
+    )
+    def row(src, lg):
+        r = out[(out["source"] == src) & (out["lang"] == lg)]
+        assert len(r) == 1
+        return int(r["m"].iloc[0]), int(r["n"].iloc[0])
+
+    assert row("s1", "en") == (3, 2)
+    assert row("s1", "fr") == (4, 1)
+    assert row("s1", "(all)") == (7, 3)
+    assert row("s2", "(all)") == (24, 2)
+    assert row("(all)", "(all)") == (31, 5)
+    assert len(out) == 4 + 2 + 1
