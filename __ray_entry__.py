@@ -2285,6 +2285,78 @@ def q_orders_by_nation(sf_dir: str):
     return out[["n_name", "n_orders", "total_cents"]].sort_values("n_name").reset_index(drop=True)
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Star-schema join (the TPC-H Q5 family): ONE big-big hash shuffle
+    (lineitem ⋈ orders — both fact-sized) composed with broadcast
+    dimension probes (customer→nation, nation→name via ``ray.put`` +
+    vectorized ``Series.map``) and a per-batch combiner BEFORE the final
+    tiny groupby — the exchange after the join moves ≤ 25 rows per batch,
+    never the joined fact table."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    lookup_ref = ray.put(
+        (
+            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+            dict(zip(nation["n_nationkey"], nation["n_name"])),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c2n_, n2name_ = ray.get(lookup_ref)
+        t = pd.DataFrame(
+            {
+                "n_name": b["o_custkey"].map(c2n_).map(n2name_),
+                # exact integer cents per item BEFORE the sum — float
+                # accumulation order would differ between engine and SQL
+                "rev_cents": _round_away(
+                    b["l_extendedprice"].to_numpy(np.float64)
+                    * (1.0 - b["l_discount"].to_numpy(np.float64))
+                    * 100
+                ).astype("int64"),
+                "n_items": np.int64(1),
+            }
+        )
+        return t.groupby("n_name", as_index=False, sort=False).sum()
+
+    out = (
+        joined.map_batches(rev_partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["rev_cents"] = out["rev_cents"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return (
+        out[["n_name", "n_items", "rev_cents"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
 def q_revenue_by_priority(sf_dir: str):
     """Big-big equi-join: lineitem ⋈ orders on orderkey via Ray Data's hash
     shuffle join (both sides large → no broadcast; column-pruned reads), then
@@ -2808,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_paths": q_events_paths,
         "docs_rollup": q_docs_rollup,
         "events_winsorized": q_events_winsorized,
+        "revenue_by_nation": q_revenue_by_nation,
     }
 
 
@@ -5080,6 +5153,19 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    CAST(sum(CAST(round(GREATEST(LEAST(value, hi), lo) * 1000000)
                                  AS BIGINT)) AS BIGINT) AS clipped_sum_micros
             FROM events, b GROUP BY event_type ORDER BY event_type
+        """,
+        # per-item exact-cents rounding BEFORE the sum (integer aggregation
+        # is order-independent; a float sum would be engine-order-sensitive)
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "docs_stratified": """
             WITH h AS (
