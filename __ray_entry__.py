@@ -2757,6 +2757,95 @@ def q_events_winsorized(sf_dir: str):
     )
 
 
+def q_events_props(sf_dir: str):
+    """Semi-structured column parsing: extract the integer field ``k``
+    from the JSON ``props`` column and aggregate it per event type. The
+    extraction is a VECTORIZED regex fast path over the known one-field
+    schema (pandas ``str.extract`` runs in C; per-row ``json.loads`` is
+    the Python-loop anti-pattern) — the oracle parses with a real JSON
+    reader (``json_extract``), so the hash proves the fast path agrees
+    with full JSON semantics on this data. Per-batch combiners collapse
+    each batch to ≤ |types| rows before the tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            b["props"]
+            .str.extract(r'"k"\s*:\s*(-?[0-9]+)', expand=False)
+            .astype("float64")
+        )
+        t = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n": np.int64(1),
+                "k_sum": k.fillna(0).astype("int64"),
+                "k_max": k.fillna(-(2**62)).astype("int64"),
+            }
+        )
+        return t.groupby("event_type", as_index=False, sort=False).agg(
+            n=("n", "sum"), k_sum=("k_sum", "sum"), k_max=("k_max", "max")
+        )
+
+    out = (
+        ds.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("k_sum", alias_name="k_sum"),
+            Max("k_max", alias_name="k_max"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "k_sum", "k_max"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n", "k_sum", "k_max"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def q_docs_mode_lang(sf_dir: str):
+    """Grouped mode (argmax aggregate): each source's most frequent
+    language, ties to the lexicographically smallest. Per-batch
+    (source, lang) count combiners collapse the corpus to a tiny pair
+    table before one narrow groupby; the argmax runs over ≤ |sources|
+    × |langs| rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b.assign(cnt=np.int64(1))
+        return t.groupby(["source", "lang"], as_index=False, sort=False)["cnt"].sum()
+
+    pairs = (
+        ds.map_batches(pair_counts, batch_format="pandas")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    pairs = pairs.sort_values(
+        ["source", "cnt", "lang"], ascending=[True, False, True], kind="mergesort"
+    )
+    out = pairs.drop_duplicates("source", keep="first").copy()
+    out["cnt"] = out["cnt"].astype("int64")
+    return (
+        out[["source", "lang", "cnt"]]
+        .rename(columns={"lang": "mode_lang", "cnt": "n_docs"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 # ----------------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------------
@@ -2881,6 +2970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": q_docs_rollup,
         "events_winsorized": q_events_winsorized,
         "revenue_by_nation": q_revenue_by_nation,
+        "events_props": q_events_props,
+        "docs_mode_lang": q_docs_mode_lang,
     }
 
 
@@ -5166,6 +5257,34 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             JOIN customer c ON c.c_custkey = o.o_custkey
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        # real JSON parser on the oracle side vs the engine's vectorized
+        # regex fast path — the hash certifies they agree on this corpus
+        "events_props": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   CAST(max(k) AS BIGINT) AS k_max
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_mode_lang": """
+            WITH c AS (
+                SELECT source, lang, count(*) AS cnt
+                FROM documents GROUP BY source, lang
+            ),
+            r AS (
+                SELECT source, lang, cnt,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+                FROM c
+            )
+            SELECT source, lang AS mode_lang, CAST(cnt AS BIGINT) AS n_docs
+            FROM r WHERE rn = 1 ORDER BY source
         """,
         "docs_stratified": """
             WITH h AS (
