@@ -582,9 +582,12 @@ def bloom_build(
     ds: "Dataset", key: str, *, bits: int = 1 << 20, k_hashes: int = 4
 ) -> np.ndarray:
     """Build a Bloom filter of the build side's keys: per-batch partial
-    word arrays OR-merged on the driver (``bits/8`` bytes per batch — the
-    filter, never the keys, crosses the wire). Returns the packed uint64
-    word array."""
+    word arrays (``bits/8`` bytes per batch — the filter, never the keys,
+    crosses the wire) OR-merged through a distributed reduce level before
+    the driver, so the driver holds O(reduce_width) filters regardless of
+    corpus block count (1M batches × 128 KiB would otherwise be a 128 GB
+    driver pull). OR is associative/commutative — any grouping is exact.
+    Returns the packed uint64 word array."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         words = np.zeros(bits // 64, dtype=np.uint64)
@@ -597,7 +600,19 @@ def bloom_build(
             )
         return pd.DataFrame({"words": [words.tobytes()]})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def or_rows(b: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(bits // 64, dtype=np.uint64)
+        for buf in b["words"]:
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pd.DataFrame({"words": [acc.tobytes()]})
+
+    reduce_width = 16
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(reduce_width)  # split/merge move, not a shuffle
+        .map_batches(or_rows, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
     out = np.zeros(bits // 64, dtype=np.uint64)
     for buf in parts["words"]:
         out |= np.frombuffer(buf, dtype=np.uint64)
