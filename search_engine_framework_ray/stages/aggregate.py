@@ -154,7 +154,22 @@ def exact_quantiles(
                 rows["vmax"].extend(bmax[nz].tolist())
             return pd.DataFrame(rows)
 
-        hist = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+        def hist_combine(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return b
+            return b.groupby(["qi", "bin"], as_index=False, sort=False).agg(
+                cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+            )
+
+        # distributed combine level caps the driver pull at
+        # O(reduce_width · n_bins · |qs|) rows at any corpus block count
+        # (the per-batch partials alone grow with the batch count)
+        hist = (
+            ds.map_batches(hist_partial, batch_format="pandas")
+            .repartition(16)  # split/merge move, not a shuffle
+            .map_batches(hist_combine, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
         for qi, s in enumerate(active):
             h = hist[hist["qi"] == qi].groupby("bin").agg(
                 cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
