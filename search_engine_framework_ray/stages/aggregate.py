@@ -96,7 +96,21 @@ def exact_quantiles(
             {"lo": [v.min()], "hi": [v.max()], "n": [len(v)]}
         )
 
-    mm = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    def mm_combine(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return pd.DataFrame(
+            {"lo": [b["lo"].min()], "hi": [b["hi"].max()], "n": [b["n"].sum()]}
+        )
+
+    # combine level: O(16) rows to the driver at any corpus block count
+    # (min/max/int-count merge is exact — order-independent)
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pandas")
+        .repartition(16)  # split/merge move, not a shuffle
+        .map_batches(mm_combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
     if not len(mm) or mm["n"].sum() == 0:
         return pd.DataFrame({"q": qs, "value": np.nan, "n": 0})
     n_total = int(mm["n"].sum())

@@ -771,7 +771,21 @@ def sq_minmax(
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("dim", as_index=False, sort=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")
+        )
+
+    # distributed combine level: the driver sees O(16·d) rows at any
+    # corpus block count (min/max combine is exact — order-independent)
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(16)  # split/merge move, not a shuffle
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
     g = parts.groupby("dim")
     lo = g["lo"].min().sort_index().to_numpy(np.float64)
     hi = g["hi"].max().sort_index().to_numpy(np.float64)
