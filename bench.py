@@ -223,7 +223,8 @@ def run_bench() -> dict:
         svc = QueryService(idx, num_actors=min(8, ncpu))
         svc.run([qset[0], qset[2]], params)  # warm: q1 (flat) + q3 (#NEAR)
         p50s, p90s = [], []
-        for _ in range(n_trials):
+
+        def latency_round() -> None:
             lat = []
             for qid, qtext in qset:
                 t0 = time.monotonic()
@@ -232,6 +233,21 @@ def run_bench() -> dict:
             lat.sort()
             p50s.append(lat[len(lat) // 2])
             p90s.append(lat[int(len(lat) * 0.9)])
+
+        for _ in range(n_trials):
+            latency_round()
+        # The per-stage adaptive retry (timeit) doesn't cover this custom
+        # block, and round-3 showed the p50 is the stage most exposed to a
+        # load burst (3.9x on a 10-query sample while every timeit stage
+        # stayed at/below round 1). A latency round is ~10 queries ≈ sub-
+        # second, so spanning the co-tenant oscillation is nearly free.
+        _p50_ref = steady_best.get("query_p50")
+        while (
+            len(p50s) < n_trials + 12
+            and _p50_ref is not None
+            and min(p50s) > 1.5 * _p50_ref
+        ):
+            latency_round()
         svc.shutdown()
         all_trials["query_p50"] = [round(t, 4) for t in p50s]
         all_trials["query_p90"] = [round(t, 4) for t in p90s]
