@@ -1982,6 +1982,72 @@ def q_curation(sf_dir: str):
     )
 
 
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization + canonical-URL dedup: four messy spellings per
+    logical page (trailing slash + unsorted params / uppercase + explicit
+    :443 / tracking params / fragment) are synthesized deterministically
+    from doc_id (the fixture has no url column), then the vectorized
+    canonicalizer (stages/web.py) reduces each to one canonical form and a
+    bucketed min-id dedup picks the keeper. The SQL twin replays the same
+    synthesis and every canonicalization rule with DuckDB string/list
+    functions. Curation step the reference's ClueWeb corpus received
+    upstream of Lucene (SURVEY.md §0)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.web import url_canonical_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def add_url(b):
+        d = b["doc_id"].astype("int64")
+        page = (d // 4).astype(str)
+        hostn = ((d // 4) % 50).astype(str)
+        base = "www.example" + hostn + ".com"
+        u0 = "https://" + base + "/a/" + page + "/?b=2&a=1"
+        u1 = "HTTPS://" + base.str.upper() + ":443/a/" + page + "?a=1&b=2"
+        u2 = "https://" + base + "/a/" + page + "?utm_source=feed&b=2&a=1&ref=rss"
+        u3 = "https://" + base + "/a/" + page + "?b=2&a=1#sec-2"
+        v = (d % 4).to_numpy()
+        b = b.copy()
+        b["url"] = np.select([v == 0, v == 1, v == 2], [u0, u1, u2], default=u3)
+        return b
+
+    out = url_canonical_dedup(
+        ds.map_batches(add_url, batch_format="pandas")
+    ).to_pandas()
+    for c in ("doc_id", "canon_id", "keep"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "url", "canon_url", "canon_id", "keep"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_host_cap(sf_dir: str):
+    """Per-host document cap (top-10 per source by n_chars desc, doc_id
+    asc): per-batch partial top-N combiner → one bucketed groupby ranks and
+    cuts (stages/web.py host_cap). SQL twin is a row_number() window."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.web import host_cap
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = host_cap(ds, 10).to_pandas()
+    for c in ("doc_id", "n_chars", "host_rank"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "source", "n_chars", "host_rank"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample (P ∝ n_chars) without replacement —
     A-ES keys from md5-derived uniforms, pico-quantized ordering, local
@@ -2932,6 +2998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "semantic_dedup": q_semantic_dedup,
         "curation": q_curation,
+        "url_canonical": q_url_canonical,
+        "host_cap": q_host_cap,
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
@@ -4676,6 +4744,81 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             ORDER BY asg.vec_id
         """,
         "curation": _curation_sql(),
+        # stages/web.py canonicalizer, rule for rule: lowercase scheme+host,
+        # scheme-default port strip, fragment drop, tracking-param filter +
+        # bytewise param sort, trailing-slash-run strip. Synthesis mirrors
+        # q_url_canonical.add_url (all arithmetic parenthesized — || and %
+        # share precedence in the PG grammar).
+        "url_canonical": """
+        WITH u AS (
+            SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'https://www.example' || ((doc_id // 4) % 50)
+                    || '.com/a/' || (doc_id // 4) || '/?b=2&a=1'
+                WHEN 1 THEN 'HTTPS://WWW.EXAMPLE' || ((doc_id // 4) % 50)
+                    || '.COM:443/a/' || (doc_id // 4) || '?a=1&b=2'
+                WHEN 2 THEN 'https://www.example' || ((doc_id // 4) % 50)
+                    || '.com/a/' || (doc_id // 4)
+                    || '?utm_source=feed&b=2&a=1&ref=rss'
+                ELSE 'https://www.example' || ((doc_id // 4) % 50)
+                    || '.com/a/' || (doc_id // 4) || '?b=2&a=1#sec-2'
+                END AS url
+            FROM documents),
+        c1 AS (
+            SELECT doc_id, url,
+                lower(split_part(url, '://', 1)) AS scheme,
+                split_part(url, '://', 2) AS after
+            FROM u),
+        c2 AS (
+            SELECT *,
+                lower(regexp_extract(after, '^[^/?#]*')) AS hostport,
+                substr(after, length(regexp_extract(after, '^[^/?#]*')) + 1)
+                    AS rest
+            FROM c1),
+        c3 AS (
+            SELECT *,
+                CASE WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                     WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                     ELSE hostport END AS host,
+                regexp_replace(rest, '#.*$', '', 's') AS nofrag
+            FROM c2),
+        c4 AS (
+            SELECT *,
+                regexp_replace(split_part(nofrag, '?', 1), '/+$', '') AS path,
+                CASE WHEN instr(nofrag, '?') > 0
+                     THEN substr(nofrag, instr(nofrag, '?') + 1)
+                     ELSE '' END AS q
+            FROM c3),
+        c5 AS (
+            SELECT *,
+                array_to_string(list_sort(list_filter(string_split(q, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|ref|fbclid|gclid|msclkid)(=|$)'))),
+                    '&') AS qs
+            FROM c4),
+        c6 AS (
+            SELECT doc_id, url,
+                scheme || '://' || host || path
+                    || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+                    AS canon_url
+            FROM c5)
+        SELECT doc_id, url, canon_url,
+            min(doc_id) OVER (PARTITION BY canon_url) AS canon_id,
+            CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM c6 ORDER BY doc_id
+        """,
+        "host_cap": """
+        SELECT doc_id, source, n_chars, host_rank FROM (
+            SELECT doc_id, source, n_chars,
+                CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY n_chars DESC, doc_id
+                ) AS BIGINT) AS host_rank
+            FROM documents) t
+        WHERE host_rank <= 10 ORDER BY doc_id
+        """,
         # A-ES weighted sampling: k = -ln(u)/w with u md5-derived; ranked on
         # the pico-quantized key so both engines order identically
         "weighted_sample": r"""

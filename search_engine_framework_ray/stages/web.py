@@ -1,0 +1,190 @@
+"""URL-level web-curation operators: URL canonicalization + canonical-URL
+dedup, and per-host document caps.
+
+A Common-Crawl-scale corpus carries the same logical page under many URL
+spellings (scheme/host case, explicit default ports, tracking query params,
+fragments, trailing slashes) and a handful of hosts contribute a wildly
+disproportionate share of documents. Production curation runs therefore
+(1) canonicalize URLs and keep one capture per canonical URL, and
+(2) cap the number of documents any single host may contribute. The
+reference engine's corpus (ClueWeb09 via Lucene) had both applied upstream
+out-of-band (see SURVEY.md §0 — the checked-in code opens a pre-built
+index, `QryEval.java:102-103`); here they are first-class distributed
+stages.
+
+Scale shapes (shuffles are narrow — ids/keys only, text never crosses an
+exchange):
+
+* ``canonical_urls`` — one streaming ``map_batches`` pass; the kernel is a
+  chain of vectorized pandas ``.str`` regex ops plus an explode/sort/agg
+  for query-param ordering (no per-row Python in the hot path).
+* ``url_canonical_dedup`` — the canonicalize pass emits
+  ``(id, canon_url, bucket)`` rows only; ONE 256-bucket groupby picks the
+  min-id canonical per canon_url (same coarse-bucket pattern as
+  ``corpus.curate`` — per-group dispatch over millions of singleton URL
+  clusters would be the scale killer, one vectorized ``transform('min')``
+  per bucket is not).
+* ``host_cap`` — per-batch partial top-N per host (a valid pre-filter: the
+  global top-N per host is a subset of the union of per-batch top-Ns), so
+  at most ``N × n_hosts_in_batch`` narrow rows reach the ONE bucketed
+  groupby that ranks and cuts. A Zipf-heavy host contributes ≤
+  N·num_batches candidate rows, never its documents.
+
+Both operators are value-hash verified against DuckDB SQL twins
+(string/list-function canonicalization, ``row_number()`` window for the
+cap) — see ``__ray_entry__.oracle_sql()['url_canonical'|'host_cap']``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from .dedup import _text_hash64
+
+# Tracking params dropped during canonicalization (the common cross-site
+# analytics/click identifiers). Anchored match over one `k=v` pair.
+TRACKING_PARAM_RE = r"^(?:utm_[^=]*|ref|fbclid|gclid|msclkid)(?:=|$)"
+
+_N_BUCKETS = 256
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonicalizer for absolute http(s) URLs →
+    canonical string. Rules (each mirrored 1:1 in the SQL twin):
+
+    * scheme and host lowercased (path/query case preserved);
+    * scheme-default port stripped (``:443`` for https, ``:80`` for http);
+    * fragment dropped;
+    * tracking query params (``TRACKING_PARAM_RE``) dropped, remaining
+      params sorted bytewise; empty query drops the ``?``;
+    * trailing ``/``-run stripped from the path (so ``/`` ≡ empty path).
+
+    Entirely pandas ``.str`` kernels except the query-param reorder, which
+    is explode → lexicographic sort → group-join (still columnar; the
+    per-group join is over the handful of params a single URL carries).
+    """
+    s = urls.fillna("").astype(object)
+    scheme = (
+        s.str.extract(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", expand=False)
+        .fillna("")
+        .str.lower()
+    )
+    after = s.str.replace(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", regex=True)
+    hostport = after.str.extract(r"^([^/?#]*)", expand=False).fillna("").str.lower()
+    rest = after.str.replace(r"^[^/?#]*", "", regex=True)
+
+    host = hostport.mask(
+        scheme.eq("https"), hostport.str.replace(r":443$", "", regex=True)
+    ).mask(scheme.eq("http"), hostport.str.replace(r":80$", "", regex=True))
+
+    rest = rest.str.replace(r"#[\s\S]*$", "", regex=True)  # drop fragment
+    path = rest.str.replace(r"\?[\s\S]*$", "", regex=True)
+    query = rest.str.extract(r"\?([\s\S]*)$", expand=False).fillna("")
+    path = path.str.replace(r"/+$", "", regex=True)
+
+    # filter tracking params, sort the survivors, rejoin — vectorized via
+    # explode + stable sort + per-index join
+    parts = query.str.split("&").explode()
+    kept = parts[
+        parts.notna()
+        & parts.ne("")
+        & ~parts.str.match(TRACKING_PARAM_RE, na=False)
+    ]
+    sorted_q = pd.Series("", index=s.index, dtype=object)
+    if len(kept):
+        kf = pd.DataFrame({"i": kept.index.to_numpy(), "v": kept.to_numpy(object)})
+        kf = kf.sort_values(["i", "v"], kind="mergesort")
+        joined = kf.groupby("i", sort=False)["v"].agg("&".join)
+        sorted_q.loc[joined.index] = joined
+
+    canon = scheme + "://" + host + path
+    canon = canon.where(sorted_q.eq(""), canon + "?" + sorted_q)
+    return canon
+
+
+def url_canonical_dedup(
+    ds: Dataset, *, id_col: str = "doc_id", url_col: str = "url"
+) -> Dataset:
+    """Canonical-URL dedup → (id, url, canon_url, canon_id, keep).
+
+    ``canon_id`` = min id sharing the canonical URL; ``keep`` = 1 on that
+    canonical row. One streaming canonicalize pass, one narrow 256-bucket
+    groupby (rows are ``(id, url, canon_url)`` — at web scale drop
+    ``url`` from the exchange and re-join if the raw spelling is needed
+    downstream; kept here for the verification surface).
+    """
+
+    def narrow(b: pd.DataFrame) -> pd.DataFrame:
+        canon = canonicalize_urls(b[url_col])
+        h = _text_hash64(canon.tolist())
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                url_col: b[url_col].to_numpy(object),
+                "canon_url": canon.to_numpy(object),
+                "bucket": (h.astype(np.uint64) % np.uint64(_N_BUCKETS)).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").copy()
+        g["canon_id"] = g.groupby("canon_url", sort=False)[id_col].transform("min")
+        g["keep"] = (g[id_col] == g["canon_id"]).astype(np.int64)
+        return g[[id_col, url_col, "canon_url", "canon_id", "keep"]]
+
+    return (
+        ds.map_batches(narrow, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def host_cap(
+    ds: Dataset,
+    n: int,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    order_col: str = "n_chars",
+) -> Dataset:
+    """Per-host document cap → (id, host, order, host_rank), keeping the
+    top-``n`` docs per host ordered by (``order_col`` desc, id asc).
+
+    Per-batch combiner keeps each batch's local top-``n`` per host (sound:
+    any globally-kept row is in its batch's top-``n``), so only capped
+    candidate rows reach the single bucketed groupby that assigns the
+    final dense rank and cuts at ``n``.
+    """
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[id_col, host_col, order_col]].copy()
+        b = b.sort_values(
+            [host_col, order_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        b = b.groupby(host_col, sort=False).head(n)
+        h = _text_hash64(b[host_col].astype(str).tolist())
+        b["bucket"] = (h.astype(np.uint64) % np.uint64(_N_BUCKETS)).astype(np.int64)
+        return b
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [host_col, order_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).copy()
+        g["host_rank"] = g.groupby(host_col, sort=False).cumcount() + 1
+        g = g[g["host_rank"] <= n]
+        g["host_rank"] = g["host_rank"].astype(np.int64)
+        return g[[id_col, host_col, order_col, "host_rank"]]
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+    )
