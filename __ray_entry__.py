@@ -2048,6 +2048,52 @@ def q_host_cap(sf_dir: str):
     )
 
 
+def q_crawl_delta(sf_dir: str):
+    """Dump-over-dump crawl diff: two crawls are synthesized from the
+    documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
+    %10==2 with a ' v2' suffix), each fingerprinted with the md5-low64
+    document fingerprint, then stages/web.py crawl_delta co-partitions the
+    tagged union on the url hash and classifies added / removed / changed /
+    unchanged per url. The SQL twin is a FULL OUTER JOIN over the same
+    synthesis + md5_number_lower."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import fingerprint_md5
+    from search_engine_framework_ray.stages.web import crawl_delta
+
+    def crawl(drop_mod: int, suffix_mod: int | None):
+        def prep(b):
+            d = b["doc_id"].astype("int64")
+            b = b[d % 10 != drop_mod].copy()
+            d = b["doc_id"].astype("int64")
+            if suffix_mod is not None:
+                mod = (d % 10 == suffix_mod).to_numpy()
+                t = b["text"].fillna("").to_numpy(object)
+                t[mod] = t[mod] + " v2"
+                b["text"] = t
+            b["url"] = "https://ex.com/p/" + d.astype(str)
+            return b
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(prep, batch_format="pandas")
+        return ds.map_batches(
+            lambda b: fingerprint_md5(b)[["url", "fp_md5"]],
+            batch_format="pandas",
+        )
+
+    out = crawl_delta(
+        crawl(0, None), crawl(1, 2), key_col="url", fp_col="fp_md5"
+    ).to_pandas()
+    for c in ("old_fp", "new_fp"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["url", "status", "old_fp", "new_fp"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample (P ∝ n_chars) without replacement —
     A-ES keys from md5-derived uniforms, pico-quantized ordering, local
@@ -3000,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "url_canonical": q_url_canonical,
         "host_cap": q_host_cap,
+        "crawl_delta": q_crawl_delta,
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
@@ -4809,6 +4856,47 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM c6 ORDER BY doc_id
+        """,
+        # FULL OUTER JOIN replay of stages/web.py crawl_delta over the same
+        # two synthesized crawls; md5_number_lower signed-int64 view matches
+        # textstats.fingerprint_md5 exactly (whitespace-normalized text)
+        "crawl_delta": r"""
+        WITH fp AS (
+            SELECT doc_id,
+                'https://ex.com/p/' || doc_id AS url,
+                trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g')) AS s0,
+                trim(regexp_replace(text || ' v2', '[ \t\n\r\f\v]+', ' ', 'g'))
+                    AS s2
+            FROM documents),
+        oldc AS (
+            SELECT url,
+                CAST(CASE WHEN md5_number_lower(s0)::HUGEINT
+                              >= 9223372036854775808::HUGEINT
+                     THEN md5_number_lower(s0)::HUGEINT
+                          - 18446744073709551616::HUGEINT
+                     ELSE md5_number_lower(s0)::HUGEINT END AS BIGINT) AS fp
+            FROM fp WHERE doc_id % 10 <> 0),
+        newc AS (
+            SELECT url,
+                CAST(CASE WHEN md5_number_lower(
+                              CASE WHEN doc_id % 10 = 2 THEN s2 ELSE s0 END
+                          )::HUGEINT >= 9223372036854775808::HUGEINT
+                     THEN md5_number_lower(
+                              CASE WHEN doc_id % 10 = 2 THEN s2 ELSE s0 END
+                          )::HUGEINT - 18446744073709551616::HUGEINT
+                     ELSE md5_number_lower(
+                              CASE WHEN doc_id % 10 = 2 THEN s2 ELSE s0 END
+                          )::HUGEINT END AS BIGINT) AS fp
+            FROM fp WHERE doc_id % 10 <> 1)
+        SELECT COALESCE(o.url, n.url) AS url,
+            CASE WHEN o.url IS NULL THEN 'added'
+                 WHEN n.url IS NULL THEN 'removed'
+                 WHEN o.fp = n.fp THEN 'unchanged'
+                 ELSE 'changed' END AS status,
+            COALESCE(o.fp, -1) AS old_fp,
+            COALESCE(n.fp, -1) AS new_fp
+        FROM oldc o FULL OUTER JOIN newc n USING (url)
+        ORDER BY url
         """,
         "host_cap": """
         SELECT doc_id, source, n_chars, host_rank FROM (

@@ -143,6 +143,78 @@ def url_canonical_dedup(
     )
 
 
+def crawl_delta(
+    old_ds: Dataset,
+    new_ds: Dataset,
+    *,
+    key_col: str = "url",
+    fp_col: str = "fp",
+) -> Dataset:
+    """Dump-over-dump crawl diff → (key, status, old_fp, new_fp) with
+    status ∈ {added, removed, changed, unchanged}; missing-side
+    fingerprints surface as -1 sentinels (int columns stay exact-hashable,
+    matching the repo's outer-join convention).
+
+    Both inputs are already narrow ``(key, fp)`` tables — fingerprint the
+    crawls upstream (``textstats.fingerprint_md5``) so document text never
+    enters this operator. Shape: tag each side, union, ONE co-partition
+    bucket shuffle on the key hash, then a vectorized per-bucket
+    reindex/compare — the same tagged-union pattern as the as-of join
+    (``stages/join.py``), so neither crawl is ever broadcast or pulled to
+    the driver. At 10¹²-page scale each bucket holds |corpus|/256 keys ×
+    two int columns; raise ``_N_BUCKETS``-equivalent via ``n_buckets`` if
+    a bucket outgrows worker heap.
+    """
+
+    def tag(side: int):
+        def inner(b: pd.DataFrame) -> pd.DataFrame:
+            h = _text_hash64(b[key_col].astype(str).tolist())
+            return pd.DataFrame(
+                {
+                    key_col: b[key_col].to_numpy(object),
+                    "fp": b[fp_col].to_numpy(np.int64),
+                    "side": np.full(len(b), side, dtype=np.int64),
+                    "bucket": (h.astype(np.uint64) % np.uint64(_N_BUCKETS)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        return inner
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        # nullable-Int64 through the reindex: a float64 NaN-fill would
+        # silently shave the low bits off |fp| ≥ 2^53 (caught by the md5
+        # oracle — same transport rule as the as-of join's id columns)
+        old = g[g["side"] == 0].set_index(key_col)["fp"].astype("Int64")
+        new = g[g["side"] == 1].set_index(key_col)["fp"].astype("Int64")
+        keys = old.index.union(new.index, sort=True)
+        ofp = old.reindex(keys)
+        nfp = new.reindex(keys)
+        o_na = ofp.isna().to_numpy()
+        n_na = nfp.isna().to_numpy()
+        o_val = ofp.fillna(-1).astype(np.int64).to_numpy()
+        n_val = nfp.fillna(-1).astype(np.int64).to_numpy()
+        status = np.select(
+            [o_na, n_na, o_val == n_val],
+            ["added", "removed", "unchanged"],
+            default="changed",
+        )
+        return pd.DataFrame(
+            {
+                key_col: keys.to_numpy(object),
+                "status": status,
+                "old_fp": o_val,
+                "new_fp": n_val,
+            }
+        )
+
+    tagged = old_ds.map_batches(tag(0), batch_format="pandas").union(
+        new_ds.map_batches(tag(1), batch_format="pandas")
+    )
+    return tagged.groupby("bucket").map_groups(diff, batch_format="pandas")
+
+
 def host_cap(
     ds: Dataset,
     n: int,

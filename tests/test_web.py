@@ -109,3 +109,29 @@ def test_host_cap_partial_combiner_sound(ray_session):
     ds = ray.data.from_pandas([df1, df2])
     out = host_cap(ds, 2).to_pandas().sort_values("host_rank")
     assert out["doc_id"].tolist() == [1, 3]
+
+
+def test_crawl_delta_statuses_and_large_fp(ray_session):
+    from search_engine_framework_ray.stages.web import crawl_delta
+
+    # fp magnitudes above 2^53 pin the nullable-Int64 transport (a float64
+    # NaN-fill reindex would corrupt them)
+    big = 1888482423293860036
+    old = pd.DataFrame(
+        {"url": ["a", "b", "c"], "fp": [big, 7, 9]}
+    )
+    new = pd.DataFrame(
+        {"url": ["b", "c", "d"], "fp": [7, 10, big + 1]}
+    )
+    out = (
+        crawl_delta(
+            ray.data.from_pandas([old.iloc[:2], old.iloc[2:]]),
+            ray.data.from_pandas([new.iloc[:1], new.iloc[1:]]),
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out["status"].tolist() == ["removed", "unchanged", "changed", "added"]
+    assert out["old_fp"].tolist() == [big, 7, 9, -1]
+    assert out["new_fp"].tolist() == [-1, 7, 10, big + 1]
