@@ -2048,6 +2048,38 @@ def q_host_cap(sf_dir: str):
     )
 
 
+def q_build_manifest(sf_dir: str):
+    """Per-partition lineage + metrics record, driver-verified: reads every
+    shard's manifest.json (the checkpoint record `build_index` resume and
+    collection stats run on — north_rule's "per-partition lineage +
+    metrics") and returns the recorded per-shard metrics. The SQL twin
+    recomputes each metric from the corpus with the shard-boundary rule the
+    build used (url-rank quartiles; PlainSource urls are zero-padded ids so
+    url rank == doc_id), so a manifest that drifted from its shard's true
+    content hash-fails here."""
+    from search_engine_framework_ray.state import index_layout as lay
+
+    idx = _docs_index(sf_dir)
+    rows = []
+    for s in lay.list_shards(idx):
+        man = lay.read_manifest(idx, s)
+        f = man["fields"]
+        rows.append(
+            {
+                "shard": s,
+                "docid_base": man["docid_base"],
+                "n_docs": man["n_docs"],
+                "body_sum_doclen": f["body"]["sum_doclen"],
+                "body_doccount": f["body"]["doccount"],
+                "url_sum_doclen": f["url"]["sum_doclen"],
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3047,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": q_url_canonical,
         "host_cap": q_host_cap,
         "crawl_delta": q_crawl_delta,
+        "build_manifest": q_build_manifest,
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
@@ -4856,6 +4889,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM c6 ORDER BY doc_id
+        """,
+        # Recompute every manifest metric from the corpus: the build's shard
+        # boundaries are url-rank quartiles (exhaustive deterministic sample
+        # at this scale) and PlainSource urls are zero-padded ids, so
+        # shard(doc) = #{k in 1..3 : doc_id >= floor(n*k/4)}; doclen under
+        # PLAIN_ANALYZER = whitespace token count (RE2 \S class)
+        "build_manifest": r"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        tok AS (
+            SELECT doc_id,
+                len(regexp_extract_all(text, '[^ \t\n\f\r]+'))::BIGINT AS dl
+            FROM documents),
+        parts AS (
+            SELECT doc_id, dl,
+                (CASE WHEN doc_id >= (n * 1) // 4 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id >= (n * 2) // 4 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id >= (n * 3) // 4 THEN 1 ELSE 0 END)::BIGINT
+                    AS shard
+            FROM tok, nn)
+        SELECT shard,
+            min(doc_id) AS docid_base,
+            count(*)::BIGINT AS n_docs,
+            sum(dl)::BIGINT AS body_sum_doclen,
+            sum(CASE WHEN dl > 0 THEN 1 ELSE 0 END)::BIGINT AS body_doccount,
+            count(*)::BIGINT AS url_sum_doclen
+        FROM parts GROUP BY shard ORDER BY shard
         """,
         # FULL OUTER JOIN replay of stages/web.py crawl_delta over the same
         # two synthesized crawls; md5_number_lower signed-int64 view matches
