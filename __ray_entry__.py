@@ -2080,6 +2080,72 @@ def q_build_manifest(sf_dir: str):
     return out.sort_values("shard").reset_index(drop=True)
 
 
+def q_html_extract(sf_dir: str):
+    """The input_hint per-row invariant ("byte-identical extracted text per
+    url") driver-verified: deterministic HTML is synthesized around each
+    doc's text (comment + title with entity + keywords meta + script block
+    with a raw '<' + anchor with entity), the REAL extractor
+    (functions/extract.py extract_fields — the build's ExtractStage kernel)
+    runs over it, and the SQL twin states the template-predicted output
+    directly, so every extraction rule (comment/script drop, entity decode,
+    tag→space, whitespace collapse, title/keywords/anchor capture) is under
+    the value hash. Fixture text is ASCII with no markup chars — the same
+    recorded assumption as the RE2-aligned token oracles."""
+    import ray.data
+
+    from search_engine_framework_ray.functions.extract import extract_fields
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def synth(b):
+        d = b["doc_id"].astype("int64").astype(str)
+        nxt = (b["doc_id"].astype("int64") + 1).astype(str)
+        b = b.copy()
+        b["html"] = (
+            "<html><!-- note --><head><title>Doc " + d
+            + " &amp; more</title>"
+            + '<meta name="keywords" content="alpha, beta"></head>'
+            + "<body><script>var x = 1 < 2;</script><p>"
+            + b["text"].fillna("")
+            + '</p><a href="https://ex.com/p/' + nxt
+            + '">next &gt; page</a></body></html>'
+        )
+        return b[["doc_id", "html"]]
+
+    def extract(b):
+        recs = []
+        for i, h in zip(b["doc_id"], b["html"]):
+            f = extract_fields(h.encode("utf-8"))
+            href, anchor = f["links"][0]
+            recs.append(
+                {
+                    "doc_id": int(i),
+                    "title": f["title"],
+                    "keywords": f["keywords"],
+                    "body": f["body"],
+                    "n_links": len(f["links"]),
+                    "href": href,
+                    "anchor": anchor,
+                }
+            )
+        return pd.DataFrame(recs)
+
+    out = (
+        ds.map_batches(synth, batch_format="pandas")
+        .map_batches(extract, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "n_links"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "title", "keywords", "body", "n_links", "href", "anchor"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3080,6 +3146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": q_host_cap,
         "crawl_delta": q_crawl_delta,
         "build_manifest": q_build_manifest,
+        "html_extract": q_html_extract,
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
@@ -4889,6 +4956,20 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                  THEN 1 ELSE 0 END AS BIGINT) AS keep
         FROM c6 ORDER BY doc_id
+        """,
+        # Template-predicted output of the real HTML extractor: the synthesis
+        # fixes the markup, so each extraction rule's result is a closed-form
+        # expression over (doc_id, text)
+        "html_extract": r"""
+        SELECT doc_id,
+            'Doc ' || doc_id || ' & more' AS title,
+            'alpha, beta' AS keywords,
+            trim(trim(regexp_replace(text, '[ \t\n\r\f\v]+', ' ', 'g'))
+                 || ' next > page') AS body,
+            CAST(1 AS BIGINT) AS n_links,
+            'https://ex.com/p/' || (doc_id + 1) AS href,
+            'next > page' AS anchor
+        FROM documents ORDER BY doc_id
         """,
         # Recompute every manifest metric from the corpus: the build's shard
         # boundaries are url-rank quartiles (exhaustive deterministic sample
