@@ -97,7 +97,7 @@ def run_bench() -> dict:
         "ann_brute_8q": 0.47,
         "window_tumbling": 2.1,
         "window_sliding": 1.9,
-        "fb_expansion_4q": 6.4,
+        "fb_expansion_4q": 1.5,  # one-service rewrite (was 6.4 across 2 pools)
         "letor_features_2q": 4.5,
     }
     # the reference table was measured at the default config; a different

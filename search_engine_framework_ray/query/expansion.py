@@ -37,7 +37,7 @@ import ray
 
 from ..state.index_layout import list_shards, read_manifest, read_stats
 from ..state.shard import ShardReader
-from .executor import load_term_stats, run_queries
+from .executor import QueryService, load_term_stats
 from .models import ModelParams
 
 
@@ -204,14 +204,46 @@ def run_queries_with_expansion(
     *,
     k: int = 100,
     initial_ranking: dict[str, list[tuple[int, float]]] | None = None,
+    service: "QueryService | None" = None,
 ) -> tuple[dict, dict[str, str]]:
     """Full fb=true flow: initial ranking → expand → rewrite → re-run.
 
     Returns (final results as in ``run_queries``, qid → expanded-query
     string — the ``fbExpansionQueryFile`` content).
+
+    Both query rounds run through ONE ``QueryService`` (pass ``service`` to
+    reuse a caller's pool), so shard state loads once — the distributed
+    analog of the reference's static ``READER`` — instead of two actor-pool
+    spin-ups per expansion call. Results are identical to ``run_queries``
+    (same plan/merge path).
     """
+    own = None
+    if service is None:
+        # leave ≥1 CPU unpinned: the service workers are raw num_cpus=1
+        # actors, and the term-vector fetch tasks between the two rounds
+        # must still be schedulable on a small (e.g. 4-cpu test) cluster
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        own = service = QueryService(index_dir, num_actors=max(1, min(8, ncpu - 1)))
+    try:
+        return _expand_with_service(
+            service, index_dir, queries, params, fb, k, initial_ranking
+        )
+    finally:
+        if own is not None:
+            own.shutdown()
+
+
+def _expand_with_service(
+    service: QueryService,
+    index_dir: str,
+    queries: list[tuple[str, str]],
+    params: ModelParams,
+    fb: FeedbackParams,
+    k: int,
+    initial_ranking: dict[str, list[tuple[int, float]]] | None,
+) -> tuple[dict, dict[str, str]]:
     if initial_ranking is None:
-        first = run_queries(index_dir, queries, params, k=max(fb.fb_docs, 1))
+        first = service.run(queries, params, k=max(fb.fb_docs, 1))
         initial_ranking = {
             q: [(docid, score) for (_, score, docid) in first[q][: fb.fb_docs]]
             for q, _ in queries
@@ -230,5 +262,5 @@ def run_queries_with_expansion(
         (qid, rewrite_query(qtext, expanded[qid], fb) if terms[qid] else qtext)
         for qid, qtext in queries
     ]
-    final = run_queries(index_dir, rewritten, params, k=k)
+    final = service.run(rewritten, params, k=k)
     return final, expanded
