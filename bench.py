@@ -98,7 +98,7 @@ def run_bench() -> dict:
         "window_tumbling": 2.1,
         "window_sliding": 1.9,
         "fb_expansion_4q": 1.5,  # one-service rewrite (was 6.4 across 2 pools)
-        "letor_features_2q": 4.5,
+        "letor_features_2q": 1.2,  # one-service rewrite (was 4.5 across pools)
     }
     # the reference table was measured at the default config; a different
     # sf/cpu count changes the expected values, so disable the comparison

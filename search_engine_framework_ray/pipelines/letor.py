@@ -44,10 +44,10 @@ import ray
 
 from ..functions.analysis import analyze
 from ..query.executor import (
+    QueryService,
     load_term_stats,
     resolve_analyzer,
     run_queries,
-    score_documents,
 )
 from ..query.expansion import _fetch_term_vectors, _shard_of
 from ..query.models import ModelParams
@@ -85,11 +85,15 @@ def compute_features(
     doc_attrs: pd.DataFrame | None = None,
     page_rank: dict[int, float] | None = None,
     params: LetorParams | None = None,
+    service: "QueryService | None" = None,
 ) -> pd.DataFrame:
     """→ one row per (qid, docid) with columns f1..f18 (NaN = undefined).
 
     ``doc_attrs``: optional (docid, raw_url, spam_score); defaults to the
     index docmap's url with spam NaN. ``page_rank``: docid → score.
+    ``service``: reuse a caller's persistent ``QueryService`` for the nine
+    engine rankings; otherwise one is created for the call (both model
+    batches share it — index state loads once, not once per pool).
     """
     params = params or LetorParams()
     mp = params.model_params
@@ -126,13 +130,23 @@ def compute_features(
         for j in jobs[-9:]:
             want[j[0]] = cand
     score_map: dict[tuple[str, str], dict[int, float]] = {}
-    for prm, tag in ((bm25, "bm25"), (indri, "indri")):
-        batch = [(j, q) for j, q, p in jobs if p is prm]
-        if not batch:
-            continue
-        got = score_documents(index_dir, batch, prm, want)
-        for r in got.itertuples():
-            score_map.setdefault(r.qid, {})[int(r.docid)] = float(r.score)
+    own = None
+    if service is None:
+        # leave ≥1 CPU unpinned (raw num_cpus=1 workers) so concurrent
+        # tasks still schedule on a small test cluster
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        own = service = QueryService(index_dir, num_actors=max(1, min(8, ncpu - 1)))
+    try:
+        for prm, tag in ((bm25, "bm25"), (indri, "indri")):
+            batch = [(j, q) for j, q, p in jobs if p is prm]
+            if not batch:
+                continue
+            got = service.score_documents(batch, prm, want)
+            for r in got.itertuples():
+                score_map.setdefault(r.qid, {})[int(r.docid)] = float(r.score)
+    finally:
+        if own is not None:
+            own.shutdown()
 
     # ---- term vectors for overlap + f18 + field presence ----
     ranges = _shard_of(index_dir)

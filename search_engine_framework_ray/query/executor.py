@@ -496,35 +496,44 @@ class ScoreDocsActor:
         self.queries = ray.get(queries_ref)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"qid": [], "docid": [], "score": []}
-        for qid, shard in zip(batch["qid"], batch["shard"]):
-            qtree, params, stats, want = self.queries[qid]
-            view = self.cache.view(int(shard))
-            lo = view.reader.docid_base
-            hi = lo + view.reader.n_docs
-            w = np.asarray(want, dtype=np.int64)
-            w = w[(w >= lo) & (w < hi)]
-            if not len(w):
-                continue
-            ev = Evaluator(
-                view, params, stats,
-                il_cache=self.cache.il_cache, il_cache_key=int(shard),
-            )
-            try:
-                res = ev.evaluate(qtree)
-            except ValueError:
-                continue  # invalid query → no rows (per-query isolation)
-            mask = np.isin(res.docids, w)
-            out["qid"].extend([qid] * int(mask.sum()))
-            out["docid"].extend(int(d) for d in res.docids[mask])
-            out["score"].extend(float(s) for s in res.scores[mask])
-        return pd.DataFrame(
-            {
-                "qid": pd.Series(out["qid"], dtype="object"),
-                "docid": pd.Series(out["docid"], dtype="int64"),
-                "score": pd.Series(out["score"], dtype="float64"),
-            }
+        return score_docs_rows(
+            self.cache, self.queries, zip(batch["qid"], batch["shard"])
         )
+
+
+def score_docs_rows(cache: _ShardCache, queries: dict, pairs) -> pd.DataFrame:
+    """Shared scoring loop for ScoreDocsActor (Ray Data pool) and
+    ``_ServiceWorker.score`` (persistent service) — one implementation, two
+    execution front-ends."""
+    out = {"qid": [], "docid": [], "score": []}
+    for qid, shard in pairs:
+        qtree, params, stats, want = queries[qid]
+        view = cache.view(int(shard))
+        lo = view.reader.docid_base
+        hi = lo + view.reader.n_docs
+        w = np.asarray(want, dtype=np.int64)
+        w = w[(w >= lo) & (w < hi)]
+        if not len(w):
+            continue
+        ev = Evaluator(
+            view, params, stats,
+            il_cache=cache.il_cache, il_cache_key=int(shard),
+        )
+        try:
+            res = ev.evaluate(qtree)
+        except ValueError:
+            continue  # invalid query → no rows (per-query isolation)
+        mask = np.isin(res.docids, w)
+        out["qid"].extend([qid] * int(mask.sum()))
+        out["docid"].extend(int(d) for d in res.docids[mask])
+        out["score"].extend(float(s) for s in res.scores[mask])
+    return pd.DataFrame(
+        {
+            "qid": pd.Series(out["qid"], dtype="object"),
+            "docid": pd.Series(out["docid"], dtype="int64"),
+            "score": pd.Series(out["score"], dtype="float64"),
+        }
+    )
 
 
 def score_documents(
@@ -611,6 +620,10 @@ class _ServiceWorker:
         pairs = [(q, s) for s in self.shards for q in queries]
         return exec_rows(self.cache, queries, pairs, k)
 
+    def score(self, queries: dict) -> pd.DataFrame:
+        pairs = [(q, s) for s in self.shards for q in queries]
+        return score_docs_rows(self.cache, queries, pairs)
+
 
 class QueryService:
     """Persistent query serving over an index: ``num_actors`` raw Ray actors,
@@ -651,6 +664,38 @@ class QueryService:
             ray.get([w.execute.remote(payload_b, k) for w in self.workers])
         )
         return merge_results(rows, queries, params, k)
+
+    def score_documents(
+        self,
+        queries: list[tuple[str, str]],
+        params: ModelParams,
+        want: dict[str, list[int]],
+    ) -> pd.DataFrame:
+        """Service twin of the standalone :func:`score_documents` — same
+        plan → prepass → requested-docid scoring, but over the persistent
+        workers (state already loaded) instead of a fresh actor pool."""
+        import ray
+
+        trees, score_stats, composite_qids = plan_queries(
+            self.index_dir, queries, params
+        )
+        if composite_qids:
+            payload_a = {q: (trees[q], params) for q in composite_qids}
+            pre = pd.concat(
+                ray.get([w.prepass.remote(payload_a) for w in self.workers])
+            )
+            apply_prepass(score_stats, pre)
+        payload_b = {
+            q: (trees[q], params, score_stats[q], sorted(want.get(q, [])))
+            for q in trees
+            if want.get(q)
+        }
+        if not payload_b:
+            return pd.DataFrame({"qid": [], "docid": [], "score": []})
+        return pd.concat(
+            ray.get([w.score.remote(payload_b) for w in self.workers]),
+            ignore_index=True,
+        )
 
     def shutdown(self):
         import ray
