@@ -19,9 +19,11 @@ Missing field (no term vector) → that field's features are NaN; NaN features
 are omitted from SVMlight lines (:45-61) and skipped by the per-query
 min-max normalization (constant feature → 0, :279-314).
 
-Distribution shape: all 9 engine rankings per query run through
-:func:`score_documents` (one distributed batch over the shard actor pool —
-the reference runs them sequentially per query, LearnToRank.java:209-256);
+Distribution shape: all 9 engine rankings per query run as two batched
+calls (one per model) through ONE persistent ``QueryService``
+(``score_documents`` twin — index state loads once per worker; the
+reference runs the rankings sequentially per query,
+LearnToRank.java:209-256);
 term-vector fetches fan out one Ray task per (shard, field); normalization
 is a ``groupby(qid)`` over the tiny (queries × candidates) feature table.
 
