@@ -322,6 +322,176 @@ def q_fb_expansion(sf_dir: str):
     )
 
 
+def q_trec_roundtrip(sf_dir: str):
+    """TREC writer → reader roundtrip under the driver hash
+    (QryEval.java:268-318 format; QryExpansion.java:240-286 reader): the
+    BM25 top-20 run is WRITTEN as a TREC file (repr(float) scores — exact
+    roundtrip) and parsed back, and the parsed (extid, score) rows must
+    hash-match the SQL ranking — a writer or parser that corrupts any
+    field (extid rendering, rank sequence, score text) fails here."""
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.sources.trec import (
+        read_trec_run,
+        write_trec_run,
+    )
+
+    idx = _docs_index(sf_dir)
+    res = run_queries(
+        idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=20
+    )
+    os.makedirs("/tmp/sefr_trec", exist_ok=True)
+    path = os.path.join(
+        "/tmp/sefr_trec",
+        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12] + ".teIn",
+    )
+    write_trec_run(path, res, ["q"], True, k=20)
+    parsed = read_trec_run(path)["q"]
+    # the writer's rank column must be the contiguous 1..n sequence — checked
+    # here (the parsed tuple drops it, so the hash can't)
+    with open(path) as f:
+        ranks = [int(line.split()[3]) for line in f if line.strip()]
+    assert ranks == list(range(1, len(parsed) + 1)), "writer rank sequence broken"
+    df = pd.DataFrame(
+        {
+            "extid": [e for e, _ in parsed],
+            "score_micros": _micros([s for _, s in parsed]),
+        }
+    )
+    return (
+        df.sort_values(["score_micros", "extid"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)[["extid", "score_micros"]]
+    )
+
+
+def q_fb_from_file(sf_dir: str):
+    """fbInitialRankingFile path (QryExpansion.java:240-286): the Indri
+    initial run is written to a TREC file, read back through
+    initial_ranking_from_trec (extid → docid via the index docmap), and fed
+    to the same expansion scoring — output and oracle are fb_expansion's
+    verbatim, so the hash proves the file writer + reader + docmap
+    resolution reproduce the in-memory ranking exactly."""
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.expansion import (
+        FeedbackParams,
+        expansion_terms,
+        initial_ranking_from_trec,
+    )
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.sources.trec import write_trec_run
+
+    idx = _docs_index(sf_dir)
+    fb = FeedbackParams(fb_docs=10, fb_terms=10, fb_mu=0.0)
+    first = run_queries(
+        idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="Indri"), k=fb.fb_docs
+    )
+    os.makedirs("/tmp/sefr_trec", exist_ok=True)
+    path = os.path.join(
+        "/tmp/sefr_trec",
+        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12] + ".fbIn",
+    )
+    write_trec_run(path, first, ["q"], True, k=fb.fb_docs)
+    initial = initial_ranking_from_trec(idx, path, fb.fb_docs)
+    terms = expansion_terms(idx, initial, fb)["q"]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(terms) + 1, dtype=np.int64),
+            "term": [t for t, _ in terms],
+            "weight_micros": _micros([w for _, w in terms]),
+        }
+    )
+
+
+def _inlink_index(sf_dir: str) -> str:
+    """HTML corpus whose pages link each other (two deterministic outbound
+    anchors per page) + its built index, cached per sf_dir. Anchors target
+    OTHER pages' urls, so the build's anchor rows genuinely cross partitions
+    through the co-partition shuffle before the per-target join."""
+    import pyarrow.parquet as _pq
+
+    import ray.data
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import build_index
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/sefr_inlink/{key}"
+    corpus = os.path.join(base, "corpus")
+    idx = os.path.join(base, "idx")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n = _pq.read_metadata(docs_path).num_rows
+    if not os.path.exists(os.path.join(corpus, "_done")):
+        ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+
+        def synth(b, n=n):
+            d = b["doc_id"].astype("int64")
+            t1 = ((d * 7 + 3) % n).map("doc{:010d}".format)
+            t2 = ((d * 13 + 1) % n).map("doc{:010d}".format)
+            html = (
+                "<html><head><title>t</title></head><body><p>"
+                + b["text"].fillna("")
+                + '</p><a href="' + t1 + '">anchor alpha '
+                + (d % 5).astype(str)
+                + '</a><a href="' + t2 + '">beta link '
+                + (d % 3).astype(str)
+                + "</a></body></html>"
+            )
+            return pd.DataFrame(
+                {
+                    "url": d.map("doc{:010d}".format),
+                    "html": [h.encode() for h in html],
+                    "lang": "en",
+                }
+            )
+
+        ds.map_batches(synth, batch_format="pandas").write_parquet(corpus)
+        with open(os.path.join(corpus, "_done"), "w") as f:
+            f.write("ok")
+    files = [
+        os.path.join(corpus, f)
+        for f in sorted(os.listdir(corpus))
+        if f.endswith(".parquet")
+    ]
+    build_index(files, idx, analyzer=PLAIN_ANALYZER, num_shards=4)
+    return idx
+
+
+def q_inlink_join(sf_dir: str):
+    """Build-side inlink anchor-text join driver-verified (SURVEY.md §2.6;
+    reference corpus had anchors joined out-of-band into the `inlink`
+    field, LearnToRank.java:358-445 scores it): pages link each other, the
+    REAL html build extracts anchors, ships them through the same
+    co-partition shuffle as the docs, joins them per target url, and
+    indexes the joined text — then the target-side term vectors are read
+    back and each page's inlink doclen + tf('alpha') must match the SQL
+    twin's replay of the link synthesis."""
+    from search_engine_framework_ray.query.expansion import (
+        _fetch_term_vectors,
+        _shard_of,
+    )
+
+    import ray
+
+    idx = _inlink_index(sf_dir)
+    ranges = _shard_of(idx)
+    futs = [
+        _fetch_term_vectors.remote(idx, s, list(range(lo, hi)), "inlink")
+        for s, lo, hi in ranges
+    ]
+    tv = pd.concat(ray.get(futs), ignore_index=True)
+    n = max(hi for _, _, hi in ranges)
+    out = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    if len(tv):
+        dl = tv.groupby("docid")["doclen"].first()
+        alpha = tv[tv["stem"] == "alpha"].groupby("docid")["tf"].sum()
+        out["inlink_doclen"] = out["doc_id"].map(dl).fillna(0).astype("int64")
+        out["alpha_tf"] = out["doc_id"].map(alpha).fillna(0).astype("int64")
+    else:
+        out["inlink_doclen"] = np.int64(0)
+        out["alpha_tf"] = np.int64(0)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_syn_root_tf(sf_dir: str):
     """Il-root output path (QryEval.java:295-314): a #SYN at the query root
     emits the inverted list itself — tf as score, (tf desc, extid asc),
@@ -3098,6 +3268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
+        "trec_roundtrip": q_trec_roundtrip,
+        "fb_from_file": q_fb_from_file,
+        "inlink_join": q_inlink_join,
         "syn_root_tf": q_syn_root_tf,
         "letor_features": q_letor_features,
         "letor_core": q_letor_core,
@@ -4313,6 +4486,35 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "indri_wand": _indri_sql((0.7, 0.3), product=True),
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
         "fb_expansion": _FB_EXPANSION_SQL,
+        # writer→reader roundtrip: parsed scores are repr(float)-exact, so
+        # the micro-rounded ranking must equal the BM25 SQL twin's
+        "trec_roundtrip": f"""
+        SELECT 'doc' || printf('%010d', doc_id) AS extid, score_micros
+        FROM ({_BM25_SQL}) t
+        ORDER BY score_micros DESC, extid
+        """,
+        # the file-fed initial ranking must reproduce the in-memory one
+        # exactly → fb_expansion's oracle verbatim
+        "fb_from_file": _FB_EXPANSION_SQL,
+        # replay of q_inlink_join's link synthesis: each page receives two
+        # deterministic inbound anchors of 3 tokens each; tf('alpha') counts
+        # the e1-family anchors
+        "inlink_join": """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e AS (
+            SELECT (doc_id * 7 + 3) % n AS dst, 1 AS is_alpha
+            FROM documents, nn
+            UNION ALL
+            SELECT (doc_id * 13 + 1) % n, 0 FROM documents, nn),
+        agg AS (
+            SELECT dst AS doc_id, 3 * count(*) AS inlink_doclen,
+                   sum(is_alpha) AS alpha_tf
+            FROM e GROUP BY dst)
+        SELECT d.doc_id,
+            CAST(COALESCE(agg.inlink_doclen, 0) AS BIGINT) AS inlink_doclen,
+            CAST(COALESCE(agg.alpha_tf, 0) AS BIGINT) AS alpha_tf
+        FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+        """,
         "letor_core": _LETOR_CORE_SQL,
         "letor_features": _letor_features_sql(),
         "letor_rerank": _letor_rerank_sql(),
