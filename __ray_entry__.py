@@ -609,6 +609,58 @@ def q_letor_core(sf_dir: str):
     return out.rename(columns={"docid": "doc_id"}).sort_values("doc_id").reset_index(drop=True)
 
 
+def q_svmlight_roundtrip(sf_dir: str):
+    """SVM feature writer under the driver hash (LearnToRank.java:45-61
+    format ``rel qid:q i:v … # extid``): the letor_core feature table is
+    WRITTEN as SVMlight text (repr-float values — exact roundtrip, NaN
+    features omitted) with a synthesized rel map (docid % 3) and docmap
+    extids, then parsed back from the text; the parsed (extid, rel,
+    f5/f6/f7/f17) rows must match the letor_core SQL twin wrapped with the
+    same rel/extid rendering."""
+    from search_engine_framework_ray.pipelines.letor import (
+        compute_features,
+        write_svmlight,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.state.index_layout import load_docmap
+
+    idx = _docs_index(sf_dir)
+    res = run_queries(
+        idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=20
+    )
+    cand = {"q": [docid for (_, _, docid) in res["q"]]}
+    raw = compute_features(idx, [("q", " ".join(_BM25_TERMS))], cand)
+    rel = {("q", int(d)): int(d) % 3 for d in raw["docid"]}
+    _, doc2url = load_docmap(idx)
+    text = write_svmlight(raw, rel, doc2url)
+
+    rows = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        body, _, extid = line.partition(" # ")
+        parts = body.split()
+        fvals = dict(
+            p.split(":", 1) for p in parts[2:]
+        )  # parts[0]=rel, parts[1]=qid:q
+        rows.append(
+            {
+                "extid": extid,
+                "rel": int(parts[0]),
+                **{
+                    f"f{j}_micros": _micros([float(fvals[str(j)])])[0]
+                    for j in (5, 6, 7, 17)
+                },
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "extid":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("extid").reset_index(drop=True)
+
+
 def q_letor_rerank(sf_dir: str):
     """Full LeToR train→rerank flow (QryEval.java:239-258) over the derived
     four-field index: a qrels fixture (``qid 0 extid rel`` lines, read by the
@@ -3271,6 +3323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trec_roundtrip": q_trec_roundtrip,
         "fb_from_file": q_fb_from_file,
         "inlink_join": q_inlink_join,
+        "svmlight_roundtrip": q_svmlight_roundtrip,
         "syn_root_tf": q_syn_root_tf,
         "letor_features": q_letor_features,
         "letor_core": q_letor_core,
@@ -4516,6 +4569,14 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id
         """,
         "letor_core": _LETOR_CORE_SQL,
+        # SVMlight writer roundtrip: repr-float values parse back exactly,
+        # so the letor_core twin wrapped with the rel/extid rendering holds
+        "svmlight_roundtrip": f"""
+        SELECT 'doc' || printf('%010d', doc_id) AS extid,
+               CAST(doc_id % 3 AS BIGINT) AS rel,
+               f5_micros, f6_micros, f7_micros, f17_micros
+        FROM ({_LETOR_CORE_SQL}) t ORDER BY extid
+        """,
         "letor_features": _letor_features_sql(),
         "letor_rerank": _letor_rerank_sql(),
         "syn_root_tf": f"""
