@@ -364,6 +364,52 @@ def q_trec_roundtrip(sf_dir: str):
     )
 
 
+def q_cli_query(sf_dir: str):
+    """Reference main flow end-to-end through the CLI (QryEval.java:75-237):
+    a key=value param file (Sample.param format) and a ``qid:text`` query
+    file drive ``cli query`` in-process, the TREC run it writes is parsed
+    back, and the rows must hash-match the BM25 SQL ranking — param-file
+    reader, query-file reader, engine, and TREC writer all under one hash."""
+    from search_engine_framework_ray.cli import main as cli_main
+    from search_engine_framework_ray.sources.trec import read_trec_run
+
+    idx = _docs_index(sf_dir)
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/sefr_trec/cli_{key}"
+    os.makedirs(base, exist_ok=True)
+    params_path = os.path.join(base, "run.param")
+    queries_path = os.path.join(base, "queries.txt")
+    out_path = os.path.join(base, "run.trec")
+    with open(params_path, "w") as f:
+        f.write(
+            "retrievalAlgorithm=BM25\nBM25:k_1=1.2\nBM25:b=0.75\nBM25:k_3=0\n"
+        )
+    with open(queries_path, "w") as f:
+        f.write("q:" + " ".join(_BM25_TERMS) + "\n")
+    rc = cli_main(
+        [
+            "query",
+            "--index", idx,
+            "--queries", queries_path,
+            "--param-file", params_path,
+            "--out", out_path,
+            "--k", "20",
+        ]
+    )
+    assert rc == 0, f"cli query exited {rc}"
+    parsed = read_trec_run(out_path)["q"]
+    df = pd.DataFrame(
+        {
+            "extid": [e for e, _ in parsed],
+            "score_micros": _micros([s for _, s in parsed]),
+        }
+    )
+    return (
+        df.sort_values(["score_micros", "extid"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)[["extid", "score_micros"]]
+    )
+
+
 def q_fb_from_file(sf_dir: str):
     """fbInitialRankingFile path (QryExpansion.java:240-286): the Indri
     initial run is written to a TREC file, read back through
@@ -3322,6 +3368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fb_expansion": q_fb_expansion,
         "trec_roundtrip": q_trec_roundtrip,
         "fb_from_file": q_fb_from_file,
+        "cli_query": q_cli_query,
         "inlink_join": q_inlink_join,
         "svmlight_roundtrip": q_svmlight_roundtrip,
         "syn_root_tf": q_syn_root_tf,
@@ -4549,6 +4596,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # the file-fed initial ranking must reproduce the in-memory one
         # exactly → fb_expansion's oracle verbatim
         "fb_from_file": _FB_EXPANSION_SQL,
+        # the CLI main flow writes the same run the roundtrip entry checks
+        "cli_query": f"""
+        SELECT 'doc' || printf('%010d', doc_id) AS extid, score_micros
+        FROM ({_BM25_SQL}) t
+        ORDER BY score_micros DESC, extid
+        """,
         # replay of q_inlink_join's link synthesis: each page receives two
         # deterministic inbound anchors of 3 tokens each; tf('alpha') counts
         # the e1-family anchors
