@@ -2414,6 +2414,52 @@ def q_html_extract(sf_dir: str):
     )
 
 
+def q_resumable_sink(sf_dir: str):
+    """Resumable partitioned sink driver-verified (task-brief requirement:
+    partitioned output a failed run resumes, never one giant file): the
+    documents table is written one atomic Parquet partition per source
+    (fingerprint manifests), one partition is deleted to simulate a
+    mid-job crash, the rerun must SKIP every surviving partition and
+    rewrite only the victim (asserted engine-side), and the read-back
+    rows must hash-match the plain corpus SQL."""
+    import shutil
+
+    import ray.data
+
+    from search_engine_framework_ray.stages.sink import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/sefr_sink/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    def load():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+
+    rep1 = write_partitioned(load(), out, "source", sort_within_by=["doc_id"])
+    assert not rep1["skipped"].any(), "fresh write must write every partition"
+    victim = sorted(rep1["partition"].astype(str))[0]
+    shutil.rmtree(os.path.join(out, f"part={victim}"))
+    rep2 = write_partitioned(load(), out, "source", sort_within_by=["doc_id"])
+    st = rep2.assign(partition=rep2["partition"].astype(str)).set_index("partition")["skipped"]
+    assert bool(st.drop(victim).all()), "resume must skip finished partitions"
+    assert not bool(st.loc[victim]), "resume must rewrite the crashed partition"
+
+    back = read_partitioned(out).to_pandas()
+    for c in ("doc_id", "n_chars"):
+        back[c] = back[c].astype("int64")
+    return (
+        back[["doc_id", "source", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3369,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trec_roundtrip": q_trec_roundtrip,
         "fb_from_file": q_fb_from_file,
         "cli_query": q_cli_query,
+        "resumable_sink": q_resumable_sink,
         "inlink_join": q_inlink_join,
         "svmlight_roundtrip": q_svmlight_roundtrip,
         "syn_root_tf": q_syn_root_tf,
@@ -4596,6 +4643,10 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # the file-fed initial ranking must reproduce the in-memory one
         # exactly → fb_expansion's oracle verbatim
         "fb_from_file": _FB_EXPANSION_SQL,
+        # partitioned-sink roundtrip: the read-back must be the corpus
+        "resumable_sink": """
+        SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id
+        """,
         # the CLI main flow writes the same run the roundtrip entry checks
         "cli_query": f"""
         SELECT 'doc' || printf('%010d', doc_id) AS extid, score_micros
