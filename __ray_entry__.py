@@ -2460,6 +2460,76 @@ def q_resumable_sink(sf_dir: str):
     )
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (md5low64(id) % 100 buckets,
+    10/10/80) — stable under re-runs and corpus growth; SQL twin is the
+    same md5_number_lower arithmetic (stages/selection.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import split_assign
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = split_assign(ds).to_pandas()
+    for c in ("doc_id", "bucket"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "bucket", "split"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def q_chunking(sf_dir: str):
+    """Sliding-window document chunking (size 64 / stride 48 whitespace
+    tokens) for embedding pipelines; every chunk's exact text is certified
+    by an md5-low64 fingerprint the SQL twin recomputes with list slicing
+    over the same RE2 tokens (stages/packing.py chunk_documents)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.packing import chunk_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = chunk_documents(ds).to_pandas()
+    return (
+        out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)[
+            ["doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_fp"]
+        ]
+    )
+
+
+def q_text_norm(sf_dir: str):
+    """Unicode normalization pass: a decomposed-accent + control-char +
+    multi-space tail is appended to every doc (the ASCII fixture has none),
+    then NFC → control strip → whitespace collapse runs distributed and
+    the SQL twin replays the chain with nfc_normalize / regexp_replace /
+    md5_number_lower (stages/textstats.py normalize_text)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import normalize_text
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    # decomposed combining sequences (e + U+0301, i + U+0308) so NFC
+    # has real composition work, a C0 control char, whitespace runs
+    tail = "  cafe\u0301  nai\u0308ve\x07end  "
+
+    def add_tail(b):
+        b = b.copy()
+        b["text"] = b["text"].fillna("") + tail
+        return b
+
+    out = normalize_text(ds.map_batches(add_tail, batch_format="pandas")).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "norm_text", "norm_fp"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3416,6 +3486,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fb_from_file": q_fb_from_file,
         "cli_query": q_cli_query,
         "resumable_sink": q_resumable_sink,
+        "split_assign": q_split_assign,
+        "chunking": q_chunking,
+        "text_norm": q_text_norm,
         "inlink_join": q_inlink_join,
         "svmlight_roundtrip": q_svmlight_roundtrip,
         "syn_root_tf": q_syn_root_tf,
@@ -4643,6 +4716,66 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # the file-fed initial ranking must reproduce the in-memory one
         # exactly → fb_expansion's oracle verbatim
         "fb_from_file": _FB_EXPANSION_SQL,
+        # md5_number_lower % 100 replay of the deterministic split
+        "split_assign": """
+        SELECT doc_id,
+            CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 AS BIGINT)
+                AS bucket,
+            CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 10
+                     THEN 'test'
+                 WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 20
+                     THEN 'val'
+                 ELSE 'train' END AS split
+        FROM documents ORDER BY doc_id
+        """,
+        # list-slicing replay of the sliding windows; md5 certifies every
+        # chunk's exact text
+        "chunking": r"""
+        WITH l AS (
+            SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                CAST(s // 48 AS BIGINT) AS chunk_id,
+                CAST(s AS BIGINT) AS start_tok,
+                CAST(least(64, len(w) - s) AS BIGINT) AS n_tokens,
+                array_to_string(w[s + 1 : least(s + 64, len(w))], ' ') AS piece
+            FROM l, unnest(range(0, len(w), 48)) AS t(s))
+        SELECT doc_id, chunk_id, start_tok, n_tokens,
+            CAST(CASE WHEN md5_number_lower(piece)::HUGEINT
+                          >= 9223372036854775808::HUGEINT
+                 THEN md5_number_lower(piece)::HUGEINT
+                      - 18446744073709551616::HUGEINT
+                 ELSE md5_number_lower(piece)::HUGEINT END AS BIGINT)
+                AS chunk_fp
+        FROM c ORDER BY doc_id, chunk_id
+        """,
+        # NFC -> control strip -> whitespace collapse, same order as the
+        # engine; chr(769)/chr(776) are the combining accents the synthesis
+        # appends
+        "text_norm": r"""
+        WITH s0 AS (
+            SELECT doc_id,
+                text || '  cafe' || chr(769) || '  nai' || chr(776)
+                     || 've' || chr(7) || 'end  ' AS t
+            FROM documents),
+        n1 AS (SELECT doc_id, nfc_normalize(t) AS t FROM s0),
+        n2 AS (
+            SELECT doc_id,
+                regexp_replace(t, '[\x00-\x08\x0e-\x1f\x7f]', '', 'g') AS t
+            FROM n1),
+        n3 AS (
+            SELECT doc_id,
+                trim(regexp_replace(t, '[ \t\n\r\f\v]+', ' ', 'g')) AS t
+            FROM n2)
+        SELECT doc_id, t AS norm_text,
+            CAST(CASE WHEN md5_number_lower(t)::HUGEINT
+                          >= 9223372036854775808::HUGEINT
+                 THEN md5_number_lower(t)::HUGEINT
+                      - 18446744073709551616::HUGEINT
+                 ELSE md5_number_lower(t)::HUGEINT END AS BIGINT) AS norm_fp
+        FROM n3 ORDER BY doc_id
+        """,
         # partitioned-sink roundtrip: the read-back must be the corpus
         "resumable_sink": """
         SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id

@@ -101,3 +101,58 @@ def pack_documents(
         )
 
     return cnt.groupby("bucket").map_groups(label, batch_format="pandas")
+
+
+def chunk_documents(
+    ds,
+    *,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window document chunking for embedding / training pipelines
+    → (id, chunk_id, start_tok, n_tokens, chunk_fp): windows of ``size``
+    whitespace tokens every ``stride`` (overlap = size − stride), the last
+    window truncated at the document end; ``chunk_fp`` is the md5-low64
+    signed fingerprint of the space-joined chunk text, so a DuckDB twin
+    (list slicing over the same RE2 tokens + ``md5_number_lower``)
+    certifies every chunk's exact content.
+
+    Pure streaming map over batches; per-chunk work is O(chunk bytes) —
+    the unavoidable cost of materializing chunk text (same class as any
+    re-serialization). A chunkless empty document emits no rows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from .textstats import RE2_TOKEN_RE
+
+    def chunk(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc": [], "chunk_id": [], "start_tok": [], "n_tokens": [], "chunk_fp": []}
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            toks = RE2_TOKEN_RE.findall(t)
+            n = len(toks)
+            for c, s in enumerate(range(0, n, stride)):
+                piece = " ".join(toks[s : s + size])
+                v = int.from_bytes(
+                    hashlib.md5(piece.encode("utf-8", "surrogatepass")).digest()[8:],
+                    "little",
+                )
+                out["doc"].append(int(i))
+                out["chunk_id"].append(c)
+                out["start_tok"].append(s)
+                out["n_tokens"].append(min(size, n - s))
+                out["chunk_fp"].append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out["doc"], dtype="int64"),
+                "chunk_id": pd.Series(out["chunk_id"], dtype="int64"),
+                "start_tok": pd.Series(out["start_tok"], dtype="int64"),
+                "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                "chunk_fp": pd.Series(out["chunk_fp"], dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")

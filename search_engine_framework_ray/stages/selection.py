@@ -423,3 +423,35 @@ def feature_corr(ds: Dataset, cols: list[str]) -> pd.DataFrame:
         }
     )
     return out.sort_values(["feat_x", "feat_y"]).reset_index(drop=True)
+
+
+def split_assign(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    test_pct: int = 10,
+    val_pct: int = 10,
+) -> Dataset:
+    """Deterministic train/val/test assignment → (id, bucket, split):
+    ``bucket = md5low64(str(id)) % 100`` (DuckDB ``md5_number_lower``
+    byte-for-byte, so the draw is SQL-verifiable and exactly replayable),
+    buckets [0, test_pct) → test, [test_pct, test_pct+val_pct) → val,
+    rest → train. Pure streaming map — the standard corpus-split primitive
+    (stable under reshuffles, re-runs, and corpus growth: a document's
+    split never changes)."""
+    from .dedup import _md5_hash64
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].astype("int64")
+        h = np.fromiter(
+            (_md5_hash64(str(int(i))) for i in ids), dtype=np.uint64, count=len(b)
+        )
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.select(
+            [bucket < test_pct, bucket < test_pct + val_pct],
+            ["test", "val"],
+            default="train",
+        )
+        return pd.DataFrame({id_col: ids.to_numpy(), "bucket": bucket, "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")

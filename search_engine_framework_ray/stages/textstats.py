@@ -187,3 +187,45 @@ def fingerprint(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         fps.append(v - (1 << 64) if v >= (1 << 63) else v)
     out["fingerprint"] = np.array(fps, dtype=np.int64)
     return out
+
+
+def normalize_text(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Unicode text normalization pass → (id, norm_text, norm_fp):
+    NFC-normalize (combining sequences compose), strip C0 control chars
+    (except the whitespace class, which the next step owns), collapse
+    whitespace runs to single spaces, strip ends. ``norm_fp`` is the
+    md5-low64 signed fingerprint of the normalized text — DuckDB replays
+    the chain with ``nfc_normalize`` + ``regexp_replace`` +
+    ``md5_number_lower``, so every byte of the rewrite is verifiable."""
+    import hashlib
+    import unicodedata
+
+    _CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].astype("int64").to_numpy()
+        outs, fps = [], []
+        for t in b[text_col].fillna(""):
+            s = unicodedata.normalize("NFC", t)
+            s = _CTRL_RE.sub("", s)
+            s = _WS_NORM_RE.sub(" ", s).strip()
+            outs.append(s)
+            v = int.from_bytes(
+                hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()[8:],
+                "little",
+            )
+            fps.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "norm_text": pd.Series(outs, dtype="object"),
+                "norm_fp": pd.Series(fps, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pandas")
