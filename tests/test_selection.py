@@ -261,3 +261,28 @@ def test_feature_corr_zero_variance_is_zero(ray_session):
     df = pd.DataFrame({"k": np.full(50, 7), "v": np.arange(50)})
     got = feature_corr(_mk_docs(df), ["k", "v"])
     assert int(got.loc[0, "corr_micros"]) == 0
+
+
+def test_split_assign_deterministic_and_bounded(ray_session):
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import split_assign
+
+    df = pd.DataFrame({"doc_id": range(200)})
+    ds = ray.data.from_pandas([df.iloc[:100], df.iloc[100:].reset_index(drop=True)])
+    out = split_assign(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out2 = split_assign(ray.data.from_pandas(df)).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert out.equals(out2)  # block layout must not change assignments
+    # bucket is md5-low64 % 100 of the stringified id
+    h0 = int.from_bytes(hashlib.md5(b"0").digest()[8:], "little") % 100
+    assert int(out.loc[0, "bucket"]) == h0
+    assert set(out["split"]) == {"train", "val", "test"}
+    assert ((out["bucket"] < 10) == (out["split"] == "test")).all()
+    assert (
+        ((out["bucket"] >= 10) & (out["bucket"] < 20)) == (out["split"] == "val")
+    ).all()

@@ -1202,3 +1202,49 @@ def test_rollup_counts_levels(ray_session):
     assert row("s2", "(all)") == (24, 2)
     assert row("(all)", "(all)") == (31, 5)
     assert len(out) == 4 + 2 + 1
+
+
+def test_chunk_documents_windows(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [text, "a b", ""]})
+    out = (
+        chunk_documents(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [0, 48, 96]
+    assert d1["n_tokens"].tolist() == [64, 52, 4]
+    d2 = out[out["doc_id"] == 2]
+    assert d2["n_tokens"].tolist() == [2]
+    assert (out["doc_id"] == 3).sum() == 0  # empty doc emits no chunks
+    # overlapping windows share tokens → different fingerprints
+    assert d1["chunk_fp"].nunique() == 3
+
+
+def test_normalize_text_rules(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import normalize_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["café  x\x07y\tz ", "  plain  text  "],
+        }
+    )
+    out = (
+        normalize_text(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "norm_text"] == "café xy z"
+    assert out.loc[1, "norm_text"] == "plain text"
