@@ -1390,6 +1390,30 @@ def q_ann_cosine_topk(sf_dir: str):
     return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
 
 
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered vector search (the production ANN pattern: a
+    predicate narrows the candidate set BEFORE any scoring): brute-force
+    cosine top-10 among label=3 vectors only, the filter applied per batch
+    upstream of the matmul so non-matching vectors never reach the scoring
+    kernel. SQL twin adds the same WHERE."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float32,
+    )
+    ds = ray.data.read_parquet(path).map_batches(
+        lambda b: b[b["label"] == 3], batch_format="pandas"
+    )
+    out = brute_force_topk(ds, q, k=10)
+    out["cosine_micros"] = _micros(out["score"])
+    return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
+
+
 def q_ann_sq_topk(sf_dir: str):
     """Scalar-quantized (SQ8) ANN: per-dim (lo,hi) minmax pass → uint8
     codes (4× less scan bandwidth than f32 — the memory-bound scale
@@ -3504,6 +3528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_filtered": q_ann_filtered,
         "knn_join": q_knn_join,
         "source_centroids": q_source_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4954,6 +4979,23 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             LEFT JOIN inter i ON i.a = ca.doc_id
             WHERE ca.doc_id % 2 = 0
             ORDER BY a
+        """,
+        "ann_filtered": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(qe AS DOUBLE[]) FROM q)) AS cos
+                FROM embeddings WHERE label = 3
+            ),
+            ranked AS (
+                SELECT vec_id, cos,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT rank, vec_id,
+                   CAST(round(cos * 1000000) AS BIGINT) AS cosine_micros
+            FROM ranked WHERE rank <= 10 ORDER BY rank
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
