@@ -386,16 +386,20 @@ def q_cli_query(sf_dir: str):
         )
     with open(queries_path, "w") as f:
         f.write("q:" + " ".join(_BM25_TERMS) + "\n")
-    rc = cli_main(
-        [
-            "query",
-            "--index", idx,
-            "--queries", queries_path,
-            "--param-file", params_path,
-            "--out", out_path,
-            "--k", "20",
-        ]
-    )
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):  # CLI status JSON line
+        rc = cli_main(
+            [
+                "query",
+                "--index", idx,
+                "--queries", queries_path,
+                "--param-file", params_path,
+                "--out", out_path,
+                "--k", "20",
+            ]
+        )
     assert rc == 0, f"cli query exited {rc}"
     parsed = read_trec_run(out_path)["q"]
     df = pd.DataFrame(
@@ -467,6 +471,11 @@ def _inlink_index(sf_dir: str) -> str:
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n = _pq.read_metadata(docs_path).num_rows
     if not os.path.exists(os.path.join(corpus, "_done")):
+        # a synthesis that crashed mid-write leaves partial parquet parts;
+        # a blind re-write would ADD files beside them (duplicate rows)
+        import shutil
+
+        shutil.rmtree(corpus, ignore_errors=True)
         ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
 
         def synth(b, n=n):

@@ -157,7 +157,9 @@ def crawl_delta(
 
     Both inputs are already narrow ``(key, fp)`` tables — fingerprint the
     crawls upstream (``textstats.fingerprint_md5``) so document text never
-    enters this operator. Shape: tag each side, union, ONE co-partition
+    enters this operator. Keys must be unique within each crawl
+    (canonicalize + dedup upstream); a duplicate key fails loudly in the
+    per-bucket reindex rather than silently picking one capture. Shape: tag each side, union, ONE co-partition
     bucket shuffle on the key hash, then a vectorized per-bucket
     reindex/compare — the same tagged-union pattern as the as-of join
     (``stages/join.py``), so neither crawl is ever broadcast or pulled to
