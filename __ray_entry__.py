@@ -2563,6 +2563,112 @@ def q_text_norm(sf_dir: str):
     )
 
 
+def q_mm_resize(sf_dir: str):
+    """Image-resize plumbing under the driver hash: an 8×8 pixel grid is
+    synthesized per doc from a pure integer formula (px[i] =
+    (doc_id·31 + i) % 251 — SQL-replayable, no fake RNG), the REAL
+    ResizeImageStage actor pool area-pools it to 4×4 (exact 2×2 block
+    means — integer sums ≤ 1004, so f32 arithmetic is exact), and the
+    exploded (doc_id, r, c, v_micros) rows must match the closed-form SQL
+    (stages/multimodal.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import ResizeImageStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def synth_px(b):
+        ids = b["doc_id"].astype("int64").to_numpy()
+        px = ((ids[:, None] * 31 + np.arange(64)[None, :]) % 251).astype(np.float32)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "pixels": [row.tolist() for row in px],
+                "px_h": np.int32(8),
+                "px_w": np.int32(8),
+            }
+        )
+
+    small = ds.map_batches(synth_px, batch_format="pandas").map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"out_size": (4, 4)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def explode(b):
+        rows = {"doc_id": [], "r": [], "c": [], "v_micros": []}
+        for i, p in zip(b["doc_id"], b["pixels"]):
+            v = np.asarray(p.as_py(), dtype=np.float64).reshape(4, 4)
+            for r in range(4):
+                for c in range(4):
+                    rows["doc_id"].append(int(i.as_py()))
+                    rows["r"].append(r)
+                    rows["c"].append(c)
+                    rows["v_micros"].append(
+                        int(np.floor(v[r, c] * 1e6 + 0.5))
+                    )
+        return pd.DataFrame(
+            {k: pd.Series(vals, dtype="int64") for k, vals in rows.items()}
+        )
+
+    out = small.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "r", "c"]).reset_index(drop=True)
+
+
+def q_mm_audio(sf_dir: str):
+    """Audio frame-sampling plumbing under the driver hash: a 64-byte
+    payload per doc from a pure byte formula ((doc_id + j) % 256), the
+    REAL AudioFrameSampleStage actor pool computes 16 frame energies
+    (4-byte window means — exact in f32), exploded and hash-checked
+    against the closed-form SQL (stages/multimodal.py)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import AudioFrameSampleStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def synth_payload(b):
+        ids = b["doc_id"].astype("int64").to_numpy()
+        payloads = [
+            bytes(int((i + j) % 256) for j in range(64)) for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    framed = ds.map_batches(synth_payload, batch_format="pandas").map_batches(
+        AudioFrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def explode(b):
+        rows = {"doc_id": [], "frame": [], "energy_micros": []}
+        for i, e in zip(b["doc_id"], b["frame_energy"]):
+            for f, v in enumerate(e.as_py()):
+                rows["doc_id"].append(int(i.as_py()))
+                rows["frame"].append(f)
+                rows["energy_micros"].append(int(np.floor(float(v) * 1e6 + 0.5)))
+        return pd.DataFrame(
+            {k: pd.Series(vals, dtype="int64") for k, vals in rows.items()}
+        )
+
+    out = framed.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "frame"]).reset_index(drop=True)
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3578,6 +3684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
         "mm_meta": q_mm_meta,
+        "mm_resize": q_mm_resize,
+        "mm_audio": q_mm_audio,
         "domain_mix": q_domain_mix,
         "feature_corr": q_feature_corr,
         "delta_bm25": q_delta_bm25,
@@ -4809,6 +4917,40 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                       - 18446744073709551616::HUGEINT
                  ELSE md5_number_lower(t)::HUGEINT END AS BIGINT) AS norm_fp
         FROM n3 ORDER BY doc_id
+        """,
+        # closed-form replay of the 8x8 -> 4x4 exact area pooling over the
+        # formula-synthesized pixel grid
+        "mm_resize": """
+        WITH grid AS (
+            SELECT doc_id, r, c
+            FROM documents, unnest(range(0, 4)) t1(r),
+                 unnest(range(0, 4)) t2(c)),
+        vals AS (
+            SELECT doc_id, r, c,
+                ( ((doc_id * 31 + (2 * r) * 8 + 2 * c) % 251)
+                + ((doc_id * 31 + (2 * r) * 8 + 2 * c + 1) % 251)
+                + ((doc_id * 31 + (2 * r + 1) * 8 + 2 * c) % 251)
+                + ((doc_id * 31 + (2 * r + 1) * 8 + 2 * c + 1) % 251)
+                ) / 4.0 AS v
+            FROM grid)
+        SELECT doc_id, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+            CAST(round(v * 1000000) AS BIGINT) AS v_micros
+        FROM vals ORDER BY doc_id, r, c
+        """,
+        # closed-form replay of the 4-byte-window frame energies over the
+        # formula-synthesized payload
+        "mm_audio": """
+        WITH fr AS (
+            SELECT doc_id, f FROM documents, unnest(range(0, 16)) t(f)),
+        vals AS (
+            SELECT doc_id, f,
+                ( ((doc_id + 4 * f) % 256) + ((doc_id + 4 * f + 1) % 256)
+                + ((doc_id + 4 * f + 2) % 256) + ((doc_id + 4 * f + 3) % 256)
+                ) / 4.0 AS v
+            FROM fr)
+        SELECT doc_id, CAST(f AS BIGINT) AS frame,
+            CAST(round(v * 1000000) AS BIGINT) AS energy_micros
+        FROM vals ORDER BY doc_id, frame
         """,
         # partitioned-sink roundtrip: the read-back must be the corpus
         "resumable_sink": """
