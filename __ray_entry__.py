@@ -2669,6 +2669,57 @@ def q_mm_audio(sf_dir: str):
     return out.sort_values(["doc_id", "frame"]).reset_index(drop=True)
 
 
+def q_mm_video(sf_dir: str):
+    """Video frame-sampling plumbing under the driver hash: 128-byte
+    payloads from the (doc_id + j) % 256 formula through the REAL
+    VideoFrameSampleStage actor pool (4 uniform-stride frame stripes ×
+    16 two-byte window means, exact in f32), exploded to
+    (doc_id, frame_idx, dim, v_micros) and hash-checked against the
+    closed-form SQL (stages/multimodal.py)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import VideoFrameSampleStage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def synth_payload(b):
+        ids = b["doc_id"].astype("int64").to_numpy()
+        payloads = [bytes(int((i + j) % 256) for j in range(128)) for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    framed = ds.map_batches(synth_payload, batch_format="pandas").map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"n_frames": 4, "feat_dim": 16},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+
+    def explode(b):
+        rows = {"doc_id": [], "frame_idx": [], "dim": [], "v_micros": []}
+        for i, f, feat in zip(b["doc_id"], b["frame_idx"], b["feature"]):
+            for k, v in enumerate(feat.as_py()):
+                rows["doc_id"].append(int(i.as_py()))
+                rows["frame_idx"].append(int(f.as_py()))
+                rows["dim"].append(k)
+                rows["v_micros"].append(int(np.floor(float(v) * 1e6 + 0.5)))
+        return pd.DataFrame(
+            {k: pd.Series(vals, dtype="int64") for k, vals in rows.items()}
+        )
+
+    out = framed.map_batches(explode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "frame_idx", "dim"]).reset_index(drop=True)
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3686,6 +3737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
+        "mm_video": q_mm_video,
         "domain_mix": q_domain_mix,
         "feature_corr": q_feature_corr,
         "delta_bm25": q_delta_bm25,
@@ -4951,6 +5003,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         SELECT doc_id, CAST(f AS BIGINT) AS frame,
             CAST(round(v * 1000000) AS BIGINT) AS energy_micros
         FROM vals ORDER BY doc_id, frame
+        """,
+        # closed-form replay of the uniform-stride frame stripes: feature
+        # k of frame f = mean of payload bytes (doc_id+f+8k)%256 and
+        # (doc_id+f+8k+4)%256
+        "mm_video": """
+        WITH fr AS (
+            SELECT doc_id, f, k
+            FROM documents, unnest(range(0, 4)) t1(f),
+                 unnest(range(0, 16)) t2(k)),
+        vals AS (
+            SELECT doc_id, f, k,
+                ( ((doc_id + f + 8 * k) % 256)
+                + ((doc_id + f + 8 * k + 4) % 256) ) / 2.0 AS v
+            FROM fr)
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+            CAST(k AS BIGINT) AS dim,
+            CAST(round(v * 1000000) AS BIGINT) AS v_micros
+        FROM vals ORDER BY doc_id, frame_idx, dim
         """,
         # partitioned-sink roundtrip: the read-back must be the corpus
         "resumable_sink": """
