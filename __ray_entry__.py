@@ -2720,6 +2720,59 @@ def q_mm_video(sf_dir: str):
     return out.sort_values(["doc_id", "frame_idx", "dim"]).reset_index(drop=True)
 
 
+def q_robots_filter(sf_dir: str):
+    """Robots.txt allow/deny pass: per-host robots text is synthesized
+    (comments, an other-agent group that must be ignored, two Disallow
+    rules), parsed by the REAL parser, broadcast (hosts ≪ pages), and
+    applied as a vectorized path-prefix check. Host list is gathered with
+    a distributed ``Dataset.unique`` — at web scale the robots corpus is
+    the small side by construction. SQL twin states the closed-form deny
+    condition (stages/web.py parse_robots / robots_filter)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.web import robots_filter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    hosts = ds.unique("source")
+    robots_by_host = {
+        f"{s}.example.com": (
+            "# crawl rules\n"
+            "User-agent: badbot\n"
+            "Disallow: /\n"
+            "\n"
+            "User-agent: *\n"
+            f"Disallow: /p/{int(s[3:]) % 7}\n"
+            "Disallow: /q/\n"
+        )
+        for s in hosts
+    }
+
+    def add_url(b):
+        d = b["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": d.to_numpy(),
+                "host": (b["source"] + ".example.com").to_numpy(object),
+                "path": ("/p/" + (d % 10).astype(str) + "/x" + d.astype(str)).to_numpy(
+                    object
+                ),
+            }
+        )
+
+    out = robots_filter(
+        ds.map_batches(add_url, batch_format="pandas"), robots_by_host
+    ).to_pandas()
+    for c in ("doc_id", "allowed"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "host", "path", "allowed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_crawl_delta(sf_dir: str):
     """Dump-over-dump crawl diff: two crawls are synthesized from the
     documents table (old drops doc_id%10==0, new drops %10==1 and rewrites
@@ -3729,6 +3782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical": q_url_canonical,
         "host_cap": q_host_cap,
         "crawl_delta": q_crawl_delta,
+        "robots_filter": q_robots_filter,
         "build_manifest": q_build_manifest,
         "html_extract": q_html_extract,
         "weighted_sample": q_weighted_sample,
@@ -5021,6 +5075,17 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(k AS BIGINT) AS dim,
             CAST(round(v * 1000000) AS BIGINT) AS v_micros
         FROM vals ORDER BY doc_id, frame_idx, dim
+        """,
+        # closed-form deny condition of the synthesized robots rules: path
+        # /p/{doc_id%10}/... is disallowed when doc_id%10 == host_k%7
+        "robots_filter": """
+        SELECT doc_id,
+            source || '.example.com' AS host,
+            '/p/' || (doc_id % 10) || '/x' || doc_id AS path,
+            CAST(CASE WHEN (doc_id % 10)
+                          = (CAST(substr(source, 4) AS BIGINT) % 7)
+                 THEN 0 ELSE 1 END AS BIGINT) AS allowed
+        FROM documents ORDER BY doc_id
         """,
         # partitioned-sink roundtrip: the read-back must be the corpus
         "resumable_sink": """

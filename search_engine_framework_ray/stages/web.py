@@ -143,6 +143,70 @@ def url_canonical_dedup(
     )
 
 
+def parse_robots(text: str, agent: str = "*") -> list[str]:
+    """Minimal robots.txt parser → the Disallow path-prefixes applying to
+    ``agent`` (exact-token match; the conventional subset: comments, blank
+    lines, User-agent grouping where consecutive UA lines share one rule
+    block, empty Disallow = no restriction). Returns prefixes in file
+    order."""
+    rules: list[str] = []
+    active = False  # current group applies to `agent`
+    in_ua_run = True  # consecutive User-agent lines extend the group header
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_ua_run:  # a new group header starts
+                active = False
+                in_ua_run = True
+            active = active or val == agent
+        else:
+            in_ua_run = False
+            if key == "disallow" and active and val:
+                rules.append(val)
+    return rules
+
+
+def robots_filter(
+    ds: Dataset,
+    robots_by_host: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> Dataset:
+    """Robots allow/deny pass → rows + ``allowed`` (1/0): a url is denied
+    when its path starts with any of its host's Disallow prefixes.
+
+    ``robots_by_host`` (host → robots.txt text) is parsed ONCE on the
+    driver and the compiled prefix lists are broadcast via ``ray.put`` —
+    the canonical small-side pattern (hosts ≪ pages); the per-batch check
+    is a vectorized ``str.startswith`` per (host, prefix) group, never a
+    per-row Python loop over rules."""
+    import ray as _ray
+
+    compiled = {h: tuple(parse_robots(t)) for h, t in robots_by_host.items()}
+    ref = _ray.put(compiled)
+
+    def check(b: pd.DataFrame) -> pd.DataFrame:
+        rules = _ray.get(ref)
+        b = b.copy()
+        allowed = np.ones(len(b), dtype=np.int64)
+        paths = b[path_col].astype(str)
+        for h, g in b.groupby(host_col, sort=False):
+            for pref in rules.get(h, ()):
+                hit = paths.loc[g.index].str.startswith(pref)
+                allowed[b.index.get_indexer(g.index[hit])] = 0
+        b["allowed"] = allowed
+        return b
+
+    return ds.map_batches(check, batch_format="pandas")
+
+
 def crawl_delta(
     old_ds: Dataset,
     new_ds: Dataset,

@@ -135,3 +135,46 @@ def test_crawl_delta_statuses_and_large_fp(ray_session):
     assert out["status"].tolist() == ["removed", "unchanged", "changed", "added"]
     assert out["old_fp"].tolist() == [big, 7, 9, -1]
     assert out["new_fp"].tolist() == [-1, 7, 10, big + 1]
+
+
+def test_parse_robots_grouping():
+    from search_engine_framework_ray.stages.web import parse_robots
+
+    text = (
+        "# comment\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: a\n"
+        "User-agent: *\n"   # consecutive UA lines share one group
+        "Disallow: /p/3\n"
+        "Disallow: /q/\n"
+        "\n"
+        "User-agent: c\n"
+        "Disallow: /z\n"
+        "Disallow:\n"       # empty value = no restriction
+    )
+    assert parse_robots(text) == ["/p/3", "/q/"]
+    assert parse_robots(text, agent="badbot") == ["/"]
+    assert parse_robots(text, agent="c") == ["/z"]
+
+
+def test_robots_filter_prefix_semantics(ray_session):
+    from search_engine_framework_ray.stages.web import robots_filter
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "host": ["h1", "h1", "h2", "h1"],
+            "path": ["/p/3/x", "/p/31", "/p/3/x", "/a"],
+        }
+    )
+    robots = {"h1": "User-agent: *\nDisallow: /p/3\n"}  # h2 has no robots
+    out = (
+        robots_filter(_two_block_ds(df), robots)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # prefix match: /p/3 denies /p/3/x AND /p/31; h2 unaffected
+    assert out["allowed"].tolist() == [0, 0, 1, 1]
