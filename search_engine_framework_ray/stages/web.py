@@ -192,15 +192,23 @@ def robots_filter(
     compiled = {h: tuple(parse_robots(t)) for h, t in robots_by_host.items()}
     ref = _ray.put(compiled)
 
+    max_rules = max((len(r) for r in compiled.values()), default=0)
+
     def check(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over ROWS per rule-INDEX (not per host — a batch can
+        # span thousands of hosts and a per-host loop is overhead-bound):
+        # rule i of each row's host is gathered into one array and matched
+        # elementwise with np.char.find(path, prefix) == 0 (a prefix no
+        # path starts with stands in where a host has < i rules (NUL would collapse to "" in numpy U-dtype and match everything))
         rules = _ray.get(ref)
         b = b.copy()
         allowed = np.ones(len(b), dtype=np.int64)
-        paths = b[path_col].astype(str)
-        for h, g in b.groupby(host_col, sort=False):
-            for pref in rules.get(h, ()):
-                hit = paths.loc[g.index].str.startswith(pref)
-                allowed[b.index.get_indexer(g.index[hit])] = 0
+        paths = b[path_col].astype(str).to_numpy(dtype="U")
+        hosts = b[host_col].astype(str)
+        for i in range(max_rules):
+            pref_of = {h: r[i] for h, r in rules.items() if len(r) > i}
+            pref = hosts.map(pref_of).fillna("\x01").to_numpy(dtype="U")
+            allowed[np.char.find(paths, pref) == 0] = 0
         b["allowed"] = allowed
         return b
 
