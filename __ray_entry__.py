@@ -2720,6 +2720,30 @@ def q_mm_video(sf_dir: str):
     return out.sort_values(["doc_id", "frame_idx", "dim"]).reset_index(drop=True)
 
 
+def q_spell_correct(sf_dir: str):
+    """Query spelling correction ("did you mean"): SymSpell deletes-variant
+    prefilter over ONE streaming pass of the index termstats store (the
+    vocabulary never leaves the cluster; sharing a 1-delete variant is
+    necessary for distance ≤ 1, so the prefilter only over-selects), exact
+    Levenshtein verify + (distance, ctf desc, term) ranking on the small
+    candidate set. SQL twin is DuckDB's levenshtein over the corpus
+    vocabulary (query/spell.py)."""
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import spell_suggest
+
+    idx = _docs_index(sf_dir)
+    ts = ray.data.read_parquet(os.path.join(idx, "termstats"))
+    out = spell_suggest(ts, ["spork", "joib", "join"], k=3)
+    for c in ("rank", "distance", "ctf"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["qtoken", "rank", "suggestion", "distance", "ctf"]]
+        .sort_values(["qtoken", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def q_robots_filter(sf_dir: str):
     """Robots.txt allow/deny pass: per-host robots text is synthesized
     (comments, an other-agent group that must be ignored, two Disallow
@@ -3783,6 +3807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cap": q_host_cap,
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
+        "spell_correct": q_spell_correct,
         "build_manifest": q_build_manifest,
         "html_extract": q_html_extract,
         "weighted_sample": q_weighted_sample,
@@ -5076,6 +5101,26 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(round(v * 1000000) AS BIGINT) AS v_micros
         FROM vals ORDER BY doc_id, frame_idx, dim
         """,
+        # exact levenshtein over the corpus vocabulary — the engine's
+        # deletes prefilter must over-select only, never drop a candidate
+        "spell_correct": f"""
+        {{toks}}
+        , vocab AS (
+            SELECT tok AS term, count(*)::BIGINT AS ctf FROM toks GROUP BY tok),
+        q(qtoken) AS (VALUES ('spork'), ('joib'), ('join')),
+        cand AS (
+            SELECT q.qtoken, v.term, v.ctf,
+                CAST(levenshtein(q.qtoken, v.term) AS BIGINT) AS distance
+            FROM q CROSS JOIN vocab v
+            WHERE levenshtein(q.qtoken, v.term) <= 1),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY qtoken ORDER BY distance, ctf DESC, term) AS rank
+            FROM cand)
+        SELECT qtoken, CAST(rank AS BIGINT) AS rank, term AS suggestion,
+               distance, ctf
+        FROM ranked WHERE rank <= 3 ORDER BY qtoken, rank
+        """.format(toks=_TOKS),
         # closed-form deny condition of the synthesized robots rules: path
         # /p/{doc_id%10}/... is disallowed when doc_id%10 == host_k%7
         "robots_filter": """

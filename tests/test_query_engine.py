@@ -309,3 +309,35 @@ def test_il_cache_single_composite_eval(engine):
         ["qid", "score", "docid"], ignore_index=True
     ) if len(df) else df
     assert pd_sorted(out_cached).equals(pd_sorted(out_plain))
+
+
+def test_spell_suggest_semantics(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import levenshtein, spell_suggest
+
+    # transposition is distance 2 under plain levenshtein — the deletes
+    # prefilter shares a variant ('ab'/'ba' both delete to 'a','b') but the
+    # exact verify must reject it
+    assert levenshtein("ab", "ba") == 2
+    vocab = pd.DataFrame(
+        {
+            "field": ["body"] * 4 + ["title"],
+            "term": ["hello", "help", "hell", "ba", "helx"],
+            "df": [1] * 5,
+            "ctf": [100, 50, 200, 1, 999],
+        }
+    )
+    ts = ray.data.from_pandas([vocab.iloc[:3], vocab.iloc[3:].reset_index(drop=True)])
+    out = spell_suggest(ts, ["helo", "ab"], k=2)
+    helo = out[out["qtoken"] == "helo"]
+    # 'hell'(200), 'hello'(100), 'help'(50) all at distance 1 → ctf order
+    assert helo["suggestion"].tolist() == ["hell", "hello"]
+    assert helo["distance"].tolist() == [1, 1]
+    # title-field 'helx' (distance 1, huge ctf) must be excluded: the
+    # suggester reads the requested field's vocabulary only
+    assert "helx" not in out["suggestion"].tolist()
+    # 'ab' shares delete variants with 'ba' but the exact verify rejects
+    # the transposition (distance 2) → no suggestions at all
+    assert (out["qtoken"] == "ab").sum() == 0
