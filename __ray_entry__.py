@@ -2744,6 +2744,27 @@ def q_spell_correct(sf_dir: str):
     )
 
 
+def q_prefix_suggest(sf_dir: str):
+    """Search-box autocomplete: top-5 vocabulary completions per prefix by
+    (ctf desc, term asc), one streaming termstats pass with per-batch
+    local top-k combiners (query/spell.py prefix_suggest). SQL twin is a
+    LIKE + row_number window over the corpus vocabulary."""
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import prefix_suggest
+
+    idx = _docs_index(sf_dir)
+    ts = ray.data.read_parquet(os.path.join(idx, "termstats"))
+    out = prefix_suggest(ts, ["s", "jo", "win"], k=5)
+    for c in ("rank", "ctf"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["prefix", "rank", "suggestion", "ctf"]]
+        .sort_values(["prefix", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def q_robots_filter(sf_dir: str):
     """Robots.txt allow/deny pass: per-host robots text is synthesized
     (comments, an other-agent group that must be ignored, two Disallow
@@ -3808,6 +3829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
         "spell_correct": q_spell_correct,
+        "prefix_suggest": q_prefix_suggest,
         "build_manifest": q_build_manifest,
         "html_extract": q_html_extract,
         "weighted_sample": q_weighted_sample,
@@ -5101,6 +5123,22 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(round(v * 1000000) AS BIGINT) AS v_micros
         FROM vals ORDER BY doc_id, frame_idx, dim
         """,
+        # LIKE + window replay of autocomplete over the corpus vocabulary
+        "prefix_suggest": f"""
+        {{toks}}
+        , vocab AS (
+            SELECT tok AS term, count(*)::BIGINT AS ctf FROM toks GROUP BY tok),
+        q(prefix) AS (VALUES ('s'), ('jo'), ('win')),
+        cand AS (
+            SELECT q.prefix, v.term, v.ctf
+            FROM q JOIN vocab v ON v.term LIKE q.prefix || '%'),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY prefix ORDER BY ctf DESC, term) AS rank
+            FROM cand)
+        SELECT prefix, CAST(rank AS BIGINT) AS rank, term AS suggestion, ctf
+        FROM ranked WHERE rank <= 5 ORDER BY prefix, rank
+        """.format(toks=_TOKS),
         # exact levenshtein over the corpus vocabulary — the engine's
         # deletes prefilter must over-select only, never drop a candidate
         "spell_correct": f"""

@@ -106,3 +106,52 @@ def spell_suggest(
                 }
             )
     return pd.DataFrame(rows)
+
+
+def prefix_suggest(
+    termstats_ds,
+    prefixes: list[str],
+    *,
+    field: str = "body",
+    k: int = 5,
+) -> pd.DataFrame:
+    """Search-box autocomplete → (prefix, rank, suggestion, ctf): top-``k``
+    vocabulary completions per prefix ranked (ctf desc, term asc). One
+    streaming termstats pass with a per-batch local top-k combiner per
+    prefix (k·n_prefixes·n_batches candidate rows cross, never the
+    vocabulary)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["field"] == field]
+        rows = []
+        if len(b):
+            terms = b["term"].astype(str)
+            for p in prefixes:
+                m = b[terms.str.startswith(p)]
+                m = m.sort_values(
+                    ["ctf", "term"], ascending=[False, True], kind="mergesort"
+                ).head(k)
+                for t, c in zip(m["term"], m["ctf"]):
+                    rows.append({"prefix": p, "suggestion": t, "ctf": int(c)})
+        return pd.DataFrame(
+            rows,
+            columns=["prefix", "suggestion", "ctf"],
+        ).astype({"ctf": "int64"}) if rows else pd.DataFrame(
+            {
+                "prefix": pd.Series(dtype="object"),
+                "suggestion": pd.Series(dtype="object"),
+                "ctf": pd.Series(dtype="int64"),
+            }
+        )
+
+    cand = termstats_ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = []
+    for p in prefixes:
+        m = cand[cand["prefix"] == p].sort_values(
+            ["ctf", "suggestion"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        m = m.reset_index(drop=True)
+        m["rank"] = np.arange(1, len(m) + 1, dtype=np.int64)
+        out.append(m)
+    res = pd.concat(out, ignore_index=True) if out else cand
+    return res[["prefix", "rank", "suggestion", "ctf"]]

@@ -341,3 +341,25 @@ def test_spell_suggest_semantics(ray_session):
     # 'ab' shares delete variants with 'ba' but the exact verify rejects
     # the transposition (distance 2) → no suggestions at all
     assert (out["qtoken"] == "ab").sum() == 0
+
+
+def test_prefix_suggest_ranking(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import prefix_suggest
+
+    vocab = pd.DataFrame(
+        {
+            "field": ["body"] * 4 + ["title"],
+            "term": ["hello", "help", "hero", "zebra", "heXtitle"],
+            "df": [1] * 5,
+            "ctf": [10, 50, 30, 99, 999],
+        }
+    )
+    ts = ray.data.from_pandas([vocab.iloc[:2], vocab.iloc[2:].reset_index(drop=True)])
+    out = prefix_suggest(ts, ["he"], k=2)
+    # top-2 by ctf among body terms with the prefix, across blocks;
+    # title-field heXtitle excluded
+    assert out["suggestion"].tolist() == ["help", "hero"]
+    assert out["rank"].tolist() == [1, 2]
