@@ -2720,6 +2720,110 @@ def q_mm_video(sf_dir: str):
     return out.sort_values(["doc_id", "frame_idx", "dim"]).reset_index(drop=True)
 
 
+def q_mmr_rerank(sf_dir: str):
+    """MMR result diversification (λ=½ maximal marginal relevance) over the
+    BM25 top-20: greedy pick of argmax(snorm − max token-Jaccard to the
+    already-selected), all in exact integer micros so the SQL twin — ten
+    UNROLLED greedy steps, the PageRank-oracle precedent — reproduces
+    every pick bit-for-bit (query/diversify.py)."""
+    from search_engine_framework_ray.query.diversify import mmr_rerank
+    from search_engine_framework_ray.query.expansion import (
+        _fetch_term_vectors,
+        _shard_of,
+    )
+
+    import ray
+
+    idx = _docs_index(sf_dir)
+    df = _run(sf_dir, " ".join(_BM25_TERMS), "BM25")
+    df["score_micros"] = _micros(df["score"])
+    top = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    cand = [(int(d), int(s)) for d, s in zip(top["doc_id"], top["score_micros"])]
+
+    ranges = _shard_of(idx)
+    by_shard: dict[int, list[int]] = {}
+    for d, _ in cand:
+        for s, lo, hi in ranges:
+            if lo <= d < hi:
+                by_shard.setdefault(s, []).append(d)
+                break
+    futs = [
+        _fetch_term_vectors.remote(idx, s, sorted(ds_))
+        for s, ds_ in sorted(by_shard.items())
+    ]
+    tv = pd.concat(ray.get(futs), ignore_index=True)
+    token_sets = {
+        int(d): frozenset(g["stem"]) for d, g in tv.groupby("docid")
+    }
+    return mmr_rerank(cand, token_sets, k=10)
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR twin: candidates + pairwise token-Jaccard in
+    integer micros, then ten chained argmax steps (pI = picks so far)."""
+    steps = []
+    for i in range(1, 11):
+        prev = f"p{i - 1}"
+        if i == 1:
+            steps.append(
+                "g1 AS MATERIALIZED (SELECT doc_id, snorm, CAST(0 AS BIGINT) AS ms FROM c "
+                "ORDER BY snorm DESC, doc_id LIMIT 1),\n"
+                "p1 AS MATERIALIZED (SELECT doc_id FROM g1)"
+            )
+            continue
+        steps.append(
+            f"g{i} AS MATERIALIZED (SELECT * FROM (\n"
+            f"    SELECT c.doc_id, c.snorm,\n"
+            f"        COALESCE((SELECT max(sim) FROM s\n"
+            f"                  WHERE s.a = c.doc_id AND s.b IN "
+            f"(SELECT doc_id FROM {prev})), 0) AS ms\n"
+            f"    FROM c WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})) t\n"
+            f"  ORDER BY snorm - ms DESC, doc_id LIMIT 1),\n"
+            f"p{i} AS MATERIALIZED (SELECT doc_id FROM {prev} "
+            f"UNION ALL SELECT doc_id FROM g{i})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, doc_id, "
+        f"snorm AS snorm_micros, ms AS maxsim_micros FROM g{i}"
+        for i in range(1, 11)
+    )
+    return f"""
+    WITH cand AS MATERIALIZED (SELECT * FROM ({_BM25_SQL}) b),
+    mm AS MATERIALIZED (
+        SELECT max(score_micros) AS hi, min(score_micros) AS lo FROM cand),
+    c AS MATERIALIZED (
+        SELECT doc_id,
+            CASE WHEN mm.hi = mm.lo THEN 1000000
+                 ELSE (score_micros - mm.lo) * 1000000 // (mm.hi - mm.lo)
+            END AS snorm
+        FROM cand, mm),
+    dt AS MATERIALIZED (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, lower(tok) AS tok
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(text,
+                             '[^ \t\n\f\r]+')) AS tok
+                  FROM documents)) raw
+        WHERE doc_id IN (SELECT doc_id FROM cand)),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+    ov AS MATERIALIZED (
+        SELECT da.doc_id AS a, db.doc_id AS b, count(*) AS i
+        FROM dt da JOIN dt db ON da.tok = db.tok AND da.doc_id <> db.doc_id
+        GROUP BY da.doc_id, db.doc_id),
+    s AS MATERIALIZED (
+        SELECT sa.doc_id AS a, sb.doc_id AS b,
+            COALESCE(ov.i, 0) * 1000000
+                // (sa.n + sb.n - COALESCE(ov.i, 0)) AS sim
+        FROM sz sa CROSS JOIN sz sb
+        LEFT JOIN ov ON ov.a = sa.doc_id AND ov.b = sb.doc_id
+        WHERE sa.doc_id <> sb.doc_id),
+    {",".join(steps)}
+    SELECT * FROM ({finals}) ORDER BY rank
+    """
+
+
 def q_spell_correct(sf_dir: str):
     """Query spelling correction ("did you mean"): SymSpell deletes-variant
     prefilter over ONE streaming pass of the index termstats store (the
@@ -3829,6 +3933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
         "spell_correct": q_spell_correct,
+        "mmr_rerank": q_mmr_rerank,
         "prefix_suggest": q_prefix_suggest,
         "build_manifest": q_build_manifest,
         "html_extract": q_html_extract,
@@ -5123,6 +5228,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             CAST(round(v * 1000000) AS BIGINT) AS v_micros
         FROM vals ORDER BY doc_id, frame_idx, dim
         """,
+        # unrolled greedy MMR twin (PageRank-oracle precedent)
+        "mmr_rerank": _mmr_sql(),
         # LIKE + window replay of autocomplete over the corpus vocabulary
         "prefix_suggest": f"""
         {{toks}}
@@ -6245,7 +6352,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
-            s AS (
+            s AS MATERIALIZED (
                 SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o
@@ -6270,7 +6377,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
-            s AS (
+            s AS MATERIALIZED (
                 SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o
@@ -6369,7 +6476,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
-            s AS (
+            s AS MATERIALIZED (
                 SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o
@@ -6391,7 +6498,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                             THEN 1 ELSE 0 END AS new_s
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
-            s AS (
+            s AS MATERIALIZED (
                 SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM o

@@ -363,3 +363,28 @@ def test_prefix_suggest_ranking(ray_session):
     # title-field heXtitle excluded
     assert out["suggestion"].tolist() == ["help", "hero"]
     assert out["rank"].tolist() == [1, 2]
+
+
+def test_mmr_rerank_semantics():
+    from search_engine_framework_ray.query.diversify import mmr_rerank
+
+    toks = {
+        1: frozenset("abcd"),
+        2: frozenset("abce"),  # near-dup of 1
+        3: frozenset("wxyz"),  # unrelated
+    }
+    # relevance order 1 > 2 > 3, but 2 is ~a duplicate of 1 → MMR must
+    # promote 3 to rank 2
+    # snorm gap 1→2 is (900-880)/(900-870)·1e6 ≈ 667k lost, but 2 pays a
+    # 600k redundancy penalty vs 3's zero → 3 outranks 2
+    out = mmr_rerank([(1, 900), (2, 880), (3, 870)], toks, k=3)
+    assert out["doc_id"].tolist() == [1, 3, 2]
+    assert out.loc[0, "snorm_micros"] == 1_000_000
+    assert out.loc[0, "maxsim_micros"] == 0
+    # negative scores (high-df BM25 idf): min-max keeps relevance order
+    out = mmr_rerank([(1, -300), (2, -310), (3, -900)], toks, k=1)
+    assert out["doc_id"].tolist() == [1]
+    assert out.loc[0, "snorm_micros"] == 1_000_000
+    # constant scores → snorm 1e6 everywhere, pure diversity order
+    out = mmr_rerank([(1, 5), (2, 5), (3, 5)], toks, k=2)
+    assert out["doc_id"].tolist() == [1, 3]
