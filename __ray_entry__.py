@@ -3046,6 +3046,30 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_blocklist(sf_dir: str):
+    """Token-blocklist gate (the C4 bad-words filter, generalized to the
+    Gopher ratio form): flag docs whose blocklisted-token share exceeds 5%;
+    the SQL twin recounts with an explode + IN-list over the same RE2
+    tokens (stages/selection.py blocklist_filter)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import blocklist_filter
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = blocklist_filter(
+        ds, {"spark", "dup", "gpu"}, max_ratio=0.05
+    ).to_pandas()
+    for c in ("doc_id", "n_words", "n_flagged", "keep"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "n_words", "n_flagged", "keep"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_mm_meta(sf_dir: str):
     """Multimodal plumbing, driver-checked end-to-end: documents →
     deterministic binary payload column (2-byte dimension header + text
@@ -3940,6 +3964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
+        "blocklist": q_blocklist,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -6158,6 +6183,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
             FROM s3 ORDER BY doc_id
+        """,
+        # same RE2 tokens, same lowercase, same ratio gate (n_flagged ≤
+        # 0.05·n_words keeps float compare semantics with the engine)
+        "blocklist": r"""
+            WITH toks AS (
+                SELECT doc_id, lower(tok) AS tok
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text,
+                                 '[^ \t\n\f\r]+')) AS tok
+                      FROM documents)
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_words,
+                       sum(CASE WHEN tok IN ('spark', 'dup', 'gpu')
+                           THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_words, 0)::BIGINT AS n_words,
+                   coalesce(a.n_flagged, 0)::BIGINT AS n_flagged,
+                   CASE WHEN coalesce(a.n_flagged, 0)
+                             <= 0.05 * coalesce(a.n_words, 0)
+                        THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # media payload = chr(width)||chr(height)||text (single-byte chars);
         # the engine PARSES width/height from the blob it built — the oracle

@@ -247,6 +247,56 @@ def pii_scrub(
 
 
 # ----------------------------------------------------------------------------
+# Token-blocklist filter
+# ----------------------------------------------------------------------------
+
+
+def blocklist_filter(
+    ds: Dataset,
+    words: frozenset[str] | set[str],
+    *,
+    max_ratio: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Token-blocklist filter (the C4 "bad words" gate: drop documents whose
+    blocklisted-token share exceeds ``max_ratio``; C4 used any-hit, Gopher a
+    ratio — the ratio generalizes both, any-hit = ``max_ratio=0``).
+
+    → ``(doc_id, n_words, n_flagged, keep)`` with ``keep = 1`` iff
+    ``n_flagged <= max_ratio · n_words``. Tokens are lowercased RE2-aligned
+    words (the repo's standard analyzer-free tokenization) so a DuckDB
+    explode + ``IN``-list twin verifies every count.
+
+    Scale: stateless single streaming pass; the blocklist rides the closure
+    (real lists are a few thousand entries — KiBs), the per-batch count is
+    one explode + one ``isin`` hash probe, no shuffle, corpus never moves.
+    """
+    blocked = frozenset(w.lower() for w in words)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").reset_index(drop=True)
+        toks = texts.str.lower().str.findall(_WS_RE)
+        n_words = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        n_flagged = np.zeros(len(texts), dtype=np.int64)
+        if len(ex):
+            hits = ex[ex.isin(blocked)].groupby(level=0).size()
+            n_flagged[hits.index.to_numpy()] = hits.to_numpy()
+        keep = (n_flagged <= max_ratio * n_words).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "n_words": n_words,
+                "n_flagged": n_flagged,
+                "keep": keep,
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------------
 # Temperature-scaled domain mixing
 # ----------------------------------------------------------------------------
 

@@ -111,6 +111,31 @@ def test_pii_scrub_counts_and_redaction(ray_session):
         ).hexdigest()
 
 
+def test_blocklist_filter_ratio_gate(ray_session):
+    from search_engine_framework_ray.stages.selection import blocklist_filter
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "clean words only here today",  # 0 flagged / 5 → keep
+                "BAD bad ok ok ok ok ok ok ok ok",  # 2/10 = 0.2 → drop
+                "bad " + "ok " * 39,  # 1/40 = 0.025 ≤ 0.1 → keep
+                "",  # empty: 0 ≤ 0 → keep
+            ],
+        }
+    )
+    got = (
+        blocklist_filter(_mk_docs(rows), {"bad"}, max_ratio=0.1)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got["n_words"].tolist() == [5, 10, 40, 0]
+    assert got["n_flagged"].tolist() == [0, 2, 1, 0]  # lowercased match
+    assert got["keep"].tolist() == [1, 0, 1, 1]
+
+
 # ----------------------------------------------------------------------------
 # multimodal metadata path
 # ----------------------------------------------------------------------------
