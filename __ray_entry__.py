@@ -1453,6 +1453,34 @@ def q_ann_sq_topk(sf_dir: str):
     return out[["rank", "vec_id", "cosine_micros"]].reset_index(drop=True)
 
 
+def q_ann_pq_topk(sf_dir: str):
+    """Product-quantized (PQ) ANN: 4 subspaces × 8 centroids trained with
+    the repo's deterministic Lloyd (2 iters, md5 seed sample, 1e-6
+    centroid quantization), codes = per-subspace argmin, then asymmetric
+    (ADC) top-10 for the vec_id=0 query — the per-sub query→centroid
+    distances are micros-floored to int64 so the per-vector total is an
+    INTEGER sum on both engines (stages/ann.py pq_fit/pq_encode/pq_topk).
+    The SQL twin replays training, encoding and ranking with `sub` added
+    to every group key of the k-means replay."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import pq_encode, pq_fit, pq_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(path)
+    books = pq_fit(ds, m=4, ksub=8, iters=2)
+    codes = pq_encode(ds, books)
+    out = pq_topk(codes, books, q, k=10)
+    for c in ("rank", "vec_id", "adc_micros"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "vec_id", "adc_micros"]].reset_index(drop=True)
+
+
 def q_knn_join(sf_dir: str):
     """k-NN join: every query-table row (vec_id % 50 == 3) gets its 5
     nearest corpus neighbours by cosine, self-matches excluded — the
@@ -3925,6 +3953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_centroids": q_source_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_sq_topk": q_ann_sq_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count": q_token_count,
         "doc_packing": q_doc_packing,
@@ -5554,6 +5583,82 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                 FROM micros
             )
             SELECT CAST(rank AS BIGINT) AS rank, vec_id, cosine_micros
+            FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        # PQ: the k-means replay with `sub` added to every group key —
+        # 2 training iterations (c0→c1→c2), encode against c2 (a3), ADC
+        # rank via integer micros per-sub distances (accumulation-order
+        # independent by construction)
+        "ann_pq_topk": r"""
+            WITH pts AS (
+                SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub,
+                       i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+            ),
+            seeds AS (
+                SELECT vec_id,
+                       (row_number() OVER (
+                            ORDER BY md5_number_lower(CAST(vec_id AS VARCHAR)),
+                                     vec_id
+                        ) - 1) AS cid
+                FROM embeddings QUALIFY cid < 8
+            ),
+            c0 AS (
+                SELECT s.cid, p.sub, p.dim,
+                       round(p.x * 1000000) / 1000000 AS v
+                FROM seeds s JOIN pts p USING (vec_id)
+            ),
+            d1 AS (SELECT p.vec_id, p.sub, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v))
+                               * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c0 c ON c.sub = p.sub AND c.dim = p.dim
+                   GROUP BY 1, 2, 3),
+            a1 AS (SELECT vec_id, sub, cid FROM (
+                       SELECT vec_id, sub, cid, row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY dm, cid) AS rn
+                       FROM d1) WHERE rn = 1),
+            c1 AS (SELECT a.sub, a.cid, p.dim,
+                          round(avg(p.x) * 1000000) / 1000000 AS v
+                   FROM a1 a JOIN pts p
+                        ON p.vec_id = a.vec_id AND p.sub = a.sub
+                   GROUP BY 1, 2, 3),
+            d2 AS (SELECT p.vec_id, p.sub, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v))
+                               * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c1 c ON c.sub = p.sub AND c.dim = p.dim
+                   GROUP BY 1, 2, 3),
+            a2 AS (SELECT vec_id, sub, cid FROM (
+                       SELECT vec_id, sub, cid, row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY dm, cid) AS rn
+                       FROM d2) WHERE rn = 1),
+            c2 AS (SELECT a.sub, a.cid, p.dim,
+                          round(avg(p.x) * 1000000) / 1000000 AS v
+                   FROM a2 a JOIN pts p
+                        ON p.vec_id = a.vec_id AND p.sub = a.sub
+                   GROUP BY 1, 2, 3),
+            d3 AS (SELECT p.vec_id, p.sub, c.cid,
+                          CAST(floor(sum((p.x - c.v) * (p.x - c.v))
+                               * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM pts p JOIN c2 c ON c.sub = p.sub AND c.dim = p.dim
+                   GROUP BY 1, 2, 3),
+            a3 AS (SELECT vec_id, sub, cid FROM (
+                       SELECT vec_id, sub, cid, row_number() OVER (
+                           PARTITION BY vec_id, sub ORDER BY dm, cid) AS rn
+                       FROM d3) WHERE rn = 1),
+            q AS (SELECT sub, dim, x FROM pts WHERE vec_id = 0),
+            qd AS (SELECT c.sub, c.cid,
+                          CAST(floor(sum((q.x - c.v) * (q.x - c.v))
+                               * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM c2 c JOIN q ON q.sub = c.sub AND q.dim = c.dim
+                   GROUP BY 1, 2),
+            adc AS (SELECT a.vec_id, CAST(sum(qd.dm) AS BIGINT) AS adc_micros
+                    FROM a3 a JOIN qd ON qd.sub = a.sub AND qd.cid = a.cid
+                    GROUP BY 1),
+            ranked AS (SELECT vec_id, adc_micros,
+                              row_number() OVER (
+                                  ORDER BY adc_micros, vec_id) AS rank
+                       FROM adc)
+            SELECT CAST(rank AS BIGINT) AS rank, vec_id, adc_micros
             FROM ranked WHERE rank <= 10 ORDER BY rank
         """,
         "source_centroids": """

@@ -866,3 +866,175 @@ def sq_topk(
     cand = cand.reset_index(drop=True)
     cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
     return cand
+
+
+# ----------------------------------------------------------------------------
+# product quantization (PQ) — the compressed-domain scale path
+# ----------------------------------------------------------------------------
+
+
+def _quant6(x: np.ndarray) -> np.ndarray:
+    # round-half-AWAY to 1e-6 — DuckDB round() semantics (shared with the
+    # k-means fit; duplicated here to keep the PQ section self-contained)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def pq_fit(
+    ds: Dataset,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the ``d`` dims into
+    ``m`` contiguous subspaces of ``d/m`` dims and run the repo's
+    deterministic Lloyd independently per subspace — ALL subspaces train in
+    the same streaming passes (one pass per iteration, not one per
+    subspace).
+
+    Returns ``[(cids, centroids)] * m`` where ``centroids`` is
+    ``(n_live, dsub)`` float64 quantized to 1e-6 after every update — the
+    same determinism contract as :func:`kmeans_clusters` (md5-low64 seed
+    sample, micros-rounded argmin, ties to the lower cid, empty clusters
+    dropped with survivors keeping their ids), so a DuckDB twin replays the
+    training bit-for-bit with ``sub`` added to every group key.
+
+    Scale shape: seeds via per-batch local top-k; each Lloyd round is ONE
+    pass emitting ≤ m·ksub partial (sub, cid, cnt, sum-vector) rows per
+    batch; the corpus never leaves the object store. The codebook is
+    m·ksub·(d/m) float64s — KiBs — and rides task closures by value.
+    """
+    from .dedup import _md5_hash64
+
+    def keyed_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        keys = np.fromiter(
+            (_md5_hash64(str(int(i))) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        order = np.lexsort((ids, keys))[:ksub]
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                "skey": keys[order],
+                "emb": [
+                    np.asarray(e, dtype=np.float64) for e in b[emb_col].iloc[order]
+                ],
+            }
+        )
+
+    cand = ds.map_batches(keyed_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["skey", id_col]).head(ksub)
+    seeds = _quant6(np.stack(cand["emb"].to_numpy()))
+    d = seeds.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books: list[tuple[np.ndarray, np.ndarray]] = [
+        (np.arange(ksub, dtype=np.int64), seeds[:, s * dsub : (s + 1) * dsub])
+        for s in range(m)
+    ]
+
+    for _ in range(iters):
+        B = [(c.copy(), C.copy()) for c, C in books]
+
+        def partial(b: pd.DataFrame, B=B) -> pd.DataFrame:
+            X = _stack_embeddings(b, emb_col)
+            sub_l, cid_l, cnt_l, vsum_l = [], [], [], []
+            for s, (cids, C) in enumerate(B):
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                a = cids[_kmeans_assign(Xs, C)]
+                for cid in np.unique(a):
+                    sub_l.append(s)
+                    cid_l.append(int(cid))
+                    cnt_l.append(int((a == cid).sum()))
+                    vsum_l.append(Xs[a == cid].sum(axis=0))
+            return pd.DataFrame(
+                {"sub": sub_l, "cid": cid_l, "cnt": cnt_l, "vsum": vsum_l}
+            )
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        books = []
+        for s in range(m):
+            g_s = p[p["sub"] == s]
+            new_ids, new_c = [], []
+            for cid, g in g_s.groupby("cid"):  # ascending cid order
+                vs = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+                new_ids.append(int(cid))
+                new_c.append(_quant6(vs / g["cnt"].sum()))
+            books.append((np.asarray(new_ids, dtype=np.int64), np.stack(new_c)))
+    return books
+
+
+def pq_encode(
+    ds: Dataset,
+    books: list[tuple[np.ndarray, np.ndarray]],
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> Dataset:
+    """Encode each vector to its m nearest-sub-centroid codes →
+    ``(id_col, codes list<int64>)`` — the stored PQ artifact: m bytes per
+    vector (here int64 for Arrow simplicity; a deployment packs uint8),
+    ~d·4/m× smaller than the f32 embeddings. Assignment = the training
+    rule (micros-rounded sq-L2 argmin, ties to the lower cid)."""
+    dsub = books[0][1].shape[1]
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack_embeddings(b, emb_col)
+        cols = []
+        for s, (cids, C) in enumerate(books):
+            cols.append(cids[_kmeans_assign(X[:, s * dsub : (s + 1) * dsub], C)])
+        codes = np.stack(cols, axis=1)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "codes": list(codes)})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(
+    codes_ds: Dataset,
+    books: list[tuple[np.ndarray, np.ndarray]],
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) PQ search: the raw float64 query against
+    the codes table. The m×ksub query-to-centroid distance table is
+    precomputed ONCE (micros-floored to int64 per sub-distance — the
+    per-vector total is then an INTEGER sum, immune to float accumulation
+    order on both engines), each batch is a table lookup + row sum +
+    local top-k; k·n_batches candidate rows reach the driver. Rank by
+    (adc_micros asc, id asc). Returns (rank, vec_id, adc_micros)."""
+    q = np.asarray(query, dtype=np.float64)
+    dsub = books[0][1].shape[1]
+    # qd[s] maps cid → int64 micros distance (dense over max cid for O(1)
+    # numpy fancy-indexing in the scan)
+    qd = []
+    for s, (cids, C) in enumerate(books):
+        qs = q[s * dsub : (s + 1) * dsub]
+        dm = np.floor(((C - qs[None, :]) ** 2).sum(axis=1) * 1e6 + 0.5).astype(
+            np.int64
+        )
+        dense = np.zeros(int(cids.max()) + 1, dtype=np.int64)
+        dense[cids] = dm
+        qd.append(dense)
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        codes = np.stack([np.asarray(c, dtype=np.int64) for c in b["codes"]])
+        adc = np.zeros(len(b), dtype=np.int64)
+        for s in range(len(qd)):
+            adc += qd[s][codes[:, s]]
+        ids = b[id_col].to_numpy()
+        kk = min(k, len(ids))
+        order = np.lexsort((ids, adc))[:kk]
+        return pd.DataFrame({id_col: ids[order], "adc_micros": adc[order]})
+
+    cand = codes_ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["adc_micros", id_col], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand

