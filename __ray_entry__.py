@@ -3884,6 +3884,50 @@ def q_docs_mode_lang(sf_dir: str):
     )
 
 
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
+    bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
+    zkey, file_id = top 4 zkey bits — the lakehouse OPTIMIZE ZORDER
+    clustering that lets per-file min/max stats prune range predicates on
+    BOTH columns (stages/sink.py zorder_layout). Integer-only math: the
+    SQL twin rebuilds every key with the same shifts exactly."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sink import zorder_layout
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def with_us(b):
+        b = b.copy()
+        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        return b[["event_id", "user_id", "ts_us"]]
+
+    out = zorder_layout(
+        ds.map_batches(with_us, batch_format="pandas"),
+        ("user_id", "ts_us"),
+        bits=16,
+        n_files=16,
+    ).to_pandas()
+    for c in ("event_id", "zkey", "file_id"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_id", "zkey", "file_id"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+# DuckDB bit-interleave expression for the zorder twin (A on even bits,
+# B on odd) — generated, fully parenthesized
+_Z_INTERLEAVE = " | ".join(
+    f"(((ba >> {i}) & 1) << {2 * i}) | (((bb >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
 # ----------------------------------------------------------------------------
 # driver contract
 # ----------------------------------------------------------------------------
@@ -3994,6 +4038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
         "blocklist": q_blocklist,
+        "zorder": q_zorder,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -6288,6 +6333,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
             FROM s3 ORDER BY doc_id
+        """,
+        # integer min-max bucketing + generated bit-interleave — every
+        # arithmetic step is BIGINT, so the replay is exact by construction
+        "zorder": f"""
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            mm AS (
+                SELECT min(user_id) AS mna, max(user_id) AS mxa,
+                       min(ts_us) AS mnb, max(ts_us) AS mxb
+                FROM e
+            ),
+            bkt AS (
+                SELECT event_id,
+                       ((user_id - mna) * 65536) // (mxa - mna + 1) AS ba,
+                       ((ts_us - mnb) * 65536) // (mxb - mnb + 1) AS bb
+                FROM e, mm
+            ),
+            z AS (
+                SELECT event_id,
+                       CAST({_Z_INTERLEAVE} AS BIGINT) AS zkey
+                FROM bkt
+            )
+            SELECT event_id, zkey, (zkey >> 28)::BIGINT AS file_id
+            FROM z ORDER BY event_id
         """,
         # same RE2 tokens, same lowercase, same ratio gate (n_flagged ≤
         # 0.05·n_words keeps float compare semantics with the engine)

@@ -102,3 +102,82 @@ def read_partitioned(out_dir: str):
     # partitioning=None: the hive-style part=<K> path segment must not be
     # inferred back as an extra column
     return ray.data.read_parquet(files, partitioning=None)
+
+
+# ----------------------------------------------------------------------------
+# Z-order (Morton) layout — multi-column data clustering for range pruning
+# ----------------------------------------------------------------------------
+
+
+def zorder_layout(
+    ds: Dataset,
+    cols: tuple[str, str],
+    *,
+    bits: int = 16,
+    n_files: int = 16,
+    id_col: str = "event_id",
+) -> Dataset:
+    """Assign every row a Morton (Z-order) key over two integer columns and
+    a target file id — the multi-dimensional clustering pass behind
+    "OPTIMIZE ZORDER BY" in lakehouse table formats (public: Morton 1966;
+    Delta Lake / Iceberg docs): rows close in BOTH columns land in the same
+    file, so per-file min/max statistics prune range predicates on EITHER
+    column, not just the sort leader.
+
+    → ``(id_col, zkey, file_id)``. Each column is bucketed to ``2^bits``
+    cells by pure INTEGER arithmetic over its global (min, max) —
+    ``((x - mn) * 2^bits) // (mx - mn + 1)`` — then the two bucket values
+    bit-interleave (col A on even bits, col B on odd) into ``zkey``;
+    ``file_id = zkey >> (2·bits - log2(n_files))``. Integer-only math means
+    a DuckDB twin reproduces every key exactly.
+
+    Scale shape: pass 1 streams per-batch (min, max) partials (2 rows per
+    batch) to the driver; pass 2 is embarrassingly parallel. The write side
+    composes with :func:`write_partitioned` keyed on ``file_id``, and a
+    production variant swaps the linear bucketing for rank buckets from
+    ``aggregate.exact_quantiles`` when a column is heavily skewed (linear
+    cells degenerate under skew; the interleave and file math are
+    unchanged).
+    """
+    import numpy as np
+
+    if n_files & (n_files - 1):
+        raise ValueError("n_files must be a power of two")
+    shift = 2 * bits - int(n_files).bit_length() + 1
+    a_col, b_col = cols
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col": [a_col, b_col],
+                "mn": [b[a_col].min(), b[b_col].min()],
+                "mx": [b[a_col].max(), b[b_col].max()],
+            }
+        )
+
+    p = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    g = p.groupby("col")
+    mn = {c: int(v) for c, v in g["mn"].min().items()}
+    mx = {c: int(v) for c, v in g["mx"].max().items()}
+    span_a = mx[a_col] - mn[a_col] + 1
+    span_b = mx[b_col] - mn[b_col] + 1
+    cells = 1 << bits
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        xa = b[a_col].to_numpy(np.int64)
+        xb = b[b_col].to_numpy(np.int64)
+        ba = (xa - mn[a_col]) * cells // span_a
+        bb = (xb - mn[b_col]) * cells // span_b
+        z = np.zeros(len(b), dtype=np.int64)
+        for i in range(bits):
+            z |= ((ba >> i) & 1) << (2 * i)
+            z |= ((bb >> i) & 1) << (2 * i + 1)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "zkey": z,
+                "file_id": z >> shift,
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

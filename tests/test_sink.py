@@ -58,3 +58,51 @@ def test_read_partitioned_empty_raises(tmp_path, ray_session):
 
     with pytest.raises(FileNotFoundError):
         read_partitioned(str(tmp_path / "nothing"))
+
+
+def test_zorder_layout_interleave_and_locality(ray_session):
+    """Z-order keys: hand-checked interleave on corner points, power-of-two
+    validation, and the locality property — per-file bounding boxes cover a
+    small fraction of the (a, b) plane on BOTH axes, unlike a single-column
+    sort whose files span the full b-range."""
+    import numpy as np
+    import ray.data
+
+    from search_engine_framework_ray.stages.sink import zorder_layout
+
+    # 64×64 grid, ids row-major: a = i // 64, b = i % 64
+    n = 64 * 64
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame({"event_id": ids, "a": ids // 64, "b": ids % 64})
+    ds = ray.data.from_pandas(pdf).repartition(4)
+
+    with pytest.raises(ValueError):
+        zorder_layout(ds, ("a", "b"), n_files=12, id_col="event_id")
+
+    out = (
+        zorder_layout(ds, ("a", "b"), bits=16, n_files=16, id_col="event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # corners: (0,0) → 0; a-bucket is on EVEN bits, b-bucket on ODD.
+    # a=63 → bucket 63·65536//64 = 64512 = 0b1111110000000000 (bits 10-15)
+    z = out.set_index("event_id")["zkey"]
+    assert z.loc[0] == 0
+    a_bits = sum(1 << (2 * i) for i in range(10, 16))
+    b_bits = sum(1 << (2 * i + 1) for i in range(10, 16))
+    assert z.loc[63 * 64] == a_bits  # (a=63, b=0)
+    assert z.loc[63] == b_bits  # (a=0, b=63)
+    assert z.loc[63 * 64 + 63] == a_bits | b_bits
+
+    # locality: every file's bounding box spans ≤ 1/2 of each axis, so a
+    # range predicate on EITHER column prunes most files (16 files over a
+    # square grid → 4×4 quadrants of span 16 = 1/4 per axis)
+    j = out.merge(pdf, on="event_id")
+    spans = j.groupby("file_id").agg(
+        sa=("a", lambda s: s.max() - s.min()),
+        sb=("b", lambda s: s.max() - s.min()),
+    )
+    assert len(spans) == 16
+    assert (spans["sa"] <= 32).all()
+    assert (spans["sb"] <= 32).all()
