@@ -3884,6 +3884,35 @@ def q_docs_mode_lang(sf_dir: str):
     )
 
 
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid search via reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 top-20 from the inverted index + cosine top-20 from the
+    embedding column (vec_id aligns with doc_id in the fixture), fused as
+    Σ 1/(60+rank), micros-rounded, top-15 — the standard sparse+dense
+    hybrid ranking (query/fusion.py rrf_fuse). The SQL twin re-ranks both
+    lists with the proven BM25/cosine CTEs and replays the fusion
+    arithmetic."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.query.fusion import rrf_fuse
+    from search_engine_framework_ray.stages.ann import brute_force_topk
+
+    sparse = q_bm25_topk(sf_dir)  # rank order = (score_micros desc, id)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qv = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float32,
+    )
+    dense = brute_force_topk(ray.data.read_parquet(path), qv, k=20).rename(
+        columns={"vec_id": "doc_id"}
+    )
+    out = rrf_fuse([sparse, dense], k0=60, k=15)
+    for c in ("rank", "doc_id", "rrf_micros"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4039,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "blocklist": q_blocklist,
         "zorder": q_zorder,
+        "hybrid_rrf": q_hybrid_rrf,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -4133,6 +4163,67 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# hybrid RRF twin: the proven BM25 CTE chain ranked by the same micros key,
+# the proven cosine ranking, fused as coalesce(1/(60+r)) sums (two-term IEEE
+# addition is commutative — no accumulation-order risk), micros-rounded
+_HYBRID_RRF_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+sparse AS (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS r
+    FROM scores QUALIFY r <= 20
+),
+dense0 AS (
+    SELECT vec_id AS doc_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)) AS cos
+    FROM embeddings
+),
+dense AS (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+    FROM dense0 QUALIFY r <= 20
+),
+fused AS (
+    SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + s.r), 0) + coalesce(1.0 / (60 + d.r), 0)
+               AS sc
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(round(sc * 1000000) AS BIGINT) AS rrf_micros
+    FROM fused
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, rrf_micros
+FROM ranked
+ORDER BY rrf_micros DESC, doc_id
+LIMIT 15
 """
 
 
@@ -5008,6 +5099,7 @@ SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "hybrid_rrf": _HYBRID_RRF_SQL,
         "pagerank": _PAGERANK_SQL,
         "trec_eval": _TREC_EVAL_SQL,
         "bm25_snippets": _BM25_SNIPPETS_SQL,

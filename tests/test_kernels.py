@@ -68,3 +68,25 @@ def test_window_repeated_scan():
     # k=3 unordered within width 4
     assert _window_match([P(5), P(3), P(6)], 4) == [6]
     assert _window_match([P(5), P(1), P(6)], 4) == []
+
+
+def test_rrf_fuse_hand_example():
+    """RRF: hand-checked two-list fusion — overlap doc sums both terms,
+    single-list docs get one, ties break by ascending id, k cuts."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_framework_ray.query.fusion import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [5, 3, 9]})  # ranks 1,2,3
+    b = pd.DataFrame({"doc_id": [3, 7]})  # ranks 1,2
+    out = rrf_fuse([a, b], k0=60, id_col="doc_id")
+    sc = dict(zip(out["doc_id"], out["rrf_micros"]))
+    micros = lambda v: int(np.floor(v * 1e6 + 0.5))
+    assert sc[3] == micros(1 / 62 + 1 / 61)  # both lists
+    assert sc[5] == micros(1 / 61)
+    assert sc[7] == micros(1 / 62)
+    assert sc[9] == micros(1 / 63)
+    assert out["doc_id"].tolist() == [3, 5, 7, 9]  # descending micros
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert rrf_fuse([a, b], k=2)["doc_id"].tolist() == [3, 5]
