@@ -3884,6 +3884,28 @@ def q_docs_mode_lang(sf_dir: str):
     )
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle over events: users cohorted by first
+    active epoch-day, distinct-user counts per (cohort, age) — distinct
+    (user, period) pairs are the only rows that shuffle
+    (stages/window.py cohort_retention)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import cohort_retention
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = cohort_retention(ds, period_s=86_400).to_pandas()
+    for c in ("cohort", "age", "n"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["cohort", "age", "n"]]
+        .sort_values(["cohort", "age"])
+        .reset_index(drop=True)
+    )
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid search via reciprocal-rank fusion (Cormack et al. 2009):
     BM25 top-20 from the inverted index + cosine top-20 from the
@@ -4069,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist": q_blocklist,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
+        "cohort_retention": q_cohort_retention,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -6425,6 +6448,21 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
             FROM s3 ORDER BY doc_id
+        """,
+        # cohort = min epoch-day per user; ages from the distinct
+        # (user, day) pairs; exact integer counts
+        "cohort_retention": r"""
+            WITH up AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS w
+                FROM events
+            ),
+            c AS (SELECT user_id, min(w) AS cw FROM up GROUP BY user_id)
+            SELECT CAST(c.cw AS BIGINT) AS cohort,
+                   CAST(up.w - c.cw AS BIGINT) AS age,
+                   count(*)::BIGINT AS n
+            FROM up JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # integer min-max bucketing + generated bit-interleave — every
         # arithmetic step is BIGINT, so the replay is exact by construction

@@ -533,3 +533,74 @@ def running_sum(
         .groupby("_bkt")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def cohort_retention(
+    ds: Dataset,
+    *,
+    period_s: int = 86_400,
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> Dataset:
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    period (epoch-µs ``// period_s``) and counted in every later period
+    they return — the standard product-analytics retention triangle.
+    → ``(cohort, age, n_users)`` with ``age = active_period - cohort ≥ 0``
+    and ``n_users`` the exact distinct-user count.
+
+    Scale shape: per-batch dedup to distinct ``(user, period)`` pairs (the
+    only rows that ever shuffle — bounded by users × periods, not events),
+    ONE coarse user-bucket groupby computes each user's min period and its
+    (cohort, age) pairs pre-combined to partial counts, then a tiny
+    ``(cohort, age)`` reduce. A user's rows co-locate by construction, so
+    the distinct-count needs no second global pass."""
+    period_us = period_s * 1_000_000
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            b[ts_col].astype("datetime64[us]").astype(np.int64) // period_us
+        )
+        out = pd.DataFrame({key: b[key].to_numpy(np.int64), "w": w})
+        out = out.drop_duplicates()
+        out["_bkt"] = _coarse_bucket([out[key]])
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "cohort": pd.Series(dtype="int64"),
+                    "age": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                }
+            )
+        g = g[[key, "w"]].drop_duplicates()
+        cw = g.groupby(key)["w"].transform("min")
+        out = pd.DataFrame(
+            {"cohort": cw.to_numpy(np.int64), "age": (g["w"] - cw).to_numpy(np.int64)}
+        )
+        # partial counts per bucket — the final reduce moves (cohort, age,
+        # n) rows only
+        return (
+            out.groupby(["cohort", "age"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["cohort", "age"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+        # two-level reduce of the tiny (cohort, age, n) partial table
+        .repartition(4)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
+    )

@@ -1302,3 +1302,41 @@ def test_normalize_text_rules(ray_session):
     )
     assert out.loc[0, "norm_text"] == "café xy z"
     assert out.loc[1, "norm_text"] == "plain text"
+
+
+def test_cohort_retention_cross_block_distinct(ray_session):
+    """Cohort retention: duplicate (user, period) pairs across blocks count
+    once, cohort = first period, ages exact."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import cohort_retention
+
+    day = 86_400_000_000
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    mk = lambda d: pd.Timestamp((base + d * day) * 1000)
+    # u1: days 0,1,3 (two events on day 1 in DIFFERENT blocks)
+    # u2: days 1,2 — cohort 1
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": [mk(0), mk(1), mk(1.2), mk(3), mk(1), mk(2)],
+        }
+    )
+    ds = ray.data.from_pandas(pdf).repartition(6)
+    out = (
+        cohort_retention(ds, period_s=86_400)
+        .to_pandas()
+        .sort_values(["cohort", "age"])
+        .reset_index(drop=True)
+    )
+    d0 = base // day
+    want = pd.DataFrame(
+        {
+            "cohort": [d0, d0, d0, d0 + 1, d0 + 1],
+            "age": [0, 1, 3, 0, 1],
+            "n": [1, 1, 1, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), want.astype("int64"), check_dtype=False
+    )
