@@ -3884,6 +3884,36 @@ def q_docs_mode_lang(sf_dir: str):
     )
 
 
+def q_percolate(sf_dir: str):
+    """Percolation (reverse search / alerting): four registered structured
+    queries — TERM, #SYN, #NEAR/1, #WINDOW/3 — matched against the
+    streaming corpus with the REAL Evaluator over a batch-local index
+    view (stages/percolate.py), no prebuilt index anywhere. Output is the
+    (qid, doc_id) membership set; the SQL twin replays each operator with
+    the proven positional self-joins."""
+    import ray.data
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.stages.percolate import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    queries = [
+        ("near", "#NEAR/1(spark join)"),
+        ("syn", "#SYN(spark join)"),
+        ("term", "spark"),
+        ("win", "#WINDOW/3(spark join)"),
+    ]
+    out = percolate(ds, queries, analyzer=PLAIN_ANALYZER).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["qid", "doc_id"]]
+        .sort_values(["qid", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention triangle over events: users cohorted by first
     active epoch-day, distinct-user counts per (cohort, age) — distinct
@@ -4092,6 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
         "cohort_retention": q_cohort_retention,
+        "percolate": q_percolate,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -6448,6 +6479,29 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
             FROM s3 ORDER BY doc_id
+        """,
+        # the four registered alert queries replayed with the proven
+        # positional self-join patterns (near1/window/syn/term membership)
+        "percolate": f"""
+            {_POS_TOKS}
+            SELECT 'near' AS qid, a.doc_id
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'spark' AND b.tok = 'join'
+            GROUP BY a.doc_id
+            UNION ALL
+            SELECT DISTINCT 'syn' AS qid, doc_id FROM toks
+            WHERE tok IN ('spark', 'join')
+            UNION ALL
+            SELECT DISTINCT 'term' AS qid, doc_id FROM toks
+            WHERE tok = 'spark'
+            UNION ALL
+            SELECT DISTINCT 'win' AS qid, a.doc_id
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND abs(b.pos - a.pos) <= 2
+                 AND b.pos <> a.pos
+            WHERE a.tok = 'spark' AND b.tok = 'join'
+            ORDER BY qid, doc_id
         """,
         # cohort = min epoch-day per user; ages from the distinct
         # (user, day) pairs; exact integer counts

@@ -1340,3 +1340,47 @@ def test_cohort_retention_cross_block_distinct(ray_session):
     pd.testing.assert_frame_equal(
         out.astype("int64"), want.astype("int64"), check_dtype=False
     )
+
+
+def test_percolate_semantics_and_gaps(ray_session):
+    """Percolation: NEAR/1 respects gap-preserving positions (a stopword
+    slot breaks adjacency under the default analyzer), SYN tf sums member
+    tfs, WINDOW is unordered, and Sl (score-layer) queries raise."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.percolate import (
+        PercolateStage,
+        percolate,
+    )
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spark join now",  # adjacent → near hit
+                "spark the join",  # stopword gap → NO near hit; win hit
+                "join then spark",  # reversed, dist 2 → win hit only
+                "nothing here",
+            ],
+        }
+    )
+    qs = [
+        ("near", "#NEAR/1(spark join)"),
+        ("syn", "#SYN(spark join)"),
+        ("win", "#WINDOW/3(spark join)"),
+    ]
+    out = (
+        percolate(ray.data.from_pandas(rows).repartition(2), qs)
+        .to_pandas()
+        .sort_values(["qid", "doc_id"])
+        .reset_index(drop=True)
+    )
+    hits = {q: g["doc_id"].tolist() for q, g in out.groupby("qid")}
+    assert hits["near"] == [0]
+    assert hits["win"] == [0, 1, 2]
+    assert hits["syn"] == [0, 1, 2]
+    syn_tf = out[out["qid"] == "syn"].set_index("doc_id")["tf"]
+    assert syn_tf.tolist() == [2, 2, 2]  # both members present in each hit
+
+    with pytest.raises(ValueError):
+        PercolateStage([("bad", "#AND(spark join)")])
