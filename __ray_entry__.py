@@ -3884,6 +3884,72 @@ def q_docs_mode_lang(sf_dir: str):
     )
 
 
+def q_char_entropy(sf_dir: str):
+    """Character-entropy quality signal (gibberish / encoding-junk / spam
+    detector): Shannon bits-per-char over code points, micros-rounded;
+    the SQL twin explodes chars and evaluates the same float64 formula
+    (stages/textstats.py char_entropy)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import char_entropy
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = char_entropy(ds).to_pandas()
+    for c in ("doc_id", "n_chars", "entropy_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "n_chars", "entropy_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_jsonl_export(sf_dir: str):
+    """JSONL training-data export roundtrip (the handoff format LLM stacks
+    ingest): documents written as one atomic newline-delimited-JSON
+    partition per source with fingerprint manifests (same crash-resume
+    contract as the Parquet sink), read back with ray.data.read_json, rows
+    under the corpus identity hash (stages/sink.py
+    write_jsonl_partitioned)."""
+    import shutil
+
+    import ray.data
+
+    from search_engine_framework_ray.stages.sink import (
+        read_jsonl_partitioned,
+        write_jsonl_partitioned,
+    )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/sefr_jsonl/{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    rep = write_jsonl_partitioned(ds, out, "source", sort_within_by=["doc_id"])
+    assert not rep["skipped"].any()
+    rep2 = write_jsonl_partitioned(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        ),
+        out,
+        "source",
+        sort_within_by=["doc_id"],
+    )
+    assert rep2["skipped"].all(), "identical rerun must skip every partition"
+    back = read_jsonl_partitioned(out).to_pandas()
+    back["doc_id"] = back["doc_id"].astype("int64")
+    return (
+        back[["doc_id", "text", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_percolate(sf_dir: str):
     """Percolation (reverse search / alerting): four registered structured
     queries — TERM, #SYN, #NEAR/1, #WINDOW/3 — matched against the
@@ -4123,6 +4189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": q_hybrid_rrf,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
+        "jsonl_export": q_jsonl_export,
+        "char_entropy": q_char_entropy,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -6479,6 +6547,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS scrub_md5
             FROM s3 ORDER BY doc_id
+        """,
+        # char explode + the same float64 -Σ p·log2(p); micros rounding
+        # absorbs accumulation-order ulps (the repo's standard margin)
+        "char_entropy": r"""
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents
+            ),
+            cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k
+                    FROM ch GROUP BY doc_id, c),
+            tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id),
+            h AS (
+                SELECT cnt.doc_id,
+                       -sum((k / n) * log2(k / n)) AS hh
+                FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+            )
+            SELECT d.doc_id,
+                   length(coalesce(d.text, ''))::BIGINT AS n_chars,
+                   coalesce(CAST(round(h.hh * 1000000) AS BIGINT), 0)
+                       AS entropy_micros
+            FROM documents d LEFT JOIN h USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # identity projection — the JSONL writer/reader must be lossless
+        "jsonl_export": """
+            SELECT doc_id, text, source FROM documents ORDER BY doc_id
         """,
         # the four registered alert queries replayed with the proven
         # positional self-join patterns (near1/window/syn/term membership)

@@ -104,6 +104,78 @@ def read_partitioned(out_dir: str):
     return ray.data.read_parquet(files, partitioning=None)
 
 
+def write_jsonl_partitioned(
+    ds: Dataset,
+    out_dir: str,
+    by: str,
+    *,
+    sort_within_by: list[str] | None = None,
+) -> pd.DataFrame:
+    """JSONL flavor of :func:`write_partitioned` — newline-delimited JSON,
+    the standard interchange format LLM training stacks ingest (one object
+    per line, shardable by line split). Same atomic temp-dir rename +
+    fingerprint manifest per partition, so a crashed export resumes by
+    skipping finished partitions.
+
+    Bytes are deterministic: rows optionally ordered by ``sort_within_by``,
+    pandas ``to_json(lines=True, force_ascii=True)`` rendering (stable
+    column order, ASCII-escaped)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[by].iloc[0]
+        part_dir = os.path.join(out_dir, f"part={key}")
+        if sort_within_by:
+            g = g.sort_values(sort_within_by, kind="mergesort").reset_index(drop=True)
+        data = (
+            g.to_json(orient="records", lines=True, force_ascii=True) or ""
+        ).encode("utf-8")
+        fp = hashlib.sha256(data).hexdigest()
+        man_path = os.path.join(part_dir, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                man = json.load(f)
+            if man.get("fingerprint") == fp:
+                return pd.DataFrame(
+                    {"partition": [key], "rows": [len(g)], "skipped": [True]}
+                )
+        tmp_dir = part_dir + ".tmp"
+        os.makedirs(tmp_dir, exist_ok=True)
+        with open(os.path.join(tmp_dir, "data.jsonl"), "wb") as f:
+            f.write(data)
+        with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+            json.dump({"rows": len(g), "fingerprint": fp}, f)
+        if os.path.isdir(part_dir):
+            import shutil
+
+            shutil.rmtree(part_dir)
+        os.replace(tmp_dir, part_dir)
+        return pd.DataFrame({"partition": [key], "rows": [len(g)], "skipped": [False]})
+
+    return (
+        ds.groupby(by)
+        .map_groups(write_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("partition")
+        .reset_index(drop=True)
+    )
+
+
+def read_jsonl_partitioned(out_dir: str):
+    """Read back a :func:`write_jsonl_partitioned` directory as a Dataset
+    (complete partitions only — those with a manifest)."""
+    import glob
+
+    import ray.data
+
+    files = []
+    for man in sorted(glob.glob(os.path.join(out_dir, "part=*", "manifest.json"))):
+        files.append(os.path.join(os.path.dirname(man), "data.jsonl"))
+    if not files:
+        raise FileNotFoundError(f"no complete partitions under {out_dir}")
+    return ray.data.read_json(files)
+
+
 # ----------------------------------------------------------------------------
 # Z-order (Morton) layout — multi-column data clustering for range pruning
 # ----------------------------------------------------------------------------

@@ -106,3 +106,45 @@ def test_zorder_layout_interleave_and_locality(ray_session):
     assert len(spans) == 16
     assert (spans["sa"] <= 32).all()
     assert (spans["sb"] <= 32).all()
+
+
+def test_jsonl_partitioned_roundtrip_and_resume(ray_session, tmp_path):
+    """JSONL sink: lossless roundtrip (unicode + quotes survive the ASCII
+    escaping), identical rerun skips, changed rows rewrite."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sink import (
+        read_jsonl_partitioned,
+        write_jsonl_partitioned,
+    )
+
+    out = str(tmp_path / "jl")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ['say "hi"', "café naïve", "tab\there"],
+            "g": ["a", "a", "b"],
+        }
+    )
+    rep = write_jsonl_partitioned(
+        ray.data.from_pandas(pdf), out, "g", sort_within_by=["doc_id"]
+    )
+    assert not rep["skipped"].any() and rep["rows"].sum() == 3
+    rep2 = write_jsonl_partitioned(
+        ray.data.from_pandas(pdf), out, "g", sort_within_by=["doc_id"]
+    )
+    assert rep2["skipped"].all()
+    changed = pdf.copy()
+    changed.loc[2, "text"] = "new"
+    rep3 = write_jsonl_partitioned(
+        ray.data.from_pandas(changed), out, "g", sort_within_by=["doc_id"]
+    )
+    st = rep3.set_index("partition")["skipped"]
+    assert bool(st.loc["a"]) and not bool(st.loc["b"])
+    back = (
+        read_jsonl_partitioned(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["text"].tolist() == changed["text"].tolist()

@@ -1384,3 +1384,23 @@ def test_percolate_semantics_and_gaps(ray_session):
 
     with pytest.raises(ValueError):
         PercolateStage([("bad", "#AND(spark join)")])
+
+
+def test_char_entropy_closed_form(ray_session):
+    """Entropy: uniform 4-symbol text = 2 bits exactly, constant text = 0,
+    empty = 0 with n_chars 0."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import char_entropy
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["abcd" * 8, "aaaa", ""]}
+    )
+    out = (
+        char_entropy(ray.data.from_pandas(pdf))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_chars"].tolist() == [32, 4, 0]
+    assert out["entropy_micros"].tolist() == [2_000_000, 0, 0]
