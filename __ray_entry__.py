@@ -1481,6 +1481,31 @@ def q_ann_pq_topk(sf_dir: str):
     return out[["rank", "vec_id", "adc_micros"]].reset_index(drop=True)
 
 
+def q_ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ (IVFADC) search: 10-cell coarse quantizer prunes to the
+    query's 3 nearest cells, PQ codes (4×8) compress the scan, integer
+    ADC ranks — the prune+compress composition a billion-vector
+    deployment runs (stages/ann.py ivf_pq_topk). The SQL twin chains the
+    coarse k-means replay, the sub-keyed PQ replay (sharing one seed
+    ordering and one dims CTE), the probe row_number and the integer ADC
+    join."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import ivf_pq_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float64,
+    )
+    ds = ray.data.read_parquet(path)
+    out = ivf_pq_topk(ds, q, nlist=10, nprobe=3, m=4, ksub=8, iters=2, k=10)
+    for c in ("rank", "vec_id", "coarse", "adc_micros"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "vec_id", "coarse", "adc_micros"]].reset_index(drop=True)
+
+
 def q_knn_join(sf_dir: str):
     """k-NN join: every query-table row (vec_id % 50 == 3) gets its 5
     nearest corpus neighbours by cosine, self-matches excluded — the
@@ -4145,6 +4170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_sq_topk": q_ann_sq_topk,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embedding_neardup": q_embedding_neardup,
         "token_count": q_token_count,
         "doc_packing": q_doc_packing,
@@ -5919,6 +5945,89 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                        FROM adc)
             SELECT CAST(rank AS BIGINT) AS rank, vec_id, adc_micros
             FROM ranked WHERE rank <= 10 ORDER BY rank
+        """,
+        # IVF-PQ: the coarse k-means replay (k=10 seeds/c0→c2/a3) chained
+        # with the sub-keyed PQ replay (pseeds = first 8 of the SAME md5
+        # seed ordering), nprobe=3 probe row_number, integer ADC join over
+        # probed cells only
+        "ann_ivfpq_topk": _KMEANS_REPLAY_CTES + r""",
+            spts AS (
+                SELECT vec_id, CAST(dim // 16 AS BIGINT) AS sub, dim, x
+                FROM pts
+            ),
+            pseeds AS (SELECT vec_id, cid FROM seeds WHERE cid < 8),
+            pc0 AS (
+                SELECT s.cid, p.sub, p.dim,
+                       round(p.x * 1000000) / 1000000 AS v
+                FROM pseeds s JOIN spts p USING (vec_id)
+            ),
+            pd1 AS (SELECT p.vec_id, p.sub, c.cid,
+                           CAST(floor(sum((p.x - c.v) * (p.x - c.v))
+                                * 1000000 + 0.5) AS BIGINT) AS dm
+                    FROM spts p JOIN pc0 c ON c.sub = p.sub AND c.dim = p.dim
+                    GROUP BY 1, 2, 3),
+            pa1 AS (SELECT vec_id, sub, cid FROM (
+                        SELECT vec_id, sub, cid, row_number() OVER (
+                            PARTITION BY vec_id, sub ORDER BY dm, cid) AS rn
+                        FROM pd1) WHERE rn = 1),
+            pc1 AS (SELECT a.sub, a.cid, p.dim,
+                           round(avg(p.x) * 1000000) / 1000000 AS v
+                    FROM pa1 a JOIN spts p
+                         ON p.vec_id = a.vec_id AND p.sub = a.sub
+                    GROUP BY 1, 2, 3),
+            pd2 AS (SELECT p.vec_id, p.sub, c.cid,
+                           CAST(floor(sum((p.x - c.v) * (p.x - c.v))
+                                * 1000000 + 0.5) AS BIGINT) AS dm
+                    FROM spts p JOIN pc1 c ON c.sub = p.sub AND c.dim = p.dim
+                    GROUP BY 1, 2, 3),
+            pa2 AS (SELECT vec_id, sub, cid FROM (
+                        SELECT vec_id, sub, cid, row_number() OVER (
+                            PARTITION BY vec_id, sub ORDER BY dm, cid) AS rn
+                        FROM pd2) WHERE rn = 1),
+            pc2 AS (SELECT a.sub, a.cid, p.dim,
+                           round(avg(p.x) * 1000000) / 1000000 AS v
+                    FROM pa2 a JOIN spts p
+                         ON p.vec_id = a.vec_id AND p.sub = a.sub
+                    GROUP BY 1, 2, 3),
+            pd3 AS (SELECT p.vec_id, p.sub, c.cid,
+                           CAST(floor(sum((p.x - c.v) * (p.x - c.v))
+                                * 1000000 + 0.5) AS BIGINT) AS dm
+                    FROM spts p JOIN pc2 c ON c.sub = p.sub AND c.dim = p.dim
+                    GROUP BY 1, 2, 3),
+            pa3 AS (SELECT vec_id, sub, cid FROM (
+                        SELECT vec_id, sub, cid, row_number() OVER (
+                            PARTITION BY vec_id, sub ORDER BY dm, cid) AS rn
+                        FROM pd3) WHERE rn = 1),
+            qpts AS (SELECT dim, x FROM pts WHERE vec_id = 0),
+            qc AS (SELECT c.cid,
+                          CAST(floor(sum((q.x - c.v) * (q.x - c.v))
+                               * 1000000 + 0.5) AS BIGINT) AS dm
+                   FROM c2 c JOIN qpts q USING (dim) GROUP BY 1),
+            probe AS (SELECT cid FROM (
+                          SELECT cid, row_number() OVER (ORDER BY dm, cid)
+                              AS rn FROM qc) WHERE rn <= 3),
+            cand AS (SELECT a.vec_id, a.cid AS coarse
+                     FROM a3 a JOIN probe USING (cid)),
+            qsp AS (SELECT CAST(dim // 16 AS BIGINT) AS sub, dim, x
+                    FROM qpts),
+            pqd AS (SELECT c.sub, c.cid,
+                           CAST(floor(sum((q.x - c.v) * (q.x - c.v))
+                                * 1000000 + 0.5) AS BIGINT) AS dm
+                    FROM pc2 c JOIN qsp q
+                         ON q.sub = c.sub AND q.dim = c.dim
+                    GROUP BY 1, 2),
+            adc AS (SELECT k.vec_id, k.coarse,
+                           CAST(sum(pqd.dm) AS BIGINT) AS adc_micros
+                    FROM cand k
+                    JOIN pa3 a ON a.vec_id = k.vec_id
+                    JOIN pqd ON pqd.sub = a.sub AND pqd.cid = a.cid
+                    GROUP BY 1, 2),
+            rankedq AS (SELECT vec_id, coarse, adc_micros,
+                               row_number() OVER (
+                                   ORDER BY adc_micros, vec_id) AS rank
+                        FROM adc)
+            SELECT CAST(rank AS BIGINT) AS rank, vec_id, coarse, adc_micros
+            FROM rankedq WHERE rank <= 10 ORDER BY rank
         """,
         "source_centroids": """
             WITH e AS (

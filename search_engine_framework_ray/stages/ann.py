@@ -1038,3 +1038,86 @@ def pq_topk(
     ).head(k).reset_index(drop=True)
     cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
     return cand
+
+
+def ivf_pq_topk(
+    ds: Dataset,
+    query: np.ndarray,
+    *,
+    nlist: int = 10,
+    nprobe: int = 3,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ search (the IVFADC composition of Jégou et al. 2011): a
+    coarse ``nlist``-centroid quantizer PRUNES (only vectors whose coarse
+    cell is among the query's ``nprobe`` nearest are scanned) and PQ codes
+    COMPRESS (the scan is table lookups over m-byte codes, not float
+    vectors) — the shape a billion-vector deployment actually runs:
+    I/O bounded by nprobe/nlist of the corpus, bandwidth by m bytes/vec.
+
+    Deterministic end-to-end: both quantizers use the repo's Lloyd
+    contract; probe order = micros-rounded query→coarse distance (ties →
+    lower cid); ADC total = INTEGER sum of per-sub micros distances (ties
+    → id). Returns (rank, vec_id, coarse, adc_micros).
+
+    This variant trains PQ on the raw vectors (not coarse residuals) so
+    the codes table is shared with :func:`pq_topk`; the residual upgrade
+    changes only the encode/ADC inputs (x − coarse_centroid), not the
+    orchestration. The scan here assigns+encodes on the fly in one
+    streaming pass (non-probed rows are dropped before any ADC work); a
+    deployment stores the codes cluster-partitioned instead — compose
+    :func:`pq_encode` with the :class:`IvfIndexedSearch` partitioned sink
+    — so probing prunes at the READ, not just the compute.
+    """
+    ccids, ccents = _kmeans_fit(ds, k=nlist, iters=iters, id_col=id_col, emb_col=emb_col)
+    books = pq_fit(ds, m=m, ksub=ksub, iters=iters, id_col=id_col, emb_col=emb_col)
+    q = np.asarray(query, dtype=np.float64)
+    dsub = books[0][1].shape[1]
+
+    # probe set: nprobe nearest coarse centroids in micros order
+    dm = np.floor(((ccents - q[None, :]) ** 2).sum(axis=1) * 1e6 + 0.5).astype(np.int64)
+    order = np.lexsort((ccids, dm))[:nprobe]
+    probed = set(int(c) for c in ccids[order])
+
+    qd = []
+    for s, (cids, C) in enumerate(books):
+        qs = q[s * dsub : (s + 1) * dsub]
+        d = np.floor(((C - qs[None, :]) ** 2).sum(axis=1) * 1e6 + 0.5).astype(np.int64)
+        dense = np.zeros(int(cids.max()) + 1, dtype=np.int64)
+        dense[cids] = d
+        qd.append(dense)
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        X = _stack_embeddings(b, emb_col)
+        coarse = ccids[_kmeans_assign(X, ccents)]
+        keep = np.isin(coarse, list(probed))
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "coarse": pd.Series([], dtype="int64"),
+                    "adc_micros": pd.Series([], dtype="int64"),
+                }
+            )
+        Xk = X[keep]
+        adc = np.zeros(len(Xk), dtype=np.int64)
+        for s, (cids, C) in enumerate(books):
+            code = cids[_kmeans_assign(Xk[:, s * dsub : (s + 1) * dsub], C)]
+            adc += qd[s][code]
+        ids = b[id_col].to_numpy(np.int64)[keep]
+        kk = min(k, len(ids))
+        o = np.lexsort((ids, adc))[:kk]
+        return pd.DataFrame(
+            {id_col: ids[o], "coarse": coarse[keep][o], "adc_micros": adc[o]}
+        )
+
+    cand = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["adc_micros", id_col], kind="mergesort").head(k)
+    cand = cand.reset_index(drop=True)
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand

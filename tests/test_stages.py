@@ -1404,3 +1404,39 @@ def test_char_entropy_closed_form(ray_session):
     )
     assert out["n_chars"].tolist() == [32, 4, 0]
     assert out["entropy_micros"].tolist() == [2_000_000, 0, 0]
+
+
+def test_ivfpq_prunes_and_matches_full_pq(ray_session):
+    """IVF-PQ: with nprobe=nlist the ranking equals plain PQ ADC (pruning
+    off = same codes, same table); with nprobe=1 every hit's coarse cell
+    is the query's own cell."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 800, 32
+    centers = rng.standard_normal((6, d)) * 4
+    emb = (
+        centers[rng.integers(0, 6, n)] + rng.standard_normal((n, d)) * 0.3
+    ).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(emb)}
+    )
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    q = emb[5].astype(np.float64)
+
+    full = ivf_pq_topk(ds, q, nlist=6, nprobe=6, m=4, ksub=8, k=10)
+    books = pq_fit(ds, m=4, ksub=8, iters=2)
+    plain = pq_topk(pq_encode(ds, books), books, q, k=10)
+    assert full["vec_id"].tolist() == plain["vec_id"].tolist()
+    assert full["adc_micros"].tolist() == plain["adc_micros"].tolist()
+
+    pruned = ivf_pq_topk(ds, q, nlist=6, nprobe=1, m=4, ksub=8, k=10)
+    assert pruned["coarse"].nunique() == 1  # only the query's cell scanned
+    assert len(pruned) == 10
