@@ -4027,6 +4027,70 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+def q_zorder_prune(sf_dir: str):
+    """The Z-order payoff under the driver hash: per-file min/max stats of
+    BOTH interleaved columns plus survives-predicate flags for a user-id
+    range and a time range — the file-skipping decision a reader makes
+    from footer stats alone. With 16 Z-ordered files, each single-column
+    predicate prunes most files; a single-column sort could only prune
+    one of the two."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sink import zorder_layout
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def with_us(b):
+        b = b.copy()
+        b["ts_us"] = b["ts"].astype("datetime64[us]").astype("int64")
+        return b[["event_id", "user_id", "ts_us"]]
+
+    narrow = ds.map_batches(with_us, batch_format="pandas")
+    # data columns ride the layout pass (keep_cols) so footer stats come
+    # from per-batch partials — nothing joins on the driver
+    z = zorder_layout(
+        narrow,
+        ("user_id", "ts_us"),
+        bits=16,
+        n_files=16,
+        keep_cols=("user_id", "ts_us"),
+    )
+
+    def stats(b):
+        return b.groupby("file_id", as_index=False).agg(
+            n_rows=("event_id", "size"),
+            min_user=("user_id", "min"),
+            max_user=("user_id", "max"),
+            min_ts=("ts_us", "min"),
+            max_ts=("ts_us", "max"),
+        )
+
+    parts = z.map_batches(stats, batch_format="pandas").to_pandas()
+    out = parts.groupby("file_id", as_index=False).agg(
+        n_rows=("n_rows", "sum"),
+        min_user=("min_user", "min"),
+        max_user=("max_user", "max"),
+        min_ts=("min_ts", "min"),
+        max_ts=("max_ts", "max"),
+    )
+    # footer-stats pruning decisions (overlap tests, pure integers)
+    u_lo, u_hi = 10, 40
+    t0 = int(pd.Timestamp("2024-01-08").value // 1000)
+    t1 = int(pd.Timestamp("2024-01-15").value // 1000)
+    out["scan_user_range"] = (
+        (out["min_user"] <= u_hi) & (out["max_user"] >= u_lo)
+    ).astype("int64")
+    out["scan_ts_range"] = (
+        (out["min_ts"] <= t1) & (out["max_ts"] >= t0)
+    ).astype("int64")
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("file_id").reset_index(drop=True)
+
+
 def q_hybrid_rrf(sf_dir: str):
     """Hybrid search via reciprocal-rank fusion (Cormack et al. 2009):
     BM25 top-20 from the inverted index + cosine top-20 from the
@@ -4213,6 +4277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist": q_blocklist,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
+        "zorder_prune": q_zorder_prune,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
@@ -6705,6 +6770,42 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                  AND b.pos <> a.pos
             WHERE a.tok = 'spark' AND b.tok = 'join'
             ORDER BY qid, doc_id
+        """,
+        # the zorder replay carried through to per-file footer stats and
+        # the same integer overlap tests
+        "zorder_prune": f"""
+            WITH e AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+            ),
+            mm AS (
+                SELECT min(user_id) AS mna, max(user_id) AS mxa,
+                       min(ts_us) AS mnb, max(ts_us) AS mxb
+                FROM e
+            ),
+            bkt AS (
+                SELECT event_id, user_id, ts_us,
+                       ((user_id - mna) * 65536) // (mxa - mna + 1) AS ba,
+                       ((ts_us - mnb) * 65536) // (mxb - mnb + 1) AS bb
+                FROM e, mm
+            ),
+            z AS (
+                SELECT event_id, user_id, ts_us,
+                       (CAST({_Z_INTERLEAVE} AS BIGINT) >> 28) AS file_id
+                FROM bkt
+            ),
+            s AS (
+                SELECT file_id, count(*)::BIGINT AS n_rows,
+                       min(user_id) AS min_user, max(user_id) AS max_user,
+                       min(ts_us) AS min_ts, max(ts_us) AS max_ts
+                FROM z GROUP BY file_id
+            )
+            SELECT file_id, n_rows, min_user, max_user, min_ts, max_ts,
+                   (min_user <= 40 AND max_user >= 10)::BIGINT
+                       AS scan_user_range,
+                   (min_ts <= epoch_us(TIMESTAMP '2024-01-15')
+                    AND max_ts >= epoch_us(TIMESTAMP '2024-01-08'))::BIGINT
+                       AS scan_ts_range
+            FROM s ORDER BY file_id
         """,
         # cohort = min epoch-day per user; ages from the distinct
         # (user, day) pairs; exact integer counts

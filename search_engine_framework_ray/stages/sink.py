@@ -188,6 +188,7 @@ def zorder_layout(
     bits: int = 16,
     n_files: int = 16,
     id_col: str = "event_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> Dataset:
     """Assign every row a Morton (Z-order) key over two integer columns and
     a target file id — the multi-dimensional clustering pass behind
@@ -244,12 +245,15 @@ def zorder_layout(
         for i in range(bits):
             z |= ((ba >> i) & 1) << (2 * i)
             z |= ((bb >> i) & 1) << (2 * i + 1)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: b[id_col].to_numpy(np.int64),
                 "zkey": z,
                 "file_id": z >> shift,
             }
         )
+        for c in keep_cols:  # data columns ride along to the write/stats
+            out[c] = b[c].to_numpy()
+        return out
 
     return ds.map_batches(assign, batch_format="pandas")
