@@ -4027,6 +4027,24 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+def q_skew_report(sf_dir: str):
+    """Shuffle-key skew diagnostics for events.user_id: exact n_keys /
+    total / max / p50 / p99 / Gini from a count-of-counts histogram — the
+    pre-flight check before picking a groupby key (stages/aggregate.py
+    skew_report); the SQL twin ranks the counts directly with a window."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import skew_report
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    out = skew_report(ds, "user_id")
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_zorder_prune(sf_dir: str):
     """The Z-order payoff under the driver hash: per-file min/max stats of
     BOTH interleaved columns plus survives-predicate flags for a user-id
@@ -4278,6 +4296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
         "zorder_prune": q_zorder_prune,
+        "skew_report": q_skew_report,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
@@ -6770,6 +6789,33 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                  AND b.pos <> a.pos
             WHERE a.tok = 'spark' AND b.tok = 'join'
             ORDER BY qid, doc_id
+        """,
+        # per-key counts ranked ascending; Σ rank·cnt and the order
+        # statistics straight off the window, one float division at the end
+        "skew_report": r"""
+            WITH c AS (
+                SELECT user_id, count(*)::BIGINT AS cnt
+                FROM events GROUP BY user_id
+            ),
+            r AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt, user_id) AS rk
+                FROM c
+            ),
+            s AS (
+                SELECT count(*)::BIGINT AS n, sum(cnt)::BIGINT AS total,
+                       sum(rk * cnt)::BIGINT AS srk, max(cnt)::BIGINT AS mx
+                FROM r
+            )
+            SELECT s.n AS n_keys, s.total, s.mx AS max_cnt,
+                   (SELECT cnt FROM r, s
+                    WHERE rk = CAST(ceil(0.5 * s.n) AS BIGINT)) AS p50_cnt,
+                   (SELECT cnt FROM r, s
+                    WHERE rk = CAST(ceil(0.99 * s.n) AS BIGINT)) AS p99_cnt,
+                   CAST(round((2.0 * s.srk - (s.n + 1.0) * s.total)
+                        / (s.n * s.total) * 1000000) AS BIGINT)
+                       AS gini_micros
+            FROM s
         """,
         # the zorder replay carried through to per-file footer stats and
         # the same integer overlap tests

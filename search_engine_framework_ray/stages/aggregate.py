@@ -447,3 +447,74 @@ def rollup_counts(
     out[micros_col] = out[micros_col].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out.sort_values(keys + ["n"]).reset_index(drop=True)
+
+
+def skew_report(
+    ds: Dataset,
+    key: str,
+    *,
+    n_buckets: int = 256,
+) -> pd.DataFrame:
+    """Shuffle-key skew diagnostics → ONE row (n_keys, total, max_cnt,
+    p50_cnt, p99_cnt, gini_micros) — the pre-flight check before choosing
+    a groupby/join key (north_rule: "skewed keys hurt"): a Gini near 1 or
+    p99/p50 ≫ 1 says salt the key or pre-combine before shuffling.
+
+    Exact, never the key table on the driver: per-batch partial key counts
+    → one bucketed key reduce (narrow (key, cnt) rows) → counts grouped BY
+    COUNT VALUE into a (value, freq) histogram — Zipf-sized (distinct
+    count values, not distinct keys) — from which driver arithmetic
+    recovers the exact order statistics and the exact Gini: a run of f
+    equal counts v occupying global ranks [r+1, r+f] contributes
+    v·Σranks = v·(f·r + f(f+1)/2) to Σ rank·cnt, so
+    ``G = (2·Σ rank·cnt − (n+1)·total) / (n·total)``.
+    """
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).size().rename(columns={"size": "cnt"})
+        g["_bkt"] = pd.util.hash_array(g[key].to_numpy()) % n_buckets
+        return g
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        k = g.groupby(key, as_index=False)["cnt"].sum()
+        # collapse to the per-bucket count histogram immediately — the
+        # bucket's key list never leaves the task
+        return (
+            k.groupby("cnt", as_index=False).size().rename(columns={"size": "freq"})
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas()
+        .groupby("cnt", as_index=False)["freq"]
+        .sum()
+        .sort_values("cnt")
+        .reset_index(drop=True)
+    )
+    v = hist["cnt"].to_numpy(np.int64)
+    f = hist["freq"].to_numpy(np.int64)
+    n = int(f.sum())
+    total = int((v * f).sum())
+    # Σ rank·cnt over ascending ranks, runs of equal counts in closed form
+    r0 = np.concatenate([[0], np.cumsum(f)[:-1]])
+    s_rank = int((v * (f * r0 + f * (f + 1) // 2)).sum())
+    gini = (2.0 * s_rank - (n + 1.0) * total) / (n * total) if n and total else 0.0
+    cum = np.cumsum(f)
+
+    def at(q: float) -> int:
+        r = max(1, int(np.ceil(q * n)))
+        return int(v[np.searchsorted(cum, r)])
+
+    return pd.DataFrame(
+        {
+            "n_keys": [n],
+            "total": [total],
+            "max_cnt": [int(v[-1]) if n else 0],
+            "p50_cnt": [at(0.5) if n else 0],
+            "p99_cnt": [at(0.99) if n else 0],
+            "gini_micros": [int(np.floor(abs(gini) * 1e6 + 0.5)) * (1 if gini >= 0 else -1)],
+        }
+    )

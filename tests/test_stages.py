@@ -1440,3 +1440,29 @@ def test_ivfpq_prunes_and_matches_full_pq(ray_session):
     pruned = ivf_pq_topk(ds, q, nlist=6, nprobe=1, m=4, ksub=8, k=10)
     assert pruned["coarse"].nunique() == 1  # only the query's cell scanned
     assert len(pruned) == 10
+
+
+def test_skew_report_exact_gini(ray_session):
+    """Skew report: hand-checkable distributions — uniform counts give
+    Gini 0; a planted hot key moves Gini and max/p50 as computed by the
+    brute-force rank formula."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import skew_report
+
+    # 4 keys × 3 rows each → uniform
+    uni = pd.DataFrame({"k": np.repeat([1, 2, 3, 4], 3)})
+    r = skew_report(ray.data.from_pandas(uni).repartition(3), "k")
+    assert r.loc[0, "n_keys"] == 4 and r.loc[0, "total"] == 12
+    assert r.loc[0, "gini_micros"] == 0
+    assert r.loc[0, "p50_cnt"] == 3 and r.loc[0, "max_cnt"] == 3
+
+    # hot key: counts [1, 1, 1, 9]
+    hot = pd.DataFrame({"k": [1, 2, 3] + [9] * 9})
+    r2 = skew_report(ray.data.from_pandas(hot).repartition(4), "k")
+    counts = np.array([1, 1, 1, 9])
+    n, tot = 4, 12
+    srk = int((np.arange(1, 5) * np.sort(counts)).sum())
+    want = (2 * srk - (n + 1) * tot) / (n * tot)
+    assert r2.loc[0, "gini_micros"] == int(np.floor(want * 1e6 + 0.5))
+    assert r2.loc[0, "max_cnt"] == 9 and r2.loc[0, "p99_cnt"] == 9
