@@ -4027,6 +4027,27 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+def q_profile(sf_dir: str):
+    """ANALYZE-style table profile of events (n / nulls / exact ndv /
+    typed min-max per column) — one streaming stats pass + one bucketed
+    distinct-value reduce; the value sets never reach the driver
+    (stages/aggregate.py profile_table)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import profile_table
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    out = profile_table(ds, ["event_id", "user_id", "event_type"])
+    for c in ("n", "n_null", "ndv"):
+        out[c] = out[c].astype("int64")
+    return out[["col", "n", "n_null", "ndv", "min_v", "max_v"]].reset_index(
+        drop=True
+    )
+
+
 def q_skew_report(sf_dir: str):
     """Shuffle-key skew diagnostics for events.user_id: exact n_keys /
     total / max / p50 / p99 / Gini from a count-of-counts histogram — the
@@ -4297,6 +4318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": q_hybrid_rrf,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
+        "profile": q_profile,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
@@ -6789,6 +6811,29 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                  AND b.pos <> a.pos
             WHERE a.tok = 'spark' AND b.tok = 'join'
             ORDER BY qid, doc_id
+        """,
+        # per-column n / nulls / exact ndv / min-max, VARCHAR-rendered
+        "profile": """
+            SELECT 'event_id' AS col, count(*)::BIGINT AS n,
+                   (count(*) - count(event_id))::BIGINT AS n_null,
+                   count(DISTINCT event_id)::BIGINT AS ndv,
+                   CAST(min(event_id) AS VARCHAR) AS min_v,
+                   CAST(max(event_id) AS VARCHAR) AS max_v
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*)::BIGINT,
+                   (count(*) - count(event_type))::BIGINT,
+                   count(DISTINCT event_type)::BIGINT,
+                   min(event_type), max(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*)::BIGINT,
+                   (count(*) - count(user_id))::BIGINT,
+                   count(DISTINCT user_id)::BIGINT,
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            ORDER BY col
         """,
         # per-key counts ranked ascending; Σ rank·cnt and the order
         # statistics straight off the window, one float division at the end

@@ -518,3 +518,110 @@ def skew_report(
             "gini_micros": [int(np.floor(abs(gini) * 1e6 + 0.5)) * (1 if gini >= 0 else -1)],
         }
     )
+
+
+def profile_table(
+    ds: Dataset,
+    cols: list[str],
+    *,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """ANALYZE-style table profile → one row per column:
+    (col, n, n_null, ndv, min_v, max_v) with min/max rendered as strings
+    (one output schema across column types). The footer-stats pass every
+    engine runs before planning: null fractions, exact distinct counts,
+    value bounds.
+
+    Scale shape: ONE streaming pass computes per-batch (n, n_null, min,
+    max) partials (|cols| rows per batch) AND per-batch DISTINCT (col,
+    value) pairs; the pairs reduce through one bucketed groupby per-value
+    dedup, then collapse to per-bucket ndv partial counts (≤ n_buckets·
+    |cols| rows to the driver — the value sets never leave the cluster).
+    Exact ndv costs a narrow shuffle of distinct values by construction;
+    swap in the KMV sketch (`stages/sketch.py`) when an estimate is
+    enough at 100 TB.
+    """
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # min/max stay TYPED through the cross-batch reduce (string-min of
+        # int partials would order "10" < "9"): numeric columns ride a
+        # nullable-Int64 lane (NOT float64 — ids ≥ 2^53 would corrupt),
+        # string columns a string lane; rendered to one schema at the end
+        rows = []
+        for c in cols:
+            s = b[c]
+            nn = s.isna()
+            sv = s[~nn]
+            num = pd.api.types.is_integer_dtype(s)
+            rows.append(
+                {
+                    "col": c,
+                    "n": len(s),
+                    "n_null": int(nn.sum()),
+                    "min_i": int(sv.min()) if num and len(sv) else None,
+                    "max_i": int(sv.max()) if num and len(sv) else None,
+                    "min_s": None if num else (str(sv.min()) if len(sv) else None),
+                    "max_s": None if num else (str(sv.max()) if len(sv) else None),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["min_i"] = out["min_i"].astype("Int64")
+        out["max_i"] = out["max_i"].astype("Int64")
+        return out
+
+    def dpairs(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in cols:
+            u = b[c].dropna().unique()
+            outs.append(pd.DataFrame({"col": c, "v": pd.Series(u).astype(str)}))
+        out = pd.concat(outs, ignore_index=True)
+        out["_bkt"] = pd.util.hash_array(out["v"].to_numpy(object)) % n_buckets
+        return out
+
+    def bucket_ndv(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates(["col", "v"])
+            .groupby("col", as_index=False)
+            .size()
+            .rename(columns={"size": "ndv"})
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("col")
+        .agg(
+            n=("n", "sum"),
+            n_null=("n_null", "sum"),
+            min_i=("min_i", "min"),
+            max_i=("max_i", "max"),
+            # object-lane min/max must SKIP the numeric columns' None/NaN
+            # rows (str vs nan comparison raises)
+            min_s=("min_s", lambda s: s.dropna().min() if s.notna().any() else None),
+            max_s=("max_s", lambda s: s.dropna().max() if s.notna().any() else None),
+        )
+    )
+    stats["min_v"] = stats.apply(
+        lambda r: str(r["min_i"]) if pd.notna(r["min_i"]) else r["min_s"], axis=1
+    )
+    stats["max_v"] = stats.apply(
+        lambda r: str(r["max_i"]) if pd.notna(r["max_i"]) else r["max_s"], axis=1
+    )
+    ndv = (
+        ds.map_batches(dpairs, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(bucket_ndv, batch_format="pandas")
+        .to_pandas()
+        .groupby("col")["ndv"]
+        .sum()
+    )
+    out = stats.join(ndv).reset_index()
+    out["ndv"] = out["ndv"].fillna(0).astype(np.int64)
+    for c in ("n", "n_null"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["col", "n", "n_null", "ndv", "min_v", "max_v"]]
+        .sort_values("col")
+        .reset_index(drop=True)
+    )

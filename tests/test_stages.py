@@ -1466,3 +1466,28 @@ def test_skew_report_exact_gini(ray_session):
     want = (2 * srk - (n + 1) * tot) / (n * tot)
     assert r2.loc[0, "gini_micros"] == int(np.floor(want * 1e6 + 0.5))
     assert r2.loc[0, "max_cnt"] == 9 and r2.loc[0, "p99_cnt"] == 9
+
+
+def test_profile_table_nulls_and_typed_minmax(ray_session):
+    """Profiler: cross-block int min/max stay numeric ("9" vs "10" order
+    bug pinned), nulls counted, exact ndv across blocks, string columns
+    lexicographic."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import profile_table
+
+    pdf = pd.DataFrame(
+        {
+            "a": pd.array([9, 10, None, 200, 9], dtype="Int64"),
+            "s": ["b", "a", "c", None, "a"],
+        }
+    )
+    out = (
+        profile_table(ray.data.from_pandas(pdf).repartition(5), ["a", "s"])
+        .set_index("col")
+    )
+    assert out.loc["a", "n"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "ndv"] == 3
+    assert out.loc["a", "min_v"] == "9" and out.loc["a", "max_v"] == "200"
+    assert out.loc["s", "ndv"] == 3
+    assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "c"
