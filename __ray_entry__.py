@@ -4027,6 +4027,50 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+def q_incremental_agg(sf_dir: str):
+    """Incremental view maintenance: a materialized per-event-type
+    (cnt, cents) aggregate built from 80% of events is refreshed with the
+    other 20% by merging STATE + delta partials — O(|state|+|delta|), the
+    base events never rescanned (stages/aggregate.py merge_agg_state).
+    The oracle is the from-scratch aggregate over ALL events, so the hash
+    proves the merged state exact."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import merge_agg_state
+
+    def load(pred):
+        def prep(b):
+            b = b[pred(b["event_id"])].copy()
+            b["cnt"] = np.int64(1)
+            b["cents"] = np.floor(b["value"].to_numpy(np.float64) * 100 + 0.5).astype(
+                "int64"
+            )
+            return b[["event_type", "cnt", "cents"]]
+
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        ).map_batches(prep, batch_format="pandas")
+
+    from ray.data.aggregate import Sum
+
+    base_state = (
+        load(lambda e: e % 5 != 4)
+        .groupby("event_type")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("cents", alias_name="cents"))
+    )
+    merged = merge_agg_state(
+        base_state, load(lambda e: e % 5 == 4), ["event_type"], ["cnt", "cents"]
+    ).to_pandas()
+    for c in ("cnt", "cents"):
+        merged[c] = merged[c].astype("int64")
+    return (
+        merged[["event_type", "cnt", "cents"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def q_profile(sf_dir: str):
     """ANALYZE-style table profile of events (n / nulls / exact ndv /
     typed min-max per column) — one streaming stats pass + one bucketed
@@ -4319,6 +4363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
+        "incremental_agg": q_incremental_agg,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
@@ -6811,6 +6856,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                  AND b.pos <> a.pos
             WHERE a.tok = 'spark' AND b.tok = 'join'
             ORDER BY qid, doc_id
+        """,
+        # the from-scratch aggregate — the merged state must equal it
+        "incremental_agg": """
+            SELECT event_type, count(*)::BIGINT AS cnt,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                       AS cents
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # per-column n / nulls / exact ndv / min-max, VARCHAR-rendered
         "profile": """

@@ -625,3 +625,30 @@ def profile_table(
         .sort_values("col")
         .reset_index(drop=True)
     )
+
+
+def merge_agg_state(
+    base_agg: Dataset,
+    delta: Dataset,
+    keys: list[str],
+    sums: list[str],
+) -> Dataset:
+    """Incremental aggregate maintenance for additive aggregates (SUM /
+    COUNT carried as a sum column): refresh a materialized grouped
+    aggregate with new rows WITHOUT rescanning the base data — union the
+    existing per-key state with the delta's per-batch partials and
+    re-reduce. Cost is O(|state| + |delta|), not O(|base data|): the
+    streaming-view maintenance pattern (classic incremental view
+    maintenance; additive aggs compose associatively so the merged state
+    is exactly the from-scratch aggregate).
+
+    ``base_agg`` must already be one row per key with ``sums`` columns
+    (e.g. the previous run's output, read back from its sink); ``delta``
+    is raw rows carrying ``keys`` + ``sums``."""
+    from ray.data.aggregate import Sum
+
+    parts = pre_aggregate_sum(delta, keys, sums).union(
+        base_agg.select_columns(keys + sums)
+    )
+    aggs = [Sum(c, alias_name=c) for c in sums]
+    return parts.groupby(keys).aggregate(*aggs)

@@ -1491,3 +1491,35 @@ def test_profile_table_nulls_and_typed_minmax(ray_session):
     assert out.loc["a", "min_v"] == "9" and out.loc["a", "max_v"] == "200"
     assert out.loc["s", "ndv"] == 3
     assert out.loc["s", "min_v"] == "a" and out.loc["s", "max_v"] == "c"
+
+
+def test_merge_agg_state_equals_from_scratch(ray_session):
+    """Incremental maintenance: state(base) + delta == from-scratch agg,
+    including a key only present in the delta."""
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from search_engine_framework_ray.stages.aggregate import merge_agg_state
+
+    base = pd.DataFrame({"k": ["a", "a", "b"], "cnt": 1, "v": [10, 20, 5]})
+    delta = pd.DataFrame({"k": ["a", "c"], "cnt": 1, "v": [7, 100]})
+    state = (
+        ray.data.from_pandas(base)
+        .groupby("k")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("v", alias_name="v"))
+    )
+    got = (
+        merge_agg_state(state, ray.data.from_pandas(delta).repartition(2), ["k"], ["cnt", "v"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.concat([base, delta])
+        .groupby("k", as_index=False)[["cnt", "v"]]
+        .sum()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"cnt": "int64", "v": "int64"}), want.astype({"cnt": "int64", "v": "int64"}))
