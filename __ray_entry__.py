@@ -4027,6 +4027,49 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk generation (DeepWalk/node2vec data prep)
+    over the link_components graph (undirected): one 4-hop walk per node,
+    next hop = argmin md5("{s}|{cur}|{t}|{m}") over out-neighbors — a
+    keyed PRF both engines rank identically (stages/graph.py
+    random_walks). The SQL twin unrolls the 4 hops as row_number picks."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import random_walks
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        d2 = d[d % 16 == 0]
+        src = np.concatenate([d, d2])
+        dst = np.concatenate([(d + 4) % n, (d2 * 9 + 2) % n])
+        # undirected expansion so every walk runs full length
+        return pa.table(
+            {
+                "src": np.concatenate([src, dst]),
+                "dst": np.concatenate([dst, src]),
+            }
+        )
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    out = random_walks(edges, nodes, steps=4).to_pandas()
+    for c in ("s", "step", "cur"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["s", "step", "cur"]]
+        .sort_values(["s", "step"])
+        .reset_index(drop=True)
+    )
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental view maintenance: a materialized per-event-type
     (cnt, cents) aggregate built from 80% of events is refreshed with the
@@ -4364,6 +4407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_report": q_skew_report,
         "profile": q_profile,
         "incremental_agg": q_incremental_agg,
+        "random_walks": q_random_walks,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
@@ -6856,6 +6900,52 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                  AND b.pos <> a.pos
             WHERE a.tok = 'spark' AND b.tok = 'join'
             ORDER BY qid, doc_id
+        """,
+        # the 4 hops unrolled: each hop = row_number over
+        # (md5_number_lower of the same PRF string, dst) per walk
+        "random_walks": r"""
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e0 AS (
+                SELECT doc_id AS src, (doc_id + 4) % nn.n AS dst
+                FROM documents, nn
+                UNION ALL
+                SELECT doc_id, (doc_id * 9 + 2) % nn.n
+                FROM documents, nn WHERE doc_id % 16 = 0
+            ),
+            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            w0 AS (SELECT doc_id AS s, doc_id AS cur FROM documents),
+            s1 AS (SELECT s, dst AS cur FROM (
+                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+                        || CAST(w.cur AS VARCHAR) || '|1|'
+                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+                FROM w0 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+            s2 AS (SELECT s, dst AS cur FROM (
+                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+                        || CAST(w.cur AS VARCHAR) || '|2|'
+                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+                FROM s1 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+            s3 AS (SELECT s, dst AS cur FROM (
+                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+                        || CAST(w.cur AS VARCHAR) || '|3|'
+                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+                FROM s2 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+            s4 AS (SELECT s, dst AS cur FROM (
+                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+                        || CAST(w.cur AS VARCHAR) || '|4|'
+                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+                FROM s3 w JOIN e ON e.src = w.cur) WHERE rn = 1)
+            SELECT s, CAST(st AS BIGINT) AS step, CAST(cur AS BIGINT) AS cur
+            FROM (
+                SELECT s, 0 AS st, cur FROM w0
+                UNION ALL SELECT s, 1, cur FROM s1
+                UNION ALL SELECT s, 2, cur FROM s2
+                UNION ALL SELECT s, 3, cur FROM s3
+                UNION ALL SELECT s, 4, cur FROM s4
+            ) ORDER BY s, step
         """,
         # the from-scratch aggregate — the merged state must equal it
         "incremental_agg": """

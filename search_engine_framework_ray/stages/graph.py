@@ -747,3 +747,124 @@ def triangle_counts(
         .groupby("bkt")
         .map_groups(final_sum, batch_format="pandas")
     )
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset,
+    *,
+    steps: int = 4,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Deterministic "random" walk generation — the data-prep step of
+    DeepWalk / node2vec graph embeddings (Perozzi et al. 2014, Grover &
+    Leskovec 2016): one walk per node, ``steps`` hops; the next hop from
+    ``cur`` is the out-neighbor ``m`` minimizing the keyed hash
+    ``md5_low64("{s}|{cur}|{t}|{m}")`` (ties → lower ``m``). The hash is a
+    PRF over (walk, position, candidate), so hop choices are
+    pseudo-random yet bit-reproducible under any partitioning AND by a
+    DuckDB twin ranking on ``md5_number_lower`` of the same string.
+
+    → Dataset ``(s, step, cur)``, step 0..steps (walk ``s`` starts at
+    node ``s``; a node with no out-edges would end its walk — pass an
+    undirected expansion if every walk must run full length).
+
+    Scale shape: per hop ONE tagged-union co-partition shuffle (the walk
+    frontier and the edge table routed by the same cur/src hash bucket —
+    the pregel step), candidates evaluated via ONE vectorized merge per
+    bucket; the frontier is re-materialized with lineage reset per hop
+    (``_rebase`` — plan growth is the measured iterative-loop killer).
+    Edges re-route every hop; a production walk length would park the
+    bucket adjacency in an actor pool instead (documented upgrade).
+    """
+    import hashlib
+
+    def _h64(keys: list[str]) -> np.ndarray:
+        out = np.empty(len(keys), dtype=np.uint64)
+        for i, k in enumerate(keys):
+            out[i] = int.from_bytes(hashlib.md5(k.encode()).digest()[8:], "little")
+        return out
+
+    def start(t: pa.Table) -> pa.Table:
+        d = t.column(0).to_numpy().astype(np.int64)
+        return pa.table({"s": d, "cur": d})
+
+    frontier = _rebase(nodes.map_batches(start, batch_format="pyarrow"))
+    snaps = [
+        frontier.map_batches(
+            lambda b, st=0: b.assign(step=np.int64(st))[["s", "step", "cur"]],
+            batch_format="pandas",
+        )
+    ]
+
+    def route_w(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "side": np.int64(0),
+                "_bkt": _key_buckets(b["cur"].to_numpy(np.int64), n_buckets),
+                "s": b["s"].to_numpy(np.int64),
+                "cur": b["cur"].to_numpy(np.int64),
+                "dst": np.int64(-1),
+            }
+        )
+
+    def route_e(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "side": np.int64(1),
+                "_bkt": _key_buckets(b["src"].to_numpy(np.int64), n_buckets),
+                "s": np.int64(-1),
+                "cur": b["src"].to_numpy(np.int64),
+                "dst": b["dst"].to_numpy(np.int64),
+            }
+        )
+
+    edges_routed = _rebase(
+        edges.map_batches(route_e, batch_format="pandas").repartition(n_buckets)
+    )
+
+    for t in range(1, steps + 1):
+        def hop(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"s": pd.Series(dtype="int64"), "cur": pd.Series(dtype="int64")}
+            )
+            w = g[g["side"] == 0]
+            e = g[g["side"] == 1]
+            if not len(w) or not len(e):
+                return empty
+            cand = w[["s", "cur"]].merge(
+                e[["cur", "dst"]], on="cur", how="inner"
+            )
+            if not len(cand):
+                return empty
+            cand["_h"] = _h64(
+                [
+                    f"{s}|{c}|{t}|{m}"
+                    for s, c, m in zip(cand["s"], cand["cur"], cand["dst"])
+                ]
+            )
+            # one walk per s in the frontier: min (_h, dst) per s
+            cand = cand.sort_values(["s", "_h", "dst"], kind="mergesort")
+            pick = cand.groupby("s", as_index=False).first()
+            return pd.DataFrame(
+                {"s": pick["s"].to_numpy(np.int64), "cur": pick["dst"].to_numpy(np.int64)}
+            )
+
+        frontier = _rebase(
+            frontier.map_batches(route_w, batch_format="pandas")
+            .union(edges_routed)
+            .groupby("_bkt")
+            .map_groups(hop, batch_format="pandas")
+            .repartition(n_buckets)
+        )
+        snaps.append(
+            frontier.map_batches(
+                lambda b, st=t: b.assign(step=np.int64(st))[["s", "step", "cur"]],
+                batch_format="pandas",
+            )
+        )
+
+    out = snaps[0]
+    for sn in snaps[1:]:
+        out = out.union(sn)
+    return out

@@ -253,3 +253,54 @@ def test_triangle_counts_ring_exact(ray_session):
     out = triangle_counts(ray.data.from_pandas(edges)).to_pandas()
     assert out["n_triangles"].sum() == 3 * 12
     assert (out["n_triangles"] == 3).all() and len(out) == 12
+
+
+def test_random_walks_prf_rule_and_continuity(ray_session):
+    """Walks: every hop follows an existing edge, hop choice equals the
+    brute-force argmin of the PRF hash, full length on an undirected
+    graph."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import random_walks
+
+    # small cycle + chords, undirected
+    e0 = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)]
+    edges = pd.DataFrame(
+        {
+            "src": [a for a, b in e0] + [b for a, b in e0],
+            "dst": [b for a, b in e0] + [a for a, b in e0],
+        }
+    )
+    nodes = pd.DataFrame({"node": np.arange(8, dtype=np.int64)})
+    out = (
+        random_walks(
+            ray.data.from_pandas(edges).repartition(3),
+            ray.data.from_pandas(nodes).repartition(2),
+            steps=3,
+        )
+        .to_pandas()
+        .sort_values(["s", "step"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 8 * 4
+    adj = {}
+    for a, b in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(a), set()).add(int(b))
+
+    def h(s, c, t, m):
+        return int.from_bytes(
+            hashlib.md5(f"{s}|{c}|{t}|{m}".encode()).digest()[8:], "little"
+        )
+
+    for s, g in out.groupby("s"):
+        path = g.sort_values("step")["cur"].tolist()
+        assert path[0] == s
+        for t in range(1, len(path)):
+            prev, cur = path[t - 1], path[t]
+            assert cur in adj[prev]  # continuity
+            want = min(sorted(adj[prev]), key=lambda m: (h(s, prev, t, m), m))
+            assert cur == want  # exact PRF argmin
