@@ -2187,6 +2187,49 @@ def q_compact_bm25(sf_dir: str):
     return _flagship_bm25_over(out)
 
 
+def q_pagerank_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart to the seed set
+    doc_id % 10 == 0) over the same link graph as `pagerank`: non-seeds
+    get no teleport mass, so scores rank proximity to the seeds — the
+    related-pages / recommendation scorer (stages/graph.py pagerank with
+    seed_pred). Same exact int64 arithmetic; the twin swaps the uniform
+    teleport constant for the seed CASE."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import pagerank
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        d1, d2 = d[d % 3 >= 1], d[d % 3 >= 2]
+        src = np.concatenate([d, d1, d2])
+        dst = np.concatenate(
+            [(d * 7 + 1) % n, (d1 * 13 + 5) % n, (d2 * 31 + 11) % n]
+        )
+        return pa.table({"src": src, "dst": dst})
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    out = pagerank(
+        edges,
+        nodes=nodes,
+        iters=3,
+        seed_pred=lambda k: np.asarray(k, dtype=np.int64) % 10 == 0,
+    ).to_pandas()
+    out["doc_id"] = out["node"].astype("int64")
+    out["rank_micros"] = out["rank_micros"].astype("int64")
+    return (
+        out[["doc_id", "rank_micros"]].sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (stages/graph.py) over a deterministic link
     graph derived from the documents table: each doc links to
@@ -4377,6 +4420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q_kmv_distinct,
         "kmv_jaccard": q_kmv_jaccard,
         "pagerank": q_pagerank,
+        "pagerank_ppr": q_pagerank_ppr,
         "link_components": q_link_components,
         "substring_dedup": q_substring_dedup,
         "line_dedup": q_line_dedup,
@@ -5438,12 +5482,48 @@ r3 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c3.s, 0) // 100 AS BIGINT) AS
 SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
 """
 
+# Personalized variant: teleport mass only on the seed set (doc_id % 10
+# == 0); otherwise the identical integer update
+_PPR_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % n FROM documents, nn WHERE doc_id % 3 >= 1
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 11) % n FROM documents, nn WHERE doc_id % 3 >= 2
+),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+nd AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+c1 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+r1 AS (SELECT nd.node,
+              CAST((CASE WHEN nd.node % 10 = 0 THEN 150000 ELSE 0 END)
+                   + 85 * COALESCE(c1.s, 0) // 100 AS BIGINT) AS r
+       FROM nd LEFT JOIN c1 USING (node)),
+c2 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r2 AS (SELECT nd.node,
+              CAST((CASE WHEN nd.node % 10 = 0 THEN 150000 ELSE 0 END)
+                   + 85 * COALESCE(c2.s, 0) // 100 AS BIGINT) AS r
+       FROM nd LEFT JOIN c2 USING (node)),
+c3 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
+       FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r3 AS (SELECT nd.node,
+              CAST((CASE WHEN nd.node % 10 = 0 THEN 150000 ELSE 0 END)
+                   + 85 * COALESCE(c3.s, 0) // 100 AS BIGINT) AS r
+       FROM nd LEFT JOIN c3 USING (node))
+SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "pagerank": _PAGERANK_SQL,
+        "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
         "bm25_snippets": _BM25_SNIPPETS_SQL,
         # recursive-CTE reachability closure over the same deterministic

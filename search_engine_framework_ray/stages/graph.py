@@ -102,9 +102,17 @@ def pagerank(
     damp_num: int = 85,
     damp_den: int = 100,
     n_buckets: int = 64,
+    seed_pred=None,
 ) -> ray.data.Dataset:
     """Power-iteration PageRank over ``edges`` (columns ``src``, ``dst``;
     int64 or string node ids). Returns a Dataset ``(node, rank_micros)``.
+
+    ``seed_pred`` (optional): a vectorized ``node array → bool array``
+    predicate selecting teleport targets — PERSONALIZED PageRank (random
+    walk with restart to the seed set; Page et al. 1999 §6, the
+    related-pages / recommendation scorer): non-seeds get NO teleport
+    mass, so rank concentrates by proximity to the seeds. ``None`` =
+    uniform teleport (classic PageRank). Integer arithmetic either way.
 
     ``nodes`` (single column ``node``) fixes the node universe — pass it
     when it is already known (e.g. every doc_id) to skip a distinct-scan of
@@ -233,7 +241,12 @@ def pagerank(
         (int64 pandas groupby-sum: exact, order-independent)."""
         s = g.groupby("key", sort=False, as_index=False)["r"].sum()
         key = s["key"].to_numpy()
-        r = teleport_micros + damp_num * s["r"].to_numpy(np.int64) // damp_den
+        tele = (
+            np.where(seed_pred(key), teleport_micros, 0).astype(np.int64)
+            if seed_pred is not None
+            else teleport_micros
+        )
+        r = tele + damp_num * s["r"].to_numpy(np.int64) // damp_den
         return pd.DataFrame(
             {
                 "key": key,

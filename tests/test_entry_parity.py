@@ -63,3 +63,12 @@ def test_entry_smoke(ray_session):
     out = entrymod.entry()
     assert len(out) > 0
     assert set(out.columns) == {"qid", "rank", "doc_id", "score"}
+
+
+def test_every_query_is_oracled():
+    """Invariant since round 3: EVERY queries() entry has a SQL twin —
+    the driver's correctness gate covers the whole surface (no rows-only
+    entries). A new entry without an oracle fails here, not in review."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))

@@ -304,3 +304,32 @@ def test_random_walks_prf_rule_and_continuity(ray_session):
             assert cur in adj[prev]  # continuity
             want = min(sorted(adj[prev]), key=lambda m: (h(s, prev, t, m), m))
             assert cur == want  # exact PRF argmin
+
+
+def test_personalized_pagerank_concentrates_on_seeds(ray_session):
+    """PPR: with a single seed and uniform teleport off, seed + its
+    out-neighborhood outrank distant nodes; uniform pagerank over the same
+    graph does NOT show the same concentration."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import pagerank
+
+    # directed ring 0→1→…→9→0
+    edges = pd.DataFrame({"src": np.arange(10), "dst": (np.arange(10) + 1) % 10})
+    nodes = pd.DataFrame({"node": np.arange(10, dtype=np.int64)})
+    ppr = (
+        pagerank(
+            ray.data.from_pandas(edges),
+            nodes=ray.data.from_pandas(nodes),
+            iters=3,
+            seed_pred=lambda k: np.asarray(k, dtype=np.int64) == 0,
+        )
+        .to_pandas()
+        .set_index("node")["rank_micros"]
+    )
+    # teleport lands only on 0; mass decays along the ring 0→1→2→3
+    assert ppr.loc[0] > ppr.loc[5]
+    assert ppr.loc[1] > ppr.loc[5] and ppr.loc[2] > ppr.loc[5]
+    assert ppr.loc[1] >= ppr.loc[2] >= ppr.loc[3]
