@@ -4140,8 +4140,12 @@ def q_incremental_agg(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
+    from search_engine_framework_ray.stages.aggregate import pre_aggregate_sum
+
+    # state construction pre-combines per batch (one row per key per
+    # batch) so the groupby shuffles partials, not raw rows
     base_state = (
-        load(lambda e: e % 5 != 4)
+        pre_aggregate_sum(load(lambda e: e % 5 != 4), ["event_type"], ["cnt", "cents"])
         .groupby("event_type")
         .aggregate(Sum("cnt", alias_name="cnt"), Sum("cents", alias_name="cents"))
     )
