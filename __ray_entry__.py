@@ -4113,6 +4113,42 @@ def q_random_walks(sf_dir: str):
     )
 
 
+def q_walk_pairs(sf_dir: str):
+    """Skip-gram (center, context) training pairs from the deterministic
+    walks — the step between random_walks and a word2vec-style embedding
+    fit: window-2 co-visits counted corpus-wide, top 50
+    (stages/graph.py walk_pairs). The twin self-joins the replayed walks."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import random_walks, walk_pairs
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    n = docs.count()
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        d2 = d[d % 16 == 0]
+        src = np.concatenate([d, d2])
+        dst = np.concatenate([(d + 4) % n, (d2 * 9 + 2) % n])
+        return pa.table(
+            {
+                "src": np.concatenate([src, dst]),
+                "dst": np.concatenate([dst, src]),
+            }
+        )
+
+    edges = docs.map_batches(edges_of, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    walks = random_walks(edges, nodes, steps=4)
+    out = walk_pairs(walks, window=2, top_n=50)
+    return out.reset_index(drop=True)
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental view maintenance: a materialized per-event-type
     (cnt, cents) aggregate built from 80% of events is refreshed with the
@@ -4456,6 +4492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile": q_profile,
         "incremental_agg": q_incremental_agg,
         "random_walks": q_random_walks,
+        "walk_pairs": q_walk_pairs,
         "cohort_retention": q_cohort_retention,
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
@@ -5484,6 +5521,52 @@ c3 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
 r3 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c3.s, 0) // 100 AS BIGINT) AS r
        FROM nd LEFT JOIN c3 USING (node))
 SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
+"""
+
+# shared walk-replay CTEs (random_walks + walk_pairs oracles): 4 unrolled
+# PRF-hash hops over the undirected link graph, snapshots unioned as `walks`
+_WALKS_CTES = r"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+    SELECT doc_id AS src, (doc_id + 4) % nn.n AS dst
+    FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 9 + 2) % nn.n
+    FROM documents, nn WHERE doc_id % 16 = 0
+),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+w0 AS (SELECT doc_id AS s, doc_id AS cur FROM documents),
+s1 AS (SELECT s, dst AS cur FROM (
+    SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+        ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+            || CAST(w.cur AS VARCHAR) || '|1|'
+            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM w0 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+s2 AS (SELECT s, dst AS cur FROM (
+    SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+        ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+            || CAST(w.cur AS VARCHAR) || '|2|'
+            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM s1 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+s3 AS (SELECT s, dst AS cur FROM (
+    SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+        ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+            || CAST(w.cur AS VARCHAR) || '|3|'
+            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM s2 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+s4 AS (SELECT s, dst AS cur FROM (
+    SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
+        ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
+            || CAST(w.cur AS VARCHAR) || '|4|'
+            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM s3 w JOIN e ON e.src = w.cur) WHERE rn = 1),
+walks AS (
+    SELECT s, 0 AS st, cur FROM w0
+    UNION ALL SELECT s, 1, cur FROM s1
+    UNION ALL SELECT s, 2, cur FROM s2
+    UNION ALL SELECT s, 3, cur FROM s3
+    UNION ALL SELECT s, 4, cur FROM s4
+)
 """
 
 # Personalized variant: teleport mass only on the seed set (doc_id % 10
@@ -6987,49 +7070,20 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         """,
         # the 4 hops unrolled: each hop = row_number over
         # (md5_number_lower of the same PRF string, dst) per walk
-        "random_walks": r"""
-            WITH nn AS (SELECT count(*) AS n FROM documents),
-            e0 AS (
-                SELECT doc_id AS src, (doc_id + 4) % nn.n AS dst
-                FROM documents, nn
-                UNION ALL
-                SELECT doc_id, (doc_id * 9 + 2) % nn.n
-                FROM documents, nn WHERE doc_id % 16 = 0
-            ),
-            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-            w0 AS (SELECT doc_id AS s, doc_id AS cur FROM documents),
-            s1 AS (SELECT s, dst AS cur FROM (
-                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
-                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
-                        || CAST(w.cur AS VARCHAR) || '|1|'
-                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
-                FROM w0 w JOIN e ON e.src = w.cur) WHERE rn = 1),
-            s2 AS (SELECT s, dst AS cur FROM (
-                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
-                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
-                        || CAST(w.cur AS VARCHAR) || '|2|'
-                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
-                FROM s1 w JOIN e ON e.src = w.cur) WHERE rn = 1),
-            s3 AS (SELECT s, dst AS cur FROM (
-                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
-                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
-                        || CAST(w.cur AS VARCHAR) || '|3|'
-                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
-                FROM s2 w JOIN e ON e.src = w.cur) WHERE rn = 1),
-            s4 AS (SELECT s, dst AS cur FROM (
-                SELECT w.s, e.dst, row_number() OVER (PARTITION BY w.s
-                    ORDER BY md5_number_lower(CAST(w.s AS VARCHAR) || '|'
-                        || CAST(w.cur AS VARCHAR) || '|4|'
-                        || CAST(e.dst AS VARCHAR)), e.dst) AS rn
-                FROM s3 w JOIN e ON e.src = w.cur) WHERE rn = 1)
+        "random_walks": _WALKS_CTES + """
             SELECT s, CAST(st AS BIGINT) AS step, CAST(cur AS BIGINT) AS cur
-            FROM (
-                SELECT s, 0 AS st, cur FROM w0
-                UNION ALL SELECT s, 1, cur FROM s1
-                UNION ALL SELECT s, 2, cur FROM s2
-                UNION ALL SELECT s, 3, cur FROM s3
-                UNION ALL SELECT s, 4, cur FROM s4
-            ) ORDER BY s, step
+            FROM walks ORDER BY s, step
+        """,
+        # skip-gram (center, context) pairs within window 2 over the same
+        # replayed walks, counted corpus-wide
+        "walk_pairs": _WALKS_CTES + """
+            SELECT a.cur AS center, b.cur AS context,
+                   count(*)::BIGINT AS cnt
+            FROM walks a JOIN walks b
+              ON a.s = b.s AND abs(b.st - a.st) <= 2 AND b.st <> a.st
+            GROUP BY 1, 2
+            ORDER BY cnt DESC, center, context
+            LIMIT 50
         """,
         # the from-scratch aggregate — the merged state must equal it
         "incremental_agg": """

@@ -881,3 +881,67 @@ def random_walks(
     for sn in snaps[1:]:
         out = out.union(sn)
     return out
+
+
+def walk_pairs(
+    walks: ray.data.Dataset,
+    *,
+    window: int = 2,
+    top_n: int = 50,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Skip-gram (center, context) pair extraction from walk sequences —
+    the training-pair step between :func:`random_walks` and a word2vec-
+    style embedding fit: for every walk, all ordered pairs of visits
+    within ``window`` positions (context ≠ center position), counted
+    corpus-wide; top ``top_n`` by (count desc, center, context).
+
+    Scale shape: ONE walk-id bucket shuffle (a walk's visits co-locate),
+    per bucket a vectorized self-merge emits pairs and collapses them to
+    partial counts; ONE pair-bucket reduce sums partials and keeps a
+    LOCAL top-n (each pair lives in exactly one bucket, so local winners
+    are global candidates); the driver merges ≤ top_n·n_buckets rows.
+    """
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["s", "step", "cur"]].copy()
+        b["_bkt"] = _key_buckets(b["s"].to_numpy(np.int64), n_buckets)
+        return b
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s", suffixes=("_a", "_b"))
+        d = (m["step_b"] - m["step_a"]).to_numpy(np.int64)
+        m = m[(np.abs(d) <= window) & (d != 0)]
+        out = (
+            m.groupby(["cur_a", "cur_b"], as_index=False)
+            .size()
+            .rename(columns={"cur_a": "center", "cur_b": "context", "size": "cnt"})
+        )
+        out["_pbkt"] = _key_buckets(
+            (out["center"].to_numpy(np.int64) << 20)
+            ^ out["context"].to_numpy(np.int64),
+            n_buckets,
+        )
+        return out
+
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["center", "context"], as_index=False)["cnt"].sum()
+        t = t.sort_values(
+            ["cnt", "center", "context"], ascending=[False, True, True],
+            kind="mergesort",
+        )
+        return t.head(top_n)
+
+    cand = (
+        walks.map_batches(route, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("_pbkt")
+        .map_groups(reduce_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.sort_values(
+        ["cnt", "center", "context"], ascending=[False, True, True],
+        kind="mergesort",
+    ).head(top_n)
+    return cand[["center", "context", "cnt"]].reset_index(drop=True).astype("int64")

@@ -333,3 +333,31 @@ def test_personalized_pagerank_concentrates_on_seeds(ray_session):
     assert ppr.loc[0] > ppr.loc[5]
     assert ppr.loc[1] > ppr.loc[5] and ppr.loc[2] > ppr.loc[5]
     assert ppr.loc[1] >= ppr.loc[2] >= ppr.loc[3]
+
+
+def test_walk_pairs_window_and_counts(ray_session):
+    """Pair extraction: hand-built two walks, window 2, directed pairs
+    with exact counts and (cnt desc, center, context) ordering."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.graph import walk_pairs
+
+    # walk 0: 0→1→2 ; walk 1: 1→2→3 (steps 0..2)
+    w = pd.DataFrame(
+        {
+            "s": [0, 0, 0, 1, 1, 1],
+            "step": [0, 1, 2, 0, 1, 2],
+            "cur": [0, 1, 2, 1, 2, 3],
+        }
+    )
+    out = walk_pairs(ray.data.from_pandas(w).repartition(3), window=2, top_n=100)
+    got = {(r.center, r.context): r.cnt for r in out.itertuples()}
+    # (1,2) appears in both walks (dist 1); (2,1) likewise
+    assert got[(1, 2)] == 2 and got[(2, 1)] == 2
+    assert got[(0, 2)] == 1 and got[(2, 0)] == 1  # dist 2 within window
+    assert (1, 3) in got and (0, 3) not in got  # different walks never pair
+    assert out["cnt"].is_monotonic_decreasing or (
+        out["cnt"].iloc[0] >= out["cnt"].iloc[-1]
+    )
