@@ -4329,6 +4329,34 @@ def q_hybrid_rrf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# BM25F field weights — accumulation order body→title→url→inlink is part of
+# the spec (query/bm25f.py FIELD_ORDER); values are exact binary floats
+_BM25F_W = {"body": 1.0, "title": 2.0, "url": 0.5, "inlink": 1.5}
+
+
+def q_bm25f(sf_dir: str):
+    """BM25F field-weighted top-15 (Zaragoza et al. CIKM 2004) over the
+    derived four-field index: per-field length-normalized tfs fold into ONE
+    saturation (vs the reference's per-field BM25 features,
+    LearnToRank.java:358-445), idf from the cross-field UNION df. Engine:
+    per-shard union-df pre-pass + vectorized per-shard top-k + k·S driver
+    merge (query/bm25f.py). The SQL twin rebuilds each field from the same
+    deterministic token slices the index build uses."""
+    from search_engine_framework_ray.query.bm25f import bm25f_topk
+
+    idx = _letor_index(sf_dir)
+    # overselect (k=50) so the micros-rounded cut can't disagree with the
+    # float cut at rank 15, then re-rank on the integer key
+    df = bm25f_topk(idx, list(_BM25_TERMS), _BM25F_W, k=50)
+    df["doc_id"] = df["url"].str[3:].astype("int64")
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(15)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "doc_id", "score_micros"]].reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4487,6 +4515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist": q_blocklist,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
+        "bm25f": q_bm25f,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4591,6 +4620,97 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+def _bm25f_sql() -> str:
+    """SQL twin of ``q_bm25f``: each index field rebuilt from the same
+    deterministic token slices ``_letor_corpus`` feeds the four-field build
+    (body = all tokens; title/url/inlink = the _LETOR_* slices), per-field
+    stats over the whole corpus (== the engine's global stats.json), idf
+    from the cross-field union df, and the tf~ chain written in the
+    engine's body→title→url→inlink accumulation order (float addition is
+    commutative but not associative — order is part of the spec)."""
+    t0, t1 = _BM25_TERMS
+    w = _BM25F_W
+    # (cte prefix, weight, slice) — body has no slice (all tokens)
+    fields = [
+        ("fb", w["body"], None),
+        ("fti", w["title"], _LETOR_TITLE),
+        ("fuf", w["url"], _LETOR_URLF),
+        ("fil", w["inlink"], _LETOR_INLINK),
+    ]
+    blocks, terms_chain, joins = [], [], []
+    for px, wt, sl in fields:
+        if sl is None:
+            toks = f"""{px}_toks AS (
+    SELECT doc_id, lower(l[i]) AS tok
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+)"""
+        else:
+            lo, hi = sl
+            toks = f"""{px}_toks AS (
+    SELECT doc_id, lower(l[i]) AS tok
+    FROM lists, unnest(range({lo + 1}, {hi + 1})) AS t(i)
+    WHERE i <= len(l)
+)"""
+        blocks.append(
+            f"""{toks},
+{px}_dl AS (SELECT doc_id, count(*) AS dl FROM {px}_toks GROUP BY doc_id),
+{px}_st AS (
+    SELECT CAST(count(*) AS DOUBLE) AS doccount, CAST(sum(dl) AS DOUBLE) AS sum_dl
+    FROM {px}_dl
+),
+{px}_tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM {px}_toks
+    WHERE tok IN ('{t0}', '{t1}') GROUP BY doc_id, tok
+)"""
+        )
+        terms_chain.append(
+            f"coalesce(({wt} * {px}_tf.tf) / ((1 - {_B}) + {_B} * "
+            f"({px}_dl.dl / ({px}_st.sum_dl / {px}_st.doccount))), 0)"
+        )
+        joins.append(
+            f"""    LEFT JOIN {px}_tf ON {px}_tf.doc_id = g.doc_id AND {px}_tf.tok = g.tok
+    LEFT JOIN {px}_dl ON {px}_dl.doc_id = g.doc_id
+    CROSS JOIN {px}_st"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, tok FROM {px}_tf" for px, _, _ in fields
+    )
+    chain = "\n         + ".join(terms_chain)
+    jblock = "\n".join(joins)
+    return f"""
+WITH lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
+{",".join(blocks)},
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs),
+udf AS (
+    SELECT tok, count(DISTINCT doc_id) AS df FROM ({union}) GROUP BY tok
+),
+grid AS (SELECT DISTINCT doc_id, tok FROM ({union})),
+tft AS (
+    SELECT g.doc_id, g.tok,
+           {chain} AS tft
+    FROM grid g
+{jblock}
+),
+scores AS (
+    SELECT t.doc_id,
+           sum( ln((stats.n_docs - u.df + 0.5) / (u.df + 0.5))
+                * (t.tft / ({_K1} + t.tft)) ) AS score
+    FROM tft t JOIN udf u ON u.tok = t.tok CROSS JOIN stats
+    WHERE t.tft > 0
+    GROUP BY t.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, score_micros
+FROM (SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+      FROM scores)
+ORDER BY score_micros DESC, doc_id
+LIMIT 15
 """
 
 
@@ -5609,6 +5729,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
+        "bm25f": _bm25f_sql(),
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
