@@ -4357,6 +4357,35 @@ def q_bm25f(sf_dir: str):
     return df[["rank", "doc_id", "score_micros"]].reset_index(drop=True)
 
 
+def q_site_collapse(sf_dir: str):
+    """Site-collapsed ranking (classic web-search host crowding): the BM25
+    top-50 re-ranked so no ``source`` contributes more than 2 results,
+    final top-10. Engine: the distributed BM25 ranking + a PRUNED filtered
+    read of (doc_id, source) for just the candidate ids (at 100 TB the
+    top-k is still 50 rows — the corpus never re-scans), then the
+    row_number-per-key collapse (query/diversify.py collapse_top_k)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from search_engine_framework_ray.query.diversify import collapse_top_k
+
+    df = _run(sf_dir, " ".join(_BM25_TERMS), "BM25")
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(50)
+    src = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+        filter=pads.field("doc_id").isin(df["doc_id"].tolist()),
+    ).to_pandas()
+    merged = df.merge(src, on="doc_id").sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    out = collapse_top_k(merged, "source", max_per_key=2, k=10)
+    return out[["rank", "doc_id", "source", "score_micros"]]
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4516,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
         "bm25f": q_bm25f,
+        "site_collapse": q_site_collapse,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4711,6 +4741,53 @@ FROM (SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
       FROM scores)
 ORDER BY score_micros DESC, doc_id
 LIMIT 15
+"""
+
+
+# site-collapse twin: the proven BM25 chain cut at 50 by the micros key,
+# then the row_number-per-source quota filter and a final dense rank
+_SITE_COLLAPSE_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros,
+           row_number() OVER (
+               ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+           ) AS r
+    FROM scores QUALIFY r <= 50
+),
+collapsed AS (
+    SELECT ranked.doc_id, d.source, ranked.score_micros, ranked.r,
+           row_number() OVER (PARTITION BY d.source ORDER BY ranked.r) AS nr
+    FROM ranked JOIN documents d USING (doc_id)
+),
+top AS (
+    SELECT doc_id, source, score_micros, r FROM collapsed
+    WHERE nr <= 2 ORDER BY r LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS rank,
+       doc_id, source, score_micros
+FROM top ORDER BY rank
 """
 
 
@@ -5730,6 +5807,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "bm25f": _bm25f_sql(),
+        "site_collapse": _SITE_COLLAPSE_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,

@@ -75,3 +75,20 @@ def mmr_rerank(
             "maxsim_micros": pd.Series([m for _, _, m in selected], dtype="int64"),
         }
     )
+
+
+def collapse_top_k(
+    ranked: pd.DataFrame, key_col: str, *, max_per_key: int, k: int
+) -> pd.DataFrame:
+    """Host-crowding collapse (classic web-search "site collapse"): walk the
+    already-final ranking and keep at most ``max_per_key`` rows per
+    ``key_col`` value, then cut to ``k`` and assign dense 1-based ranks.
+
+    ``ranked`` must arrive in final rank order (the caller's tie-broken
+    sort); rows beyond a key's quota are skipped, NOT re-scored — exactly
+    the row_number-per-partition filter a SQL twin writes. Driver-cheap by
+    construction: input is a bounded top-k list."""
+    kept = ranked[ranked.groupby(key_col, sort=False).cumcount() < max_per_key]
+    kept = kept.head(k).copy()
+    kept.insert(0, "rank", np.arange(1, len(kept) + 1, dtype=np.int64))
+    return kept.reset_index(drop=True)

@@ -388,3 +388,27 @@ def test_mmr_rerank_semantics():
     # constant scores → snorm 1e6 everywhere, pure diversity order
     out = mmr_rerank([(1, 5), (2, 5), (3, 5)], toks, k=2)
     assert out["doc_id"].tolist() == [1, 3]
+
+
+def test_collapse_top_k_quota_and_order():
+    """Site collapse: per-key quota honored in rank order, dense final
+    ranks, k cut after the quota filter (not before)."""
+    import pandas as pd
+
+    from search_engine_framework_ray.query.diversify import collapse_top_k
+
+    ranked = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "source": ["a", "a", "a", "b", "a", "c", "b"],
+            "score_micros": [70, 60, 50, 40, 30, 20, 10],
+        }
+    )
+    out = collapse_top_k(ranked, "source", max_per_key=2, k=4)
+    # doc 3 (third 'a') and doc 5 (fourth 'a') are skipped, NOT re-scored
+    assert out["doc_id"].tolist() == [1, 2, 4, 6]
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    # k cut happens after the quota filter: with k=5 doc 7 (second 'b') enters
+    assert collapse_top_k(ranked, "source", max_per_key=2, k=5)[
+        "doc_id"
+    ].tolist() == [1, 2, 4, 6, 7]
