@@ -4386,6 +4386,26 @@ def q_site_collapse(sf_dir: str):
     return out[["rank", "doc_id", "source", "score_micros"]]
 
 
+def q_pruned_bm25(sf_dir: str):
+    """BM25 top-20 over a STATICALLY PRUNED index (Carmel et al. SIGIR
+    2001): each term keeps only its 25 highest-tf postings (ties
+    docid-ascending); scoring uses the FULL index's global stats so every
+    surviving posting scores exactly what it scored un-pruned. Engine:
+    per-shard local top-P combiner → one term-bucket shuffle → global cut,
+    then a docid-range co-partition so each scoring group loads only its
+    own shard's doclen column (pipelines/prune.py)."""
+    from search_engine_framework_ray.pipelines.prune import pruned_bm25_topk
+
+    idx = _docs_index(sf_dir)
+    df = pruned_bm25_topk(idx, list(_BM25_TERMS), keep_top=25, k=60)
+    df = df.rename(columns={"docid": "doc_id"})
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return df[["doc_id", "score_micros"]].reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4546,6 +4566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": q_hybrid_rrf,
         "bm25f": q_bm25f,
         "site_collapse": q_site_collapse,
+        "pruned_bm25": q_pruned_bm25,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4741,6 +4762,46 @@ FROM (SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
       FROM scores)
 ORDER BY score_micros DESC, doc_id
 LIMIT 15
+"""
+
+
+# pruned-BM25 twin: the tf table cut to each term's top-25 by the
+# row_number impact order, then the proven BM25 arithmetic with the FULL
+# df/doclen/avgdl stats
+_PRUNED_BM25_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+pruned AS (
+    SELECT doc_id, tok, tf FROM (
+        SELECT tf.*, row_number() OVER (
+            PARTITION BY tok ORDER BY tf DESC, doc_id) AS pr
+        FROM tf
+    ) WHERE pr <= 25
+),
+scores AS (
+    SELECT p.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (p.tf / (p.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM pruned p
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scores
+ORDER BY score_micros DESC, doc_id
+LIMIT 20
 """
 
 
@@ -5808,6 +5869,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
+        "pruned_bm25": _PRUNED_BM25_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
