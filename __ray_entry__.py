@@ -4406,6 +4406,37 @@ def q_pruned_bm25(sf_dir: str):
     return df[["doc_id", "score_micros"]].reset_index(drop=True)
 
 
+def q_rocchio(sf_dir: str):
+    """Rocchio (1971) vector-space feedback terms — the classic expansion
+    family next to the reference's Indri-style PRF (`fb_expansion`): top-10
+    BM25 docs as the binary relevant set, candidate weights
+    β·mean(tf·idf) + α·idf for original terms, top-10 by weight. Engine:
+    per-shard fwd.parquet term-vector tasks + bucketed termstats df
+    (query/expansion.py rocchio_terms)."""
+    from search_engine_framework_ray.query.expansion import rocchio_terms
+
+    idx = _docs_index(sf_dir)
+    df = _run(sf_dir, " ".join(_BM25_TERMS), "BM25")
+    df["score_micros"] = _micros(df["score"])
+    top = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    out = rocchio_terms(
+        idx,
+        list(_BM25_TERMS),
+        list(zip(top["doc_id"], top["score"])),
+        alpha=1.0,
+        beta=0.75,
+        n_terms=30,  # overselect; the micros-rounded cut decides rank 10
+    )
+    out["weight_micros"] = _micros(out["weight"])
+    out = out.sort_values(
+        ["weight_micros", "term"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "term", "weight_micros"]].reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4567,6 +4598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f": q_bm25f,
         "site_collapse": q_site_collapse,
         "pruned_bm25": q_pruned_bm25,
+        "rocchio": q_rocchio,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4802,6 +4834,69 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# Rocchio twin: BM25 micros-cut top-10 as the relevant set, tf·idf doc
+# vectors over those docs, full-corpus df, the β-mean + α-query chain in
+# the engine's add order
+_ROCCHIO_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+cand AS (
+    SELECT doc_id FROM scores
+    ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id LIMIT 10
+),
+dtf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id, tok
+),
+cdf AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+allstems AS (
+    SELECT DISTINCT tok FROM dtf
+    UNION SELECT unnest(['spark', 'join']) AS tok
+),
+sums AS (
+    SELECT d.tok, sum(d.tf * ln(stats.n_docs / c.df)) AS s
+    FROM dtf d JOIN cdf c USING (tok) CROSS JOIN stats GROUP BY d.tok
+),
+w AS (
+    SELECT a.tok AS term,
+           coalesce(0.75 * (s.s / 10), 0)
+           + CASE WHEN a.tok IN ('spark', 'join')
+                  THEN 1.0 * ln(stats.n_docs / c.df) ELSE 0 END AS weight
+    FROM allstems a
+    LEFT JOIN sums s ON s.tok = a.tok
+    JOIN cdf c ON c.tok = a.tok
+    CROSS JOIN stats
+)
+SELECT CAST(row_number() OVER (ORDER BY weight_micros DESC, term) AS BIGINT)
+           AS rank,
+       term, weight_micros
+FROM (SELECT term, CAST(round(weight * 1000000) AS BIGINT) AS weight_micros
+      FROM w)
+ORDER BY weight_micros DESC, term
+LIMIT 10
 """
 
 
@@ -5870,6 +5965,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,
+        "rocchio": _ROCCHIO_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,

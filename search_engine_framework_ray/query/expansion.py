@@ -264,3 +264,77 @@ def _expand_with_service(
     ]
     final = service.run(rewritten, params, k=k)
     return final, expanded
+
+
+def rocchio_terms(
+    index_dir: str,
+    query_terms: list[str],
+    top_docs: list[tuple[int, float]],
+    *,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    n_terms: int = 10,
+) -> pd.DataFrame:
+    """Rocchio (1971) vector-space feedback — the OTHER classic expansion
+    family next to the reference's Indri-style model (QryExpansion.java):
+
+        w(t) = beta * (sum_{d in D} tf(t,d) * idf(t)) / |D|
+               + alpha * tf_q(t) * idf(t)            (tf_q = 1 per query term)
+
+    with idf(t) = ln(N / df(t)) over the FULL collection and D the
+    pseudo-relevant set (scores unused — Rocchio's relevant set is binary).
+    → (term, weight) top ``n_terms`` by (weight desc, term asc).
+
+    Distribution shape: term vectors fetch one task per shard (filtered
+    fwd.parquet reads, same path as ``expansion_terms``); df comes from the
+    bucketed termstats store; the weighting is driver-side vectorized over
+    ≤ |D| x doclen rows."""
+    import math
+
+    ranges = _shard_of(index_dir)
+    stats = read_stats(index_dir)
+    n_docs = int(stats["n_docs"])
+
+    by_shard: dict[int, set[int]] = {}
+    for d, _ in top_docs:
+        for s, lo, hi in ranges:
+            if lo <= d < hi:
+                by_shard.setdefault(s, set()).add(int(d))
+                break
+    tv = (
+        pd.concat(
+            ray.get(
+                [
+                    _fetch_term_vectors.remote(index_dir, s, sorted(ds))
+                    for s, ds in sorted(by_shard.items())
+                ]
+            ),
+            ignore_index=True,
+        )
+        if by_shard
+        else pd.DataFrame({"stem": pd.Series(dtype="object"), "tf": []})
+    )
+
+    stems = set(tv["stem"]) | set(query_terms)
+    ts = load_term_stats(index_dir, {("body", t) for t in stems})
+    df_map = {t: d for (f, t), (d, _) in ts.items() if f == "body"}
+    idf = {t: math.log(n_docs / d) for t, d in df_map.items() if d > 0}
+
+    w: dict[str, float] = {}
+    if len(tv):
+        tv = tv[tv["stem"].isin(idf)].copy()
+        tv["ti"] = tv["tf"].to_numpy(dtype=np.float64) * tv["stem"].map(idf).to_numpy()
+        sums = tv.groupby("stem")["ti"].sum()
+        nd = len(top_docs)
+        for t, s in sums.items():
+            w[t] = beta * (float(s) / nd)
+    for t in query_terms:
+        if t in idf:
+            w[t] = w.get(t, 0.0) + alpha * idf[t]
+    ranked = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:n_terms]
+    return pd.DataFrame(
+        {
+            "term": pd.Series([t for t, _ in ranked], dtype="object"),
+            "weight": pd.Series([v for _, v in ranked], dtype="float64"),
+        }
+    )

@@ -93,3 +93,38 @@ def test_end_to_end_expansion_runs_and_is_deterministic(micro_index):
     assert len(r1["q1"]) > 0
     # expansion pulls in co-occurring terms: q1 'apple' docs contain banana
     assert any("banana" in e1["q1"] for _ in [0])
+
+
+def test_rocchio_terms_hand_computed(micro_index):
+    """w(t) = 0.75·mean(tf·idf over D) + 1.0·idf for query terms;
+    idf = ln(N/df), N=3; D = {d0, d1} (scores ignored — binary set)."""
+    from search_engine_framework_ray.query.expansion import rocchio_terms
+
+    got = rocchio_terms(
+        micro_index,
+        ["cherry", "date"],
+        [(0, 99.0), (1, -1.0)],
+        alpha=1.0,
+        beta=0.75,
+        n_terms=10,
+    )
+    idf = {
+        "apple": math.log(3 / 2),
+        "banana": math.log(3 / 2),
+        "cherry": math.log(3 / 2),
+        "date": math.log(3 / 1),
+    }
+    want = {
+        # d0 = apple banana apple; d1 = banana cherry
+        "apple": 0.75 * (2 * idf["apple"] / 2),
+        "banana": 0.75 * ((1 + 1) * idf["banana"] / 2),
+        "cherry": 0.75 * (1 * idf["cherry"] / 2) + idf["cherry"],
+        "date": idf["date"],  # query term absent from D: pure alpha part
+    }
+    gmap = dict(zip(got["term"], got["weight"]))
+    assert set(gmap) == set(want)
+    for t, v in want.items():
+        assert gmap[t] == pytest.approx(v, rel=1e-12)
+    # ranking: desc weight, term-ascending ties
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got["term"].tolist() == [t for t, _ in order]
