@@ -4437,6 +4437,44 @@ def q_rocchio(sf_dir: str):
     return out[["rank", "term", "weight_micros"]].reset_index(drop=True)
 
 
+def q_lang_routed_bm25(sf_dir: str):
+    """BM25 over a LANGUAGE-PARTITIONED index: the corpus splits by
+    ``lang`` in one resumable sink pass, each language builds its own
+    independent sharded index (per-language df/avgdl — cross-language
+    stats poison BM25), and the query routes to the 'en' partition ONLY
+    (partition pruning: the other languages' bytes are never opened) —
+    pipelines/partitioned.py. The SQL twin restricts every stat to the
+    lang='en' subset, which is what proves the partition stats isolated."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.partitioned import (
+        build_partitioned_indexes,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/sefr_langidx/{key}"
+    idxs = build_partitioned_indexes(
+        os.path.join(sf_dir, "documents.parquet"), base, analyzer=PLAIN_ANALYZER
+    )
+    res = run_queries(
+        idxs["en"],
+        [("q", " ".join(_BM25_TERMS))],
+        ModelParams(model="BM25"),
+        k=100,
+    )["q"]
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score_micros": _micros([s for _, s, _ in res]),
+        }
+    )
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    return df.reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4599,6 +4637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_collapse": q_site_collapse,
         "pruned_bm25": q_pruned_bm25,
         "rocchio": q_rocchio,
+        "lang_routed_bm25": q_lang_routed_bm25,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4834,6 +4873,44 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# lang-routed twin: the BM25 chain with EVERY stat (n_docs, doclen, df,
+# avgdl) restricted to the lang='en' subset — per-partition collection
+# stats are the point of the partitioned build
+_LANG_ROUTED_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+toks AS (
+    SELECT doc_id, lower(tok) AS tok
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+          FROM docs)
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM docs) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scores
+ORDER BY score_micros DESC, doc_id
+LIMIT 10
 """
 
 
@@ -5966,6 +6043,7 @@ def oracle_sql() -> dict[str, str]:
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,
         "rocchio": _ROCCHIO_SQL,
+        "lang_routed_bm25": _LANG_ROUTED_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
