@@ -4475,6 +4475,73 @@ def q_lang_routed_bm25(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _frontier_corpus(sf_dir: str) -> str:
+    """HTML corpus whose pages carry one in-corpus link plus deterministic
+    OUT-of-corpus links (the frontier): every page links
+    ``https://ext{d%37}.example.com/`` and even pages also link
+    ``https://ext{(3d+1)%53}.example.com/b`` — closed-form indegrees a SQL
+    twin replays. Cached per sf_dir with the partial-write guard."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    corpus = f"/tmp/sefr_frontier/{key}/corpus"
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n = _pq.read_metadata(docs_path).num_rows
+    if not os.path.exists(os.path.join(corpus, "_done")):
+        import shutil
+
+        shutil.rmtree(corpus, ignore_errors=True)
+        ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+
+        def synth(b, n=n):
+            d = b["doc_id"].astype("int64")
+            internal = ((d * 7 + 3) % n).map("doc{:010d}".format)
+            extA = "https://ext" + (d % 37).astype(str) + ".example.com/"
+            extB = "https://ext" + ((d * 3 + 1) % 53).astype(str) + ".example.com/b"
+            html = (
+                "<html><body><p>"
+                + b["text"].fillna("")
+                + '</p><a href="' + internal + '">internal link</a>'
+                + '<a href="' + extA + '">frontier one</a>'
+                + np.where(
+                    d % 2 == 0,
+                    '<a href="' + extB + '">frontier two</a>',
+                    "",
+                )
+                + "</body></html>"
+            )
+            return pd.DataFrame(
+                {
+                    "url": d.map("doc{:010d}".format),
+                    "html": [h.encode() for h in html],
+                }
+            )
+
+        ds.map_batches(synth, batch_format="pandas").write_parquet(corpus)
+        with open(os.path.join(corpus, "_done"), "w") as f:
+            f.write("ok")
+    return corpus
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier prioritization: anchor targets not yet fetched,
+    ranked by distinct-source indegree. Engine: REAL ExtractStage anchors,
+    broadcast-Bloom seen-set with exact verify (anti semi-join — frontier
+    rows stream with NO shuffle), one target-bucket indegree reduce with
+    local top-k combiners (stages/web.py crawl_frontier). The in-corpus
+    link every page also carries must be filtered by the seen-set — the
+    SQL twin only ever counts the ext targets, so the hash proves it."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.web import crawl_frontier
+
+    pages = ray.data.read_parquet(
+        _frontier_corpus(sf_dir), columns=["url", "html"]
+    )
+    return crawl_frontier(pages, top_k=20)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4638,6 +4705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_bm25": q_pruned_bm25,
         "rocchio": q_rocchio,
         "lang_routed_bm25": q_lang_routed_bm25,
+        "crawl_frontier": q_crawl_frontier,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4911,6 +4979,31 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 10
+"""
+
+
+# crawl-frontier twin: closed-form replay of the synthesized ext links
+# (the in-corpus links never appear — that's the seen-set filter under
+# the hash)
+_CRAWL_FRONTIER_SQL = """
+WITH d AS (SELECT doc_id AS d FROM documents),
+links AS (
+    SELECT 'https://ext' || CAST(d % 37 AS VARCHAR) || '.example.com/' AS url,
+           d AS src
+    FROM d
+    UNION ALL
+    SELECT 'https://ext' || CAST((d * 3 + 1) % 53 AS VARCHAR)
+               || '.example.com/b' AS url,
+           d AS src
+    FROM d WHERE d % 2 = 0
+),
+deg AS (
+    SELECT url, CAST(count(DISTINCT src) AS BIGINT) AS indegree
+    FROM links GROUP BY url
+)
+SELECT CAST(row_number() OVER (ORDER BY indegree DESC, url) AS BIGINT) AS rank,
+       url, indegree
+FROM deg ORDER BY indegree DESC, url LIMIT 20
 """
 
 
@@ -6044,6 +6137,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_bm25": _PRUNED_BM25_SQL,
         "rocchio": _ROCCHIO_SQL,
         "lang_routed_bm25": _LANG_ROUTED_SQL,
+        "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,

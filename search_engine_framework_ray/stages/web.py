@@ -334,3 +334,89 @@ def host_cap(
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def crawl_frontier(
+    pages: Dataset,
+    *,
+    url_col: str = "url",
+    top_k: int = 20,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Crawl-frontier prioritization: anchor targets NOT yet fetched,
+    ranked by distinct-source indegree (the indegree-greedy frontier
+    policy — the zero-iteration special case of OPIC/PageRank ordering).
+
+    Shape, stage by stage:
+
+    * anchors come from the REAL HTML extraction stage (the same
+      ``ExtractStage`` rows the index build shuffles), so frontier
+      discovery can never diverge from what indexing saw;
+    * the fetched "seen set" is a broadcast Bloom filter over sha1-low64
+      url keys (the standard crawler seen-set shape): bloom-FAILING
+      anchors are definite frontier and stream through with NO shuffle,
+      the passing sliver is verified exactly (stages/join.py
+      bloom_semi_join anti=True);
+    * distinct (src, target) pairs collapse per batch, then ONE
+      target-bucket shuffle computes exact distinct-source indegree and a
+      per-bucket local top-k — k·buckets rows reach the driver.
+
+    → (rank, url, indegree) top_k by (indegree desc, url)."""
+    from ..pipelines.build_index import ExtractStage
+    from .join import bloom_semi_join
+
+    def page_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"ukey": _text_hash64(b[url_col].astype(str).tolist())})
+
+    def anchor_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        t = ExtractStage()(pa.Table.from_pandas(b, preserve_index=False))
+        df = t.select(["kind", "url", "src"]).to_pandas()
+        df = df[df["kind"] == "a"]
+        out = pd.DataFrame({"target": df["url"], "src": df["src"]})
+        out = out.drop_duplicates()  # per-batch combiner for distinct pairs
+        out["ukey"] = _text_hash64(out["target"].astype(str).tolist())
+        return out.reset_index(drop=True)
+
+    probe = pages.map_batches(anchor_pairs, batch_format="pandas")
+    frontier = bloom_semi_join(
+        probe,
+        pages.map_batches(page_keys, batch_format="pandas"),
+        probe_key="ukey",
+        build_key="ukey",
+        anti=True,
+    )
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["target", "src", "ukey"]].copy()
+        b["bucket"] = (
+            b["ukey"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return b
+
+    def degree_topk(g: pd.DataFrame) -> pd.DataFrame:
+        deg = (
+            g.drop_duplicates(["target", "src"])
+            .groupby("target", sort=False)
+            .size()
+            .reset_index(name="indegree")
+        )
+        deg = deg.sort_values(
+            ["indegree", "target"], ascending=[False, True], kind="mergesort"
+        ).head(top_k)
+        return pd.DataFrame(
+            {"url": deg["target"], "indegree": deg["indegree"].astype(np.int64)}
+        )
+
+    rows = (
+        frontier.map_batches(bucketed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(degree_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = rows.sort_values(
+        ["indegree", "url"], ascending=[False, True], kind="mergesort"
+    ).head(top_k)
+    rows.insert(0, "rank", np.arange(1, len(rows) + 1, dtype=np.int64))
+    return rows.reset_index(drop=True)

@@ -178,3 +178,28 @@ def test_robots_filter_prefix_semantics(ray_session):
     )
     # prefix match: /p/3 denies /p/3/x AND /p/31; h2 unaffected
     assert out["allowed"].tolist() == [0, 0, 1, 1]
+
+
+def test_crawl_frontier_seen_filter_distinct_src_and_ties(ray_session):
+    """Fetched targets are filtered (even when heavily linked), a source
+    linking the same target twice counts once, ties break url-ascending."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.web import crawl_frontier
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x{i}</a>' for i, h in enumerate(hrefs))
+        return {"url": url, "html": f"<html><body>{body}</body></html>".encode()}
+
+    pages = [
+        # p0..p2 all link the FETCHED page p3 (must not surface) and ext-a
+        page("p0", ["p3", "https://a/", "https://a/"]),  # dup href: 1 src
+        page("p1", ["p3", "https://a/", "https://b/"]),
+        page("p2", ["p3", "https://b/"]),
+        page("p3", ["https://c/"]),
+    ]
+    out = crawl_frontier(ray.data.from_items(pages), top_k=10)
+    assert out["url"].tolist() == ["https://a/", "https://b/", "https://c/"]
+    assert out["indegree"].tolist() == [2, 2, 1]  # a ties b at 2 → url order
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert "p3" not in set(out["url"])
