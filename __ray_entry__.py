@@ -4542,6 +4542,24 @@ def q_crawl_frontier(sf_dir: str):
     return crawl_frontier(pages, top_k=20)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016): the
+    corpus collapses once to (word, cnt), then 6 merge steps each run ONE
+    word-bucket co-partition that applies the previous winner and emits
+    pre-combined pair partials for the next (stages/bpe.py). Canonical
+    leftmost-greedy application — same-symbol runs merge at even in-run
+    offsets, a closed form both numpy and the unrolled SQL twin express
+    without sequential scans."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.bpe import bpe_train
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bpe_train(ds, 6)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4706,6 +4724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio": q_rocchio,
         "lang_routed_bm25": q_lang_routed_bm25,
         "crawl_frontier": q_crawl_frontier,
+        "bpe_merges": q_bpe_merges,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -4979,6 +4998,72 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 10
+"""
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """SQL twin of ``q_bpe_merges``: the (word, cnt) table from the shared
+    tokenization, then ``n_merges`` UNROLLED steps. Each step counts
+    overlapping adjacent pairs (lead window), picks (count desc, left,
+    right), and applies the merge with the engine's canonical
+    leftmost-greedy semantics — same-symbol runs merge at even offsets
+    within each maximal run (running-max-of-run-starts window), consumed
+    followers drop via lag(m)."""
+    steps = []
+    for k in range(n_merges):
+        steps.append(
+            f"""p{k} AS (
+    SELECT sym AS x, nxt AS y, sum(cnt) AS c
+    FROM (SELECT sym, cnt,
+                 lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM s{k})
+    WHERE nxt IS NOT NULL GROUP BY sym, nxt
+),
+b{k} AS (SELECT x, y, c FROM p{k} ORDER BY c DESC, x, y LIMIT 1),
+e{k} AS (
+    SELECT word, cnt, pos, sym, b.x, b.y,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+           CASE WHEN sym = b.x
+                     AND lag(sym) OVER (PARTITION BY word ORDER BY pos)
+                         IS DISTINCT FROM b.x
+                THEN pos END AS startpos
+    FROM s{k}, b{k} b
+),
+f{k} AS (
+    SELECT *, max(startpos) OVER (PARTITION BY word ORDER BY pos) AS run_start
+    FROM e{k}
+),
+g{k} AS (
+    SELECT *, (sym = x AND nxt IS NOT DISTINCT FROM y
+               AND (x <> y OR (pos - run_start) % 2 = 0)) AS m
+    FROM f{k}
+),
+h{k} AS (
+    SELECT *, coalesce(lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE)
+                  AS dropped
+    FROM g{k}
+),
+s{k + 1} AS (
+    SELECT word, cnt,
+           row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+           CASE WHEN m THEN sym || nxt ELSE sym END AS sym
+    FROM h{k} WHERE NOT dropped
+)"""
+        )
+    rows = "\nUNION ALL ".join(
+        f'SELECT {k + 1} AS step, x, y, c FROM b{k}' for k in range(n_merges)
+    )
+    return f"""
+{_TOKS},
+w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+s0 AS (
+    SELECT word, cnt, i - 1 AS pos, substring(word, i, 1) AS sym
+    FROM w, unnest(range(1, length(word) + 1)) AS t(i)
+),
+{",".join(steps)}
+SELECT CAST(step AS BIGINT) AS step, x AS "left", y AS "right",
+       x || y AS merged, CAST(c AS BIGINT) AS "count"
+FROM ({rows}) ORDER BY step
 """
 
 
@@ -6138,6 +6223,7 @@ def oracle_sql() -> dict[str, str]:
         "rocchio": _ROCCHIO_SQL,
         "lang_routed_bm25": _LANG_ROUTED_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
+        "bpe_merges": _bpe_sql(6),
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
