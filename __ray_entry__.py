@@ -4560,6 +4560,21 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(ds, 6)
 
 
+def q_bpe_vocab(sf_dir: str):
+    """Subword vocabulary frequencies after APPLYING all 6 learned merges
+    (the encode side of `bpe_merges`): every word re-tokenizes batch-locally
+    with the broadcast merge table, token counts reduce through per-group
+    combiners — only distinct symbols cross (stages/bpe.py bpe_vocab)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.bpe import bpe_vocab
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return bpe_vocab(ds, 6, top_k=20)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4725,6 +4740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_routed_bm25": q_lang_routed_bm25,
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -5001,7 +5017,7 @@ LIMIT 10
 """
 
 
-def _bpe_sql(n_merges: int) -> str:
+def _bpe_sql(n_merges: int, vocab_top_k: int | None = None) -> str:
     """SQL twin of ``q_bpe_merges``: the (word, cnt) table from the shared
     tokenization, then ``n_merges`` UNROLLED steps. Each step counts
     overlapping adjacent pairs (lead window), picks (count desc, left,
@@ -5053,6 +5069,15 @@ s{k + 1} AS (
     rows = "\nUNION ALL ".join(
         f'SELECT {k + 1} AS step, x, y, c FROM b{k}' for k in range(n_merges)
     )
+    final = (
+        f"""SELECT CAST(step AS BIGINT) AS step, x AS "left", y AS "right",
+       x || y AS merged, CAST(c AS BIGINT) AS "count"
+FROM ({rows}) ORDER BY step"""
+        if vocab_top_k is None
+        # the vocab twin aggregates the state AFTER the last merge applies
+        else f"""SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS cnt
+FROM s{n_merges} GROUP BY sym ORDER BY cnt DESC, token LIMIT {vocab_top_k}"""
+    )
     return f"""
 {_TOKS},
 w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
@@ -5061,9 +5086,7 @@ s0 AS (
     FROM w, unnest(range(1, length(word) + 1)) AS t(i)
 ),
 {",".join(steps)}
-SELECT CAST(step AS BIGINT) AS step, x AS "left", y AS "right",
-       x || y AS merged, CAST(c AS BIGINT) AS "count"
-FROM ({rows}) ORDER BY step
+{final}
 """
 
 
@@ -6224,6 +6247,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_routed_bm25": _LANG_ROUTED_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "bpe_merges": _bpe_sql(6),
+        "bpe_vocab": _bpe_sql(6, vocab_top_k=20),
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,

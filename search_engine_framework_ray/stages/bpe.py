@@ -222,3 +222,58 @@ def bpe_train(
     return pd.DataFrame(
         merges, columns=["step", "left", "right", "merged", "count"]
     )
+
+
+def bpe_vocab(
+    ds: Dataset,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 32,
+    top_k: int = 20,
+) -> pd.DataFrame:
+    """Train ``n_merges`` merges, APPLY them all, and return the resulting
+    subword vocabulary's corpus frequencies → (token, cnt) top_k by
+    (cnt desc, token). The encode side of :func:`bpe_train` — one extra
+    co-partition pass applies the final winner, then token counts reduce
+    through per-group combiners (distinct symbols only cross)."""
+    wc = word_counts(ds, text_col=text_col)
+
+    # train (same loop as bpe_train, kept inline to reuse the state)
+    merges = bpe_train(ds, n_merges, text_col=text_col, n_buckets=n_buckets)
+
+    def explode_apply(b: pd.DataFrame) -> pd.DataFrame:
+        # whole words arrive per row, so every merge applies batch-locally
+        words = b["word"].astype(str).to_numpy(dtype=object)
+        cnts = b["cnt"].to_numpy(np.int64)
+        lens = np.array([len(w) for w in words])
+        word_r = np.repeat(words, lens)
+        cnt_r = np.repeat(cnts, lens)
+        pos = (
+            np.concatenate([np.arange(n) for n in lens])
+            if len(lens)
+            else np.empty(0, int)
+        )
+        syms = np.array([c for w in words for c in w], dtype=object)
+        g = pd.DataFrame(
+            {"word": word_r, "pos": pos.astype(np.int64), "sym": syms, "cnt": cnt_r}
+        )
+        for _, m in merges.iterrows():
+            g = _apply_and_count(g, (str(m["left"]), str(m["right"])))
+            g = g[g["kind"] == "s"][["word", "pos", "sym", "cnt"]]
+        out = g.groupby("sym", sort=False)["cnt"].sum().reset_index()
+        return pd.DataFrame({"token": out["sym"], "cnt": out["cnt"].astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        wc.map_batches(explode_apply, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    rows = rows.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="mergesort"
+    ).head(top_k)
+    rows["cnt"] = rows["cnt"].astype(np.int64)
+    return rows[["token", "cnt"]].reset_index(drop=True)

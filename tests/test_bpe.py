@@ -42,3 +42,17 @@ def test_bpe_same_symbol_runs_merge_greedily(ray_session):
         ["a", "a", 5],
         ["aa", "aa", 2],
     ]
+
+
+def test_bpe_vocab_applies_all_merges(ray_session):
+    from search_engine_framework_ray.stages.bpe import bpe_vocab
+
+    docs = pd.DataFrame({"text": ["low low low lower lowest", "new newer newest low"]})
+    out = bpe_vocab(ray.data.from_pandas(docs), 4, top_k=50)
+    got = dict(zip(out["token"], out["cnt"]))
+    # merges: lo, low, ew, new → low:[low]x4, lower:[low,e,r],
+    # lowest:[low,e,s,t], new:[new], newer:[new,e,r], newest:[new,e,s,t]
+    want = {"low": 6, "new": 3, "e": 4, "r": 2, "s": 2, "t": 2}
+    assert got == want
+    # ordering: cnt desc, token asc
+    assert out["token"].tolist() == ["low", "e", "new", "r", "s", "t"]
