@@ -4575,6 +4575,43 @@ def q_bpe_vocab(sf_dir: str):
     return bpe_vocab(ds, 6, top_k=20)
 
 
+def q_late_events(sf_dir: str):
+    """Streaming watermark / late-event detection (Flink-style bounded
+    out-of-orderness): arrival order is a deterministic permutation of the
+    (ts-ordered) fixture — arrival = event_id·7919 mod n — so genuine
+    out-of-order pressure exists; watermark before arrival i =
+    max(event-time of earlier arrivals) − 1 h; late ⇔ ts < watermark.
+    Engine: distributed two-level prefix MAX (per-batch bucket partials,
+    tiny driver carry-in list, co-partitioned finish —
+    stages/window.py late_events)."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import late_events
+
+    path = os.path.join(sf_dir, "events.parquet")
+    n = _pq.read_metadata(path).num_rows
+    ds = ray.data.read_parquet(path, columns=["event_id", "ts"])
+
+    def prep(b: pd.DataFrame, n=n) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "arrival": (b["event_id"].to_numpy() * 7919) % n,
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    out = late_events(
+        ds.map_batches(prep, batch_format="pandas"),
+        arrival_col="arrival",
+        ts_col="ts_us",
+        lateness_us=3_600_000_000,
+    ).to_pandas()
+    out["arrival"] = out["arrival"].astype("int64")
+    out["ts_us"] = out["ts_us"].astype("int64")
+    return out.sort_values("arrival").reset_index(drop=True)
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4741,6 +4778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "late_events": q_late_events,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -5087,6 +5125,30 @@ s0 AS (
 ),
 {",".join(steps)}
 {final}
+"""
+
+
+# late-events twin: the permuted arrival order + an exclusive running-max
+# window (UNBOUNDED PRECEDING .. 1 PRECEDING) minus the lateness bound
+_LATE_EVENTS_SQL = """
+WITH e AS (
+    SELECT (event_id * 7919) % (SELECT count(*) FROM events) AS arrival,
+           epoch_us(ts) AS ts_us
+    FROM events
+),
+w AS (
+    SELECT arrival, ts_us,
+           max(ts_us) OVER (
+               ORDER BY arrival
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - 3600000000 AS watermark_us
+    FROM e
+)
+SELECT CAST(arrival AS BIGINT) AS arrival,
+       CAST(ts_us AS BIGINT) AS ts_us,
+       CAST(watermark_us AS BIGINT) AS watermark_us,
+       coalesce(ts_us < watermark_us, FALSE) AS late
+FROM w ORDER BY arrival
 """
 
 
@@ -6248,6 +6310,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "bpe_merges": _bpe_sql(6),
         "bpe_vocab": _bpe_sql(6, vocab_top_k=20),
+        "late_events": _LATE_EVENTS_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,

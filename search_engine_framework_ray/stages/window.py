@@ -604,3 +604,81 @@ def cohort_retention(
         .repartition(1)
         .map_batches(combine, batch_format="pandas", batch_size=None)
     )
+
+
+def late_events(
+    ds: "Dataset",
+    *,
+    arrival_col: str,
+    ts_col: str,
+    lateness_us: int,
+    bucket_size: int = 1024,
+) -> "Dataset":
+    """Streaming watermark / late-event detection (the Flink
+    bounded-out-of-orderness rule): processing order is ``arrival_col``;
+    the watermark BEFORE arrival i is ``max(event time of arrivals < i) −
+    lateness``; an event is LATE iff its event time sits below the
+    watermark that preceded it. ``ts_col`` must be int64 event-time micros.
+
+    Distributed two-level prefix MAX (the packing pipeline's pattern):
+    per-batch (bucket, max) partials → ONE narrow bucket reduce → the
+    driver prefix-maxes the tiny bucket-maxima list (exclusive carry-in) →
+    a second co-partition computes each bucket's exclusive running max
+    plus carry-in. Per-task memory O(bucket); the stream never visits the
+    driver. The first arrival overall has no watermark (NULL, never late).
+
+    → Dataset (arrival, ts, watermark_us nullable, late)."""
+    import ray
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        arr = b[arrival_col].to_numpy()
+        g = pd.DataFrame(
+            {"bucket": (arr // bucket_size).astype(np.int64), "mx": b[ts_col].to_numpy()}
+        )
+        return g.groupby("bucket", as_index=False)["mx"].max()
+
+    bm = (
+        ds.map_batches(partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket")["mx"]
+        .max()
+        .sort_index()
+    )
+    # exclusive carry-in per bucket: max over all strictly-earlier buckets
+    carry: dict[int, int | None] = {}
+    run: int | None = None
+    for b, mx in bm.items():
+        carry[int(b)] = run
+        run = int(mx) if run is None else max(run, int(mx))
+    carry_ref = ray.put(carry)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(carry_ref)
+        g = g.sort_values(arrival_col, kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy(np.int64)
+        prev = np.empty(len(ts), dtype=np.float64)
+        cm = np.maximum.accumulate(ts).astype(np.float64)
+        prev[0] = np.nan
+        prev[1:] = cm[:-1]
+        ci = c.get(int(g[arrival_col].iloc[0] // bucket_size))
+        if ci is not None:
+            prev = np.where(np.isnan(prev), float(ci), np.maximum(prev, float(ci)))
+        wm = prev - float(lateness_us)
+        late = ts < wm  # NaN compares False → first-ever arrival never late
+        out = g[[arrival_col, ts_col]].copy()
+        out["watermark_us"] = pd.array(
+            [None if np.isnan(w) else int(w) for w in wm], dtype="Int64"
+        )
+        out["late"] = late
+        return out
+
+    def bucketed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b[arrival_col].to_numpy() // bucket_size).astype(np.int64)
+        return b
+
+    return (
+        ds.map_batches(bucketed, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(finish, batch_format="pandas")
+    )

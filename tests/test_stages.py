@@ -1523,3 +1523,31 @@ def test_merge_agg_state_equals_from_scratch(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype({"cnt": "int64", "v": "int64"}), want.astype({"cnt": "int64", "v": "int64"}))
+
+
+def test_late_events_watermark_across_buckets(ray_session):
+    """Hand-built stream, bucket_size=2 so the exclusive carry-in crosses
+    bucket boundaries; first arrival has no watermark and is never late."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.window import late_events
+
+    # arrival: 0..5; event times (us), lateness 10
+    ts = [100, 50, 120, 105, 130, 200]
+    df = pd.DataFrame({"arrival": range(6), "ts_us": ts})
+    out = (
+        late_events(
+            ray.data.from_pandas(df),
+            arrival_col="arrival",
+            ts_col="ts_us",
+            lateness_us=10,
+            bucket_size=2,
+        )
+        .to_pandas()
+        .sort_values("arrival")
+        .reset_index(drop=True)
+    )
+    # exclusive prefix max: [None, 100, 100, 120, 120, 130] → wm = max-10
+    assert out["watermark_us"].tolist() == [pd.NA, 90, 90, 110, 110, 120]
+    assert out["late"].tolist() == [False, True, False, True, False, False]
