@@ -4612,6 +4612,36 @@ def q_late_events(sf_dir: str):
     return out.sort_values("arrival").reset_index(drop=True)
 
 
+_RELAX_MIN_HITS = 400
+
+
+def q_query_relax(sf_dir: str):
+    """Adaptive query relaxation (the serving-side recall guard): run the
+    strict #AND conjunction first; if it matches fewer than
+    _RELAX_MIN_HITS docs, fall back to the #OR union. Both rounds are the
+    ordinary distributed query path; the driver inspects only the strict
+    HIT COUNT. The SQL twin gates the same two sets on the same count, so
+    the hash proves which branch ran AND its scores."""
+    strict = _run(
+        sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "RankedBoolean", k=10_000
+    )
+    relaxed = len(strict) < _RELAX_MIN_HITS
+    if relaxed:
+        out = _run(
+            sf_dir, f"#OR({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "RankedBoolean", k=10_000
+        )
+    else:
+        out = strict
+    out = out.copy()
+    out["tf"] = out["score"].astype("int64")
+    out["relaxed"] = bool(relaxed)
+    return (
+        out[["doc_id", "tf", "relaxed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4779,6 +4809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "late_events": q_late_events,
+        "query_relax": q_query_relax,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -5125,6 +5156,30 @@ s0 AS (
 ),
 {",".join(steps)}
 {final}
+"""
+
+
+# query-relaxation twin: both sets computed, the count gate picks one
+_QUERY_RELAX_SQL = f"""
+{_TOKS},
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+andset AS (
+    SELECT doc_id, CAST(min(tf) AS BIGINT) AS tf FROM tf
+    GROUP BY doc_id HAVING count(DISTINCT tok) = 2
+),
+orset AS (
+    SELECT doc_id, CAST(max(tf) AS BIGINT) AS tf FROM tf GROUP BY doc_id
+),
+n AS (SELECT count(*) AS c FROM andset)
+SELECT doc_id, tf, FALSE AS relaxed FROM andset
+WHERE (SELECT c FROM n) >= {_RELAX_MIN_HITS}
+UNION ALL
+SELECT doc_id, tf, TRUE AS relaxed FROM orset
+WHERE (SELECT c FROM n) < {_RELAX_MIN_HITS}
+ORDER BY doc_id
 """
 
 
@@ -6311,6 +6366,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_sql(6),
         "bpe_vocab": _bpe_sql(6, vocab_top_k=20),
         "late_events": _LATE_EVENTS_SQL,
+        "query_relax": _QUERY_RELAX_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
