@@ -4642,6 +4642,52 @@ def q_query_relax(sf_dir: str):
     )
 
 
+def q_snapshot_dedup(sf_dir: str):
+    """Incremental snapshot dedup (CCNet-style: each new crawl dedups
+    against the PRIOR corpus, not just itself): a synthesized delta —
+    doc_id % 3 == 0, even thirds byte-identical to their base doc, odd
+    thirds genuinely new — anti-joins the base corpus on the exact content
+    hash through the broadcast-Bloom runtime filter (definite-new rows
+    stream with NO shuffle; bloom-passing rows verify exactly). Survivors
+    are the genuinely-new docs. The SQL twin replays the synthesis and
+    keeps delta rows whose text is absent from the base."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import _text_hash64
+    from search_engine_framework_ray.stages.join import bloom_semi_join
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    base = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def hash_base(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hkey": _text_hash64(b["text"].astype(str).tolist())})
+
+    def make_delta(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b["doc_id"] % 3 == 0].copy()
+        third = d["doc_id"] // 3
+        d["text"] = np.where(
+            third % 2 == 0, d["text"], d["text"] + " v2"
+        )
+        d["delta_id"] = d["doc_id"] + 1_000_000
+        d["hkey"] = _text_hash64(d["text"].astype(str).tolist())
+        return d[["delta_id", "text", "hkey"]]
+
+    delta = base.map_batches(make_delta, batch_format="pandas")
+    fresh = bloom_semi_join(
+        delta,
+        base.map_batches(hash_base, batch_format="pandas"),
+        probe_key="hkey",
+        build_key="hkey",
+        anti=True,
+    ).to_pandas()
+    fresh["delta_id"] = fresh["delta_id"].astype("int64")
+    return (
+        fresh[["delta_id", "text"]]
+        .sort_values("delta_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_zorder(sf_dir: str):
     """Z-order (Morton) layout pass over events: (user_id, epoch-µs ts)
     bucket to 2^16 cells by integer min-max arithmetic, bit-interleave to
@@ -4810,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": q_bpe_vocab,
         "late_events": q_late_events,
         "query_relax": q_query_relax,
+        "snapshot_dedup": q_snapshot_dedup,
         "zorder_prune": q_zorder_prune,
         "skew_report": q_skew_report,
         "profile": q_profile,
@@ -5156,6 +5203,21 @@ s0 AS (
 ),
 {",".join(steps)}
 {final}
+"""
+
+
+# snapshot-dedup twin: replay the delta synthesis, keep rows whose text
+# is absent from the base corpus
+_SNAPSHOT_DEDUP_SQL = """
+WITH delta AS (
+    SELECT doc_id + 1000000 AS delta_id,
+           CASE WHEN (doc_id // 3) % 2 = 0 THEN text
+                ELSE text || ' v2' END AS text
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT delta_id, text FROM delta
+WHERE text NOT IN (SELECT text FROM documents)
+ORDER BY delta_id
 """
 
 
@@ -6367,6 +6429,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _bpe_sql(6, vocab_top_k=20),
         "late_events": _LATE_EVENTS_SQL,
         "query_relax": _QUERY_RELAX_SQL,
+        "snapshot_dedup": _SNAPSHOT_DEDUP_SQL,
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
