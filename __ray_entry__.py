@@ -1380,6 +1380,31 @@ def q_jaccard_pairs(sf_dir: str):
     return out.sort_values("a").reset_index(drop=True)
 
 
+def q_setsim_pairs(sf_dir: str):
+    """ALL document pairs with distinct-token Jaccard ≥ 9/10 via the
+    prefix-filtered set-similarity self-join (AllPairs/PPJoin family,
+    stages/setsim.py) — EXACT recall by the prefix-filter theorem, so the
+    all-pairs SQL token join is a complete oracle with no LSH miss-
+    probability argument. Candidates come only from each doc's
+    df-ascending token prefix; verification is the shared co-partitioned
+    exact-Jaccard stage with integer threshold arithmetic."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import setsim_join_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = setsim_join_pairs(ds, threshold=(9, 10))
+    return pd.DataFrame(
+        {
+            "a": out["a"].astype("int64"),
+            "b": out["b"].astype("int64"),
+            "jaccard_micros": _micros(out["jaccard"]),
+        }
+    )
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the vec_id=0 embedding (numpy matmul per
     batch against a broadcast query)."""
@@ -4795,6 +4820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "setsim_pairs": q_setsim_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_filtered": q_ann_filtered,
         "knn_join": q_knn_join,
@@ -6977,6 +7003,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             LEFT JOIN inter i ON i.a = ca.doc_id
             WHERE ca.doc_id % 2 = 0
             ORDER BY a
+        """,
+        "setsim_pairs": r"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS t
+                FROM documents
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM tok x JOIN tok y ON x.t = y.t AND y.doc_id > x.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   CAST(round((i.i * 1.0 / (ca.n + cb.n - i.i)) * 1000000.0)
+                        AS BIGINT) AS jaccard_micros
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.a
+            JOIN cnt cb ON cb.doc_id = i.b
+            WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
+            ORDER BY a, b
         """,
         "ann_filtered": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -445,9 +445,19 @@ def _verify_jaccard_distributed(
     text_col: str,
     k_shingle: int,
     threshold: float,
+    set_fn: "Callable[[str], np.ndarray] | None" = None,
+    threshold_frac: "tuple[int, int] | None" = None,
 ) -> Dataset:
     """Exact-Jaccard verification OFF the driver: the candidate pair set is
     never collected, shingle sets never form a driver dict (VERDICT r2 #2).
+
+    ``set_fn`` overrides the element extractor (default: strict k-word
+    shingle hashes) — the prefix-filter join (``stages/setsim.py``) passes
+    distinct-token hashes instead. ``threshold_frac=(num, den)`` switches
+    the acceptance test to exact integer arithmetic
+    (``den·|∩| ≥ num·|∪|``) so boundary pairs compare identically to an
+    integer-arithmetic SQL oracle.
+
     Four narrow stages:
 
     1. ``needs``  — pair rows → (jid, pb): which pair-buckets need which
@@ -475,13 +485,17 @@ def _verify_jaccard_distributed(
             }
         )
 
+    extract = set_fn if set_fn is not None else (
+        lambda t: _shingles_strict(t, k_shingle)
+    )
+
     def to_shingles(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "jid": b[id_col].to_numpy(np.int64),
                 "pb": np.full(len(b), -1, dtype=np.int64),  # tag: shingle row
                 "val": [
-                    _shingles_strict(t, k_shingle).view(np.int64).tolist()
+                    np.asarray(extract(t), dtype=np.uint64).view(np.int64).tolist()
                     for t in b[text_col].fillna("")
                 ],
             }
@@ -557,7 +571,12 @@ def _verify_jaccard_distributed(
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             j = inter / union if union else 0.0
-            if j >= threshold:
+            ok = (
+                threshold_frac[1] * inter >= threshold_frac[0] * union
+                if threshold_frac is not None
+                else j >= threshold
+            )
+            if ok:
                 a_out.append(int(a))
                 b_out.append(int(b))
                 j_out.append(j)
