@@ -23,9 +23,19 @@ Distributed shape (every shuffle moves narrow int rows only):
 3. prefix     — ``groupby(doc_id)``: sort the doc's tokens by (df, tok),
    keep the first p. This is the step that makes frequent tokens
    disappear from candidate generation.
-4. candidates — ``groupby(tok)`` over prefix rows only: all in-bucket
-   pairs passing the exact length filter ``den·min(na,nb) ≥ num·max``
-   (J ≥ t ⇒ t·|larger| ≤ |smaller|), vectorized via ``triu_indices``.
+4. candidates — ``groupby(tok)`` over prefix rows only: in-bucket pairs
+   passing the exact length filter ``den·min(na,nb) ≥ num·max`` AND the
+   PPJoin positional filter (overlap upper bound from the shared token's
+   rank on both sides), vectorized via ``triu_indices``.
+
+Regime note (measured): the prefix filter's pruning power comes from df
+SKEW — on real (Zipf) text at high thresholds (t ≥ 0.8) candidates stay
+near the true-pair count, while a uniform synthetic vocabulary (every
+token df ≈ mean) is its worst case and candidates approach the quadratic
+token join. For low thresholds or skewless data, the MinHash-LSH path
+(`stages/dedup.py`) is the right tool; this join is the exact-recall
+complement for the high-threshold regime, matching how the AllPairs /
+PPJoin literature evaluates (t ∈ [0.85, 0.95]).
 5. dedup + verify — unique pairs, then the shared co-partitioned exact
    verifier (:func:`dedup._verify_jaccard_distributed` with a token-set
    extractor and an integer-arithmetic threshold, so boundary pairs
@@ -109,42 +119,93 @@ def setsim_join_pairs(
 
     exploded = ds.map_batches(explode, batch_format="pandas")
 
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        # group = all (doc, n) rows of one token ⇒ df = group size
-        return g.assign(df=np.int64(len(g)))
+    # Millions of one-token / one-doc groups would pay a per-group Python
+    # call each; instead every groupby below keys on a HASH BUCKET (a few
+    # hundred groups regardless of corpus size) and vectorizes across the
+    # bucket's groups with pandas — the repo's bucketed-vectorized shape
+    # (cf. stages/join.py session salting note).
+    _BUCKETS = 256
 
-    with_df = exploded.groupby("tok").map_groups(attach_df, batch_format="pandas")
+    def _bucketed(col: str):
+        def add(b: pd.DataFrame) -> pd.DataFrame:
+            with np.errstate(over="ignore"):
+                h = (
+                    b[col].to_numpy(np.int64).astype(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15)
+                ) >> np.uint64(32)
+            return b.assign(gb=(h % np.uint64(_BUCKETS)).astype(np.int64))
+
+        return add
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket of whole token-groups ⇒ per-token df = group size
+        g = g.assign(df=g.groupby("tok")["tok"].transform("size").astype(np.int64))
+        return g[["tok", "doc", "n", "df"]]
+
+    with_df = (
+        exploded.map_batches(_bucketed("tok"), batch_format="pandas")
+        .groupby("gb")
+        .map_groups(attach_df, batch_format="pandas")
+    )
 
     def take_prefix(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["n"].iloc[0])
-        p = int(_prefix_len(np.int64(n), num, den))
-        if p <= 0:
-            return g.iloc[0:0][["tok", "doc", "n"]]
         # global order: (df asc, tok-hash asc) — any consistent total
-        # order preserves exact recall; df-ascending maximizes pruning
-        g = g.sort_values(["df", "tok"], kind="mergesort")
-        return g.iloc[:p][["tok", "doc", "n"]]
+        # order preserves exact recall; df-ascending maximizes pruning.
+        # pos (the token's rank in the doc's sorted order) feeds the
+        # positional filter below.
+        g = g.sort_values(["doc", "df", "tok"], kind="mergesort")
+        p = _prefix_len(g["n"].to_numpy(np.int64), num, den)
+        rank = g.groupby("doc").cumcount().to_numpy(np.int64)
+        g = g.assign(pos=rank)
+        return g.loc[rank < p, ["tok", "doc", "n", "pos"]]
 
-    prefix = with_df.groupby("doc").map_groups(take_prefix, batch_format="pandas")
+    prefix = (
+        with_df.map_batches(_bucketed("doc"), batch_format="pandas")
+        .groupby("gb")
+        .map_groups(take_prefix, batch_format="pandas")
+    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = len(g)
-        empty = pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        out_a, out_b = [], []
+        # tokens appearing in ONE prefix can't pair — drop them before the
+        # per-token loop (they are the vast majority after prefix pruning)
+        g = g[g.duplicated("tok", keep=False)]
+        g = g.sort_values(["tok", "doc"], kind="mergesort")
+        for _, sub in g.groupby("tok"):
+            m = len(sub)
+            if m < 2:
+                continue
+            docs = sub["doc"].to_numpy(np.int64)
+            ns = sub["n"].to_numpy(np.int64)
+            ps = sub["pos"].to_numpy(np.int64)
+            ii, jj = np.triu_indices(m, k=1)
+            na, nb = ns[ii], ns[jj]
+            # length filter: J ≥ t ⇒ t·|larger| ≤ |smaller|
+            keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+            # PPJoin positional filter (Xiao et al. WWW'08): at the FIRST
+            # common token (order-consistent, so it is within both
+            # prefixes), overlap ≤ 1 + min(remaining tokens either side);
+            # J ≥ t needs overlap ≥ num(na+nb)/(num+den). A later common
+            # token may fail this bound spuriously, but the first one
+            # passes for every true pair and the pair-level union keeps it.
+            ub = 1 + np.minimum(na - ps[ii] - 1, nb - ps[jj] - 1)
+            keep &= (num + den) * ub >= num * (na + nb)
+            if keep.any():
+                out_a.append(docs[ii[keep]])
+                out_b.append(docs[jj[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
         )
-        if m < 2:
-            return empty
-        g = g.sort_values("doc", kind="mergesort")
-        docs = g["doc"].to_numpy(np.int64)
-        ns = g["n"].to_numpy(np.int64)
-        ii, jj = np.triu_indices(m, k=1)
-        na, nb = ns[ii], ns[jj]
-        keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
-        if not keep.any():
-            return empty
-        return pd.DataFrame({"a": docs[ii[keep]], "b": docs[jj[keep]]})
 
-    cand = prefix.groupby("tok").map_groups(bucket_pairs, batch_format="pandas")
+    cand = (
+        prefix.map_batches(_bucketed("tok"), batch_format="pandas")
+        .groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
 
     def uniq(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])
