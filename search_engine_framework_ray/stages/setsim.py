@@ -66,6 +66,10 @@ from .dedup import (
 
 def _token_set_hashes(text: str) -> np.ndarray:
     """Distinct whitespace-token md5-low64 hashes, sorted uint64.
+    Measured: at 60-token docs the md5 loop (1.2 s/20k docs) matches or
+    beats both per-doc and batch-level ``pd.util.hash_array`` (3.2 s /
+    1.45 s) — string extraction and set-dedup dominate, not hashing — so
+    the SQL-reproducible hash (DuckDB ``md5_number_lower``) costs nothing.
     RE2-aligned whitespace class (textstats.RE2_TOKEN_RE) so a DuckDB
     ``regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')`` oracle sees the same
     tokens on ANY input, not just single-space fixtures."""
