@@ -1405,6 +1405,39 @@ def q_setsim_pairs(sf_dir: str):
     )
 
 
+def q_setsim_cross(sf_dir: str):
+    """Cross-table exact set-similarity join (stages/setsim.py
+    setsim_cross_pairs): docs from sources src0-src4 (the "held-out set")
+    against all other sources (the "training corpus"), distinct-token
+    Jaccard ≥ 9/10 — the decontamination shape with exact recall (prefix
+    filter over a union-wide df order, cross-side-only candidates)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import setsim_cross_pairs
+
+    srcs = {"src0", "src1", "src2", "src3", "src4"}
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    left = ds.map_batches(
+        lambda b: b[b["source"].isin(srcs)][["doc_id", "text"]],
+        batch_format="pandas",
+    )
+    right = ds.map_batches(
+        lambda b: b[~b["source"].isin(srcs)][["doc_id", "text"]],
+        batch_format="pandas",
+    )
+    out = setsim_cross_pairs(left, right, threshold=(9, 10))
+    return pd.DataFrame(
+        {
+            "a": out["a"].astype("int64"),
+            "b": out["b"].astype("int64"),
+            "jaccard_micros": _micros(out["jaccard"]),
+        }
+    )
+
+
 def q_ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for the vec_id=0 embedding (numpy matmul per
     batch against a broadcast query)."""
@@ -4821,6 +4854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "setsim_pairs": q_setsim_pairs,
+        "setsim_cross": q_setsim_cross,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_filtered": q_ann_filtered,
         "knn_join": q_knn_join,
@@ -7014,6 +7048,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             inter AS (
                 SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
                 FROM tok x JOIN tok y ON x.t = y.t AND y.doc_id > x.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   CAST(round((i.i * 1.0 / (ca.n + cb.n - i.i)) * 1000000.0)
+                        AS BIGINT) AS jaccard_micros
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.a
+            JOIN cnt cb ON cb.doc_id = i.b
+            WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
+            ORDER BY a, b
+        """,
+        "setsim_cross": r"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS t
+                FROM documents
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM (SELECT * FROM tok
+                      WHERE source IN ('src0','src1','src2','src3','src4')) x
+                JOIN (SELECT * FROM tok
+                      WHERE source NOT IN ('src0','src1','src2','src3','src4')) y
+                  ON x.t = y.t
                 GROUP BY 1, 2
             )
             SELECT i.a, i.b,

@@ -99,6 +99,53 @@ def setsim_join_pairs(
     """All pairs (a < b) with distinct-token Jaccard ≥ num/den, plus the
     exact jaccard. Exact recall (prefix-filter theorem) — SQL-oracle-able
     on the full corpus with no miss-probability argument needed."""
+    return _setsim_impl(ds, id_col, text_col, threshold, cross=False)
+
+
+def setsim_cross_pairs(
+    ds: Dataset,
+    other: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (9, 10),
+) -> pd.DataFrame:
+    """Cross-table (R×S) exact set-similarity join: pairs (a ∈ ds,
+    b ∈ other) with distinct-token Jaccard ≥ num/den — the decontamination
+    shape (held-out set vs training corpus) with exact recall. One
+    pipeline serves both tables: each side's ids are encoded into the low
+    bit (ids must be < 2^62), the global df order is computed over the
+    UNION (one consistent order is all the prefix theorem needs), and
+    candidate generation pairs only across sides."""
+
+    def _enc(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b[id_col].to_numpy(np.int64)
+            if ids.size and int(ids.max()) >= (1 << 62):
+                raise ValueError("ids must fit in 62 bits for side encoding")
+            return pd.DataFrame(
+                {id_col: ids * 2 + side, text_col: b[text_col]}
+            )
+
+        return f
+
+    union = ds.map_batches(_enc(0), batch_format="pandas").union(
+        other.map_batches(_enc(1), batch_format="pandas")
+    )
+    out = _setsim_impl(union, id_col, text_col, threshold, cross=True)
+    out["a"] = out["a"] // 2
+    out["b"] = out["b"] // 2
+    return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+
+
+def _setsim_impl(
+    ds: Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: tuple[int, int],
+    *,
+    cross: bool,
+) -> pd.DataFrame:
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError(f"threshold must be a fraction in (0, 1]: {threshold}")
@@ -182,7 +229,16 @@ def setsim_join_pairs(
             docs = sub["doc"].to_numpy(np.int64)
             ns = sub["n"].to_numpy(np.int64)
             ps = sub["pos"].to_numpy(np.int64)
-            ii, jj = np.triu_indices(m, k=1)
+            if cross:
+                # side bit lives in the id's parity; pair across sides only
+                left = np.flatnonzero(docs % 2 == 0)
+                right = np.flatnonzero(docs % 2 == 1)
+                if not left.size or not right.size:
+                    continue
+                ii = np.repeat(left, right.size)
+                jj = np.tile(right, left.size)
+            else:
+                ii, jj = np.triu_indices(m, k=1)
             na, nb = ns[ii], ns[jj]
             # length filter: J ≥ t ⇒ t·|larger| ≤ |smaller|
             keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)

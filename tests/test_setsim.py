@@ -79,3 +79,56 @@ def test_setsim_identical_and_disjoint(ray_session):
     )
     assert out[["a", "b"]].values.tolist() == [[0, 1], [0, 3], [1, 3]]
     assert out["jaccard"].tolist() == [1.0, 0.6, 0.6]
+
+
+def test_setsim_cross_vs_bruteforce(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import (
+        _token_set_hashes,
+        setsim_cross_pairs,
+    )
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    left = docs[docs["doc_id"] % 3 == 0].reset_index(drop=True)
+    right = docs[docs["doc_id"] % 3 != 0].reset_index(drop=True)
+    got = setsim_cross_pairs(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        threshold=(3, 5),
+    )
+    sets = {
+        int(i): _token_set_hashes(t)
+        for i, t in zip(docs["doc_id"], docs["text"].fillna(""))
+    }
+    rows = []
+    for a in sorted(left["doc_id"]):
+        for b in sorted(right["doc_id"]):
+            sa, sb = sets[a], sets[b]
+            if not sa.size or not sb.size:
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if 5 * inter >= 3 * union:
+                rows.append((a, b, inter / union))
+    want = pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+    assert got[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])
+    assert len(got) > 0
+
+
+def test_setsim_cross_no_within_side_pairs(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import setsim_cross_pairs
+
+    left = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["a b c d", "a b c d"]}  # identical pair WITHIN left
+    )
+    right = pd.DataFrame({"doc_id": [7], "text": ["x y z w"]})  # disjoint
+    out = setsim_cross_pairs(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), threshold=(1, 2)
+    )
+    assert len(out) == 0  # the within-left duplicate must NOT surface
