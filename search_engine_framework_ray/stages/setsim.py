@@ -94,7 +94,6 @@ def setsim_join_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: tuple[int, int] = (3, 5),
-    concurrency: int = 4,
 ) -> pd.DataFrame:
     """All pairs (a < b) with distinct-token Jaccard ≥ num/den, plus the
     exact jaccard. Exact recall (prefix-filter theorem) — SQL-oracle-able
