@@ -94,11 +94,15 @@ def setsim_join_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: tuple[int, int] = (3, 5),
+    hot_token_bound: int | None = 10_000,
 ) -> pd.DataFrame:
     """All pairs (a < b) with distinct-token Jaccard ≥ num/den, plus the
     exact jaccard. Exact recall (prefix-filter theorem) — SQL-oracle-able
     on the full corpus with no miss-probability argument needed."""
-    return _setsim_impl(ds, id_col, text_col, threshold, cross=False)
+    return _setsim_impl(
+        ds, id_col, text_col, threshold, cross=False,
+        hot_token_bound=hot_token_bound,
+    )
 
 
 def setsim_cross_pairs(
@@ -108,6 +112,7 @@ def setsim_cross_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: tuple[int, int] = (9, 10),
+    hot_token_bound: int | None = 10_000,
 ) -> pd.DataFrame:
     """Cross-table (R×S) exact set-similarity join: pairs (a ∈ ds,
     b ∈ other) with distinct-token Jaccard ≥ num/den — the decontamination
@@ -131,7 +136,10 @@ def setsim_cross_pairs(
     union = ds.map_batches(_enc(0), batch_format="pandas").union(
         other.map_batches(_enc(1), batch_format="pandas")
     )
-    out = _setsim_impl(union, id_col, text_col, threshold, cross=True)
+    out = _setsim_impl(
+        union, id_col, text_col, threshold, cross=True,
+        hot_token_bound=hot_token_bound,
+    )
     out["a"] = out["a"] // 2
     out["b"] = out["b"] // 2
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
@@ -144,6 +152,7 @@ def _setsim_impl(
     threshold: tuple[int, int],
     *,
     cross: bool,
+    hot_token_bound: int | None = 10_000,
 ) -> pd.DataFrame:
     num, den = threshold
     if not (0 < num <= den):
@@ -225,6 +234,20 @@ def _setsim_impl(
             m = len(sub)
             if m < 2:
                 continue
+            if hot_token_bound is not None and m > hot_token_bound:
+                # fail LOUDLY with the remedy, not silent O(m²) grind —
+                # the join.py check_hot_key convention. A token this
+                # frequent in PREFIXES means the df-skew assumption the
+                # prefix filter relies on does not hold for this corpus.
+                raise ValueError(
+                    f"hot token {int(sub['tok'].iloc[0])}: {m:,} prefix "
+                    f"occurrences would generate ~{m * (m - 1) // 2:,} "
+                    f"candidate pairs from one token (bound "
+                    f"{hot_token_bound:,}). Raise the threshold (shorter "
+                    f"prefixes), use the MinHash-LSH path "
+                    f"(stages/dedup.py) for low-skew corpora, or raise "
+                    f"hot_token_bound if the workers can hold it."
+                )
             docs = sub["doc"].to_numpy(np.int64)
             ns = sub["n"].to_numpy(np.int64)
             ps = sub["pos"].to_numpy(np.int64)

@@ -132,3 +132,98 @@ def test_setsim_cross_no_within_side_pairs(ray_session):
         ray.data.from_pandas(left), ray.data.from_pandas(right), threshold=(1, 2)
     )
     assert len(out) == 0  # the within-left duplicate must NOT surface
+
+
+def test_setsim_hot_token_guard(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import setsim_join_pairs
+
+    docs = pd.DataFrame(
+        {"doc_id": range(8), "text": ["same tokens everywhere"] * 8}
+    )
+    with pytest.raises(ValueError, match="hot token"):
+        setsim_join_pairs(
+            ray.data.from_pandas(docs), threshold=(1, 2), hot_token_bound=4
+        )
+    # same corpus passes with the bound lifted (28 = C(8,2) identical pairs)
+    out = setsim_join_pairs(
+        ray.data.from_pandas(docs), threshold=(1, 2), hot_token_bound=None
+    )
+    assert len(out) == 28 and (out["jaccard"] == 1.0).all()
+
+
+def test_setsim_sql_parity_nasty_whitespace(ray_session):
+    """Engine vs DuckDB on text with tabs, runs of spaces, newlines and a
+    vertical tab (\\x0b — INSIDE tokens for the RE2-aligned class, the
+    historic engine/oracle divergence trap)."""
+    import duckdb
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import setsim_join_pairs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha\tbeta  gamma\ndelta",
+                "alpha beta\fgamma delta",   # \f separates → same 4 tokens
+                "al\x0bpha beta gamma delta",  # \v is a TOKEN char: al\x0bpha ≠ alpha
+                "",
+            ],
+        }
+    )
+    got = setsim_join_pairs(ray.data.from_pandas(docs), threshold=(3, 5))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(r"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS t
+            FROM documents
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+            FROM tok x JOIN tok y ON x.t = y.t AND y.doc_id > x.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+        WHERE 5 * i.i >= 3 * (ca.n + cb.n - i.i)
+        ORDER BY a, b
+    """).df()
+    assert got[["a", "b"]].values.tolist() == want[["a", "b"]].astype("int64").values.tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])
+    # docs 0,1 tokenize identically; doc 2's \v-fused token breaks the tie
+    assert [0, 1] in got[["a", "b"]].values.tolist()
+
+
+def test_setsim_property_random_corpora(ray_session):
+    """Exact recall on arbitrary corpora: engine == brute force across
+    randomized shapes (empty docs, singletons, duplicates, skewed df)."""
+    rng = np.random.default_rng(42)
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import setsim_join_pairs
+
+    alphabet = [f"t{i}" for i in range(12)]
+    for case in range(5):
+        n_docs = int(rng.integers(2, 12))
+        texts = [
+            " ".join(rng.choice(alphabet, size=rng.integers(0, 9)))
+            for _ in range(n_docs)
+        ]
+        docs = pd.DataFrame({"doc_id": range(n_docs), "text": texts})
+        num, den = [(1, 2), (2, 3), (3, 5), (4, 5), (1, 1)][case]
+        got = setsim_join_pairs(
+            ray.data.from_pandas(docs), threshold=(num, den)
+        )
+        want = _brute(docs, num, den)
+        assert got[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist(), (
+            f"case {case}: t={num}/{den} texts={texts}"
+        )
+        assert np.allclose(
+            got["jaccard"].astype("float64"), want["jaccard"].astype("float64")
+        )
