@@ -1405,6 +1405,22 @@ def q_setsim_pairs(sf_dir: str):
     )
 
 
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
+    count after each 50-doc checkpoint in doc_id order — the tokenizer /
+    vocab-sizing measurement. One min-reduce per token with a per-batch
+    combiner (stages/aggregate.py vocab_growth); only |vocab| narrow int
+    rows ever shuffle."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import vocab_growth
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return vocab_growth(ds, bucket_size=50)
+
+
 def q_setsim_cross(sf_dir: str):
     """Cross-table exact set-similarity join (stages/setsim.py
     setsim_cross_pairs): docs from sources src0-src4 (the "held-out set")
@@ -4855,6 +4871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "setsim_pairs": q_setsim_pairs,
         "setsim_cross": q_setsim_cross,
+        "vocab_growth": q_vocab_growth,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_filtered": q_ann_filtered,
         "knn_join": q_knn_join,
@@ -7058,6 +7075,19 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             JOIN cnt cb ON cb.doc_id = i.b
             WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
             ORDER BY a, b
+        """,
+        "vocab_growth": r"""
+            WITH tok AS (
+                SELECT doc_id // 50 AS bkt,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS t
+                FROM documents
+            ),
+            first AS (SELECT t, min(bkt) AS bucket FROM tok GROUP BY t),
+            per AS (SELECT bucket, count(*) AS new_terms FROM first GROUP BY bucket)
+            SELECT bucket, new_terms,
+                   CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT)
+                       AS vocab_size
+            FROM per ORDER BY bucket
         """,
         "setsim_cross": r"""
             WITH tok AS (

@@ -652,3 +652,78 @@ def merge_agg_state(
     )
     aggs = [Sum(c, alias_name=c) for c in sums]
     return parts.groupby(keys).aggregate(*aggs)
+
+
+def vocab_growth(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 50,
+) -> pd.DataFrame:
+    """Vocabulary-growth curve (Heaps'-law measurement for tokenizer /
+    vocab sizing): cumulative count of DISTINCT whitespace tokens after
+    each ``bucket_size``-doc checkpoint of the corpus, in ``id_col``
+    order.
+
+    Distributed shape: a token first contributes to the curve at the
+    checkpoint of its FIRST document, so the whole computation is one
+    min-reduce per token — per-batch combiner collapses each batch to one
+    ``(tok, min_bucket)`` row per distinct token, the ``groupby(tok)``
+    min-reduce moves at most |vocab| narrow int rows per batch, the
+    per-first-bucket counts are ≤ n_buckets rows, and the cumulative sum
+    happens on the driver over that tiny table. Tokens travel as
+    md5-low64 hashes (count-preserving; the SQL oracle counts the string
+    tokens directly). No corpus-sized shuffle anywhere."""
+    from .dedup import _md5_hash64
+    from .textstats import RE2_TOKEN_RE
+
+    def first_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        toks: list[np.ndarray] = []
+        bkts: list[np.ndarray] = []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            ws = set(RE2_TOKEN_RE.findall(t))
+            if not ws:
+                continue
+            h = np.fromiter(
+                (_md5_hash64(w) for w in ws), dtype=np.uint64, count=len(ws)
+            )
+            toks.append(h.view(np.int64))
+            bkts.append(np.full(len(ws), int(i) // bucket_size, dtype=np.int64))
+        if not toks:
+            return pd.DataFrame(
+                {"tok": pd.Series(dtype="int64"),
+                 "bkt": pd.Series(dtype="int64")}
+            )
+        out = pd.DataFrame(
+            {"tok": np.concatenate(toks), "bkt": np.concatenate(bkts)}
+        )
+        # batch-level combiner: one (tok, min bkt) row per distinct token
+        return out.groupby("tok", as_index=False)["bkt"].min()
+
+    from ray.data.aggregate import Min
+
+    firsts = (
+        ds.map_batches(first_bucket, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Min("bkt", alias_name="fb"))
+    )
+
+    def count_per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["fb"].value_counts()
+        return pd.DataFrame(
+            {"bucket": vc.index.to_numpy(np.int64),
+             "new_terms": vc.to_numpy(np.int64)}
+        )
+
+    per = (
+        firsts.map_batches(count_per_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("new_terms", alias_name="new_terms"))
+        .to_pandas()
+    )
+    per = per.sort_values("bucket").reset_index(drop=True)
+    per["bucket"] = per["bucket"].astype("int64")
+    per["new_terms"] = per["new_terms"].astype("int64")
+    per["vocab_size"] = per["new_terms"].cumsum().astype("int64")
+    return per

@@ -227,3 +227,22 @@ def test_setsim_property_random_corpora(ray_session):
         assert np.allclose(
             got["jaccard"].astype("float64"), want["jaccard"].astype("float64")
         )
+
+
+def test_vocab_growth_small(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.aggregate import vocab_growth
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b", "b c", "", "c d e"],
+        }
+    )
+    out = vocab_growth(ray.data.from_pandas(docs), bucket_size=2)
+    # bucket 0 (docs 0-1): first-seen a,b,c → 3; bucket 1 (docs 2-3): d,e → +2
+    assert out[["bucket", "new_terms", "vocab_size"]].values.tolist() == [
+        [0, 3, 3],
+        [1, 2, 5],
+    ]
