@@ -701,23 +701,34 @@ def vocab_growth(
         # batch-level combiner: one (tok, min bkt) row per distinct token
         return out.groupby("tok", as_index=False)["bkt"].min()
 
-    from ray.data.aggregate import Min
+    # bucketed-vectorized min-reduce: Ray's named Min aggregate pays
+    # per-group overhead across |vocab| groups (measured: 1M docs / 200k
+    # vocab never finished in 10 min); hashing tokens into 256 buckets and
+    # reducing each bucket with ONE pandas groupby-min runs the same
+    # reduce vectorized.
+    _GB = 256
 
-    firsts = (
-        ds.map_batches(first_bucket, batch_format="pandas")
-        .groupby("tok")
-        .aggregate(Min("bkt", alias_name="fb"))
-    )
+    def add_gb(b: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            h = (
+                b["tok"].to_numpy(np.int64).astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(32)
+        return b.assign(gb=(h % np.uint64(_GB)).astype(np.int64))
 
-    def count_per_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b["fb"].value_counts()
+    def bucket_min_count(g: pd.DataFrame) -> pd.DataFrame:
+        fb = g.groupby("tok")["bkt"].min()
+        vc = fb.value_counts()
         return pd.DataFrame(
             {"bucket": vc.index.to_numpy(np.int64),
              "new_terms": vc.to_numpy(np.int64)}
         )
 
     per = (
-        firsts.map_batches(count_per_bucket, batch_format="pandas")
+        ds.map_batches(first_bucket, batch_format="pandas")
+        .map_batches(add_gb, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(bucket_min_count, batch_format="pandas")
         .groupby("bucket")
         .aggregate(Sum("new_terms", alias_name="new_terms"))
         .to_pandas()
