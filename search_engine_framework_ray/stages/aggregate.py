@@ -706,15 +706,10 @@ def vocab_growth(
     # vocab never finished in 10 min); hashing tokens into 256 buckets and
     # reducing each bucket with ONE pandas groupby-min runs the same
     # reduce vectorized.
-    _GB = 256
+    from .join import int_bucket
 
     def add_gb(b: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            h = (
-                b["tok"].to_numpy(np.int64).astype(np.uint64)
-                * np.uint64(0x9E3779B97F4A7C15)
-            ) >> np.uint64(32)
-        return b.assign(gb=(h % np.uint64(_GB)).astype(np.int64))
+        return b.assign(gb=int_bucket(b["tok"].to_numpy(np.int64)))
 
     def bucket_min_count(g: pd.DataFrame) -> pd.DataFrame:
         fb = g.groupby("tok")["bkt"].min()

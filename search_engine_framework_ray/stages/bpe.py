@@ -54,16 +54,17 @@ def word_counts(ds: Dataset, *, text_col: str = "text") -> Dataset:
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
-        for t in b[text_col]:
+        for t in b[text_col].fillna(""):
             toks.extend(w.lower() for w in ws.findall(t))
         if not toks:
             return pd.DataFrame({"word": pd.Series(dtype="object"), "cnt": []})
         vc = pd.Series(toks).value_counts()
         return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy(np.int64)})
 
+    from .join import coarse_bucket
+
     def add_gb(b: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(b["word"].to_numpy(dtype=object))
-        return b.assign(gb=(h % np.uint64(256)).astype(np.int64))
+        return b.assign(gb=coarse_bucket([b["word"]], 256))
 
     def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
         s = g.groupby("word", as_index=False)["cnt"].sum()

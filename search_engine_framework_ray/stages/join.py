@@ -73,6 +73,20 @@ def coarse_bucket(cols: list[pd.Series], n: int = _COARSE_BUCKETS) -> np.ndarray
     return (h % np.uint64(n)).astype(np.int64)
 
 
+def int_bucket(a: np.ndarray, n: int = 256) -> np.ndarray:
+    """:func:`coarse_bucket` for a single int64 key, without the
+    object-boxing cost (hash_array on astype(object) boxes every value —
+    measurable on corpus-sized token streams): one Fibonacci multiply over
+    the uint64 bit pattern. Used by the bucketed-vectorized reduces in
+    stages/setsim.py and stages/aggregate.py."""
+    with np.errstate(over="ignore"):
+        h = (
+            np.ascontiguousarray(a, dtype=np.int64).astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        ) >> np.uint64(32)
+    return (h % np.uint64(n)).astype(np.int64)
+
+
 def check_sizes(sizes: pd.Series, key: str, bound: int | None) -> None:
     """Vectorized per-key bound check for bucketed kernels (same contract
     as :func:`check_hot_key`, evaluated from a descending size Series)."""

@@ -62,6 +62,7 @@ from .dedup import (
     _verify_jaccard_distributed,
     _with_pair_bucket,
 )
+from .join import int_bucket
 
 
 def _token_set_hashes(text: str) -> np.ndarray:
@@ -125,7 +126,11 @@ def setsim_cross_pairs(
     def _enc(side: int):
         def f(b: pd.DataFrame) -> pd.DataFrame:
             ids = b[id_col].to_numpy(np.int64)
-            if ids.size and int(ids.max()) >= (1 << 62):
+            if ids.size and (
+                int(ids.max()) >= (1 << 62) or int(ids.min()) <= -(1 << 62)
+            ):
+                # ids*2 would overflow int64 SILENTLY (numpy wraps) and
+                # corrupt the side encoding — fail loudly instead
                 raise ValueError("ids must fit in 62 bits for side encoding")
             return pd.DataFrame(
                 {id_col: ids * 2 + side, text_col: b[text_col]}
@@ -158,25 +163,47 @@ def _setsim_impl(
     if not (0 < num <= den):
         raise ValueError(f"threshold must be a fraction in (0, 1]: {threshold}")
 
+    # Tokenize + hash ONCE: the materialized set table feeds BOTH candidate
+    # generation (exploded below) and the verify stage (precomputed_sets) —
+    # re-extracting in verify would repeat the most expensive corpus pass.
+    def make_sets(b: pd.DataFrame) -> pd.DataFrame:
+        vals = [
+            _token_set_hashes(t).view(np.int64).tolist()
+            for t in b[text_col].fillna("")
+        ]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "val": pd.Series(vals, dtype="object"),
+                "n": np.fromiter(
+                    (len(v) for v in vals), dtype=np.int64, count=len(vals)
+                ),
+            }
+        )
+
+    toksets = ds.map_batches(make_sets, batch_format="pandas").materialize()
+
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        ids, toks = [], []
-        for i, t in zip(b[id_col], b[text_col].fillna("")):
-            h = _token_set_hashes(t)
-            if h.size:
-                ids.append(np.full(h.size, int(i), dtype=np.int64))
-                toks.append(h.view(np.int64))
-        if not ids:
+        sizes = b["n"].to_numpy(np.int64)
+        keep = sizes > 0
+        if not keep.any():
             return pd.DataFrame(
                 {"tok": pd.Series(dtype="int64"),
                  "doc": pd.Series(dtype="int64"),
                  "n": pd.Series(dtype="int64")}
             )
-        doc = np.concatenate(ids)
-        out = pd.DataFrame({"tok": np.concatenate(toks), "doc": doc})
-        out["n"] = out.groupby("doc")["doc"].transform("size").astype(np.int64)
-        return out
+        tok = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v, k in zip(b["val"], keep) if k]
+        )
+        return pd.DataFrame(
+            {
+                "tok": tok,
+                "doc": np.repeat(b[id_col].to_numpy(np.int64)[keep], sizes[keep]),
+                "n": np.repeat(sizes[keep], sizes[keep]),
+            }
+        )
 
-    exploded = ds.map_batches(explode, batch_format="pandas")
+    exploded = toksets.map_batches(explode, batch_format="pandas")
 
     # Millions of one-token / one-doc groups would pay a per-group Python
     # call each; instead every groupby below keys on a HASH BUCKET (a few
@@ -187,12 +214,7 @@ def _setsim_impl(
 
     def _bucketed(col: str):
         def add(b: pd.DataFrame) -> pd.DataFrame:
-            with np.errstate(over="ignore"):
-                h = (
-                    b[col].to_numpy(np.int64).astype(np.uint64)
-                    * np.uint64(0x9E3779B97F4A7C15)
-                ) >> np.uint64(32)
-            return b.assign(gb=(h % np.uint64(_BUCKETS)).astype(np.int64))
+            return b.assign(gb=int_bucket(b[col].to_numpy(np.int64), _BUCKETS))
 
         return add
 
@@ -230,37 +252,15 @@ def _setsim_impl(
         # per-token loop (they are the vast majority after prefix pruning)
         g = g[g.duplicated("tok", keep=False)]
         g = g.sort_values(["tok", "doc"], kind="mergesort")
-        for _, sub in g.groupby("tok"):
-            m = len(sub)
-            if m < 2:
-                continue
-            if hot_token_bound is not None and m > hot_token_bound:
-                # fail LOUDLY with the remedy, not silent O(m²) grind —
-                # the join.py check_hot_key convention. A token this
-                # frequent in PREFIXES means the df-skew assumption the
-                # prefix filter relies on does not hold for this corpus.
-                raise ValueError(
-                    f"hot token {int(sub['tok'].iloc[0])}: {m:,} prefix "
-                    f"occurrences would generate ~{m * (m - 1) // 2:,} "
-                    f"candidate pairs from one token (bound "
-                    f"{hot_token_bound:,}). Raise the threshold (shorter "
-                    f"prefixes), use the MinHash-LSH path "
-                    f"(stages/dedup.py) for low-skew corpora, or raise "
-                    f"hot_token_bound if the workers can hold it."
-                )
+        # 512-row chunks bound the per-token pair-enumeration temporaries
+        # to ~chunk·m elements; a group just under hot_token_bound would
+        # otherwise materialize multiple O(m²) int64 arrays (GBs) at once
+        _CHUNK = 512
+
+        def _emit(sub: pd.DataFrame, ii: np.ndarray, jj: np.ndarray) -> None:
             docs = sub["doc"].to_numpy(np.int64)
             ns = sub["n"].to_numpy(np.int64)
             ps = sub["pos"].to_numpy(np.int64)
-            if cross:
-                # side bit lives in the id's parity; pair across sides only
-                left = np.flatnonzero(docs % 2 == 0)
-                right = np.flatnonzero(docs % 2 == 1)
-                if not left.size or not right.size:
-                    continue
-                ii = np.repeat(left, right.size)
-                jj = np.tile(right, left.size)
-            else:
-                ii, jj = np.triu_indices(m, k=1)
             na, nb = ns[ii], ns[jj]
             # length filter: J ≥ t ⇒ t·|larger| ≤ |smaller|
             keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
@@ -275,6 +275,46 @@ def _setsim_impl(
             if keep.any():
                 out_a.append(docs[ii[keep]])
                 out_b.append(docs[jj[keep]])
+
+        # duplicated(keep=False) above guarantees every group has ≥ 2 rows
+        for _, sub in g.groupby("tok"):
+            m = len(sub)
+            if hot_token_bound is not None and m > hot_token_bound:
+                # fail LOUDLY with the remedy, not silent O(m²) grind —
+                # the join.py check_hot_key convention. A token this
+                # frequent in PREFIXES means the df-skew assumption the
+                # prefix filter relies on does not hold for this corpus.
+                n_pairs = m * m // 4 if cross else m * (m - 1) // 2
+                raise ValueError(
+                    f"hot token {int(sub['tok'].iloc[0])}: {m:,} prefix "
+                    f"occurrences would generate up to ~{n_pairs:,} "
+                    f"candidate pairs from one token (bound "
+                    f"{hot_token_bound:,}). Raise the threshold (shorter "
+                    f"prefixes), use the MinHash-LSH path "
+                    f"(stages/dedup.py) for low-skew corpora, or raise "
+                    f"hot_token_bound if the workers can hold it."
+                )
+            if cross:
+                # side bit lives in the id's parity; pair across sides only
+                docs = sub["doc"].to_numpy(np.int64)
+                left = np.flatnonzero(docs % 2 == 0)
+                right = np.flatnonzero(docs % 2 == 1)
+                if not left.size or not right.size:
+                    continue
+                for s in range(0, left.size, _CHUNK):
+                    chunk = left[s : s + _CHUNK]
+                    _emit(
+                        sub,
+                        np.repeat(chunk, right.size),
+                        np.tile(right, chunk.size),
+                    )
+            else:
+                for s in range(0, m - 1, _CHUNK):
+                    e = min(s + _CHUNK, m - 1)
+                    ii = np.repeat(np.arange(s, e), m)
+                    jj = np.tile(np.arange(m), e - s)
+                    upper = jj > ii
+                    _emit(sub, ii[upper], jj[upper])
         if not out_a:
             return pd.DataFrame(
                 {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
@@ -302,14 +342,14 @@ def _setsim_impl(
     )
 
     out = _verify_jaccard_distributed(
-        ds,
+        toksets,
         cand,
         id_col=id_col,
         text_col=text_col,
-        k_shingle=1,  # unused: set_fn overrides
+        k_shingle=1,  # unused: precomputed sets
         threshold=num / den,
-        set_fn=_token_set_hashes,
         threshold_frac=(num, den),
+        precomputed_sets=True,
     ).to_pandas()
     if "a" not in out.columns or not len(out):
         return pd.DataFrame(
