@@ -447,7 +447,6 @@ def _verify_jaccard_distributed(
     threshold: float,
     set_fn: "Callable[[str], np.ndarray] | None" = None,
     threshold_frac: "tuple[int, int] | None" = None,
-    precomputed_sets: bool = False,
 ) -> Dataset:
     """Exact-Jaccard verification OFF the driver: the candidate pair set is
     never collected, shingle sets never form a driver dict (VERDICT r2 #2).
@@ -457,10 +456,10 @@ def _verify_jaccard_distributed(
     distinct-token hashes instead. ``threshold_frac=(num, den)`` switches
     the acceptance test to exact integer arithmetic
     (``den·|∩| ≥ num·|∪|``) so boundary pairs compare identically to an
-    integer-arithmetic SQL oracle. ``precomputed_sets=True`` means ``ds``
-    ALREADY IS the element-set table (columns ``id_col`` + ``val`` with
-    int64-bit-pattern lists) — callers that tokenized the corpus once for
-    candidate generation skip the second extraction pass entirely.
+    integer-arithmetic SQL oracle. (A ``precomputed_sets`` variant — the
+    caller shares its already-hashed set table — was measured SLOWER than
+    this re-extraction at 100k docs: object-list columns pickle ~6M boxed
+    ints through the object store, re-hashing reads zero-copy parquet.)
 
     Four narrow stages:
 
@@ -494,18 +493,14 @@ def _verify_jaccard_distributed(
     )
 
     def to_shingles(b: pd.DataFrame) -> pd.DataFrame:
-        if precomputed_sets:
-            vals = list(b["val"])
-        else:
-            vals = [
-                np.asarray(extract(t), dtype=np.uint64).view(np.int64).tolist()
-                for t in b[text_col].fillna("")
-            ]
         return pd.DataFrame(
             {
                 "jid": b[id_col].to_numpy(np.int64),
                 "pb": np.full(len(b), -1, dtype=np.int64),  # tag: shingle row
-                "val": vals,
+                "val": [
+                    np.asarray(extract(t), dtype=np.uint64).view(np.int64).tolist()
+                    for t in b[text_col].fillna("")
+                ],
             }
         )
 

@@ -163,47 +163,34 @@ def _setsim_impl(
     if not (0 < num <= den):
         raise ValueError(f"threshold must be a fraction in (0, 1]: {threshold}")
 
-    # Tokenize + hash ONCE: the materialized set table feeds BOTH candidate
-    # generation (exploded below) and the verify stage (precomputed_sets) —
-    # re-extracting in verify would repeat the most expensive corpus pass.
-    def make_sets(b: pd.DataFrame) -> pd.DataFrame:
-        vals = [
-            _token_set_hashes(t).view(np.int64).tolist()
-            for t in b[text_col].fillna("")
-        ]
-        return pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy(np.int64),
-                "val": pd.Series(vals, dtype="object"),
-                "n": np.fromiter(
-                    (len(v) for v in vals), dtype=np.int64, count=len(vals)
-                ),
-            }
-        )
-
-    toksets = ds.map_batches(make_sets, batch_format="pandas").materialize()
-
+    # Tokenize TWICE (here and in the verify stage) rather than once:
+    # measured at 100k docs, materializing per-doc token-set lists to
+    # share them costs MORE than the saved md5 pass (21.8 s vs 13.7 s) —
+    # object-list columns pickle/unpickle ~6M boxed ints through the
+    # object store, while re-hashing reads zero-copy parquet strings.
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        sizes = b["n"].to_numpy(np.int64)
-        keep = sizes > 0
-        if not keep.any():
+        ids, ns, toks = [], [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            h = _token_set_hashes(t)
+            if h.size:
+                ids.append(np.full(h.size, int(i), dtype=np.int64))
+                ns.append(np.full(h.size, h.size, dtype=np.int64))
+                toks.append(h.view(np.int64))
+        if not ids:
             return pd.DataFrame(
                 {"tok": pd.Series(dtype="int64"),
                  "doc": pd.Series(dtype="int64"),
                  "n": pd.Series(dtype="int64")}
             )
-        tok = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v, k in zip(b["val"], keep) if k]
-        )
         return pd.DataFrame(
             {
-                "tok": tok,
-                "doc": np.repeat(b[id_col].to_numpy(np.int64)[keep], sizes[keep]),
-                "n": np.repeat(sizes[keep], sizes[keep]),
+                "tok": np.concatenate(toks),
+                "doc": np.concatenate(ids),
+                "n": np.concatenate(ns),
             }
         )
 
-    exploded = toksets.map_batches(explode, batch_format="pandas")
+    exploded = ds.map_batches(explode, batch_format="pandas")
 
     # Millions of one-token / one-doc groups would pay a per-group Python
     # call each; instead every groupby below keys on a HASH BUCKET (a few
@@ -342,14 +329,14 @@ def _setsim_impl(
     )
 
     out = _verify_jaccard_distributed(
-        toksets,
+        ds,
         cand,
         id_col=id_col,
         text_col=text_col,
-        k_shingle=1,  # unused: precomputed sets
+        k_shingle=1,  # unused: set_fn overrides
         threshold=num / den,
+        set_fn=_token_set_hashes,
         threshold_frac=(num, den),
-        precomputed_sets=True,
     ).to_pandas()
     if "a" not in out.columns or not len(out):
         return pd.DataFrame(
