@@ -1405,6 +1405,31 @@ def q_setsim_pairs(sf_dir: str):
     )
 
 
+def q_setsim_clusters(sf_dir: str):
+    """Exact near-dup clustering over the prefix-filter join's pair graph:
+    the SQL-checked ``setsim_pairs`` edge set (distinct-token Jaccard ≥
+    9/10, exact recall) → connected components, labeled distributed
+    (union-find over pairs only, root map broadcast into map_batches —
+    stages/dedup.py assign_clusters). The exact-recall candidate path
+    makes this the no-miss-probability twin of ``dedup_minhash_clusters``."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import assign_clusters
+    from search_engine_framework_ray.stages.setsim import setsim_join_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = setsim_join_pairs(ds, threshold=(9, 10))
+    out = assign_clusters(ds.select_columns(["doc_id"]), pairs, "doc_id").to_pandas()
+    out["is_dup"] = out["is_dup"].astype("int64")
+    return (
+        out[["doc_id", "cluster_id", "is_dup"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_vocab_growth(sf_dir: str):
     """Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
     count after each 50-doc checkpoint in doc_id order — the tokenizer /
@@ -4871,6 +4896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "setsim_pairs": q_setsim_pairs,
         "setsim_cross": q_setsim_cross,
+        "setsim_clusters": q_setsim_clusters,
         "vocab_growth": q_vocab_growth,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_filtered": q_ann_filtered,
@@ -7075,6 +7101,38 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             JOIN cnt cb ON cb.doc_id = i.b
             WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
             ORDER BY a, b
+        """,
+        "setsim_clusters": r"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS t
+                FROM documents
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM tok x JOIN tok y ON x.t = y.t AND y.doc_id > x.doc_id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+                WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
+            ),
+            edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+                WITH RECURSIVE r(src, dst) AS (
+                    SELECT doc_id, doc_id FROM documents
+                    UNION
+                    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.dst
+                )
+                SELECT src, dst FROM r
+            )
+            SELECT src AS doc_id,
+                   min(dst) AS cluster_id,
+                   CAST(min(dst) <> src AS BIGINT) AS is_dup
+            FROM reach GROUP BY src ORDER BY doc_id
         """,
         "vocab_growth": r"""
             WITH tok AS (
