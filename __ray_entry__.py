@@ -1960,6 +1960,50 @@ def q_kmv_jaccard(sf_dir: str):
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
+_CMS_PROBE_TERMS = [
+    "join", "hash", "row", "batch", "scan",
+    "customer", "column", "filter", "merge", "zzz-absent",
+]
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min point-frequency estimates for a fixed probe-term list,
+    next to the exact counts (stages/sketch.py cms_point_counts): 4×1024
+    integer counters built from per-batch partials — the batch vocabulary
+    never crosses the shuffle, and the sketch stays 4 KiB of counters at
+    any corpus size. The one-sided guarantee est ≥ exact is visible in the
+    two columns; the absent probe term pins the zero path."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import cms_point_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    out = cms_point_counts(ds, _CMS_PROBE_TERMS, d=4, w=1024)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def q_hll_distinct(sf_dir: str):
+    """Per-source distinct-vocabulary estimates via 256-register
+    HyperLogLog (stages/sketch.py hll_distinct): register maxes are
+    associative per-batch partials (≤256 narrow rows per source per
+    batch), the raw harmonic-mean estimator is evaluated in exact integer
+    arithmetic (Σ2^(56-M) as a big-int), and the small-range linear-
+    counting correction's single ln() is platform-parity-verified for all
+    256 possible zero-register counts. The fixed-size sibling of
+    kmv_distinct — 256 registers per key at any corpus size."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import hll_distinct
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    out = hll_distinct(ds, key_col="source", text_col="text")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_ngram_topk(sf_dir: str):
     """Corpus-wide top-20 bigrams — per-batch partial counts, md5-bucket
     reduce owning each gram fully, k·B-row driver merge (stages/corpus.py)."""
@@ -4921,6 +4965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "kmv_distinct": q_kmv_distinct,
         "kmv_jaccard": q_kmv_jaccard,
+        "cms_counts": q_cms_counts,
+        "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
         "pagerank_ppr": q_pagerank_ppr,
         "link_components": q_link_components,
@@ -7703,6 +7749,89 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    CAST((CAST(sum(in_a * in_b) AS HUGEINT) * 1000000)
                         // CAST(count(*) AS HUGEINT) AS BIGINT) AS j_micros
             FROM kept GROUP BY key_a, key_b ORDER BY key_a, key_b
+        """,
+        # Count-min sketch: exact replay of the d=4 × w=1024 cell build
+        # (row-j hash = md5-low64 of 'j:tok' mod w) + min-over-rows point
+        # query for the fixed probe list, next to the plain exact counts
+        "cms_counts": r"""
+            WITH toks AS (
+                SELECT lower(unnest(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS tok
+                FROM documents
+            ),
+            cnt AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+            cells AS (
+                SELECT t.j,
+                       CAST(md5_number_lower(CAST(t.j AS VARCHAR) || ':' || cnt.tok)
+                            % 1024 AS BIGINT) AS col,
+                       sum(cnt.c) AS cell
+                FROM cnt, unnest([0, 1, 2, 3]) AS t(j)
+                GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT unnest(['batch','column','customer','filter','hash',
+                               'join','merge','row','scan','zzz-absent']) AS term
+            ),
+            pq AS (
+                SELECT p.term, t.j,
+                       CAST(md5_number_lower(CAST(t.j AS VARCHAR) || ':' || p.term)
+                            % 1024 AS BIGINT) AS col
+                FROM probes p, unnest([0, 1, 2, 3]) AS t(j)
+            ),
+            est AS (
+                SELECT pq.term, min(coalesce(cells.cell, 0)) AS est_cnt
+                FROM pq LEFT JOIN cells ON cells.j = pq.j AND cells.col = pq.col
+                GROUP BY pq.term
+            )
+            SELECT est.term,
+                   CAST(est.est_cnt AS BIGINT) AS est_cnt,
+                   CAST(coalesce(cnt.c, 0) AS BIGINT) AS exact_cnt
+            FROM est LEFT JOIN cnt ON cnt.tok = est.term
+            ORDER BY est.term
+        """,
+        # HyperLogLog: bucket = top-8 bits of md5-low64, rho = 57 - bit
+        # length of the low-56 remainder (bin() string length — exact
+        # integer bit math); raw estimate in HUGEINT, linear counting via
+        # the same libm ln as Python (parity unit-verified for V=1..256)
+        "hll_distinct": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+                FROM documents
+            ),
+            d AS (SELECT DISTINCT source, md5_number_lower(tok) AS h FROM toks),
+            br AS (
+                SELECT source,
+                       CAST(h >> 56 AS BIGINT) AS bucket,
+                       h & CAST(72057594037927935 AS UBIGINT) AS rest
+                FROM d
+            ),
+            regs AS (
+                SELECT source, bucket,
+                       max(CASE WHEN rest = 0 THEN 57
+                                ELSE 57 - length(bin(rest)) END) AS m_j
+                FROM br GROUP BY source, bucket
+            ),
+            agg AS (
+                SELECT source,
+                       count(*) AS n_used,
+                       sum(CAST(1 AS HUGEINT) << (56 - m_j)) AS s_used
+                FROM regs GROUP BY source
+            ),
+            raw AS (
+                SELECT source,
+                       CAST(256 - n_used AS BIGINT) AS n_zero,
+                       CAST((CAST(718272 AS HUGEINT) * 65536
+                             * (CAST(1 AS HUGEINT) << 56))
+                            // (s_used + (256 - CAST(n_used AS HUGEINT))
+                                * (CAST(1 AS HUGEINT) << 56))
+                            // 1000000 AS BIGINT) AS est_raw
+                FROM agg
+            )
+            SELECT source, n_zero, est_raw,
+                   CAST(CASE WHEN n_zero > 0 AND est_raw <= 640
+                             THEN CAST(floor(256 * ln(256.0 / n_zero)) AS BIGINT)
+                             ELSE est_raw END AS BIGINT) AS est_distinct
+            FROM raw ORDER BY source
         """,
         "ngram_topk": r"""
             WITH lists AS (

@@ -414,3 +414,281 @@ def heavy_hitters(
         ["cnt", "term"], ascending=[False, True], kind="mergesort"
     ).head(k)
     return exact.reset_index(drop=True)
+
+# ----------------------------------------------------------------------------
+# Count-min sketch (point-frequency estimates in d·w fixed memory)
+# ----------------------------------------------------------------------------
+
+
+def _cms_cols(terms: np.ndarray, j: int, w: int) -> np.ndarray:
+    """Row-j column index per term: md5-low64 of ``"j:term"`` mod w —
+    d independent hash functions derived from one SQL-reproducible hash."""
+    return np.fromiter(
+        (_md5_hash64(f"{j}:{t}") % w for t in terms),
+        dtype=np.int64,
+        count=len(terms),
+    )
+
+
+def cms_sketch(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over lowercased
+    whitespace tokens: ``d`` hash rows × ``w`` columns of int64 counters.
+    Per-batch partials count tokens locally (``value_counts``) and emit at
+    most d·w narrow ``(row_j, col, cnt)`` rows — the batch's vocabulary
+    never crosses the shuffle — then ONE coarse-bucket groupby sums cells.
+    Fixed d·w memory regardless of corpus size is the whole point: at
+    100 TB the sketch is still 4×1024 counters."""
+
+    empty = pd.DataFrame(
+        {
+            "row_j": pd.Series(dtype="int64"),
+            "col": pd.Series(dtype="int64"),
+            "cnt": pd.Series(dtype="int64"),
+            "_bkt": pd.Series(dtype="int64"),
+        }
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            b[text_col].fillna("").str.findall(_WS_RE).explode().dropna().str.lower()
+        )
+        if not len(ex):
+            return empty
+        vc = ex.value_counts()
+        terms = vc.index.to_numpy(object)
+        cnts = vc.to_numpy(np.int64)
+        frames = [
+            pd.DataFrame(
+                {"row_j": np.int64(j), "col": _cms_cols(terms, j, w), "cnt": cnts}
+            )
+            for j in range(d)
+        ]
+        out = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["row_j", "col"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out["_bkt"] = (out["row_j"] * w + out["col"]) % n_buckets
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["row_j", "col"], sort=False)["cnt"].sum().reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def cms_point_counts(
+    ds: "ray.data.Dataset",
+    terms: list[str],
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+) -> pd.DataFrame:
+    """Point-frequency estimates for a probe-term list from a count-min
+    sketch, paired with the exact counts (broadcast-probe-set filtered
+    count — the candidate-verify pattern from :func:`heavy_hitters`) so the
+    one-sided error ``est ≥ exact`` is visible in the result. Returns
+    ``(term, est_cnt, exact_cnt)``, one row per probe term. Only the ≤ d·w
+    sketch cells and ≤ |terms|·n_batches exact partials reach the driver."""
+    cells = cms_sketch(ds, text_col=text_col, d=d, w=w).to_pandas()
+    cell_map = {
+        (int(r), int(c)): int(n)
+        for r, c, n in zip(cells["row_j"], cells["col"], cells["cnt"])
+    }
+    probe = sorted(set(terms))
+    probe_set = set(probe)
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = (
+            b[text_col].fillna("").str.findall(_WS_RE).explode().dropna().str.lower()
+        )
+        ex = ex[ex.isin(probe_set)]
+        vc = ex.value_counts()
+        return pd.DataFrame(
+            {
+                "term": vc.index.to_numpy(object),
+                "cnt": vc.to_numpy(np.int64),
+            }
+        )
+
+    exact_parts = ds.map_batches(exact_partial, batch_format="pandas").to_pandas()
+    exact = (
+        exact_parts.groupby("term")["cnt"].sum()
+        if len(exact_parts)
+        else pd.Series(dtype="int64")
+    )
+    rows = []
+    for t in probe:
+        est = min(
+            cell_map.get((j, _md5_hash64(f"{j}:{t}") % w), 0) for j in range(d)
+        )
+        rows.append(
+            {"term": t, "est_cnt": est, "exact_cnt": int(exact.get(t, 0))}
+        )
+    out = pd.DataFrame(rows)
+    for c in ("est_cnt", "exact_cnt"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ----------------------------------------------------------------------------
+# HyperLogLog (fixed 256-register cardinality, integer-exact estimator)
+# ----------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256 registers
+_HLL_Q = 64 - _HLL_P  # 56 rho bits
+# alpha_256 = 0.7213 / (1 + 1.079/256), fixed-point micros so the raw
+# estimate is pure integer arithmetic on both the Ray and SQL sides.
+_HLL_ALPHA_MICROS = 718272
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (float log2 would round
+    2⁵⁶−1 up to 2⁵⁶ and misreport the leading-zero count)."""
+    cur = x.astype(np.uint64).copy()
+    bl = np.zeros(len(cur), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = cur >= (np.uint64(1) << np.uint64(s))
+        bl += s * big
+        cur = np.where(big, cur >> np.uint64(s), cur)
+    bl += (cur > 0).astype(np.int64)
+    return bl
+
+
+def hll_registers(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-key HyperLogLog registers (Flajolet et al. 2007) over raw
+    whitespace tokens: bucket = top-8 bits of md5-low64, rho = leading-zero
+    run of the remaining 56 bits + 1. Per-batch partials emit ≤ 256 narrow
+    ``(key, bucket, m_j)`` rows per key (max is associative, same combiner
+    argument as KMV); ONE coarse groupby takes the global max. Returns rows
+    for occupied buckets only — absent buckets are register value 0."""
+
+    empty = pd.DataFrame(
+        {
+            key_col: pd.Series(dtype="object"),
+            "bucket": pd.Series(dtype="int64"),
+            "m_j": pd.Series(dtype="int64"),
+            "_bkt": pd.Series(dtype="int64"),
+        }
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].fillna("").str.findall(_WS_RE).explode().dropna()
+        if not len(ex):
+            return empty
+        keys = b[key_col].reindex(ex.index)
+        pairs = pd.DataFrame(
+            {key_col: keys.to_numpy(object), "tok": ex.to_numpy(object)}
+        ).drop_duplicates()
+        uniq = pd.unique(pairs["tok"].to_numpy(object))
+        hmap = {t: _md5_hash64(t) for t in uniq}
+        h = np.fromiter(
+            (hmap[t] for t in pairs["tok"].to_numpy(object)),
+            dtype=np.uint64,
+            count=len(pairs),
+        )
+        bucket = (h >> np.uint64(_HLL_Q)).astype(np.int64)
+        rest = h & np.uint64((1 << _HLL_Q) - 1)
+        rho = np.where(
+            rest == 0, _HLL_Q + 1, _HLL_Q - _bit_length_u64(rest) + 1
+        ).astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {
+                    key_col: pairs[key_col].to_numpy(object),
+                    "bucket": bucket,
+                    "m_j": rho,
+                }
+            )
+            .groupby([key_col, "bucket"], sort=False)["m_j"]
+            .max()
+            .reset_index()
+        )
+        out["_bkt"] = (
+            pd.util.hash_array(out[key_col].to_numpy(object))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby([key_col, "bucket"], sort=False)["m_j"].max().reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-key distinct-token estimates from the HLL registers. The raw
+    estimator is evaluated EXACTLY in integers: the harmonic-mean
+    denominator ``Σ 2^{-M[i]}`` is scaled by 2⁵⁶ so
+    ``S = Σ 2^{56-M[i]}`` is an exact big-int, and
+    ``est_raw = (α_micros · m² · 2⁵⁶) // S // 10⁶``. The standard
+    small-range correction (linear counting, ``⌊m·ln(m/V)⌋`` when V > 0
+    zero registers and est_raw ≤ 5m/2) uses one libm ``ln`` — identical
+    bit pattern to DuckDB's ``ln`` on this platform, unit-verified for
+    every possible V in 1..256. Returns ``(key, n_zero, est_raw,
+    est_distinct)``; only ≤ 256 register rows per key reach the driver."""
+    import math
+
+    regs = hll_registers(ds, key_col=key_col, text_col=text_col).to_pandas()
+    out_cols = {
+        key_col: pd.Series(dtype="object"),
+        "n_zero": pd.Series(dtype="int64"),
+        "est_raw": pd.Series(dtype="int64"),
+        "est_distinct": pd.Series(dtype="int64"),
+    }
+    if regs.empty:
+        return pd.DataFrame(out_cols)
+    rows = []
+    m = _HLL_M
+    for key, g in regs.groupby(key_col, sort=True):
+        mj = g["m_j"].to_numpy(np.int64)
+        n_zero = m - len(mj)
+        s_tot = int(sum(1 << (_HLL_Q - int(v)) for v in mj)) + (
+            n_zero << _HLL_Q
+        )
+        est_raw = (_HLL_ALPHA_MICROS * m * m * (1 << _HLL_Q)) // s_tot // 10**6
+        if n_zero > 0 and est_raw <= (5 * m) // 2:
+            est = math.floor(m * math.log(m / n_zero))
+        else:
+            est = est_raw
+        rows.append(
+            {
+                key_col: key,
+                "n_zero": n_zero,
+                "est_raw": est_raw,
+                "est_distinct": est,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_zero", "est_raw", "est_distinct"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -233,3 +233,136 @@ def test_heavy_hitters_fails_loudly_on_flat_skew(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(4)
     with pytest.raises(ValueError, match="raise m"):
         heavy_hitters(ds, m=4, k=3)
+
+
+# ----------------------------------------------------------------------------
+# Count-min sketch
+# ----------------------------------------------------------------------------
+
+
+def test_cms_one_sided_and_exact_when_wide(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import cms_point_counts
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "apple apple banana cherry",
+                "apple banana banana date",
+                "cherry date date date",
+            ]
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(3)
+    probes = ["apple", "banana", "cherry", "date", "missing"]
+    # wide sketch → no collisions among 5 distinct tokens → est == exact
+    out = cms_point_counts(ds, probes, d=4, w=1 << 16)
+    got = dict(zip(out["term"], out["est_cnt"]))
+    assert got == {"apple": 3, "banana": 3, "cherry": 2, "date": 4, "missing": 0}
+    assert (out["est_cnt"] == out["exact_cnt"]).all()
+    # narrow sketch → collisions possible, but never an undercount
+    tight = cms_point_counts(ds, probes, d=2, w=4)
+    assert (tight["est_cnt"] >= tight["exact_cnt"]).all()
+
+
+def test_cms_row_hashes_independent():
+    from search_engine_framework_ray.stages.sketch import _cms_cols
+
+    terms = np.array([f"t{i}" for i in range(200)], dtype=object)
+    c0 = _cms_cols(terms, 0, 1024)
+    c1 = _cms_cols(terms, 1, 1024)
+    assert not np.array_equal(c0, c1)
+    assert c0.min() >= 0 and c0.max() < 1024
+
+
+# ----------------------------------------------------------------------------
+# HyperLogLog
+# ----------------------------------------------------------------------------
+
+
+def test_bit_length_u64_exact():
+    from search_engine_framework_ray.stages.sketch import _bit_length_u64
+
+    vals = np.array(
+        [0, 1, 2, 3, (1 << 56) - 1, 1 << 56, (1 << 63), (1 << 64) - 1, 12345],
+        dtype=np.uint64,
+    )
+    got = _bit_length_u64(vals)
+    want = np.array([int(v).bit_length() for v in vals], dtype=np.int64)
+    assert np.array_equal(got, want)
+    rng = np.random.default_rng(7)
+    rand = rng.integers(0, 1 << 63, size=500, dtype=np.int64).astype(np.uint64)
+    assert np.array_equal(
+        _bit_length_u64(rand),
+        np.array([int(v).bit_length() for v in rand], dtype=np.int64),
+    )
+
+
+def _brute_hll(tokens):
+    """Driver-side single-pass HLL over a token iterable."""
+    regs = {}
+    for t in set(tokens):
+        h = _md5_hash64(t)
+        b = h >> 56
+        rest = h & ((1 << 56) - 1)
+        rho = 57 if rest == 0 else 56 - rest.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_brute_force(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import hll_registers
+
+    toks_a = [f"alpha{i}" for i in range(800)]
+    toks_b = [f"beta{i}" for i in range(50)]
+    docs = pd.DataFrame(
+        {
+            "source": ["a"] * 8 + ["b"],
+            "text": [" ".join(toks_a[i * 100 : (i + 1) * 100]) for i in range(8)]
+            + [" ".join(toks_b)],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(4)
+    regs = hll_registers(ds, key_col="source", text_col="text").to_pandas()
+    for key, toks in (("a", toks_a), ("b", toks_b)):
+        got = dict(
+            zip(
+                regs.loc[regs["source"] == key, "bucket"],
+                regs.loc[regs["source"] == key, "m_j"],
+            )
+        )
+        assert got == _brute_hll(toks), key
+
+
+def test_hll_estimate_accuracy_and_lc_parity(ray_session):
+    import math
+
+    import ray.data
+
+    from search_engine_framework_ray.stages.sketch import hll_distinct
+
+    # 20k distinct tokens → raw-estimator regime; HLL rse ≈ 1.04/√256 ≈ 6.5%
+    toks = [f"v{i}" for i in range(20_000)]
+    docs = pd.DataFrame(
+        {
+            "source": ["big"] * 20,
+            "text": [" ".join(toks[i * 1000 : (i + 1) * 1000]) for i in range(20)],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(5)
+    out = hll_distinct(ds, key_col="source", text_col="text")
+    est = int(out.loc[out["source"] == "big", "est_distinct"].iloc[0])
+    assert 0.8 * 20_000 < est < 1.2 * 20_000
+
+    # linear-counting branch: DuckDB ln == Python math.log for every
+    # possible zero-register count (the only float in the operator)
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT v, CAST(floor(256 * ln(256.0 / v)) AS BIGINT)"
+        " FROM unnest(range(1, 257)) AS t(v)"
+    ).fetchall()
+    for v, dk in rows:
+        assert dk == math.floor(256 * math.log(256 / v)), v
