@@ -7750,9 +7750,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                         // CAST(count(*) AS HUGEINT) AS BIGINT) AS j_micros
             FROM kept GROUP BY key_a, key_b ORDER BY key_a, key_b
         """,
-        # Count-min sketch: exact replay of the d=4 × w=1024 cell build
-        # (row-j hash = md5-low64 of 'j:tok' mod w) + min-over-rows point
-        # query for the fixed probe list, next to the plain exact counts
+        # Count-min sketch: exact replay of the d=4 × w=1024 cell build.
+        # Row-j column = Kirsch-Mitzenmacher double hashing
+        # (h1 + j·h2) mod 2⁶⁴ mod w with h1/h2 = md5 lower/upper halves
+        # (h2 forced odd) — ONE md5 per token feeds all d rows, same as
+        # the engine — then min-over-rows point query for the fixed probe
+        # list, next to the plain exact counts
         "cms_counts": r"""
             WITH toks AS (
                 SELECT lower(unnest(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS tok
@@ -7761,7 +7764,9 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             cnt AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
             cells AS (
                 SELECT t.j,
-                       CAST(md5_number_lower(CAST(t.j AS VARCHAR) || ':' || cnt.tok)
+                       CAST(((CAST(md5_number_lower(cnt.tok) AS HUGEINT)
+                              + t.j * CAST(md5_number_upper(cnt.tok) | 1 AS HUGEINT))
+                             % (CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)))
                             % 1024 AS BIGINT) AS col,
                        sum(cnt.c) AS cell
                 FROM cnt, unnest([0, 1, 2, 3]) AS t(j)
@@ -7773,7 +7778,9 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             ),
             pq AS (
                 SELECT p.term, t.j,
-                       CAST(md5_number_lower(CAST(t.j AS VARCHAR) || ':' || p.term)
+                       CAST(((CAST(md5_number_lower(p.term) AS HUGEINT)
+                              + t.j * CAST(md5_number_upper(p.term) | 1 AS HUGEINT))
+                             % (CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)))
                             % 1024 AS BIGINT) AS col
                 FROM probes p, unnest([0, 1, 2, 3]) AS t(j)
             ),

@@ -37,6 +37,7 @@ family as `stages/corpus.py`'s census operators.
 
 from __future__ import annotations
 
+import hashlib
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -420,14 +421,33 @@ def heavy_hitters(
 # ----------------------------------------------------------------------------
 
 
-def _cms_cols(terms: np.ndarray, j: int, w: int) -> np.ndarray:
-    """Row-j column index per term: md5-low64 of ``"j:term"`` mod w —
-    d independent hash functions derived from one SQL-reproducible hash."""
-    return np.fromiter(
-        (_md5_hash64(f"{j}:{t}") % w for t in terms),
-        dtype=np.int64,
-        count=len(terms),
+def _md5_hash128(token: str) -> tuple[int, int]:
+    """(lower-64, upper-64) of md5 — byte-for-byte DuckDB's
+    ``md5_number_lower`` / ``md5_number_upper`` pair (both little-endian
+    halves of the digest), so ONE hash call feeds all d sketch rows."""
+    dig = hashlib.md5(token.encode("utf-8", "surrogatepass")).digest()
+    return (
+        int.from_bytes(dig[8:], "little"),
+        int.from_bytes(dig[:8], "little"),
     )
+
+
+def _cms_cols(terms: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(n, d) column indices via Kirsch-Mitzenmacher double hashing:
+    ``col_j = (h1 + j·h2) mod 2⁶⁴ mod w`` with h1/h2 the two md5 halves
+    (h2 forced odd) — d rows from ONE md5 per token (the Bloom filter's
+    trick, stages/join.py), 4× less hashing than d independent digests,
+    and still exactly reproducible in SQL."""
+    n = len(terms)
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    for i, t in enumerate(terms):
+        lo, up = _md5_hash128(t)
+        h1[i] = lo
+        h2[i] = up | 1
+    with np.errstate(over="ignore"):
+        j = np.arange(d, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + j * h2[:, None]) % np.uint64(w)).astype(np.int64)
 
 
 def cms_sketch(
@@ -463,10 +483,9 @@ def cms_sketch(
         vc = ex.value_counts()
         terms = vc.index.to_numpy(object)
         cnts = vc.to_numpy(np.int64)
+        cols = _cms_cols(terms, d, w)  # (n, d), one md5 per term
         frames = [
-            pd.DataFrame(
-                {"row_j": np.int64(j), "col": _cms_cols(terms, j, w), "cnt": cnts}
-            )
+            pd.DataFrame({"row_j": np.int64(j), "col": cols[:, j], "cnt": cnts})
             for j in range(d)
         ]
         out = (
@@ -530,10 +549,11 @@ def cms_point_counts(
         if len(exact_parts)
         else pd.Series(dtype="int64")
     )
+    probe_cols = _cms_cols(np.asarray(probe, dtype=object), d, w)
     rows = []
-    for t in probe:
+    for i, t in enumerate(probe):
         est = min(
-            cell_map.get((j, _md5_hash64(f"{j}:{t}") % w), 0) for j in range(d)
+            cell_map.get((j, int(probe_cols[i, j])), 0) for j in range(d)
         )
         rows.append(
             {"term": t, "est_cnt": est, "exact_cnt": int(exact.get(t, 0))}

@@ -267,13 +267,17 @@ def test_cms_one_sided_and_exact_when_wide(ray_session):
 
 
 def test_cms_row_hashes_independent():
-    from search_engine_framework_ray.stages.sketch import _cms_cols
+    from search_engine_framework_ray.stages.sketch import _cms_cols, _md5_hash128
 
     terms = np.array([f"t{i}" for i in range(200)], dtype=object)
-    c0 = _cms_cols(terms, 0, 1024)
-    c1 = _cms_cols(terms, 1, 1024)
-    assert not np.array_equal(c0, c1)
-    assert c0.min() >= 0 and c0.max() < 1024
+    cols = _cms_cols(terms, 4, 1024)
+    assert cols.shape == (200, 4)
+    assert not np.array_equal(cols[:, 0], cols[:, 1])
+    assert cols.min() >= 0 and cols.max() < 1024
+    # row 0 is the plain lower-64 hash; row j wraps mod 2^64 exactly
+    lo, up = _md5_hash128("t0")
+    assert cols[0, 0] == lo % 1024
+    assert cols[0, 3] == ((lo + 3 * (up | 1)) % (1 << 64)) % 1024
 
 
 # ----------------------------------------------------------------------------
