@@ -294,10 +294,20 @@ class Evaluator:
         children = self._children(node)
         if not children:
             return ScoreResult(np.empty(0, np.int64), np.empty(0, np.float64))
-        # boolean intersection (QryopSlAnd.java:145-284)
-        common = children[0].docids
-        for c in children[1:]:
-            common = common[np.isin(common, c.docids, assume_unique=True)]
+        # boolean intersection (QryopSlAnd.java:145-284) with the
+        # reference's shortest-list-first reorder (:156-165): the running
+        # candidate set starts minimal and each probe is a searchsorted
+        # SvS pass, O(|common|·log|list|) — the small-vs-large regime the
+        # list-intersection cost models (VLDB'18) pick for skewed ratios.
+        # Order of intersection can't change the result (set semantics);
+        # scoring below iterates the ORIGINAL child order.
+        by_len = sorted(children, key=lambda c: len(c.docids))
+        common = by_len[0].docids
+        for c in by_len[1:]:
+            if len(common) == 0:
+                break
+            matched, _ = _lookup(c.docids, c.scores, common)
+            common = common[matched]
         if self.model == "UnrankedBoolean":
             return ScoreResult(common, np.ones(len(common), dtype=np.float64))
         # RankedBoolean: min of scores
