@@ -94,6 +94,17 @@ def _empty_inv(field: str) -> InvResult:
     )
 
 
+def _member_mask(docids: np.ndarray, candidates: np.ndarray) -> np.ndarray:
+    """Membership mask of sorted ``candidates`` in sorted ``docids`` via one
+    searchsorted probe — O(|candidates|·log|docids|), the small-vs-large
+    intersection regime (vs np.isin's sort of the probe set every call)."""
+    if len(docids) == 0:
+        return np.zeros(len(candidates), dtype=bool)
+    idx = np.searchsorted(docids, candidates)
+    idxc = np.minimum(idx, len(docids) - 1)
+    return docids[idxc] == candidates
+
+
 def _lookup(
     docids: np.ndarray, values: np.ndarray, candidates: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -195,9 +206,13 @@ class Evaluator:
             return _empty_inv("body")
         if len(invs) == 1:
             return invs[0]
-        common = invs[0].docids
-        for iv in invs[1:]:
-            common = common[np.isin(common, iv.docids, assume_unique=True)]
+        # shortest-list-first intersection (argument ORDER still governs
+        # the positional cursor semantics below — only the membership
+        # probes are reordered, which set semantics allows)
+        order = sorted(range(len(invs)), key=lambda j: len(invs[j].docids))
+        common = invs[order[0]].docids
+        for j in order[1:]:
+            common = common[_member_mask(invs[j].docids, common)]
             if common.size == 0:
                 return _empty_inv(invs[0].field)
         idx_per = [np.searchsorted(iv.docids, common) for iv in invs]
@@ -306,8 +321,7 @@ class Evaluator:
         for c in by_len[1:]:
             if len(common) == 0:
                 break
-            matched, _ = _lookup(c.docids, c.scores, common)
-            common = common[matched]
+            common = common[_member_mask(c.docids, common)]
         if self.model == "UnrankedBoolean":
             return ScoreResult(common, np.ones(len(common), dtype=np.float64))
         # RankedBoolean: min of scores
