@@ -90,3 +90,22 @@ def test_rrf_fuse_hand_example():
     assert out["doc_id"].tolist() == [3, 5, 7, 9]  # descending micros
     assert out["rank"].tolist() == [1, 2, 3, 4]
     assert rrf_fuse([a, b], k=2)["doc_id"].tolist() == [3, 5]
+
+
+def test_member_mask_edges():
+    """Sorted membership probe: empty list, all-out-of-range candidates,
+    exact boundary hits — the SvS intersection primitive for #AND and
+    #NEAR/#WINDOW docid intersection."""
+    import numpy as np
+
+    from search_engine_framework_ray.query.kernels import _member_mask
+
+    docids = np.array([2, 5, 9, 10], dtype=np.int64)
+    cands = np.array([1, 2, 5, 8, 10, 11], dtype=np.int64)
+    assert _member_mask(docids, cands).tolist() == [
+        False, True, True, False, True, False,
+    ]
+    assert _member_mask(np.empty(0, np.int64), cands).sum() == 0
+    assert _member_mask(docids, np.empty(0, np.int64)).shape == (0,)
+    # candidates beyond the last docid clamp to the final element
+    assert _member_mask(docids, np.array([99], np.int64)).tolist() == [False]
