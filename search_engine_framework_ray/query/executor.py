@@ -195,7 +195,17 @@ _BUCKET_CACHE: "OrderedDict[tuple[str, float], dict]" = OrderedDict()
 _BUCKET_CACHE_MAX = 256
 
 
-def _bucket_stats(path: str) -> dict:
+def _bucket_stats(path: str) -> tuple:
+    """One termstats bucket → ``(sorted composite keys, df, ctf)`` arrays.
+    Arrow-native build (binary join + C sort, ~4 ms on a 34k-row bucket)
+    instead of a Python ``(field, term) → (df, ctf)`` dict (~70 ms of
+    to_pylist + tuple-key hashing) — the dict build was the measured
+    novel-term query cold cost (250 ms/query on a 2M-doc index, 3 buckets
+    per query). Keys join field and term with NUL; UTF-8 byte order equals
+    code-point order, so arrow's sort agrees with numpy's searchsorted
+    comparisons on the Python-str view."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
     key = (path, os.path.getmtime(path))
@@ -204,15 +214,15 @@ def _bucket_stats(path: str) -> dict:
         _BUCKET_CACHE.move_to_end(key)
         return hit
     tab = _pq.read_table(path)
-    out = {
-        (f, t): (int(d), int(c))
-        for f, t, d, c in zip(
-            tab["field"].to_pylist(),
-            tab["term"].to_pylist(),
-            tab["df"].to_pylist(),
-            tab["ctf"].to_pylist(),
-        )
-    }
+    k = _pc.binary_join_element_wise(
+        tab["field"].cast(_pa.string()), tab["term"].cast(_pa.string()), "\x00"
+    )
+    order = _pc.sort_indices(k)
+    out = (
+        k.take(order).to_numpy(zero_copy_only=False),
+        tab["df"].take(order).to_numpy(),
+        tab["ctf"].take(order).to_numpy(),
+    )
     _BUCKET_CACHE[key] = out
     while len(_BUCKET_CACHE) > _BUCKET_CACHE_MAX:
         _BUCKET_CACHE.popitem(last=False)
@@ -230,15 +240,20 @@ def load_term_stats(index_dir: str, terms: set[tuple[str, str]]) -> dict:
     nb = int(stats.get("termstats_buckets", 64))
     buckets = {hash_det(term) % nb for _, term in terms}
     out: dict[tuple[str, str], tuple[int, int]] = {}
+    import bisect
+
     for b in buckets:
         path = os.path.join(termstats_dir(index_dir), f"bucket={b:04d}.parquet")
         if not os.path.exists(path):
             continue
-        bstats = _bucket_stats(path)
+        karr, dfv, ctfv = _bucket_stats(path)
+        if not len(karr):
+            continue
         for key in terms:
-            v = bstats.get(key)
-            if v is not None:
-                out[key] = v
+            wkey = key[0] + "\x00" + key[1]
+            i = bisect.bisect_left(karr, wkey)
+            if i < len(karr) and karr[i] == wkey:
+                out[key] = (int(dfv[i]), int(ctfv[i]))
     return out
 
 
@@ -612,6 +627,21 @@ class _ServiceWorker:
     def ping(self) -> bool:
         return True
 
+    def warmup(self) -> int:
+        """Prefault every shard's postings mmap (one byte per 4 KiB page
+        forces the read) so first-query latency matches steady state —
+        the cold round otherwise pays the page-in cost of every posting
+        list it touches (measured 8-20× p50 on a freshly-opened 2M-doc
+        index). Term dict / doclens / docmap are already eager-loaded in
+        ``__init__``. Returns bytes made resident."""
+        total = 0
+        for s in self.shards:
+            p = self.cache.view(s).reader.postings
+            if p.nbytes:
+                int(np.asarray(p[::4096], dtype=np.int64).sum())  # touch
+                total += int(p.nbytes)
+        return total
+
     def prepass(self, queries: dict) -> pd.DataFrame:
         pairs = [(q, s) for s in self.shards for q in queries]
         return stats_prepass_rows(self.cache, queries, pairs)
@@ -642,6 +672,32 @@ class QueryService:
         self.workers = [worker_cls.remote(index_dir, g) for g in groups]
         self.index_dir = index_dir
         ray.get([w.ping.remote() for w in self.workers])  # block until loaded
+
+    def warmup(self) -> int:
+        """Prefault all postings mmaps across the workers (in parallel) so
+        the first real query runs at steady-state latency. Optional — state
+        is correct without it; this trades one sequential scan of each
+        shard's postings.bin for a flat latency profile. Returns total
+        bytes made resident."""
+        import ray
+
+        nbytes = int(sum(ray.get([w.warmup.remote() for w in self.workers])))
+        # absorb first-RPC costs (worker-side imports, method setup) so the
+        # first REAL query doesn't pay them either
+        ray.get([w.execute.remote({}, 1) for w in self.workers])
+        # driver side: pre-load every termstats bucket — novel-term plans
+        # otherwise pay a disk-cold ~40 ms parquet read per bucket (≤64
+        # small files, one sweep caches them all)
+        from ..state.index_layout import termstats_dir
+
+        tdir = termstats_dir(self.index_dir)
+        if os.path.isdir(tdir):
+            for name in sorted(os.listdir(tdir)):
+                if name.startswith("bucket=") and name.endswith(".parquet"):
+                    path = os.path.join(tdir, name)
+                    _bucket_stats(path)
+                    nbytes += os.path.getsize(path)
+        return nbytes
 
     def run(
         self, queries: list[tuple[str, str]], params: ModelParams, k: int = 100

@@ -184,6 +184,25 @@ def test_query_service_matches_batch_path(engine):
     assert got == want
 
 
+def test_query_service_warmup_prefaults_and_is_pure(engine):
+    """warmup() makes the postings + termstats resident (returns the byte
+    count) and changes NO query result — first query after warmup equals
+    the batch path byte-for-byte."""
+    from search_engine_framework_ray.query.executor import QueryService, run_queries
+
+    index_dir, _ = engine
+    params = ModelParams(model="BM25")
+    qs = BM25_QUERIES[:3]
+    want = run_queries(index_dir, qs, params)
+    svc = QueryService(index_dir, num_actors=2)
+    try:
+        nbytes = svc.warmup()
+        assert nbytes > 0
+        assert svc.run(qs, params) == want
+    finally:
+        svc.shutdown()
+
+
 def _random_queries(seed: int, n: int) -> list[tuple[str, str]]:
     """Seeded random structured queries over the fixture vocabulary,
     respecting model-legal operator sets at generation time."""
