@@ -238,6 +238,23 @@ def q_indri_wsum(sf_dir: str):
     return df[["doc_id", "score_micros"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sdm_topk(sf_dir: str):
+    """Sequential dependence model (Metzler & Croft 2005) expressed in the
+    reference's own operator algebra: ``#WSUM(0.8 #AND(t0 t1) 0.1
+    #NEAR/1(t0 t1) 0.1 #WINDOW/8(t0 t1))`` under Indri — unigram evidence
+    plus the ordered-bigram and unordered-window-8 dependence features,
+    every composite leaf smoothed with its own collection ctf from the
+    distributed stats pre-pass. Exercises score-op nesting (#AND inside
+    #WSUM) and IL leaves (#NEAR/#WINDOW) scored as Indri terms — the SDM is
+    the classic term-dependence ranker this operator set exists to express
+    (QryopSlWsum.java + QryopIlNear/QryopIlWindow composition)."""
+    t0, t1 = _BM25_TERMS
+    q = f"#WSUM(0.8 #AND({t0} {t1}) 0.1 #NEAR/1({t0} {t1}) 0.1 #WINDOW/8({t0} {t1}))"
+    df = _run(sf_dir, q, "Indri", k=100_000)
+    df["score_micros"] = _micros(df["score"])
+    return df[["doc_id", "score_micros"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_term_stats(sf_dir: str):
     """Global per-term df/ctf from the build-time termstats store (the salted
     groupby aggregate, SURVEY.md §2.7)."""
@@ -4913,6 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indri_and": q_indri_and,
         "indri_wand": q_indri_wand,
         "indri_wsum": q_indri_wsum,
+        "sdm_topk": q_sdm_topk,
         "term_stats": q_term_stats,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
@@ -5886,6 +5904,87 @@ def _indri_sql(weighted: tuple[float, float] | None, product: bool) -> str:
     """
 
 
+# SDM twin: the #WSUM(0.8 #AND 0.1 #NEAR/1 0.1 #WINDOW/8) Indri score
+# rebuilt in SQL. The #NEAR/1 leaf's greedy cursor count equals the plain
+# adjacent-pair count for two distinct terms (each match consumes its own
+# positions; b = a+1 is unique per a). The #WINDOW/8 leaf's greedy walk
+# (span = max-min+1 <= 8 -> match + advance all cursors, else advance the
+# min cursor; QryopIlWindow semantics, kernels._window_match) is NOT a
+# pair count — the recursive CTE replays the walk per doc exactly. Every
+# leaf (terms AND composites) smoothes with its own collection ctf, the
+# engine's composite-leaf stats pre-pass.
+def _sdm_sql() -> str:
+    t0, t1 = _BM25_TERMS
+    smooth = "0.4 * (coalesce({tf}, 0) + 2500 * ({ctf} / coll.c)) / (dl.dl + 2500) + 0.6 * ({ctf} / coll.c)"
+    return f"""
+WITH RECURSIVE lists AS (
+    SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS l FROM documents
+),
+toks AS (
+    SELECT doc_id, lower(l[i]) AS tok, CAST(i AS BIGINT) AS pos
+    FROM lists, unnest(range(1, len(l) + 1)) AS t(i)
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+coll AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM doclen),
+ctf AS (SELECT tok, count(*) AS ctf FROM toks
+        WHERE tok IN ('{t0}','{t1}') GROUP BY tok),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+       WHERE tok IN ('{t0}','{t1}') GROUP BY doc_id, tok),
+cand AS (SELECT DISTINCT doc_id FROM tf),
+near_tf AS (
+    SELECT a.doc_id, count(*) AS tf
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{t0}' AND b.tok = '{t1}' GROUP BY a.doc_id
+),
+near_ctf AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS ctf FROM near_tf),
+arrs AS (
+    SELECT doc_id,
+           list(pos ORDER BY pos) FILTER (WHERE tok = '{t0}') AS pa,
+           list(pos ORDER BY pos) FILTER (WHERE tok = '{t1}') AS pb
+    FROM toks WHERE tok IN ('{t0}','{t1}') GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE tok = '{t0}') > 0
+       AND count(*) FILTER (WHERE tok = '{t1}') > 0
+),
+walk(doc_id, ia, ib, cnt) AS (
+    SELECT doc_id, 1, 1, 0 FROM arrs
+    UNION ALL
+    SELECT w.doc_id,
+           CASE WHEN abs(a.pa[w.ia] - a.pb[w.ib]) + 1 <= 8 OR a.pa[w.ia] <= a.pb[w.ib]
+                THEN w.ia + 1 ELSE w.ia END,
+           CASE WHEN abs(a.pa[w.ia] - a.pb[w.ib]) + 1 <= 8 OR a.pb[w.ib] < a.pa[w.ia]
+                THEN w.ib + 1 ELSE w.ib END,
+           w.cnt + CASE WHEN abs(a.pa[w.ia] - a.pb[w.ib]) + 1 <= 8 THEN 1 ELSE 0 END
+    FROM walk w JOIN arrs a USING (doc_id)
+    WHERE w.ia <= len(a.pa) AND w.ib <= len(a.pb)
+),
+win_tf AS (SELECT doc_id, max(cnt) AS tf FROM walk GROUP BY doc_id HAVING max(cnt) > 0),
+win_ctf AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS ctf FROM win_tf),
+p_terms AS (
+    SELECT cand.doc_id,
+           exp(0.5 * sum(ln({smooth.format(tf='tf.tf', ctf='t.ctf')}))) AS s_and
+    FROM cand CROSS JOIN ctf t
+    LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.tok = t.tok
+    JOIN doclen dl ON dl.doc_id = cand.doc_id
+    CROSS JOIN coll
+    GROUP BY cand.doc_id
+),
+scored AS (
+    SELECT c.doc_id,
+           0.8 * pt.s_and
+           + 0.1 * ({smooth.format(tf='n.tf', ctf='nc.ctf')})
+           + 0.1 * ({smooth.format(tf='wn.tf', ctf='wc.ctf')}) AS score
+    FROM cand c
+    JOIN p_terms pt ON pt.doc_id = c.doc_id
+    LEFT JOIN near_tf n ON n.doc_id = c.doc_id
+    LEFT JOIN win_tf wn ON wn.doc_id = c.doc_id
+    JOIN doclen dl ON dl.doc_id = c.doc_id
+    CROSS JOIN near_ctf nc CROSS JOIN win_ctf wc CROSS JOIN coll
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scored ORDER BY doc_id
+"""
+
+
 # Shared sketch CTE: per-doc weighted 64-bit SimHash rebuilt in SQL —
 # md5_number_lower(token) is byte-identical to the engine's md5-low64 hash.
 _SIMHASH_SQL_U = r"""
@@ -6776,6 +6875,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "indri_and": _indri_sql(None, product=True),
         "indri_wand": _indri_sql((0.7, 0.3), product=True),
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
+        "sdm_topk": _sdm_sql(),
         "fb_expansion": _FB_EXPANSION_SQL,
         # writer→reader roundtrip: parsed scores are repr(float)-exact, so
         # the micro-rounded ranking must equal the BM25 SQL twin's
