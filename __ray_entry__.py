@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import shutil
 from collections.abc import Callable
 from typing import Any
 
@@ -4635,6 +4636,85 @@ def q_lang_routed_bm25(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _shard_indexes(sf_dir: str) -> dict[str, str]:
+    """Four doc_id%4 hash-sharded partition indexes over documents —
+    the shard fleet the selective-search entries route across. In
+    production the partition key would be topical (k-means over doc
+    embeddings) or source-based; doc_id%4 keeps the twin SQL-exact.
+    Cached per sf_dir (build_partitioned_indexes is fingerprint-resumable,
+    so repeat calls are metadata no-ops)."""
+    import ray.data
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.partitioned import (
+        build_partitioned_indexes,
+    )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/sefr_shardidx/{key}"
+    corpus = os.path.join(base, "corpus.parquet")
+    if not os.path.exists(os.path.join(base, "_corpus_done")):
+        shutil.rmtree(corpus, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+
+        def add_shard(b: pd.DataFrame) -> pd.DataFrame:
+            b["shard"] = (b["doc_id"].astype("int64") % 4).astype("int64")
+            return b
+
+        ds.map_batches(add_shard, batch_format="pandas").write_parquet(corpus)
+        with open(os.path.join(base, "_corpus_done"), "w") as f:
+            f.write("ok")
+    return build_partitioned_indexes(
+        corpus,
+        base,
+        partition_col="shard",
+        analyzer=PLAIN_ANALYZER,
+        num_shards=2,
+    )
+
+
+def q_shard_ranking(sf_dir: str):
+    """CORI resource ranking (Callan/Lu/Croft SIGIR'95) over the 4-shard
+    partitioned fleet: per-shard belief for the fixture query computed from
+    metadata only (bucketed termstats df + stats.json word counts — no
+    posting list opened). pipelines/selective.py; the routing half of
+    selective search, THE way a 10^12-doc deployment avoids full query
+    fan-out."""
+    from search_engine_framework_ray.pipelines.selective import cori_shard_ranking
+
+    idxs = _shard_indexes(sf_dir)
+    rk = cori_shard_ranking(idxs, list(_BM25_TERMS))
+    return pd.DataFrame(
+        {
+            "shard": rk["shard"].astype("int64"),
+            "belief_micros": _micros(rk["belief"]),
+            "cw": rk["cw"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+def q_selective_bm25(sf_dir: str):
+    """Selective search end-to-end: CORI-rank the 4 shards, route the BM25
+    query to the top-2 ONLY (their own per-partition collection stats), and
+    raw-score-merge the two top-10 lists. The twin replays the belief
+    ranking, the per-shard BM25 (per-shard n_docs/avgdl/df) and the merge,
+    so the hash proves both the routing decision and the pruned evaluation."""
+    from search_engine_framework_ray.pipelines.selective import selective_bm25
+
+    idxs = _shard_indexes(sf_dir)
+    _, res = selective_bm25(idxs, list(_BM25_TERMS), select=2, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": res["extid"].str[3:].astype("int64"),
+            "score_micros": _micros(res["score"]),
+            "shard": res["shard"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 def _frontier_corpus(sf_dir: str) -> str:
     """HTML corpus whose pages carry one in-corpus link plus deterministic
     OUT-of-corpus links (the frontier): every page links
@@ -5018,6 +5098,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_bm25": q_pruned_bm25,
         "rocchio": q_rocchio,
         "lang_routed_bm25": q_lang_routed_bm25,
+        "shard_ranking": q_shard_ranking,
+        "selective_bm25": q_selective_bm25,
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -5902,6 +5984,102 @@ def _indri_sql(weighted: tuple[float, float] | None, product: bool) -> str:
         SELECT doc_id, CAST(round({comb} * 1000000) AS BIGINT) AS score_micros
         FROM p GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# Selective-search twins: shard = doc_id % 4 replays the partition key, the
+# CORI belief (SIGIR'95 constants: T = df/(df+50+150·cw/avg_cw), I =
+# ln((P+.5)/cf)/ln(P+1), belief = .4+.6·T·I, absent term → floor .4) replays
+# pipelines/selective.cori_shard_ranking from per-shard df/word counts, and
+# the routed evaluation replays per-shard BM25 with per-shard stats + the
+# raw-score top-10 merge of the two chosen shards.
+def _cori_pre() -> str:
+    t0, t1 = _BM25_TERMS
+    return f"""
+WITH toks AS (
+    SELECT doc_id, doc_id % 4 AS shard, lower(tok) AS tok
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+          FROM documents)
+),
+shards AS (SELECT DISTINCT doc_id % 4 AS shard FROM documents),
+cw AS (
+    SELECT s.shard, CAST(count(t.tok) AS BIGINT) AS cw
+    FROM shards s LEFT JOIN toks t ON t.shard = s.shard GROUP BY s.shard
+),
+avgcw AS (SELECT avg(cw) AS a FROM cw),
+nsh AS (SELECT CAST(count(*) AS DOUBLE) AS p FROM shards),
+sdf AS (
+    SELECT shard, tok, count(DISTINCT doc_id) AS df FROM toks
+    WHERE tok IN ('{t0}','{t1}') GROUP BY shard, tok
+),
+cf AS (SELECT tok, count(*) AS cf FROM sdf WHERE df > 0 GROUP BY tok),
+qterms AS (SELECT unnest(['{t0}','{t1}']) AS tok),
+belief AS (
+    SELECT s.shard,
+           sum(CASE WHEN coalesce(d.df, 0) > 0
+                THEN 0.4 + 0.6
+                     * (d.df / (d.df + 50.0 + 150.0 * cw.cw / avgcw.a))
+                     * (ln((nsh.p + 0.5) / cf.cf) / ln(nsh.p + 1.0))
+                ELSE 0.4 END) AS belief
+    FROM shards s CROSS JOIN qterms q
+    LEFT JOIN sdf d ON d.shard = s.shard AND d.tok = q.tok
+    LEFT JOIN cf ON cf.tok = q.tok
+    JOIN cw ON cw.shard = s.shard
+    CROSS JOIN avgcw CROSS JOIN nsh
+    GROUP BY s.shard
+)
+"""
+
+
+def _cori_rank_sql() -> str:
+    return _cori_pre() + """
+SELECT CAST(b.shard AS BIGINT) AS shard,
+       CAST(round(b.belief * 1000000) AS BIGINT) AS belief_micros,
+       cw.cw AS cw
+FROM belief b JOIN cw ON cw.shard = b.shard
+ORDER BY b.belief DESC, b.shard
+"""
+
+
+def _selective_bm25_sql() -> str:
+    t0, t1 = _BM25_TERMS
+    return _cori_pre() + f""",
+chosen AS (SELECT shard FROM belief ORDER BY belief DESC, shard LIMIT 2),
+doclen AS (SELECT doc_id, shard, count(*) AS dl FROM toks GROUP BY doc_id, shard),
+sstats AS (
+    SELECT s.shard,
+           (SELECT count(*) FROM documents d WHERE d.doc_id % 4 = s.shard) AS n_docs,
+           count(dl.doc_id) AS doccount,
+           sum(dl.dl) AS sum_dl
+    FROM shards s LEFT JOIN doclen dl ON dl.shard = s.shard GROUP BY s.shard
+),
+tf AS (
+    SELECT shard, doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('{t0}','{t1}') AND shard IN (SELECT shard FROM chosen)
+    GROUP BY shard, doc_id, tok
+),
+qdf AS (SELECT shard, tok, count(*) AS df FROM tf GROUP BY shard, tok),
+scores AS (
+    SELECT tf.shard, tf.doc_id,
+           sum( ln((st.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (dl.dl / (st.sum_dl * 1.0 / st.doccount))))) ) AS score
+    FROM tf
+    JOIN qdf ON qdf.shard = tf.shard AND qdf.tok = tf.tok
+    JOIN doclen dl ON dl.doc_id = tf.doc_id
+    JOIN sstats st ON st.shard = tf.shard
+    GROUP BY tf.shard, tf.doc_id
+),
+pershard AS (
+    SELECT shard, doc_id, score,
+           row_number() OVER (PARTITION BY shard ORDER BY score DESC, doc_id) AS rn
+    FROM scores
+)
+SELECT doc_id,
+       CAST(round(score * 1000000) AS BIGINT) AS score_micros,
+       CAST(shard AS BIGINT) AS shard
+FROM pershard WHERE rn <= 10
+ORDER BY score_micros DESC, doc_id, shard
+LIMIT 10
+"""
 
 
 # SDM twin: the #WSUM(0.8 #AND 0.1 #NEAR/1 0.1 #WINDOW/8) Indri score
@@ -6876,6 +7054,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "indri_wand": _indri_sql((0.7, 0.3), product=True),
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
         "sdm_topk": _sdm_sql(),
+        "shard_ranking": _cori_rank_sql(),
+        "selective_bm25": _selective_bm25_sql(),
         "fb_expansion": _FB_EXPANSION_SQL,
         # writer→reader roundtrip: parsed scores are repr(float)-exact, so
         # the micro-rounded ranking must equal the BM25 SQL twin's

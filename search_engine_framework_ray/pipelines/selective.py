@@ -1,0 +1,135 @@
+"""CORI-style selective search (resource selection) over partitioned indexes.
+
+The 10^12-doc pattern the north rule targets cannot broadcast every query
+to every index shard: production distributed IR partitions the corpus into
+topical/source shards and sends each query to the FEW shards most likely
+to hold its answers (Callan, Lu & Croft, SIGIR 1995 — CORI; Kulkarni &
+Callan, CIKM 2010 — shard-partitioned selective search).  This module is
+the query-routing half of that design on top of
+``pipelines.partitioned.build_partitioned_indexes``:
+
+* **Resource ranking** — per shard, CORI's document-frequency belief
+  computed from METADATA ONLY: the per-term df comes from the shard's
+  hash-bucketed termstats store (``load_term_stats`` reads just the
+  buckets the query terms hash to) and the shard word count from its
+  ``stats.json``.  No posting list is opened for shards that lose the
+  ranking; at 100 TB this is a few KiB of stats reads per shard versus a
+  full query fan-out.
+* **Routed evaluation** — only the top-R shards run the query (their own
+  collection stats, exactly as ``partitioned.py`` builds them), and the
+  per-shard top-k lists raw-score-merge on the driver (k·R rows).  Raw
+  BM25 scores across shards with different stats are approximately — not
+  perfectly — comparable; that approximation IS selective search's
+  documented trade (CORI's result-merging heuristic exists for when it
+  bites).  The SQL twin replays the same per-shard stats and the same
+  merge, so the driver hash verifies the semantics end to end.
+
+CORI belief for term t in shard i (the SIGIR '95 constants):
+
+    T = df / (df + 50 + 150 * cw_i / avg_cw)
+    I = log((P + 0.5) / cf_t) / log(P + 1.0)
+    p(t|shard_i) = b + (1 - b) * T * I        (b = 0.4)
+
+where ``cw_i`` is shard i's body word count, ``avg_cw`` the mean over the
+P shards, and ``cf_t`` the number of shards containing t.  A term absent
+from a shard contributes the belief floor ``b``.
+
+Reference scope note: the reference is a single-index engine
+(``QryEval.java`` opens one Lucene index); resource selection is the
+standard public extension for the multi-shard deployment this repo is
+designed around.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+__all__ = ["cori_shard_ranking", "selective_bm25"]
+
+_CORI_B = 0.4
+_CORI_DF_BASE = 50.0
+_CORI_CW_SCALE = 150.0
+
+
+def cori_shard_ranking(
+    idxs: dict[str, str],
+    terms: list[str],
+    *,
+    field: str = "body",
+    belief_floor: float = _CORI_B,
+) -> pd.DataFrame:
+    """→ one row per shard: ``(shard, belief, cw)`` sorted ranking-first
+    (belief desc, shard asc).  Metadata-only: per-shard df via the bucketed
+    termstats store, word counts via stats.json."""
+    from ..query.executor import load_term_stats, read_stats
+
+    names = sorted(idxs)
+    pairs = {(field, t) for t in terms}
+    dfs: dict[str, dict[str, int]] = {}
+    cw: dict[str, float] = {}
+    for name in names:
+        stats = read_stats(idxs[name])
+        cw[name] = float(stats["fields"].get(field, {}).get("sum_doclen", 0))
+        got = load_term_stats(idxs[name], pairs)
+        dfs[name] = {t: got.get((field, t), (0, 0))[0] for t in terms}
+
+    n_shards = len(names)
+    avg_cw = sum(cw.values()) / max(1, n_shards)
+    cf = {t: sum(1 for n in names if dfs[n][t] > 0) for t in terms}
+    beliefs: list[float] = []
+    for name in names:
+        s = 0.0
+        for t in terms:
+            df = dfs[name][t]
+            if df > 0 and cf[t] > 0:
+                T = df / (df + _CORI_DF_BASE + _CORI_CW_SCALE * cw[name] / avg_cw)
+                I = math.log((n_shards + 0.5) / cf[t]) / math.log(n_shards + 1.0)
+                s += belief_floor + (1.0 - belief_floor) * T * I
+            else:
+                s += belief_floor  # absent term: belief floor only
+        beliefs.append(s)
+
+    out = pd.DataFrame({"shard": names, "belief": beliefs, "cw": cw.values()})
+    return out.sort_values(
+        ["belief", "shard"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def selective_bm25(
+    idxs: dict[str, str],
+    terms: list[str],
+    *,
+    select: int = 2,
+    k: int = 10,
+    model_params=None,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Route a flat BM25 query to the top-``select`` CORI shards only.
+
+    → ``(ranking, results)``: the full shard ranking (every shard, belief
+    order) and the merged top-k ``(extid, score, shard)`` — per-shard top-k
+    lists raw-score merged, ties broken by extid then shard id.
+    """
+    from ..query.models import ModelParams
+    from ..query.executor import run_queries
+
+    params = model_params or ModelParams(model="BM25")
+    ranking = cori_shard_ranking(idxs, terms)
+    chosen = list(ranking["shard"].head(select))
+
+    rows: list[tuple[str, float, str]] = []
+    for name in chosen:  # R small by design; each call is one routed query
+        res = run_queries(idxs[name], [("q", " ".join(terms))], params, k=k)["q"]
+        rows.extend((extid, score, name) for extid, score, _ in res)
+    results = pd.DataFrame(rows, columns=["extid", "score", "shard"])
+    results = (
+        results.sort_values(
+            ["score", "extid", "shard"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ranking, results
