@@ -943,6 +943,80 @@ def q_trec_eval(sf_dir: str):
     return out.sort_values("qid").reset_index(drop=True)
 
 
+def q_hard_negatives(sf_dir: str):
+    """DPR-style hard-negative mining for retrieval-model training
+    (Karpukhin et al. 2020): for each trec_eval query, run distributed BM25,
+    take the depth-100 pool in the shared (score_micros DESC, doc_id ASC)
+    order, and pair the first 10 RELEVANT pool docs (the qrels arithmetic
+    rule) with the first 5 NON-relevant — the highest-ranked confusable
+    docs, which is what makes them hard. Pairing runs per-query inside
+    groupby(qid).map_groups (at real scale: millions of queries, each group
+    independent); the run itself is the engine's batch query path. Output:
+    one training pair per (qid, pos, neg)."""
+    import pyarrow.parquet as papq
+    import ray.data
+
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    res = run_queries(
+        idx,
+        [(qid, " ".join(terms)) for qid, terms in _TREC_QSET],
+        ModelParams(model="BM25"),
+        k=max(10_000, n_corpus),
+    )
+    runs = []
+    for qid, _terms in _TREC_QSET:
+        df = pd.DataFrame(
+            {
+                "doc_id": [int(u[3:]) for u, _, _ in res[qid]],
+                "score": [s for _, s, _ in res[qid]],
+            }
+        )
+        df["score_micros"] = _micros(df["score"])
+        df = df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(_TREC_DEPTH)
+        df["qid"] = qid
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        runs.append(df[["qid", "rnk", "doc_id"]])
+    run = pd.concat(runs, ignore_index=True)
+    qnums = {qid: int(qid[1:]) for qid, _ in _TREC_QSET}
+
+    def mine(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["qid"].iloc[0]
+        g = g.sort_values("rnk")
+        rel = (g["doc_id"].to_numpy() + 37 * qnums[qid]) % _TREC_REL_MOD == 0
+        pos = g[rel].head(10)
+        neg = g[~rel].head(5)
+        out = pos[["doc_id", "rnk"]].rename(
+            columns={"doc_id": "pos_doc", "rnk": "pos_rank"}
+        ).merge(
+            neg[["doc_id", "rnk"]].rename(
+                columns={"doc_id": "neg_doc", "rnk": "neg_rank"}
+            ),
+            how="cross",
+        )
+        out.insert(0, "qid", qid)
+        return out
+
+    out = (
+        ray.data.from_pandas(run)
+        .groupby("qid")
+        .map_groups(mine, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("pos_doc", "pos_rank", "neg_doc", "neg_rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["qid", "pos_rank", "neg_rank"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_bm25_snippets(sf_dir: str):
     """Display snippets for the BM25 top-10 of q1 ("spark join"): each
     doc's best 10-token window (most query-term hits, earliest on ties),
@@ -5029,6 +5103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_core": q_letor_core,
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
+        "hard_negatives": q_hard_negatives,
         "bm25_snippets": q_bm25_snippets,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -5722,7 +5797,9 @@ _TREC_Q_VALUES = ", ".join(
     for qid, terms in _TREC_QSET
     for tok in terms
 )
-_TREC_EVAL_SQL = f"""
+# Shared by trec_eval and hard_negatives: the 4-query BM25 run in the
+# (score_micros DESC, doc_id ASC) order both engines rank by.
+_TREC_RANKED_PRE = f"""
 {_TOKS},
 q(qid, i, tok) AS (VALUES {_TREC_Q_VALUES}),
 doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -5755,7 +5832,38 @@ ranked AS (
            ) AS rnk
     FROM scores
 ),
-qi AS (SELECT DISTINCT qid, i FROM q),
+qi AS (SELECT DISTINCT qid, i FROM q)
+"""
+
+_HARD_NEG_SQL = f"""
+{_TREC_RANKED_PRE},
+pool AS (
+    SELECT r.qid, r.doc_id, r.rnk,
+           CASE WHEN (r.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                THEN 1 ELSE 0 END AS rel
+    FROM ranked r JOIN qi USING (qid) WHERE r.rnk <= {_TREC_DEPTH}
+),
+pos AS (
+    SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id, rnk,
+               row_number() OVER (PARTITION BY qid ORDER BY rnk) AS pr
+        FROM pool WHERE rel = 1) WHERE pr <= 10
+),
+neg AS (
+    SELECT qid, doc_id, rnk FROM (
+        SELECT qid, doc_id, rnk,
+               row_number() OVER (PARTITION BY qid ORDER BY rnk) AS nr
+        FROM pool WHERE rel = 0) WHERE nr <= 5
+)
+SELECT p.qid,
+       p.doc_id AS pos_doc, CAST(p.rnk AS BIGINT) AS pos_rank,
+       n.doc_id AS neg_doc, CAST(n.rnk AS BIGINT) AS neg_rank
+FROM pos p JOIN neg n USING (qid)
+ORDER BY p.qid, p.rnk, n.rnk
+"""
+
+_TREC_EVAL_SQL = f"""
+{_TREC_RANKED_PRE},
 rcnt AS (
     SELECT qi.qid, count(*) AS r FROM qi
     JOIN documents d ON (d.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
@@ -6859,6 +6967,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _PAGERANK_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
+        "hard_negatives": _HARD_NEG_SQL,
         "bm25_snippets": _BM25_SNIPPETS_SQL,
         # recursive-CTE reachability closure over the same deterministic
         # undirected graph; comp = min reachable doc_id
