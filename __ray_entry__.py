@@ -256,6 +256,62 @@ def q_sdm_topk(sf_dir: str):
     return df[["doc_id", "score_micros"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cascade_rerank(sf_dir: str):
+    """Two-stage ranking cascade (Wang, Lin & Metzler SIGIR 2011 — the
+    production retrieve-then-rerank shape): stage 1 retrieves the depth-100
+    pool with cheap flat BM25 (block-max path), stage 2 re-scores ONLY the
+    pool with the expensive SDM query through score_documents (the
+    score-requested-docs actor pool — per-shard postings probes, never a
+    second full-corpus evaluation). Output: the pool's top-20 in SDM order
+    with each doc's stage-1 rank alongside (the cascade's audit trail)."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.query.executor import (
+        run_queries,
+        score_documents,
+    )
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.state.index_layout import load_docmap
+
+    t0, t1 = _BM25_TERMS
+    idx = _docs_index(sf_dir)
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    res = run_queries(
+        idx, [("q", f"{t0} {t1}")], ModelParams(model="BM25"), k=max(10_000, n_corpus)
+    )["q"]
+    pool = pd.DataFrame(
+        {
+            "extid": [u for u, _, _ in res],
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score_micros": _micros([s for _, s, _ in res]),
+        }
+    )
+    pool = pool.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    pool["bm25_rank"] = np.arange(1, len(pool) + 1, dtype=np.int64)
+
+    u2d, _ = load_docmap(idx)
+    sdm = f"#WSUM(0.8 #AND({t0} {t1}) 0.1 #NEAR/1({t0} {t1}) 0.1 #WINDOW/8({t0} {t1}))"
+    scored = score_documents(
+        idx,
+        [("q", sdm)],
+        ModelParams(model="Indri"),
+        {"q": [u2d[e] for e in pool["extid"]]},
+    )
+    d2e = dict(zip((u2d[e] for e in pool["extid"]), pool["doc_id"]))
+    scored["doc_id"] = scored["docid"].map(d2e).astype("int64")
+    out = scored.merge(pool[["doc_id", "bm25_rank"]], on="doc_id")
+    out["sdm_micros"] = _micros(out["score"])
+    out = out.sort_values(
+        ["sdm_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rnk", "doc_id", "sdm_micros", "bm25_rank"]].reset_index(drop=True)
+
+
 def q_term_stats(sf_dir: str):
     """Global per-term df/ctf from the build-time termstats store (the salted
     groupby aggregate, SURVEY.md §2.7)."""
@@ -5085,6 +5141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indri_wand": q_indri_wand,
         "indri_wsum": q_indri_wsum,
         "sdm_topk": q_sdm_topk,
+        "cascade_rerank": q_cascade_rerank,
         "term_stats": q_term_stats,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
@@ -6199,7 +6256,10 @@ LIMIT 10
 # pair count — the recursive CTE replays the walk per doc exactly. Every
 # leaf (terms AND composites) smoothes with its own collection ctf, the
 # engine's composite-leaf stats pre-pass.
-def _sdm_sql() -> str:
+def _sdm_chain() -> str:
+    """The SDM CTE chain through ``scored`` (doc_id, float score) — shared
+    by the sdm_topk twin and the cascade twin (which appends the BM25 pool
+    CTEs and joins)."""
     t0, t1 = _BM25_TERMS
     smooth = "0.4 * (coalesce({tf}, 0) + 2500 * ({ctf} / coll.c)) / (dl.dl + 2500) + 0.6 * ({ctf} / coll.c)"
     return f"""
@@ -6266,8 +6326,54 @@ scored AS (
     JOIN doclen dl ON dl.doc_id = c.doc_id
     CROSS JOIN near_ctf nc CROSS JOIN win_ctf wc CROSS JOIN coll
 )
+"""
+
+
+def _sdm_sql() -> str:
+    return _sdm_chain() + """
 SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scored ORDER BY doc_id
+"""
+
+
+def _cascade_sql() -> str:
+    """Cascade twin: the SDM chain's shared toks/doclen/tf CTEs also feed
+    the stage-1 BM25 pool (same two terms), top-100 in the shared
+    (micros DESC, doc_id) order; the final rerank joins pool ∩ SDM scores
+    (pool ⊆ SDM candidates since every pool doc holds a query term)."""
+    return _sdm_chain() + f""",
+bstats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+bdf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+bscore AS (
+    SELECT tf.doc_id,
+           sum( ln((bstats.n_docs - bdf.df + 0.5) / (bdf.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (dl.dl / (bstats.sum_dl * 1.0 / bstats.doccount))))) ) AS score
+    FROM tf
+    JOIN bdf USING (tok)
+    JOIN doclen dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN bstats
+    GROUP BY tf.doc_id
+),
+pool AS (
+    SELECT doc_id, rn AS bm25_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+               ) AS rn
+        FROM bscore) WHERE rn <= 100
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY CAST(round(s.score * 1000000) AS BIGINT) DESC, s.doc_id
+       ) AS BIGINT) AS rnk,
+       s.doc_id,
+       CAST(round(s.score * 1000000) AS BIGINT) AS sdm_micros,
+       CAST(p.bm25_rank AS BIGINT) AS bm25_rank
+FROM scored s JOIN pool p USING (doc_id)
+ORDER BY rnk LIMIT 20
 """
 
 
@@ -7163,6 +7269,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "indri_wand": _indri_sql((0.7, 0.3), product=True),
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
         "sdm_topk": _sdm_sql(),
+        "cascade_rerank": _cascade_sql(),
         "shard_ranking": _cori_rank_sql(),
         "selective_bm25": _selective_bm25_sql(),
         "fb_expansion": _FB_EXPANSION_SQL,
