@@ -312,6 +312,52 @@ def q_cascade_rerank(sf_dir: str):
     return out[["rnk", "doc_id", "sdm_micros", "bm25_rank"]].reset_index(drop=True)
 
 
+def q_search_after(sf_dir: str):
+    """Cursor pagination (search_after): page 2 of the BM25 ranking fetched
+    by the CURSOR PREDICATE ``(score, id) < (cursor_score, cursor_id)`` in
+    the shared (score_micros DESC, doc_id ASC) order — never by offset.
+    Offset paging at depth d costs every shard d rows per page; a cursor
+    bounds each shard at page_size rows regardless of depth (in production
+    the predicate pushes into the per-shard top-k; here it is applied to
+    the ranking so the hash pins the exact predicate semantics, boundary
+    ties included). The cursor is page 1's last row."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    res = run_queries(
+        idx,
+        [("q", " ".join(_BM25_TERMS))],
+        ModelParams(model="BM25"),
+        k=max(10_000, n_corpus),
+    )["q"]
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score_micros": _micros([s for _, s, _ in res]),
+        }
+    ).sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    page1 = df.head(10)
+    c_score = int(page1["score_micros"].iloc[-1])
+    c_doc = int(page1["doc_id"].iloc[-1])
+    after = df[
+        (df["score_micros"] < c_score)
+        | ((df["score_micros"] == c_score) & (df["doc_id"] > c_doc))
+    ].head(10)
+    after = after.reset_index(drop=True)
+    after.insert(
+        0, "rnk", pd.Series(range(11, 11 + len(after)), dtype="int64")
+    )
+    return after[["rnk", "doc_id", "score_micros"]]
+
+
 def q_term_stats(sf_dir: str):
     """Global per-term df/ctf from the build-time termstats store (the salted
     groupby aggregate, SURVEY.md §2.7)."""
@@ -3397,6 +3443,28 @@ def q_dsir(sf_dir: str):
     )
 
 
+_CANARY_PATTERNS = ["spark join", "window agg", "customer query scan"]
+
+
+def q_canary_scan(sf_dir: str):
+    """Canary / secret literal sweep: every document scanned for a broadcast
+    list of literal strings (eval canaries, planted markers, known secrets —
+    the literal-string sibling of pii_scrub), long-format hits only, so a
+    clean corpus streams through with nothing leaving the scan
+    (stages/textstats.py pattern_scan)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import pattern_scan
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = pattern_scan(ds, _CANARY_PATTERNS).to_pandas()
+    return out.sort_values(
+        ["doc_id", "pattern"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction pass: PII-bearing text is synthesized deterministically
     from doc_id (the word-salad fixture has none), then emails / IPv4s /
@@ -5142,6 +5210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "indri_wsum": q_indri_wsum,
         "sdm_topk": q_sdm_topk,
         "cascade_rerank": q_cascade_rerank,
+        "search_after": q_search_after,
         "term_stats": q_term_stats,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
@@ -5222,6 +5291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "dsir_weights": q_dsir,
         "pii_scrub": q_pii_scrub,
+        "canary_scan": q_canary_scan,
         "blocklist": q_blocklist,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
@@ -6149,6 +6219,57 @@ def _indri_sql(weighted: tuple[float, float] | None, product: bool) -> str:
         SELECT doc_id, CAST(round({comb} * 1000000) AS BIGINT) AS score_micros
         FROM p GROUP BY doc_id ORDER BY doc_id
     """
+
+
+_CANARY_SQL = """
+WITH p(pattern) AS (VALUES ('"""
+_CANARY_SQL += "'), ('".join(_CANARY_PATTERNS)
+_CANARY_SQL += """'))
+SELECT d.doc_id, p.pattern,
+       CAST((length(coalesce(d.text, '')) -
+             length(replace(coalesce(d.text, ''), p.pattern, '')))
+            / length(p.pattern) AS BIGINT) AS n
+FROM documents d CROSS JOIN p
+WHERE length(coalesce(d.text, '')) -
+      length(replace(coalesce(d.text, ''), p.pattern, '')) > 0
+ORDER BY d.doc_id, p.pattern
+"""
+
+_SEARCH_AFTER_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           CAST(round(sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount)))))
+           ) * 1000000) AS BIGINT) AS score_micros
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, score_micros,
+           row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rn
+    FROM scores
+),
+cursor AS (SELECT score_micros AS cs, doc_id AS cd FROM ranked WHERE rn = 10)
+SELECT CAST(r.rn AS BIGINT) AS rnk, r.doc_id, r.score_micros
+FROM ranked r CROSS JOIN cursor c
+WHERE r.score_micros < c.cs OR (r.score_micros = c.cs AND r.doc_id > c.cd)
+ORDER BY rnk LIMIT 10
+"""
 
 
 # Selective-search twins: shard = doc_id % 4 replays the partition key, the
@@ -7270,6 +7391,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "indri_wsum": _indri_sql((0.7, 0.3), product=False),
         "sdm_topk": _sdm_sql(),
         "cascade_rerank": _cascade_sql(),
+        "search_after": _SEARCH_AFTER_SQL,
+        "canary_scan": _CANARY_SQL,
         "shard_ranking": _cori_rank_sql(),
         "selective_bm25": _selective_bm25_sql(),
         "fb_expansion": _FB_EXPANSION_SQL,

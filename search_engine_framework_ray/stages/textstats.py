@@ -266,3 +266,52 @@ def char_entropy(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def pattern_scan(
+    ds,
+    patterns: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Multi-pattern LITERAL scan — the canary / secret / eval-marker sweep a
+    training corpus gets before release (the literal-string sibling of the
+    PII regex pass). The pattern list is tiny and ships inside the closure
+    (broadcast once per task); each batch runs one vectorized
+    ``Series.str.count`` per pattern (non-overlapping left-to-right count,
+    the same count ``replace``-based SQL reproduces as
+    ``(len(text)-len(replace(text,p,'')))/len(p)``). Output is long-format
+    ``(id, pattern, n)`` for hits only — on a clean corpus (the common
+    case) almost nothing leaves the scan, so the stage streams with no
+    shuffle at any corpus size.
+    """
+    import re as _re
+
+    pats = list(patterns)
+    compiled = [(_re.compile(_re.escape(p)), p) for p in pats]
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].astype("int64").reset_index(drop=True)
+        texts = b[text_col].fillna("").reset_index(drop=True)
+        frames = []
+        for rx, p in compiled:
+            n = texts.str.count(rx).astype("int64")
+            hit = n > 0
+            if hit.any():
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: ids[hit], "pattern": p, "n": n[hit]}
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "pattern": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(scan, batch_format="pandas")
