@@ -118,10 +118,19 @@ def selective_bm25(
     ranking = cori_shard_ranking(idxs, terms)
     chosen = list(ranking["shard"].head(select))
 
+    # the R routed queries are independent single-index jobs — run them
+    # concurrently (each run_queries drives its own streaming Dataset; the
+    # driver threads just wait), so routed latency is max(shard) not
+    # sum(shard)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(name: str):
+        return name, run_queries(idxs[name], [("q", " ".join(terms))], params, k=k)["q"]
+
     rows: list[tuple[str, float, str]] = []
-    for name in chosen:  # R small by design; each call is one routed query
-        res = run_queries(idxs[name], [("q", " ".join(terms))], params, k=k)["q"]
-        rows.extend((extid, score, name) for extid, score, _ in res)
+    with ThreadPoolExecutor(max_workers=max(1, len(chosen))) as pool:
+        for name, res in pool.map(_one, chosen):
+            rows.extend((extid, score, name) for extid, score, _ in res)
     results = pd.DataFrame(rows, columns=["extid", "score", "shard"])
     results = (
         results.sort_values(
