@@ -3460,6 +3460,14 @@ def q_canary_scan(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = pattern_scan(ds, _CANARY_PATTERNS).to_pandas()
+    if out.columns.empty:  # Ray to_pandas drops schema on zero-row datasets
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pattern": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
     return out.sort_values(
         ["doc_id", "pattern"], kind="mergesort"
     ).reset_index(drop=True)
@@ -4913,6 +4921,26 @@ def q_selective_bm25(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_cori_merge(sf_dir: str):
+    """Selective search with CORI result MERGING (the half raw-score merge
+    leaves open): each routed shard's top-10 list min-max normalized within
+    itself, shard beliefs min-max normalized across the fleet, merged as
+    (s' + 0.4·s'·b')/1.4 — a high-belief shard's docs outrank
+    equal-normalized-score docs from low-belief shards
+    (pipelines/selective.py cori_merge; Callan SIGIR'95 §merging)."""
+    from search_engine_framework_ray.pipelines.selective import cori_merge
+
+    idxs = _shard_indexes(sf_dir)
+    res = cori_merge(idxs, list(_BM25_TERMS), select=2, k=10)
+    return pd.DataFrame(
+        {
+            "doc_id": res["extid"].str[3:].astype("int64"),
+            "merged_micros": _micros(res["merged"]),
+            "shard": res["shard"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 def _frontier_corpus(sf_dir: str) -> str:
     """HTML corpus whose pages carry one in-corpus link plus deterministic
     OUT-of-corpus links (the frontier): every page links
@@ -5302,6 +5330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_routed_bm25": q_lang_routed_bm25,
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
+        "cori_merge": q_cori_merge,
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -6326,7 +6355,10 @@ ORDER BY b.belief DESC, b.shard
 """
 
 
-def _selective_bm25_sql() -> str:
+def _selective_chain() -> str:
+    """The routed-evaluation CTE chain through ``pershard`` (shard, doc_id,
+    float score, per-shard rank) — shared by the raw-merge twin and the
+    CORI-merge twin."""
     t0, t1 = _BM25_TERMS
     return _cori_pre() + f""",
 chosen AS (SELECT shard FROM belief ORDER BY belief DESC, shard LIMIT 2),
@@ -6359,11 +6391,56 @@ pershard AS (
            row_number() OVER (PARTITION BY shard ORDER BY score DESC, doc_id) AS rn
     FROM scores
 )
+"""
+
+
+def _selective_bm25_sql() -> str:
+    return _selective_chain() + """
 SELECT doc_id,
        CAST(round(score * 1000000) AS BIGINT) AS score_micros,
        CAST(shard AS BIGINT) AS shard
 FROM pershard WHERE rn <= 10
 ORDER BY score_micros DESC, doc_id, shard
+LIMIT 10
+"""
+
+
+def _cori_merge_sql() -> str:
+    """CORI merge twin: per-shard min-max over each routed shard's FULL
+    top-10 list, belief min-max over ALL fleet shards, merged
+    (s' + 0.4·s'·b')/1.4 — the same float expression shapes the engine
+    evaluates, micros-rounded at the end only."""
+    return _selective_chain() + """,
+cut AS (SELECT shard, doc_id, score FROM pershard WHERE rn <= 10),
+norm AS (
+    SELECT shard, doc_id,
+           CASE WHEN max(score) OVER (PARTITION BY shard)
+                     > min(score) OVER (PARTITION BY shard)
+                THEN (score - min(score) OVER (PARTITION BY shard))
+                     / (max(score) OVER (PARTITION BY shard)
+                        - min(score) OVER (PARTITION BY shard))
+                ELSE 0.0 END AS sp
+    FROM cut
+),
+bnorm AS (
+    SELECT shard,
+           CASE WHEN (SELECT max(belief) FROM belief)
+                     > (SELECT min(belief) FROM belief)
+                THEN (belief - (SELECT min(belief) FROM belief))
+                     / ((SELECT max(belief) FROM belief)
+                        - (SELECT min(belief) FROM belief))
+                ELSE 0.0 END AS bp
+    FROM belief
+),
+merged AS (
+    SELECT n.doc_id, n.shard, (n.sp + 0.4 * n.sp * b.bp) / 1.4 AS m
+    FROM norm n JOIN bnorm b ON b.shard = n.shard
+)
+SELECT doc_id,
+       CAST(round(m * 1000000) AS BIGINT) AS merged_micros,
+       CAST(shard AS BIGINT) AS shard
+FROM merged
+ORDER BY m DESC, doc_id, shard
 LIMIT 10
 """
 
@@ -7395,6 +7472,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "canary_scan": _CANARY_SQL,
         "shard_ranking": _cori_rank_sql(),
         "selective_bm25": _selective_bm25_sql(),
+        "cori_merge": _cori_merge_sql(),
         "fb_expansion": _FB_EXPANSION_SQL,
         # writer→reader roundtrip: parsed scores are repr(float)-exact, so
         # the micro-rounded ranking must equal the BM25 SQL twin's

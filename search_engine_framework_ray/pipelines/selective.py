@@ -46,7 +46,7 @@ import math
 
 import pandas as pd
 
-__all__ = ["cori_shard_ranking", "selective_bm25"]
+__all__ = ["cori_shard_ranking", "selective_bm25", "cori_merge"]
 
 _CORI_B = 0.4
 _CORI_DF_BASE = 50.0
@@ -97,6 +97,38 @@ def cori_shard_ranking(
     ).reset_index(drop=True)
 
 
+def _routed_lists(
+    idxs: dict[str, str],
+    terms: list[str],
+    *,
+    select: int,
+    k: int,
+    model_params=None,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """CORI-rank every shard, run the query on the top-``select`` only, and
+    return (ranking, the UNCUT k·R rows ``(extid, score, shard)``). The R
+    routed queries are independent single-index jobs — a thread pool drives
+    their streaming Datasets concurrently, so routed latency is max(shard)
+    not sum(shard)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..query.models import ModelParams
+    from ..query.executor import run_queries
+
+    params = model_params or ModelParams(model="BM25")
+    ranking = cori_shard_ranking(idxs, terms)
+    chosen = list(ranking["shard"].head(select))
+
+    def _one(name: str):
+        return name, run_queries(idxs[name], [("q", " ".join(terms))], params, k=k)["q"]
+
+    rows: list[tuple[str, float, str]] = []
+    with ThreadPoolExecutor(max_workers=max(1, len(chosen))) as pool:
+        for name, res in pool.map(_one, chosen):
+            rows.extend((extid, score, name) for extid, score, _ in res)
+    return ranking, pd.DataFrame(rows, columns=["extid", "score", "shard"])
+
+
 def selective_bm25(
     idxs: dict[str, str],
     terms: list[str],
@@ -111,29 +143,11 @@ def selective_bm25(
     order) and the merged top-k ``(extid, score, shard)`` — per-shard top-k
     lists raw-score merged, ties broken by extid then shard id.
     """
-    from ..query.models import ModelParams
-    from ..query.executor import run_queries
-
-    params = model_params or ModelParams(model="BM25")
-    ranking = cori_shard_ranking(idxs, terms)
-    chosen = list(ranking["shard"].head(select))
-
-    # the R routed queries are independent single-index jobs — run them
-    # concurrently (each run_queries drives its own streaming Dataset; the
-    # driver threads just wait), so routed latency is max(shard) not
-    # sum(shard)
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _one(name: str):
-        return name, run_queries(idxs[name], [("q", " ".join(terms))], params, k=k)["q"]
-
-    rows: list[tuple[str, float, str]] = []
-    with ThreadPoolExecutor(max_workers=max(1, len(chosen))) as pool:
-        for name, res in pool.map(_one, chosen):
-            rows.extend((extid, score, name) for extid, score, _ in res)
-    results = pd.DataFrame(rows, columns=["extid", "score", "shard"])
+    ranking, lists = _routed_lists(
+        idxs, terms, select=select, k=k, model_params=model_params
+    )
     results = (
-        results.sort_values(
+        lists.sort_values(
             ["score", "extid", "shard"],
             ascending=[False, True, True],
             kind="mergesort",
@@ -142,3 +156,52 @@ def selective_bm25(
         .reset_index(drop=True)
     )
     return ranking, results
+
+
+def cori_merge(
+    idxs: dict[str, str],
+    terms: list[str],
+    *,
+    select: int = 2,
+    k: int = 10,
+    model_params=None,
+) -> pd.DataFrame:
+    """Selective search with CORI result MERGING (Callan SIGIR'95 §result
+    merging; Larkey et al. 2000 form): raw scores from shards with
+    different collection stats are not comparable, so each shard's top-k
+    is min-max normalized WITHIN its own list (s'), the shard beliefs are
+    min-max normalized over ALL shards (b'), and the merged score is
+
+        s'' = (s' + 0.4 * s' * b') / 1.4
+
+    — a document from a high-belief shard outranks an equal-normalized-score
+    document from a low-belief one.  Degenerate lists (max == min) get
+    s' = 0.  → merged top-k ``(extid, merged, shard)``.
+
+    Normalization runs over each shard's FULL top-k list (the uncut k·R
+    routed rows), not over the raw-merge cut — a shard's min/max must come
+    from its own list or the normalization depends on the other shards."""
+    ranking, results = _routed_lists(
+        idxs, terms, select=select, k=k, model_params=model_params
+    )
+    bmin, bmax = ranking["belief"].min(), ranking["belief"].max()
+    bnorm = {
+        r.shard: ((r.belief - bmin) / (bmax - bmin) if bmax > bmin else 0.0)
+        for r in ranking.itertuples()
+    }
+    out = results.copy()
+    grp = out.groupby("shard")["score"]
+    mn, mx = grp.transform("min"), grp.transform("max")
+    rng = mx - mn
+    sp = ((out["score"] - mn) / rng).where(rng > 0, 0.0)
+    bp = out["shard"].map(bnorm)
+    out["merged"] = (sp + 0.4 * sp * bp) / 1.4
+    return (
+        out.sort_values(
+            ["merged", "extid", "shard"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)[["extid", "merged", "shard"]]
+        .reset_index(drop=True)
+    )

@@ -288,10 +288,17 @@ def pattern_scan(
     """
     import re as _re
 
+    import pyarrow as pa
+
     pats = list(patterns)
     compiled = [(_re.compile(_re.escape(p)), p) for p in pats]
+    # explicit Arrow schema so all-empty blocks (clean corpus, the common
+    # case) still carry the three columns through to_pandas
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("pattern", pa.string()), ("n", pa.int64())]
+    )
 
-    def scan(b: pd.DataFrame) -> pd.DataFrame:
+    def scan(b: pd.DataFrame) -> pa.Table:
         ids = b[id_col].astype("int64").reset_index(drop=True)
         texts = b[text_col].fillna("").reset_index(drop=True)
         frames = []
@@ -305,13 +312,11 @@ def pattern_scan(
                     )
                 )
         if not frames:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    "pattern": pd.Series([], dtype="object"),
-                    "n": pd.Series([], dtype="int64"),
-                }
-            )
-        return pd.concat(frames, ignore_index=True)
+            return schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True),
+            schema=schema,
+            preserve_index=False,
+        )
 
     return ds.map_batches(scan, batch_format="pandas")

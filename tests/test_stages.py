@@ -1551,3 +1551,42 @@ def test_late_events_watermark_across_buckets(ray_session):
     # exclusive prefix max: [None, 100, 100, 120, 120, 130] → wm = max-10
     assert out["watermark_us"].tolist() == [pd.NA, 90, 90, 110, 110, 120]
     assert out["late"].tolist() == [False, True, False, True, False, False]
+
+
+def test_pattern_scan_overlap_null_and_clean(ray_session):
+    """Non-overlapping left-to-right counts (the replace-based SQL
+    semantics), null text treated as empty, hits-only output, and the
+    typed empty frame when nothing matches."""
+    import pandas as pd
+    import ray.data
+
+    from search_engine_framework_ray.stages.textstats import pattern_scan
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["aaa", None, "xy aa xy aa", "clean"],
+        }
+    )
+    out = (
+        pattern_scan(ray.data.from_pandas(df), ["aa", "xy"])
+        .to_pandas()
+        .sort_values(["doc_id", "pattern"])
+        .reset_index(drop=True)
+    )
+    # 'aaa' → one non-overlapping 'aa' (replace semantics), never two
+    want = pd.DataFrame(
+        {
+            "doc_id": [1, 3, 3],
+            "pattern": ["aa", "aa", "xy"],
+            "n": [1, 2, 2],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"doc_id": "int64", "n": "int64"}), want
+    )
+    none = pattern_scan(ray.data.from_pandas(df), ["absent-marker"])
+    # Arrow-level schema survives an all-empty scan (Ray's to_pandas drops
+    # columns for zero-row datasets — the driver entry guards that quirk)
+    assert none.schema().names == ["doc_id", "pattern", "n"]
+    assert none.count() == 0
