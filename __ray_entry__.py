@@ -4921,6 +4921,48 @@ def q_selective_bm25(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_qpp(sf_dir: str):
+    """Pre-retrieval query performance prediction (He & Ounis 2004; Zhao,
+    Scholer & Tsegay 2008): per query, term-statistics-only difficulty
+    predictors — avg/max RSJ idf and summed SCQ = (1+ln ctf)·ln(1+N/df) —
+    straight from the bucketed termstats store + stats.json, NO posting
+    list opened. The triage signal a 10^12-doc deployment uses to budget
+    per-query work (deep vs shallow k, whether to run the expensive
+    cascade stage) before touching the index proper."""
+    from search_engine_framework_ray.query.executor import (
+        load_term_stats,
+        read_stats,
+    )
+
+    idx = _docs_index(sf_dir)
+    n_docs = float(read_stats(idx)["n_docs"])
+    all_terms = {t for _, terms in _TREC_QSET for t in terms}
+    stats = load_term_stats(idx, {("body", t) for t in all_terms})
+    rows = []
+    for qid, terms in _TREC_QSET:
+        idfs, scqs = [], []
+        for t in terms:
+            df, ctf = stats.get(("body", t), (0, 0))
+            if df > 0:
+                idfs.append(np.log((n_docs - df + 0.5) / (df + 0.5)))
+                scqs.append((1.0 + np.log(ctf)) * np.log(1.0 + n_docs / df))
+        rows.append(
+            {
+                "qid": qid,
+                "n_terms": np.int64(len(terms)),
+                "n_matched": np.int64(len(idfs)),
+                "avg_idf_micros": _micros([np.mean(idfs) if idfs else 0.0])[0],
+                "max_idf_micros": _micros([max(idfs) if idfs else 0.0])[0],
+                "scq_micros": _micros([sum(scqs)])[0],
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "qid":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
 def q_cori_merge(sf_dir: str):
     """Selective search with CORI result MERGING (the half raw-score merge
     leaves open): each routed shard's top-10 list min-max normalized within
@@ -5258,6 +5300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
         "hard_negatives": q_hard_negatives,
+        "qpp": q_qpp,
         "bm25_snippets": q_bm25_snippets,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -5989,6 +6032,29 @@ ranked AS (
     FROM scores
 ),
 qi AS (SELECT DISTINCT qid, i FROM q)
+"""
+
+_QPP_SQL = f"""
+{_TOKS},
+q(qid, tok) AS (VALUES {", ".join(f"('{qid}', '{t}')" for qid, terms in _TREC_QSET for t in terms)}),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+tstat AS (
+    SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS ctf FROM toks
+    WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY tok
+),
+per AS (
+    SELECT q.qid,
+           ln((s.n - t.df + 0.5) / (t.df + 0.5)) AS idf,
+           (1 + ln(t.ctf)) * ln(1 + s.n / t.df) AS scq
+    FROM q LEFT JOIN tstat t USING (tok) CROSS JOIN stats s
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(count(idf) AS BIGINT) AS n_matched,
+       CAST(round(coalesce(avg(idf), 0) * 1000000) AS BIGINT) AS avg_idf_micros,
+       CAST(round(coalesce(max(idf), 0) * 1000000) AS BIGINT) AS max_idf_micros,
+       CAST(round(coalesce(sum(scq), 0) * 1000000) AS BIGINT) AS scq_micros
+FROM per GROUP BY qid ORDER BY qid
 """
 
 _HARD_NEG_SQL = f"""
@@ -7272,6 +7338,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
         "hard_negatives": _HARD_NEG_SQL,
+        "qpp": _QPP_SQL,
         "bm25_snippets": _BM25_SNIPPETS_SQL,
         # recursive-CTE reachability closure over the same deterministic
         # undirected graph; comp = min reachable doc_id
