@@ -4983,6 +4983,27 @@ def q_cori_merge(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_shard_balance(sf_dir: str):
+    """LPT shard→node placement (Graham 1969): the fleet's 4 shards packed
+    onto 3 nodes, heaviest first, each to the currently-lightest node —
+    the rebalancing plan a grown/skewed cluster computes before moving any
+    bytes. Exact integer word-count weights from stats.json (metadata
+    only), so the SQL twin replays the greedy walk bit-for-bit
+    (pipelines/selective.py lpt_assign)."""
+    from search_engine_framework_ray.pipelines.selective import lpt_assign
+    from search_engine_framework_ray.query.executor import read_stats
+
+    idxs = _shard_indexes(sf_dir)
+    cw = {
+        name: int(read_stats(p)["fields"]["body"]["sum_doclen"])
+        for name, p in idxs.items()
+    }
+    out = lpt_assign(cw, 3)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _frontier_corpus(sf_dir: str) -> str:
     """HTML corpus whose pages carry one in-corpus link plus deterministic
     OUT-of-corpus links (the frontier): every page links
@@ -5374,6 +5395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
         "cori_merge": q_cori_merge,
+        "shard_balance": q_shard_balance,
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
@@ -6511,6 +6533,44 @@ LIMIT 10
 """
 
 
+# LPT twin: integer weights (per-shard token counts == stats.json body
+# sum_doclen), weight-desc/shard-asc order, recursive greedy carrying the
+# three node loads; ties go to the lowest node id (the engine's
+# min((load, i)) order). All-integer arithmetic — bit-exact replay.
+_SHARD_BALANCE_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id % 4 AS shard, lower(tok) AS tok
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+          FROM documents)
+),
+cw AS (
+    SELECT s.shard, CAST(count(t.tok) AS BIGINT) AS w
+    FROM (SELECT DISTINCT doc_id % 4 AS shard FROM documents) s
+    LEFT JOIN toks t ON t.shard = s.shard GROUP BY s.shard
+),
+ord AS (
+    SELECT shard, w, row_number() OVER (ORDER BY w DESC, shard) AS step FROM cw
+),
+walk(step, shard, node, l0, l1, l2) AS (
+    SELECT 0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT o.step, o.shard,
+           CASE WHEN w.l0 <= w.l1 AND w.l0 <= w.l2 THEN 0
+                WHEN w.l1 <= w.l2 THEN 1 ELSE 2 END,
+           w.l0 + CASE WHEN w.l0 <= w.l1 AND w.l0 <= w.l2 THEN o.w ELSE 0 END,
+           w.l1 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2)
+                            AND w.l1 <= w.l2 THEN o.w ELSE 0 END,
+           w.l2 + CASE WHEN NOT (w.l0 <= w.l1 AND w.l0 <= w.l2)
+                            AND NOT (w.l1 <= w.l2) THEN o.w ELSE 0 END
+    FROM walk w JOIN ord o ON o.step = w.step + 1
+)
+SELECT shard, node,
+       CASE node WHEN 0 THEN l0 WHEN 1 THEN l1 ELSE l2 END AS node_load_after
+FROM walk WHERE step >= 1 ORDER BY shard
+"""
+
+
 # SDM twin: the #WSUM(0.8 #AND 0.1 #NEAR/1 0.1 #WINDOW/8) Indri score
 # rebuilt in SQL. The #NEAR/1 leaf's greedy cursor count equals the plain
 # adjacent-pair count for two distinct terms (each match consumes its own
@@ -7540,6 +7600,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "shard_ranking": _cori_rank_sql(),
         "selective_bm25": _selective_bm25_sql(),
         "cori_merge": _cori_merge_sql(),
+        "shard_balance": _SHARD_BALANCE_SQL,
         "fb_expansion": _FB_EXPANSION_SQL,
         # writer→reader roundtrip: parsed scores are repr(float)-exact, so
         # the micro-rounded ranking must equal the BM25 SQL twin's

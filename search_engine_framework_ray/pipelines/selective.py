@@ -46,7 +46,7 @@ import math
 
 import pandas as pd
 
-__all__ = ["cori_shard_ranking", "selective_bm25", "cori_merge"]
+__all__ = ["cori_shard_ranking", "selective_bm25", "cori_merge", "lpt_assign"]
 
 _CORI_B = 0.4
 _CORI_DF_BASE = 50.0
@@ -205,3 +205,22 @@ def cori_merge(
         .head(k)[["extid", "merged", "shard"]]
         .reset_index(drop=True)
     )
+
+
+def lpt_assign(cw: dict[str, int], n_nodes: int) -> pd.DataFrame:
+    """Longest-processing-time-first shard placement (Graham 1969 — the
+    classic 4/3-approximation for makespan): shards in weight-descending
+    order (ties: shard id ascending) each go to the currently-lightest node
+    (ties: lowest node id).  Weights are exact integers (per-shard word
+    counts from stats.json), so the whole plan is integer arithmetic a SQL
+    twin replays bit-for-bit.  → ``(shard, node, node_load_after)`` in
+    assignment order.  Metadata-only: this is the placement step a fleet
+    runs when rebalancing shards across nodes after growth or skew."""
+    order = sorted(cw.items(), key=lambda kv: (-int(kv[1]), kv[0]))
+    loads = [0] * n_nodes
+    rows = []
+    for shard, w in order:
+        node = min(range(n_nodes), key=lambda i: (loads[i], i))
+        loads[node] += int(w)
+        rows.append((shard, node, loads[node]))
+    return pd.DataFrame(rows, columns=["shard", "node", "node_load_after"])
