@@ -168,6 +168,23 @@ def q_bm25_topk(sf_dir: str):
     return df[["doc_id", "score_micros"]].reset_index(drop=True)
 
 
+def q_pl2_topk(sf_dir: str):
+    """PL2 divergence-from-randomness top-20 (Amati & van Rijsbergen TOIS
+    2002 — Poisson randomness, Laplace after-effect, tf-normalization 2).
+    This is the §2.9 extension-surface demonstration: the NEW retrieval
+    model plugged in as one MODEL_NAMES entry + one Evaluator._eval_score
+    branch + one parser default-wrap line (the reference's
+    RetrievalModel.java:11-28 subclass + QryopSlScore.java:57-72 branch
+    seam), and the whole distributed query path — parser wrap, global-stats
+    prepass, mmap'd shard actors, k·S heap merge — serves it unchanged."""
+    df = _run(sf_dir, " ".join(_BM25_TERMS), "PL2")
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return df[["doc_id", "score_micros"]].reset_index(drop=True)
+
+
 def q_ranked_and(sf_dir: str):
     """RankedBoolean #AND: intersection, score=min(tf) (QryopSlAnd)."""
     df = _run(sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "RankedBoolean", k=10_000)
@@ -5289,6 +5306,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "pl2_topk": q_pl2_topk,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -5501,6 +5519,55 @@ scores AS (
     JOIN doclen USING (doc_id)
     CROSS JOIN stats
     GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scores
+ORDER BY score_micros DESC, doc_id
+LIMIT 20
+"""
+
+
+# PL2 twin: identical float shapes in the engine's evaluation order —
+# lam = ctf/N one division, avgdl = sum_dl/doccount one division, tfn's
+# 1.0*avgdl multiply is exact, the four addends left-associate, and
+# log2(e) is inlined as the engine's math.log2(math.e) literal so both
+# sides multiply by the identical double. Micros rounding absorbs any
+# residual libm log2 ulp.
+_PL2_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+ctf AS (
+    SELECT tok, count(*) AS ctf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY tok
+),
+scored AS (
+    SELECT tf.doc_id,
+           tf.tf * log2(1.0 + (1.0 * (stats.sum_dl / CAST(stats.doccount AS DOUBLE)))
+                              / doclen.dl) AS tfn,
+           CAST(ctf.ctf AS DOUBLE) / stats.n_docs AS lam
+    FROM tf
+    JOIN ctf USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+),
+scores AS (
+    SELECT doc_id,
+           sum( (1.0 / (tfn + 1.0)) *
+                ( tfn * log2(1.0 / lam)
+                  + lam * 1.4426950408889634
+                  + 0.5 * log2(2.0 * pi() * tfn)
+                  + tfn * (log2(tfn) - 1.4426950408889634) ) ) AS score
+    FROM scored
+    GROUP BY doc_id
 )
 SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
@@ -7382,6 +7449,7 @@ SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
+        "pl2_topk": _PL2_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,

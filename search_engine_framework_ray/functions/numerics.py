@@ -23,3 +23,20 @@ def pow64(base: np.ndarray, exp: float) -> np.ndarray:
 
 def pow64_scalar(base: float, exp: float) -> float:
     return float(np.power(np.array([base], dtype=np.float64), exp)[0])
+
+
+def log2_64(x: np.ndarray) -> np.ndarray:
+    """Elementwise float64 log2. Like ``pow``, log2 differs by ≤1 ulp
+    between numpy's SIMD kernel and libm's ``math.log2`` (measured on this
+    platform); the PL2 model routes BOTH the vectorized engine kernel and
+    the scalar oracle through numpy so engine-vs-oracle stays bit-identical
+    (vectorized and 1-element numpy calls verified equal)."""
+    return np.log2(x)
+
+
+def log2_64_scalar(x: float) -> float:
+    return float(np.log2(np.array([x], dtype=np.float64))[0])
+
+
+#: log2(e) as the shared double both PL2 implementations multiply by.
+LOG2_E = log2_64_scalar(2.718281828459045235360287)

@@ -43,7 +43,7 @@ from .ast import (
     Window,
     WsumOp,
 )
-from ..functions.numerics import pow64
+from ..functions.numerics import LOG2_E, log2_64, log2_64_scalar, pow64
 from .models import ModelParams
 
 
@@ -294,6 +294,38 @@ class Evaluator:
                 return lam * mu * p_mle / (dl + mu) + (1 - lam) * p_mle
 
             return ScoreResult(inv.docids, scores, default_fn)
+        if m == "PL2":
+            # Divergence-from-randomness PL2 (Amati & van Rijsbergen TOIS
+            # 2002; Terrier's PL2 weighting model): Poisson randomness model
+            # (P), Laplace after-effect (L), tf-normalization 2.
+            #   tfn   = tf * log2(1 + c * avg_doclen / doclen)
+            #   lam   = ctf / N                    (Poisson mean per doc)
+            #   score = 1/(tfn+1) * ( tfn*log2(1/lam) + lam*log2(e)
+            #                         + 0.5*log2(2*pi*tfn)
+            #                         + tfn*(log2(tfn) - log2(e)) )
+            # This branch is the §2.9 extension-surface demonstration: a new
+            # model = one MODEL_NAMES entry + this branch (the reference's
+            # RetrievalModel subclass + QryopSlScore.java:57-72 branch seam).
+            N = v.n_docs
+            lam = ctf_g / N
+            if len(inv.docids) == 0:
+                # absent term: lam = 0 and no postings — nothing to score
+                # (the oracle's per-doc loop is simply empty here)
+                return ScoreResult(inv.docids, np.empty(0, np.float64), None)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                avg_doclen = float(
+                    np.float64(v.sum_doclen(inv.field)) / np.float64(v.doccount(inv.field))
+                )
+            doclen = v.doclen(inv.field, inv.docids).astype(np.float64)
+            tf = inv.tfs.astype(np.float64)
+            tfn = tf * log2_64(1.0 + self.p.c * avg_doclen / doclen)
+            scores = (1.0 / (tfn + 1.0)) * (
+                tfn * log2_64_scalar(1.0 / lam)
+                + lam * LOG2_E
+                + 0.5 * log2_64(2.0 * math.pi * tfn)
+                + tfn * (log2_64(tfn) - LOG2_E)
+            )
+            return ScoreResult(inv.docids, scores, None)
         if m == "UnrankedBoolean":
             return ScoreResult(inv.docids, np.ones(inv.df, dtype=np.float64), None)
         if m == "RankedBoolean":

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-MODEL_NAMES = ("UnrankedBoolean", "RankedBoolean", "BM25", "Indri")
+MODEL_NAMES = ("UnrankedBoolean", "RankedBoolean", "BM25", "Indri", "PL2")
 
 
 @dataclass(frozen=True)
@@ -20,6 +20,13 @@ class ModelParams:
     # Indri (Sample.param:8-9 defaults)
     mu: float = 2500.0
     lambda_: float = 0.4
+    # PL2 divergence-from-randomness (Amati & van Rijsbergen TOIS 2002)
+    # tf-normalization constant (Terrier's default c=1.0). PL2 is the
+    # demonstration that a NEW retrieval model plugs in through the same
+    # seam the reference exposes (RetrievalModel.java:11-28 subclass + the
+    # QryopSlScore.java:57-72 branch): one MODEL_NAMES entry, one
+    # Evaluator._eval_score branch, one _default_wrap line.
+    c: float = 1.0
 
     @property
     def is_ranked(self) -> bool:
@@ -41,6 +48,7 @@ def params_from_dict(params: dict) -> ModelParams:
         k3=float(params.get("BM25:k_3", 0.0)),
         mu=float(params.get("Indri:mu", 2500.0)),
         lambda_=float(params.get("Indri:lambda", 0.4)),
+        c=float(params.get("PL2:c", 1.0)),
     )
 
 

@@ -31,7 +31,7 @@ from .ast import (
     Window,
     WsumOp,
 )
-from ..functions.numerics import pow64_scalar
+from ..functions.numerics import LOG2_E, log2_64_scalar, pow64_scalar
 from .models import ModelParams
 
 
@@ -224,6 +224,31 @@ def _eval_sl(node: Node, ix: OracleIndex, p: ModelParams) -> _Sl:
                 return p.lambda_ * p.mu * p_mle / (dl + p.mu) + (1 - p.lambda_) * p_mle
 
             return _Sl(entries, default)
+        if m == "PL2":
+            # PL2 DFR (Amati & van Rijsbergen TOIS 2002) — the §2.9
+            # extension-surface model; log2 via the shared numpy primitive
+            # so scalar-oracle == vectorized-engine bit-for-bit.
+            dc = ix.doccount(field)
+            avg = ix.sum_doclen(field) / dc if dc else float("nan")
+            lam = ctf / ix.n_docs
+            entries = []
+            for d, pos in inv:
+                tf = len(pos)
+                dl = ix.doclen(field, d)
+                tfn = tf * log2_64_scalar(1.0 + p.c * avg / dl)
+                entries.append(
+                    (
+                        d,
+                        (1.0 / (tfn + 1.0))
+                        * (
+                            tfn * log2_64_scalar(1.0 / lam)
+                            + lam * LOG2_E
+                            + 0.5 * log2_64_scalar(2.0 * math.pi * tfn)
+                            + tfn * (log2_64_scalar(tfn) - LOG2_E)
+                        ),
+                    )
+                )
+            return _Sl(entries, lambda d: 0.0)
         if m == "UnrankedBoolean":
             return _Sl([(d, 1.0) for d, _ in inv], lambda d: 0.0)
         if m == "RankedBoolean":

@@ -43,7 +43,7 @@ TERM_FIELDS = ("url", "keywords", "title", "inlink", "body")
 
 _TOKEN_RE = re.compile(r"[\t\n\r ,()]|[^\t\n\r ,()]+")
 
-MODELS = ("UnrankedBoolean", "RankedBoolean", "BM25", "Indri")
+MODELS = ("UnrankedBoolean", "RankedBoolean", "BM25", "Indri", "PL2")
 BOOLEAN_MODELS = ("UnrankedBoolean", "RankedBoolean")
 
 
@@ -51,7 +51,7 @@ def _default_wrap(qtext: str, model: str) -> str:
     q = qtext.strip()
     if model in BOOLEAN_MODELS:
         return f"#or({q})"
-    if model == "BM25":
+    if model in ("BM25", "PL2"):  # additive bag-of-words models → #sum
         return f"#sum({q})"
     if model == "Indri":
         return f"#and({q})"

@@ -102,6 +102,13 @@ def test_indri(engine):
     _compare(engine, INDRI_QUERIES, "Indri")
 
 
+def test_pl2(engine):
+    """PL2 (§2.9 extension-surface model) through the same rank-identity
+    gate as the built-in four: distributed engine vs scalar oracle,
+    bit-identical scores (shared numpy log2 primitive)."""
+    _compare(engine, BM25_QUERIES, "PL2")
+
+
 def test_trec_output_format(engine):
     from search_engine_framework_ray.query.executor import run_queries
 
