@@ -1062,6 +1062,46 @@ def q_trec_eval(sf_dir: str):
     return out.sort_values("qid").reset_index(drop=True)
 
 
+def q_clarity(sf_dir: str):
+    """Post-retrieval clarity score (Cronen-Townsend, Zhou & Croft SIGIR
+    2002): KL(top-k LM ‖ collection LM) per trec_eval query — the
+    post-retrieval difficulty predictor next to ``q_qpp``'s pre-retrieval
+    idf/SCQ. Top-10 from the ordinary distributed BM25 path in the shared
+    (score_micros DESC, doc_id ASC) order; term vectors one task per shard;
+    ctf from the bucketed termstats store; per-term contributions
+    micros-quantized then integer-summed so a ~|V|-term reduction has no
+    float summation-order dependence. Cost is independent of corpus size."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.query.clarity import clarity_scores
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    res = run_queries(
+        idx,
+        [(qid, " ".join(terms)) for qid, terms in _TREC_QSET],
+        ModelParams(model="BM25"),
+        k=max(10_000, n_corpus),
+    )
+    top: dict[str, list[int]] = {}
+    for qid, _terms in _TREC_QSET:
+        df = pd.DataFrame(
+            {
+                "doc_id": [int(u[3:]) for u, _, _ in res[qid]],
+                "score_micros": _micros([s for _, s, _ in res[qid]]),
+            }
+        )
+        df = df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        top[qid] = df["doc_id"].tolist()
+    return clarity_scores(idx, top)
+
+
 def q_hard_negatives(sf_dir: str):
     """DPR-style hard-negative mining for retrieval-model training
     (Karpukhin et al. 2020): for each trec_eval query, run distributed BM25,
@@ -5307,6 +5347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "pl2_topk": q_pl2_topk,
+        "clarity": q_clarity,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -6144,6 +6185,55 @@ SELECT qid,
        CAST(round(coalesce(max(idf), 0) * 1000000) AS BIGINT) AS max_idf_micros,
        CAST(round(coalesce(sum(scq), 0) * 1000000) AS BIGINT) AS scq_micros
 FROM per GROUP BY qid ORDER BY qid
+"""
+
+# Clarity twin: the shared ranked chain cut at 10, vocabulary = distinct
+# tokens of the retrieved docs, Dirichlet P(w|d) over the (doc x vocab)
+# grid (LEFT JOIN supplies tf=0 cells), P(w|q) = sum/10.0 in the engine's
+# division order, per-term contribution micros-rounded BEFORE the exact
+# integer sum — identical quantization on both sides makes the ~|V|-term
+# reduction order-free.
+_CLARITY_SQL = f"""
+{_TREC_RANKED_PRE},
+top AS (SELECT qid, doc_id FROM ranked WHERE rnk <= 10),
+vocab AS (
+    SELECT DISTINCT top.qid, toks.tok
+    FROM top JOIN toks ON toks.doc_id = top.doc_id
+),
+ctfs AS (
+    SELECT tok, count(*) AS ctf FROM toks
+    WHERE tok IN (SELECT DISTINCT tok FROM vocab) GROUP BY tok
+),
+ctot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM toks),
+tfdoc AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE doc_id IN (SELECT DISTINCT doc_id FROM top) GROUP BY doc_id, tok
+),
+grid AS (
+    SELECT v.qid, t.doc_id, v.tok,
+           CAST(coalesce(tf.tf, 0) AS DOUBLE) AS tf,
+           CAST(dl.dl AS DOUBLE) AS dl
+    FROM vocab v
+    JOIN top t ON t.qid = v.qid
+    JOIN doclen dl ON dl.doc_id = t.doc_id
+    LEFT JOIN tfdoc tf ON tf.doc_id = t.doc_id AND tf.tok = v.tok
+),
+pq AS (
+    SELECT g.qid, g.tok,
+           sum((g.tf + 2500.0 * (ct.ctf / ctot.c)) / (g.dl + 2500.0))
+               / CAST(count(*) AS DOUBLE) AS pq,
+           any_value(ct.ctf / ctot.c) AS pc
+    FROM grid g JOIN ctfs ct USING (tok) CROSS JOIN ctot
+    GROUP BY g.qid, g.tok
+),
+contrib AS (
+    SELECT qid, CAST(round(pq * log2(pq / pc) * 1000000) AS BIGINT) AS cm
+    FROM pq
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST(sum(cm) AS BIGINT) AS clarity_micros
+FROM contrib GROUP BY qid ORDER BY qid
 """
 
 _HARD_NEG_SQL = f"""
@@ -7450,6 +7540,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _BM25_SQL,
         "pl2_topk": _PL2_SQL,
+        "clarity": _CLARITY_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
