@@ -226,6 +226,30 @@ def q_window_docs(sf_dir: str):
     return df[["doc_id"]].reset_index(drop=True)
 
 
+def q_phrase_accel(sf_dir: str):
+    """Materialized phrase postings (next-word/phrase index, Williams, Zobel
+    & Bahle TOIS 2004): the hot phrase ('spark join') is materialized ONCE at
+    build time by the REAL analyze_positions + _near_match kernels (one
+    streaming corpus pass, fingerprint-resumable, no shuffle), and the query
+    becomes a single pruned metadata read. Oracle = near1_tf's SQL VERBATIM —
+    the value hash proves the accelerated store indistinguishable from
+    evaluating #NEAR/1 at query time."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.phrases import (
+        build_phrase_postings,
+        phrase_tf,
+    )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    store = build_phrase_postings(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"/tmp/sefr_phrases/{key}",
+        [("spark", "join")],
+        analyzer=PLAIN_ANALYZER,
+    )
+    return phrase_tf(store, "spark join")
+
+
 def q_syn_tf(sf_dir: str):
     """#SYN(spark join): per-doc merged positions, tf = total occurrences
     (QryopIlSyn), RankedBoolean score=tf."""
@@ -5348,6 +5372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "pl2_topk": q_pl2_topk,
         "clarity": q_clarity,
+        "phrase_accel": q_phrase_accel,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -6186,6 +6211,14 @@ SELECT qid,
        CAST(round(coalesce(sum(scq), 0) * 1000000) AS BIGINT) AS scq_micros
 FROM per GROUP BY qid ORDER BY qid
 """
+
+_NEAR1_SQL = f"""
+            {_POS_TOKS}
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'spark' AND b.tok = 'join'
+            GROUP BY a.doc_id ORDER BY a.doc_id
+        """
 
 # Clarity twin: the shared ranked chain cut at 10, vocabulary = distinct
 # tokens of the retrieved docs, Dirichlet P(w|d) over the (doc x vocab)
@@ -7721,13 +7754,11 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             SELECT doc_id FROM tf GROUP BY doc_id
             HAVING count(*) = 2 ORDER BY doc_id
         """,
-        "near1_tf": f"""
-            {_POS_TOKS}
-            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
-            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-            WHERE a.tok = 'spark' AND b.tok = 'join'
-            GROUP BY a.doc_id ORDER BY a.doc_id
-        """,
+        "near1_tf": _NEAR1_SQL,
+        # phrase_accel shares near1_tf's oracle VERBATIM: the materialized
+        # phrase store must be indistinguishable from evaluating #NEAR/1 —
+        # the hash proves the acceleration exact (the salted-path pattern)
+        "phrase_accel": _NEAR1_SQL,
         "near2_docs": f"""
             {_POS_TOKS}
             SELECT DISTINCT a.doc_id
