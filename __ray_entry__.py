@@ -2605,22 +2605,18 @@ def q_compact_bm25(sf_dir: str):
     return _flagship_bm25_over(out)
 
 
-def q_pagerank_ppr(sf_dir: str):
-    """Personalized PageRank (random walk with restart to the seed set
-    doc_id % 10 == 0) over the same link graph as `pagerank`: non-seeds
-    get no teleport mass, so scores rank proximity to the seeds — the
-    related-pages / recommendation scorer (stages/graph.py pagerank with
-    seed_pred). Same exact int64 arithmetic; the twin swaps the uniform
-    teleport constant for the seed CASE."""
+def _doc_link_graph(sf_dir: str):
+    """The deterministic link graph shared by the pagerank / ppr / blend
+    entries: each doc links to (id*7+1) % N, docs with id%3>=1 also to
+    (id*13+5) % N, and docs with id%3>=2 to (id*31+11) % N (dense 0-based
+    ids keep every target in-domain). Returns (edges_ds, nodes_ds, n)."""
     import pyarrow as pa
     import ray.data
-
-    from search_engine_framework_ray.stages.graph import pagerank
 
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
-    n = docs.count()
+    n = docs.count()  # metadata-only on an untransformed read
 
     def edges_of(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy().astype(np.int64)
@@ -2635,6 +2631,19 @@ def q_pagerank_ppr(sf_dir: str):
     nodes = docs.map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
+    return edges, nodes, n
+
+
+def q_pagerank_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart to the seed set
+    doc_id % 10 == 0) over the same link graph as `pagerank`: non-seeds
+    get no teleport mass, so scores rank proximity to the seeds — the
+    related-pages / recommendation scorer (stages/graph.py pagerank with
+    seed_pred). Same exact int64 arithmetic; the twin swaps the uniform
+    teleport constant for the seed CASE."""
+    from search_engine_framework_ray.stages.graph import pagerank
+
+    edges, nodes, n = _doc_link_graph(sf_dir)
     out = pagerank(
         edges,
         nodes=nodes,
@@ -2658,28 +2667,9 @@ def q_pagerank(sf_dir: str):
     DuckDB twin hash-matches. Produces the per-document score table the
     reference's LeToR consumes from a file (LearnToRank.java pagerank
     feature; `pipelines/letor.py:read_score_file`)."""
-    import numpy as np
-    import pyarrow as pa
-    import ray.data
-
     from search_engine_framework_ray.stages.graph import pagerank
 
-    docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-    n = docs.count()  # metadata-only on an untransformed read
-
-    def edges_of(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy().astype(np.int64)
-        d1, d2 = d[d % 3 >= 1], d[d % 3 >= 2]
-        src = np.concatenate([d, d1, d2])
-        dst = np.concatenate([(d * 7 + 1) % n, (d1 * 13 + 5) % n, (d2 * 31 + 11) % n])
-        return pa.table({"src": src, "dst": dst})
-
-    edges = docs.map_batches(edges_of, batch_format="pyarrow")
-    nodes = docs.map_batches(
-        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
-    )
+    edges, nodes, n = _doc_link_graph(sf_dir)
     # n_buckets ≈ cluster cores at scale; at fixture scale per-task
     # scheduling dominates (~10 rank rows per bucket), so size buckets down
     out = pagerank(
@@ -2689,6 +2679,60 @@ def q_pagerank(sf_dir: str):
     for c in ("doc_id", "rank_micros"):
         out[c] = out[c].astype("int64")
     return out[["doc_id", "rank_micros"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_static_blend(sf_dir: str):
+    """Static-rank blending — fold a query-independent PageRank prior into
+    the BM25 ranking (the classic web-search evidence combination;
+    Richardson, Prakash & Brill WWW 2006 'Beyond PageRank' family, score +
+    w·ln(static_rank)). Stage 1: depth-100 BM25 pool in the shared
+    (score_micros DESC, doc_id ASC) order. Stage 2: the distributed
+    exact-integer PageRank (same link graph as `pagerank`), FILTERED to the
+    bounded pool ids before anything reaches the driver — at production
+    scale the rank table is a materialized column and this is a pruned
+    read. Prior micros-rounded per row, blended in exact int64."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.stages.graph import pagerank
+
+    n_corpus = papq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    df = _run(sf_dir, " ".join(_BM25_TERMS), "BM25", k=max(10_000, n_corpus))
+    df["score_micros"] = _micros(df["score"])
+    pool = (
+        df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(100)[["doc_id", "score_micros"]]
+        .reset_index(drop=True)
+    )
+
+    edges, nodes, n = _doc_link_graph(sf_dir)
+    pr_ds = pagerank(edges, nodes=nodes, iters=3, n_buckets=8 if n <= 100_000 else 64)
+    ids = {int(x) for x in pool["doc_id"]}
+    pr = (
+        pr_ds.map_batches(
+            lambda b: b[b["node"].isin(ids)], batch_format="pandas"
+        )
+        .to_pandas()
+        .rename(columns={"node": "doc_id"})
+    )
+    m = pool.merge(pr, on="doc_id", how="inner")
+    m["prior_micros"] = _round_away(
+        500000 * np.log(m["rank_micros"].to_numpy(np.float64) / 1000000.0)
+    ).astype("int64")
+    m["blended_micros"] = m["score_micros"] + m["prior_micros"]
+    out = (
+        m.sort_values(
+            ["blended_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)[["doc_id", "score_micros", "prior_micros", "blended_micros"]]
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
 
 
 def q_link_components(sf_dir: str):
@@ -5373,6 +5417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pl2_topk": q_pl2_topk,
         "clarity": q_clarity,
         "phrase_accel": q_phrase_accel,
+        "static_blend": q_static_blend,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -7460,8 +7505,8 @@ def _curation_sql() -> str:
 # arithmetic (floor division per edge, damped integer update), 3 unrolled
 # power iterations. SUM(BIGINT) is HUGEINT in DuckDB — every intermediate is
 # integral, so the comparison is bit-exact, not tolerance-based.
-_PAGERANK_SQL = """
-WITH nn AS (SELECT count(*) AS n FROM documents),
+# CTE body shared by the pagerank twin and the static-rank blend twin
+_PAGERANK_CTES = """nn AS (SELECT count(*) AS n FROM documents),
 e AS (
     SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents, nn
     UNION ALL
@@ -7483,8 +7528,53 @@ r2 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c2.s, 0) // 100 AS BIGINT) AS
 c3 AS (SELECT e.dst AS node, sum(r.r // deg.d) AS s
        FROM e JOIN deg USING (src) JOIN r2 r ON r.node = e.src GROUP BY e.dst),
 r3 AS (SELECT nd.node, CAST(150000 + 85 * COALESCE(c3.s, 0) // 100 AS BIGINT) AS r
-       FROM nd LEFT JOIN c3 USING (node))
+       FROM nd LEFT JOIN c3 USING (node))"""
+
+_PAGERANK_SQL = f"""
+WITH {_PAGERANK_CTES}
 SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
+"""
+
+# Static-rank blend twin: the BM25 chain's depth-100 pool joined with the
+# exact-integer r3 rank table; the prior fold is micros-rounded per row
+# (ln of the SAME integer on both sides), then added in exact int64.
+_STATIC_BLEND_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+pool AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+    FROM scores ORDER BY score_micros DESC, doc_id LIMIT 100
+),
+{_PAGERANK_CTES},
+blend AS (
+    SELECT p.doc_id, p.score_micros,
+           CAST(round(500000 * ln(r3.r / 1000000.0)) AS BIGINT) AS prior_micros
+    FROM pool p JOIN r3 ON r3.node = p.doc_id
+)
+SELECT doc_id, score_micros, prior_micros,
+       score_micros + prior_micros AS blended_micros
+FROM blend
+ORDER BY blended_micros DESC, doc_id LIMIT 20
 """
 
 # shared walk-replay CTEs (random_walks + walk_pairs oracles): 4 unrolled
@@ -7574,6 +7664,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "pl2_topk": _PL2_SQL,
         "clarity": _CLARITY_SQL,
+        "static_blend": _STATIC_BLEND_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
