@@ -4821,6 +4821,35 @@ def q_hybrid_rrf(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_hybrid_mnz(sf_dir: str):
+    """Hybrid search via CombMNZ (Fox & Shaw TREC-2 1994): the same sparse
+    (BM25 top-20) and dense (cosine top-20) lists as ``hybrid_rrf``, fused
+    by per-list min-max score normalization × list-membership count — the
+    score-aware combiner next to RRF's rank-only one. Lists carry
+    micros-quantized scores so both engines normalize identical integers
+    (query/fusion.py comb_mnz)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.query.fusion import comb_mnz
+    from search_engine_framework_ray.stages.ann import brute_force_topk
+
+    sparse = q_bm25_topk(sf_dir)  # (doc_id, score_micros), 20 rows
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qv = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float32,
+    )
+    dense = brute_force_topk(ray.data.read_parquet(path), qv, k=20).rename(
+        columns={"vec_id": "doc_id"}
+    )
+    dense["score_micros"] = _micros(dense["score"])
+    out = comb_mnz([sparse, dense], k=15)
+    for c in ("rank", "doc_id", "mnz_micros", "n_lists"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 # BM25F field weights — accumulation order body→title→url→inlink is part of
 # the spec (query/bm25f.py FIELD_ORDER); values are exact binary floats
 _BM25F_W = {"body": 1.0, "title": 2.0, "url": 0.5, "inlink": 1.5}
@@ -5418,6 +5447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clarity": q_clarity,
         "phrase_accel": q_phrase_accel,
         "static_blend": q_static_blend,
+        "hybrid_mnz": q_hybrid_mnz,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -6184,6 +6214,87 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
        doc_id, rrf_micros
 FROM ranked
 ORDER BY rrf_micros DESC, doc_id
+LIMIT 15
+"""
+
+
+# CombMNZ twin: same sparse/dense selection as the RRF twin, but each list
+# keeps its MICROS score; min/max computed over the retained top-20 rows in
+# a second CTE level (a window inside the QUALIFY CTE would see pre-cut
+# rows); normalization divides identical integers on both sides.
+_HYBRID_MNZ_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+sparse0 AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS sm,
+           row_number() OVER (
+        ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS r
+    FROM scores QUALIFY r <= 20
+),
+sparse AS (
+    SELECT doc_id, sm,
+           min(sm) OVER () AS smn, max(sm) OVER () AS smx
+    FROM sparse0
+),
+dense0 AS (
+    SELECT vec_id AS doc_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)) AS cos
+    FROM embeddings
+),
+dense1 AS (
+    SELECT doc_id, CAST(round(cos * 1000000) AS BIGINT) AS dm,
+           row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+    FROM dense0 QUALIFY r <= 20
+),
+dense AS (
+    SELECT doc_id, dm,
+           min(dm) OVER () AS dmn, max(dm) OVER () AS dmx
+    FROM dense1
+),
+fused AS (
+    SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           coalesce(CASE WHEN s.smx > s.smn
+                         THEN (s.sm - s.smn) * 1.0 / (s.smx - s.smn)
+                         ELSE 0.0 END, 0)
+           + coalesce(CASE WHEN d.dmx > d.dmn
+                           THEN (d.dm - d.dmn) * 1.0 / (d.dmx - d.dmn)
+                           ELSE 0.0 END, 0) AS sc,
+           (CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END) AS nl
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(round(nl * sc * 1000000) AS BIGINT) AS mnz_micros,
+           CAST(nl AS BIGINT) AS n_lists
+    FROM fused
+)
+SELECT CAST(row_number() OVER (ORDER BY mnz_micros DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, mnz_micros, n_lists
+FROM ranked
+ORDER BY mnz_micros DESC, doc_id
 LIMIT 15
 """
 
@@ -7666,6 +7777,7 @@ def oracle_sql() -> dict[str, str]:
         "clarity": _CLARITY_SQL,
         "static_blend": _STATIC_BLEND_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
+        "hybrid_mnz": _HYBRID_MNZ_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,

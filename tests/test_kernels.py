@@ -92,6 +92,35 @@ def test_rrf_fuse_hand_example():
     assert rrf_fuse([a, b], k=2)["doc_id"].tolist() == [3, 5]
 
 
+def test_comb_mnz_hand_example():
+    """CombMNZ: per-list min-max normalization, membership multiplier,
+    constant-list guard, absent-doc zero contribution."""
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_framework_ray.query.fusion import comb_mnz
+
+    a = pd.DataFrame({"doc_id": [5, 3, 9], "score_micros": [100, 60, 20]})
+    b = pd.DataFrame({"doc_id": [3, 7], "score_micros": [50, 10]})
+    out = comb_mnz([a, b], id_col="doc_id")
+    sc = dict(zip(out["doc_id"], out["mnz_micros"]))
+    micros = lambda v: int(np.floor(v * 1e6 + 0.5))
+    # doc 3: sparse (60-20)/80 = 0.5, dense (50-10)/40 = 1.0 → 2 lists
+    assert sc[3] == micros(2 * 1.5)
+    assert sc[5] == micros(1 * 1.0)  # sparse max
+    assert sc[7] == micros(0.0)  # dense min normalizes to 0
+    assert sc[9] == micros(0.0)  # sparse min
+    assert out["doc_id"].tolist() == [3, 5, 7, 9]  # micros desc, id asc ties
+    assert dict(zip(out["doc_id"], out["n_lists"])) == {3: 2, 5: 1, 9: 1, 7: 1}
+    # constant list → all normalized scores 0 (no division by zero)
+    c = pd.DataFrame({"doc_id": [1, 2], "score_micros": [7, 7]})
+    outc = comb_mnz([c])
+    assert outc["mnz_micros"].tolist() == [0, 0]
+    # CombSUM variant: no membership multiplier
+    outs = comb_mnz([a, b], mnz=False)
+    assert dict(zip(outs["doc_id"], outs["mnz_micros"]))[3] == micros(1.5)
+
+
 def test_member_mask_edges():
     """Sorted membership probe: empty list, all-out-of-range candidates,
     exact boundary hits — the SvS intersection primitive for #AND and
