@@ -94,11 +94,27 @@ def build_phrase_postings(
 
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
     (
         ray.data.read_parquet(corpus_path, columns=[id_col, text_col])
         .map_batches(extract, batch_format="pandas")
         .write_parquet(tmp)
     )
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
+        # no phrase matched anywhere: a valid (empty) store, not an error
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        papq.write_table(
+            pa.table(
+                {
+                    "phrase": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            ),
+            os.path.join(tmp, "empty.parquet"),
+        )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     with open(marker, "w") as fh:

@@ -56,6 +56,19 @@ def test_phrase_store_matches_live_near1(corpus):
     assert live == [(0, 1), (2, 2), (5, 1)]
 
 
+def test_phrase_store_no_matches_is_valid_empty(corpus):
+    """A phrase absent from the whole corpus yields a valid EMPTY store
+    (zero-row parquet written explicitly — Ray's sink creates no file for
+    an all-empty dataset), not a crash."""
+    root, src = corpus
+    out = build_phrase_postings(
+        src, str(root / "store_empty"), [("zz", "qq")], analyzer=DEFAULT_ANALYZER
+    )
+    got = phrase_tf(out, "zz qq")
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "tf"]
+
+
 def test_phrase_store_resume_and_invalidation(corpus):
     root, src = corpus
     out = str(root / "store2")
