@@ -250,6 +250,30 @@ def q_phrase_accel(sf_dir: str):
     return phrase_tf(store, "spark join")
 
 
+def q_impact_topk(sf_dir: str):
+    """Impact-ordered quantized index (Anh & Moffat SIGIR 2005): per
+    (term, doc) BM25 contributions precomputed at BUILD time with global
+    stats and linearly quantized to 8-bit integer levels; the query path is
+    a pruned read of the query terms' rows plus an EXACT integer sum — the
+    layout behind impact-sorted posting lists and learned-sparse indexes.
+    Build: one streaming tokenize pass, ONE term-bucket shuffle (bucket owns
+    its terms ⇒ df local), order-free min/max bounds, one quantize pass
+    (pipelines/impact.py)."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.impact import (
+        build_impact_index,
+        impact_topk,
+    )
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    store = build_impact_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"/tmp/sefr_impact/{key}",
+        analyzer=PLAIN_ANALYZER,
+    )
+    return impact_topk(store, list(_BM25_TERMS), k=20)
+
+
 def q_syn_tf(sf_dir: str):
     """#SYN(spark join): per-doc merged positions, tf = total occurrences
     (QryopIlSyn), RankedBoolean score=tf."""
@@ -5448,6 +5472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_accel": q_phrase_accel,
         "static_blend": q_static_blend,
         "hybrid_mnz": q_hybrid_mnz,
+        "impact_topk": q_impact_topk,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -6215,6 +6240,41 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
 FROM ranked
 ORDER BY rrf_micros DESC, doc_id
 LIMIT 15
+"""
+
+
+# Impact-index twin: the WHOLE-VOCABULARY impact table (quantization bounds
+# are global, so the twin computes every (term, doc) impact), the engine's
+# float shapes for idf·tf_w, order-free min/max bounds, then the identical
+# floor-quantize expression; everything after quantization is exact int64.
+_IMPACT_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf_all AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df_all AS (SELECT tok, count(*) AS df FROM tf_all GROUP BY tok),
+imp AS (
+    SELECT tf_all.doc_id, tf_all.tok,
+           ln((stats.n_docs - df_all.df + 0.5) / (df_all.df + 0.5))
+           * (tf_all.tf / (tf_all.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) AS x
+    FROM tf_all
+    JOIN df_all USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+),
+g AS (SELECT min(x) AS lo, max(x) AS hi FROM imp),
+qn AS (
+    SELECT doc_id, tok,
+           CAST(least(floor((x - g.lo) / (g.hi - g.lo) * 255), 255) AS BIGINT) AS qi
+    FROM imp, g
+)
+SELECT doc_id, CAST(sum(qi) AS BIGINT) AS impact_sum
+FROM qn WHERE tok IN ('spark', 'join')
+GROUP BY doc_id ORDER BY impact_sum DESC, doc_id LIMIT 20
 """
 
 
@@ -7778,6 +7838,7 @@ def oracle_sql() -> dict[str, str]:
         "static_blend": _STATIC_BLEND_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "hybrid_mnz": _HYBRID_MNZ_SQL,
+        "impact_topk": _IMPACT_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,

@@ -1,0 +1,207 @@
+"""Impact-ordered quantized index (Anh & Moffat, SIGIR 2005 'Simplified
+similarity scoring using term ranks' / the impact-transformation family):
+every (term, doc) BM25 contribution is precomputed at BUILD time with
+global collection statistics and linearly quantized to ``2^bits`` integer
+levels, so query evaluation is a pruned read of the query terms' rows plus
+an EXACT integer sum per doc — no floats touch the query path at all. This
+is the layout behind impact-sorted posting lists and learned-sparse (SPLADE
+-style) inverted indexes: score precomputation moves ranking cost from
+query time to build time and makes scores order-free integers.
+
+Build shape (all distributed):
+  1. one streaming tokenize pass → (term, doc_id, tf, doclen) rows;
+  2. ONE term-bucket shuffle: each bucket owns its terms completely, so
+     per-term df is a local count; BM25 impact = idf(df) · tf_w(tf, dl)
+     with the tiny (N, avgdl) stats broadcast;
+  3. global (lo, hi) impact bounds via min/max aggregate (order-free —
+     exact float agreement with any replayer);
+  4. one quantize pass → partitioned Parquet keyed by term bucket.
+
+Query shape: pruned read of the ≤|q| term groups, integer groupby-sum,
+top-k by (impact_sum DESC, doc_id ASC).
+
+Quantization: ``q = min(floor((x - lo) / (hi - lo) * (2^bits - 1)),
+2^bits - 1)`` — identical float shapes on the engine and the SQL twin;
+x = hi lands exactly on the top level via the clamp.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from ..functions.analysis import AnalyzerConfig, DEFAULT_ANALYZER, analyze
+
+def _bucket_of(terms: pd.Series, n_buckets: int) -> np.ndarray:
+    h = terms.map(
+        lambda t: int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "big"
+        )
+        % n_buckets
+    )
+    return h.to_numpy(dtype=np.int64)
+
+
+def build_impact_index(
+    corpus_path: str,
+    out_dir: str,
+    *,
+    bits: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: AnalyzerConfig = DEFAULT_ANALYZER,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> str:
+    """Build the quantized-impact store → ``out_dir`` Parquet
+    ``(bucket, term, doc_id, qimpact)`` + ``_impact_manifest.json``
+    carrying (lo, hi, bits). Fingerprint-resumable."""
+    fp = hashlib.sha256(
+        json.dumps(
+            {
+                "corpus": os.path.abspath(corpus_path),
+                "bits": bits,
+                "k1": k1,
+                "b": b,
+                "analyzer": analyzer.key(),
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+    marker = os.path.join(out_dir, "_impact_manifest.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            man = json.load(fh)
+        if man.get("fingerprint") == fp:
+            return out_dir
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    ds = ray.data.read_parquet(corpus_path, columns=[id_col, text_col])
+    n_docs = ds.count()  # metadata-only on an untransformed read; idf N is
+    #                      ALL docs (READER.numDocs() semantics, like BM25)
+
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"term": [], "doc_id": [], "tf": [], "dl": []}
+        for did, text in zip(batch[id_col], batch[text_col]):
+            terms = analyze(str(text), analyzer)
+            if not terms:
+                continue
+            vc = pd.Series(terms).value_counts()
+            out["term"].extend(vc.index.tolist())
+            out["doc_id"].extend([int(did)] * len(vc))
+            out["tf"].extend(vc.to_numpy().tolist())
+            out["dl"].extend([len(terms)] * len(vc))
+        df = pd.DataFrame(out)
+        df["bucket"] = (
+            _bucket_of(df["term"], n_buckets) if len(df) else np.array([], np.int64)
+        )
+        return df
+
+    # materialize: rows feed the stats partials AND the bucket shuffle —
+    # without it the tokenize pass re-executes (object-store, spills)
+    rows = ds.map_batches(tokenize, batch_format="pandas").materialize()
+
+    # tiny global stats: N docs, avg doclen over docs WITH tokens
+    def dl_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        g = bt.drop_duplicates("doc_id")
+        return pd.DataFrame(
+            {"n": [len(g)], "sum_dl": [int(g["dl"].sum())]}
+        )
+
+    parts = rows.map_batches(dl_partial, batch_format="pandas").to_pandas()
+    doccount = int(parts["n"].sum())  # docs WITH tokens (avgdl denominator)
+    avg_dl = float(np.float64(int(parts["sum_dl"].sum())) / np.float64(doccount))
+
+    # ONE term-bucket shuffle: bucket owns its terms ⇒ df is a local count.
+    # Per-task heap is O(postings / n_buckets) — size n_buckets so a bucket
+    # fits a worker (the same knob every hash-bucket reduce here exposes).
+    def impacts(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (term, doc) by construction → size == df
+        df_map = g.groupby("term")["doc_id"].size()
+        dfv = g["term"].map(df_map).to_numpy(dtype=np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5))
+        tf = g["tf"].to_numpy(dtype=np.float64)
+        dl = g["dl"].to_numpy(dtype=np.float64)
+        tf_w = tf / (tf + k1 * ((1 - b) + b * (dl / avg_dl)))
+        return pd.DataFrame(
+            {
+                "bucket": g["bucket"].to_numpy(),
+                "term": g["term"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "impact": idf * tf_w,
+            }
+        )
+
+    # materialize: the impact table feeds BOTH the min/max aggregate and the
+    # quantize pass — without it the term-bucket shuffle would re-execute
+    # (object-store-backed, spills at scale)
+    imp = rows.groupby("bucket").map_groups(impacts, batch_format="pandas").materialize()
+    # float min/max are order-free — exact agreement with any replayer
+    agg = imp.aggregate(ray.data.aggregate.Min("impact"), ray.data.aggregate.Max("impact"))
+    lo, hi = float(agg["min(impact)"]), float(agg["max(impact)"])
+    levels = (1 << bits) - 1
+
+    def quantize(bt: pd.DataFrame) -> pd.DataFrame:
+        x = bt["impact"].to_numpy(dtype=np.float64)
+        q = np.minimum(
+            np.floor((x - lo) / (hi - lo) * levels), float(levels)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": bt["bucket"].to_numpy(),
+                "term": bt["term"].to_numpy(),
+                "doc_id": bt["doc_id"].to_numpy(np.int64),
+                "qimpact": q,
+            }
+        )
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    imp.map_batches(quantize, batch_format="pandas").write_parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    with open(marker, "w") as fh:
+        json.dump(
+            {"fingerprint": fp, "lo": lo, "hi": hi, "bits": bits, "n_docs": n_docs},
+            fh,
+        )
+    return out_dir
+
+
+def impact_topk(
+    store_dir: str, terms: list[str], k: int = 20
+) -> pd.DataFrame:
+    """Integer-exact impact ranking: pruned read of the query terms' rows,
+    groupby-sum in int64, top-k by (impact_sum DESC, doc_id ASC)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(
+        [
+            os.path.join(store_dir, f)
+            for f in sorted(os.listdir(store_dir))
+            if f.endswith(".parquet")
+        ]
+    )
+    t = dset.to_table(
+        columns=["doc_id", "qimpact"],
+        filter=pads.field("term").isin(list(terms)),
+    ).to_pandas()
+    if not len(t):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "impact_sum": pd.Series(dtype="int64")})
+    g = t.groupby("doc_id", as_index=False)["qimpact"].sum()
+    g = g.rename(columns={"qimpact": "impact_sum"})
+    g = g.sort_values(
+        ["impact_sum", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    for c in ("doc_id", "impact_sum"):
+        g[c] = g[c].astype("int64")
+    return g.reset_index(drop=True)
