@@ -250,6 +250,53 @@ def q_phrase_accel(sf_dir: str):
     return phrase_tf(store, "spark join")
 
 
+def q_delete_bm25(sf_dir: str):
+    """Tombstone deletes — the missing third of the index lifecycle next to
+    `extend_index` (adds) and `compact_index` (merges). Lucene liveDocs /
+    LSM delete-list semantics: deleted docs are filtered at query time
+    BEFORE the per-shard top-k cut, while collection statistics (df, ctf,
+    avg_doclen) keep their pre-delete values until compaction physically
+    reclaims — so surviving docs' scores are bit-unchanged. The delete set
+    here is every 7th doc; the SQL twin computes full-corpus BM25 stats and
+    drops deleted docs only from the ranking, proving both halves of the
+    semantics under one hash."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.state.index_layout import write_tombstones
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/sefr_delidx/{key}"
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    build_index(
+        corpus, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=4
+    )
+    n = papq.read_metadata(corpus).num_rows
+    write_tombstones(idx, range(0, n, 7))  # idempotent merge
+    res = run_queries(
+        idx, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=max(10_000, n)
+    )["q"]
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score_micros": _micros([s for _, s, _ in res]),
+        }
+    )
+    return (
+        df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 def q_impact_topk(sf_dir: str):
     """Impact-ordered quantized index (Anh & Moffat SIGIR 2005): per
     (term, doc) BM25 contributions precomputed at BUILD time with global
@@ -5473,6 +5520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "static_blend": q_static_blend,
         "hybrid_mnz": q_hybrid_mnz,
         "impact_topk": q_impact_topk,
+        "delete_bm25": q_delete_bm25,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -6240,6 +6288,40 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
 FROM ranked
 ORDER BY rrf_micros DESC, doc_id
 LIMIT 15
+"""
+
+
+# Tombstone twin: FULL-corpus stats (deleted docs still count in df/ctf/
+# avg_doclen — Lucene docFreq semantics), deletes dropped only from the
+# ranking. Any stats drift or post-top-k filtering would break the hash.
+_DELETE_BM25_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scores
+WHERE doc_id % 7 <> 0
+ORDER BY score_micros DESC, doc_id
+LIMIT 20
 """
 
 
@@ -7839,6 +7921,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "hybrid_mnz": _HYBRID_MNZ_SQL,
         "impact_topk": _IMPACT_SQL,
+        "delete_bm25": _DELETE_BM25_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,

@@ -163,15 +163,29 @@ def build_impact_index(
             }
         )
 
-    tmp = out_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    imp.map_batches(quantize, batch_format="pandas").write_parquet(tmp)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.replace(tmp, out_dir)
+    # bucket-partitioned store (stages/sink.py resumable sink): one atomic
+    # part=<bucket> directory per term bucket, so a query opens ONLY its
+    # terms' buckets — the pruning that makes the read cost ∝ |q| buckets,
+    # not store size (measured: a flat store scanned seconds at 200k docs;
+    # the partitioned read is milliseconds)
+    from ..stages.sink import write_partitioned
+
+    write_partitioned(
+        imp.map_batches(quantize, batch_format="pandas"),
+        out_dir,
+        "bucket",
+        sort_within_by=["term", "doc_id"],
+    )
     with open(marker, "w") as fh:
         json.dump(
-            {"fingerprint": fp, "lo": lo, "hi": hi, "bits": bits, "n_docs": n_docs},
+            {
+                "fingerprint": fp,
+                "lo": lo,
+                "hi": hi,
+                "bits": bits,
+                "n_docs": n_docs,
+                "n_buckets": n_buckets,
+            },
             fh,
         )
     return out_dir
@@ -180,17 +194,26 @@ def build_impact_index(
 def impact_topk(
     store_dir: str, terms: list[str], k: int = 20
 ) -> pd.DataFrame:
-    """Integer-exact impact ranking: pruned read of the query terms' rows,
+    """Integer-exact impact ranking: opens ONLY the query terms' bucket
+    partitions (read cost ∝ |q| buckets, independent of store size),
     groupby-sum in int64, top-k by (impact_sum DESC, doc_id ASC)."""
     import pyarrow.dataset as pads
 
-    dset = pads.dataset(
-        [
-            os.path.join(store_dir, f)
-            for f in sorted(os.listdir(store_dir))
-            if f.endswith(".parquet")
-        ]
+    with open(os.path.join(store_dir, "_impact_manifest.json")) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    want = sorted(
+        {int(b) for b in _bucket_of(pd.Series(list(terms), dtype="object"), n_buckets)}
     )
+    files = [
+        os.path.join(store_dir, f"part={b}", "data.parquet")
+        for b in want
+        if os.path.exists(os.path.join(store_dir, f"part={b}", "data.parquet"))
+    ]
+    if not files:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "impact_sum": pd.Series(dtype="int64")}
+        )
+    dset = pads.dataset(files)
     t = dset.to_table(
         columns=["doc_id", "qimpact"],
         filter=pads.field("term").isin(list(terms)),

@@ -27,10 +27,10 @@ import numpy as np
 import pandas as pd
 
 from ..functions.analysis import config_from_key
-from ..state.index_layout import list_shards, read_stats
+from ..state.index_layout import list_shards, load_tombstones, read_stats
 from ..state.shard import ShardReader
 from .ast import Term, iter_score_nodes
-from .kernels import Evaluator
+from .kernels import Evaluator, _member_mask
 from .models import ModelParams
 
 
@@ -61,6 +61,9 @@ class _ShardCache:
     def __init__(self, index_dir: str, maxsize: int = 8):
         self.index_dir = index_dir
         self.stats = read_stats(index_dir)
+        # delete list (state/index_layout.py write_tombstones), loaded once
+        # per worker like every other index artifact; sorted int64
+        self.tombstones = load_tombstones(index_dir)
         self._cache: OrderedDict[int, ShardReader] = OrderedDict()
         self.maxsize = maxsize
         # worker-held composite inverted-list cache (see Evaluator.il_cache):
@@ -121,10 +124,19 @@ def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
     from .blockmax import try_blockmax_bm25
 
     out = {"qid": [], "docid": [], "url": [], "score": []}
+    tomb = cache.tombstones
     for qid, shard in pairs:
         qtree, params, score_stats = queries[qid]
         view = cache.view(int(shard))
-        bm = try_blockmax_bm25(view, qtree, params, score_stats, k)
+        # tombstoned index: the block-max pruned path doesn't know deletes —
+        # evaluate exhaustively and filter before the top-k cut (scores keep
+        # the PRE-delete collection stats, Lucene liveDocs semantics; a
+        # compaction reclaims both the postings and the stats)
+        bm = (
+            None
+            if len(tomb)
+            else try_blockmax_bm25(view, qtree, params, score_stats, k)
+        )
         if bm is not None:
             docids, scores = bm
             if len(docids) == 0:
@@ -145,16 +157,22 @@ def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
             continue  # invalid query → [] (per-query isolation; see prepass)
         if len(res.docids) == 0:
             continue
+        res_docids, res_scores = res.docids, res.scores
+        if len(tomb):
+            keep = ~_member_mask(tomb, res_docids)
+            res_docids, res_scores = res_docids[keep], res_scores[keep]
+            if len(res_docids) == 0:
+                continue
         if params.is_ranked:
-            order = np.lexsort((res.docids, -res.scores))[:k]
+            order = np.lexsort((res_docids, -res_scores))[:k]
         else:
-            order = np.argsort(res.docids)[:k]
-        docids = res.docids[order]
+            order = np.argsort(res_docids)[:k]
+        docids = res_docids[order]
         urls = view.reader.url_of(docids)
         out["qid"].extend([qid] * len(docids))
         out["docid"].extend(int(d) for d in docids)
         out["url"].extend(urls)
-        out["score"].extend(float(s) for s in res.scores[order])
+        out["score"].extend(float(s) for s in res_scores[order])
     return pd.DataFrame(out)
 
 
@@ -418,13 +436,17 @@ class IlExecActor:
                 inv = ev.eval_il(tree)
             except ValueError:
                 continue  # per-query isolation (see exec_rows)
-            if not len(inv.docids):
+            docids, tfs = inv.docids, inv.tfs
+            if len(self.cache.tombstones):
+                keep = ~_member_mask(self.cache.tombstones, docids)
+                docids, tfs = docids[keep], tfs[keep]
+            if not len(docids):
                 continue
-            urls = view.reader.url_of(inv.docids)
-            out["qid"].extend([qid] * len(inv.docids))
-            out["docid"].extend(int(d) for d in inv.docids)
+            urls = view.reader.url_of(docids)
+            out["qid"].extend([qid] * len(docids))
+            out["docid"].extend(int(d) for d in docids)
             out["url"].extend(urls)
-            out["tf"].extend(int(t) for t in inv.tfs)
+            out["tf"].extend(int(t) for t in tfs)
         return pd.DataFrame(
             {
                 "qid": pd.Series(out["qid"], dtype="object"),

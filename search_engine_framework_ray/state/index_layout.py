@@ -96,3 +96,37 @@ def write_stats(index_dir: str, stats: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(stats, f, indent=1, sort_keys=True)
     os.replace(tmp, stats_path(index_dir))
+
+
+def tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "deletes.parquet")
+
+
+def write_tombstones(index_dir: str, doc_ids) -> int:
+    """Merge ``doc_ids`` into the index's delete list (tombstones). LSM /
+    Lucene semantics: deleted docs are FILTERED at query time but still
+    count in the collection statistics (df/ctf/avg_doclen) until a compaction
+    physically reclaims them — exactly Lucene's liveDocs + docFreq behavior.
+    Atomic replace, idempotent under re-delivery. Returns the total count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    new = np.asarray(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+    merged = np.union1d(load_tombstones(index_dir), new)
+    path = tombstones_path(index_dir)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": merged}), tmp)
+    os.replace(tmp, path)
+    return int(len(merged))
+
+
+def load_tombstones(index_dir: str) -> "np.ndarray":
+    """Sorted int64 delete list; empty when the index has no tombstones."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = tombstones_path(index_dir)
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return pq.read_table(path)["doc_id"].to_numpy().astype(np.int64)

@@ -60,12 +60,16 @@ def _brute_quantized():
     }
 
 
+def _store_files(store):
+    import glob
+
+    return sorted(glob.glob(os.path.join(store, "part=*", "data.parquet")))
+
+
 def test_quantization_matches_brute_force(store):
     import pyarrow.dataset as pads
 
-    dset = pads.dataset(
-        [os.path.join(store, f) for f in os.listdir(store) if f.endswith(".parquet")]
-    )
+    dset = pads.dataset(_store_files(store))
     got = dset.to_table(columns=["term", "doc_id", "qimpact"]).to_pandas()
     want = _brute_quantized()
     assert len(got) == len(want)
@@ -87,12 +91,10 @@ def test_impact_topk_integer_sum(store):
 
 
 def test_resume_is_noop(store):
-    mtimes = {f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)}
+    mtimes = {f: os.path.getmtime(f) for f in _store_files(store)}
     build_impact_index(
         os.path.join(os.path.dirname(store), "docs.parquet"),
         store,
         analyzer=PLAIN_ANALYZER,
     )
-    assert mtimes == {
-        f: os.path.getmtime(os.path.join(store, f)) for f in os.listdir(store)
-    }
+    assert mtimes == {f: os.path.getmtime(f) for f in _store_files(store)}
