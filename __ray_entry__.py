@@ -297,6 +297,55 @@ def q_delete_bm25(sf_dir: str):
     )
 
 
+def q_compact_reclaim_bm25(sf_dir: str):
+    """Physical delete reclaim: ``compact_index(apply_deletes=True)`` drops
+    the tombstoned docs' postings, recomputes df/ctf and collection stats
+    over survivors (global termstats re-reduced from the output shards),
+    and the compacted index carries no delete list — post-reclaim BM25 must
+    equal a fresh build over the surviving corpus. The twin restricts EVERY
+    statistic (N, df, ctf, doclen, avg_doclen) to ``doc_id % 7 <> 0`` —
+    contrast with `delete_bm25`, whose query-time filtering keeps
+    pre-delete stats."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+    from search_engine_framework_ray.pipelines.compact import compact_index
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+    from search_engine_framework_ray.state.index_layout import write_tombstones
+
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/sefr_delidx/{key}"
+    corpus = os.path.join(sf_dir, "documents.parquet")
+    build_index(
+        corpus, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=4
+    )
+    n = papq.read_metadata(corpus).num_rows
+    write_tombstones(idx, range(0, n, 7))
+    out = f"/tmp/sefr_delidx/{key}_reclaimed"
+    compact_index(idx, out, apply_deletes=True)
+    res = run_queries(
+        out, [("q", " ".join(_BM25_TERMS))], ModelParams(model="BM25"), k=max(10_000, n)
+    )["q"]
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score_micros": _micros([s for _, s, _ in res]),
+        }
+    )
+    return (
+        df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 def q_impact_topk(sf_dir: str):
     """Impact-ordered quantized index (Anh & Moffat SIGIR 2005): per
     (term, doc) BM25 contributions precomputed at BUILD time with global
@@ -5521,6 +5570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_mnz": q_hybrid_mnz,
         "impact_topk": q_impact_topk,
         "delete_bm25": q_delete_bm25,
+        "compact_reclaim_bm25": q_compact_reclaim_bm25,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "unranked_and": q_unranked_and,
@@ -6320,6 +6370,43 @@ scores AS (
 SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 WHERE doc_id % 7 <> 0
+ORDER BY score_micros DESC, doc_id
+LIMIT 20
+"""
+
+
+# Reclaim twin: the whole BM25 chain over the SURVIVING corpus — every
+# statistic recomputed post-delete (vs _DELETE_BM25_SQL's pre-delete stats)
+_RECLAIM_BM25_SQL = f"""
+WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+toks AS (
+    SELECT doc_id, lower(tok) AS tok
+    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+          FROM live)
+),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM live) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
 """
@@ -7922,6 +8009,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_mnz": _HYBRID_MNZ_SQL,
         "impact_topk": _IMPACT_SQL,
         "delete_bm25": _DELETE_BM25_SQL,
+        "compact_reclaim_bm25": _RECLAIM_BM25_SQL,
         "bm25f": _bm25f_sql(),
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,

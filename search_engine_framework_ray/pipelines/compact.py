@@ -100,6 +100,14 @@ def _plan_groups(mans: list[dict], num_shards: int | None) -> list[list[dict]]:
     return [g for g in groups if g]
 
 
+def _tomb_mask(sorted_tombs: np.ndarray, docids: np.ndarray) -> np.ndarray:
+    """True where docid IS tombstoned (sorted-membership probe)."""
+    if len(sorted_tombs) == 0 or len(docids) == 0:
+        return np.zeros(len(docids), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_tombs, docids), len(sorted_tombs) - 1)
+    return sorted_tombs[idx] == docids
+
+
 def _merge_group(
     in_dir: str,
     sids: list[int],
@@ -108,10 +116,18 @@ def _merge_group(
     fingerprint: str,
     block_size: int,
     include_forward: bool,
+    tombstones: np.ndarray | None = None,
 ) -> dict:
     """Merge the given input shards (ascending docid ranges) into output
     shard ``out_sid``. Idempotent: skips if the output shard already exists
-    with this fingerprint. Runs inside one Ray task."""
+    with this fingerprint. Runs inside one Ray task.
+
+    ``tombstones`` (sorted int64): physical delete reclaim — tombstoned
+    docs' postings are dropped (lists re-encoded, df/ctf recomputed, empty
+    terms vanish), while per-doc metadata rows (doclens/fwd/docmap) are
+    KEPT as addressing stubs so docid→row positions stay valid without a
+    corpus-wide renumber; the manifest records survivor stats as
+    ``n_live`` / live field sums."""
     prev = lay.read_manifest(out_dir, out_sid)
     if prev is not None and prev.get("fingerprint") == fingerprint:
         return {"shard": out_sid, "skipped": True, "n_docs": prev["n_docs"]}
@@ -137,6 +153,15 @@ def _merge_group(
         [pq.read_table(lay.docmap_path(in_dir, s)) for s in sids]
     )
 
+    in_mans = [lay.read_manifest(in_dir, s) for s in sids]
+    base = int(in_mans[0]["docid_base"])
+    end = base + int(sum(m["n_docs"] for m in in_mans))
+    tomb_rng = (
+        tombstones[(tombstones >= base) & (tombstones < end)]
+        if tombstones is not None and len(tombstones)
+        else np.empty(0, dtype=np.int64)
+    )
+
     # --- postings: single-source terms byte-copy, multi-source re-encode ---
     pieces = []
     maps = []
@@ -157,7 +182,9 @@ def _merge_group(
     offset = 0
     with open(os.path.join(tmp, "postings.bin"), "wb") as fh:
         for (field, term), rows in allt.groupby(["field", "term"], sort=False):
-            if len(rows) == 1:
+            df_out = int(rows["df"].sum())
+            ctf_out = int(rows["ctf"].sum())
+            if len(rows) == 1 and not len(tomb_rng):
                 r = rows.iloc[0]
                 buf = maps[int(r["ord"])][int(r["offset"]) : int(r["offset"]) + int(r["nbytes"])]
                 buf = buf.tobytes()
@@ -169,22 +196,35 @@ def _merge_group(
                     doc_parts.append(d_ids)
                     tf_parts.append(d_tfs)
                     pos_parts.append(d_pos)
-                docids = np.concatenate(doc_parts)
+                docids = np.concatenate(doc_parts).astype(np.int64)
                 tfs = np.concatenate(tf_parts).astype(np.int64)
-                po = np.zeros(len(tfs) + 1, dtype=np.int64)
-                np.cumsum(tfs, out=po[1:])
-                buf = encode_postings(
-                    docids.astype(np.int64),
-                    tfs,
-                    po,
-                    np.concatenate(pos_parts).astype(np.int32),
-                    block_size=block_size,
-                )
+                pos = np.concatenate(pos_parts).astype(np.int32)
+                if len(tomb_rng):
+                    dead = _tomb_mask(tomb_rng, docids)
+                    if dead.any():
+                        keep = ~dead
+                        pos = pos[np.repeat(keep, tfs)]
+                        docids, tfs = docids[keep], tfs[keep]
+                        if len(docids) == 0:
+                            continue  # term fully reclaimed — no entry
+                        df_out = int(len(docids))
+                        ctf_out = int(tfs.sum())
+                if len(rows) == 1 and df_out == int(rows.iloc[0]["df"]):
+                    # nothing reclaimed in this single-source list: keep the
+                    # original bytes (identical content, no re-encode)
+                    r = rows.iloc[0]
+                    buf = maps[int(r["ord"])][
+                        int(r["offset"]) : int(r["offset"]) + int(r["nbytes"])
+                    ].tobytes()
+                else:
+                    po = np.zeros(len(tfs) + 1, dtype=np.int64)
+                    np.cumsum(tfs, out=po[1:])
+                    buf = encode_postings(docids, tfs, po, pos, block_size=block_size)
             fh.write(buf)
             fields_s.append(field)
             terms_s.append(term)
-            dfs.append(int(rows["df"].sum()))
-            ctfs.append(int(rows["ctf"].sum()))
+            dfs.append(df_out)
+            ctfs.append(ctf_out)
             offsets.append(offset)
             nbytes_l.append(len(buf))
             offset += len(buf)
@@ -204,20 +244,36 @@ def _merge_group(
         os.path.join(tmp, "terms.parquet"),
     )
 
-    in_mans = [lay.read_manifest(in_dir, s) for s in sids]
     field_names = [c[4:] for c in dl_tab.column_names if c.startswith("len_")]
+    n_full = int(sum(m["n_docs"] for m in in_mans))
+    fields_man = {
+        f: {
+            "sum_doclen": int(sum(m["fields"][f]["sum_doclen"] for m in in_mans)),
+            "doccount": int(sum(m["fields"][f]["doccount"] for m in in_mans)),
+        }
+        for f in field_names
+    }
+    if len(tomb_rng):
+        # survivor (live) stats: subtract the tombstoned rows' doclens —
+        # dl_tab rows are positional over [base, end) by the contiguity
+        # invariant, so the dead rows are at local = tomb - base
+        local = (tomb_rng - base).astype(np.int64)
+        for f in field_names:
+            col = dl_tab[f"len_{f}"].to_numpy()
+            dead = col[local]
+            fields_man[f] = {
+                "sum_doclen": fields_man[f]["sum_doclen"] - int(dead.sum()),
+                "doccount": fields_man[f]["doccount"] - int((dead > 0).sum()),
+            }
     manifest = {
         "shard": out_sid,
-        "docid_base": int(in_mans[0]["docid_base"]),
-        "n_docs": int(sum(m["n_docs"] for m in in_mans)),
+        "docid_base": base,
+        # n_docs stays the ADDRESSING count (doclens/fwd/docmap keep stub
+        # rows for reclaimed docs); n_live is the scoring count
+        "n_docs": n_full,
+        "n_live": n_full - int(len(tomb_rng)),
         "fingerprint": fingerprint,
-        "fields": {
-            f: {
-                "sum_doclen": int(sum(m["fields"][f]["sum_doclen"] for m in in_mans)),
-                "doccount": int(sum(m["fields"][f]["doccount"] for m in in_mans)),
-            }
-            for f in field_names
-        },
+        "fields": fields_man,
         "postings_bytes": offset,
         "n_terms": len(terms_s),
         "compacted_from": [int(s) for s in sids],
@@ -238,9 +294,19 @@ def compact_index(
     out_dir: str,
     *,
     num_shards: int | None = None,
+    apply_deletes: bool = False,
 ) -> dict:
     """Compact ``index_dir`` (typically base + extend_index deltas) into
-    ``out_dir`` with consolidated shards; logical content is unchanged.
+    ``out_dir`` with consolidated shards; logical content is unchanged —
+    unless ``apply_deletes`` is set, in which case the index's tombstones
+    (state/index_layout.py) are PHYSICALLY reclaimed: deleted docs' postings
+    are dropped, df/ctf and collection stats are recomputed over survivors
+    (global termstats re-reduced from the output shards' terms tables), and
+    the compacted index carries no delete list. Post-reclaim scores equal a
+    fresh rebuild over the surviving corpus (the `compact_reclaim_bm25`
+    driver entry's SQL-hash oracle). Per-doc metadata rows (doclens / fwd /
+    docmap) are kept as addressing stubs — postings are the bytes that
+    matter at scale, and stubs avoid a corpus-wide docid renumber.
 
     ``out_dir`` must differ from ``index_dir`` (atomic-swap semantics: the
     caller flips its index pointer after success). The compacted index is a
@@ -252,9 +318,13 @@ def compact_index(
     prev = lay.read_stats(index_dir)
     mans = _shard_manifests(index_dir)
     groups = _plan_groups(mans, num_shards)
+    tomb = (
+        lay.load_tombstones(index_dir) if apply_deletes else np.empty(0, np.int64)
+    )
+    tomb_digest = hashlib.sha1(tomb.tobytes()).hexdigest()[:16] if len(tomb) else ""
     key_src = json.dumps(
         [[(m["shard"], m["fingerprint"]) for m in g] for g in groups]
-    ) + f";bs={prev['block_size']}"
+    ) + f";bs={prev['block_size']};tomb={tomb_digest}"
     compact_key = hashlib.sha1(key_src.encode()).hexdigest()
     try:
         out_stats = lay.read_stats(out_dir)
@@ -275,7 +345,10 @@ def compact_index(
     plans = []
     for out_sid, g in enumerate(groups):
         fp = hashlib.sha1(
-            ("|".join(f"{m['shard']}:{m['fingerprint']}" for m in g) + f";bs={block_size}").encode()
+            (
+                "|".join(f"{m['shard']}:{m['fingerprint']}" for m in g)
+                + f";bs={block_size};tomb={tomb_digest}"
+            ).encode()
         ).hexdigest()
         plans.append(
             {
@@ -295,6 +368,7 @@ def compact_index(
             row["fingerprint"],
             block_size,
             include_forward,
+            tombstones=tomb if len(tomb) else None,
         )
         return pd.DataFrame([res])
 
@@ -316,12 +390,29 @@ def compact_index(
             except FileNotFoundError:
                 pass
 
-    # Global termstats are a pure function of per-term (df, ctf) sums, which
-    # merging preserves — copy the bucket files verbatim.
-    src_ts, dst_ts = lay.termstats_dir(index_dir), lay.termstats_dir(out_dir)
-    if os.path.isdir(dst_ts):
-        shutil.rmtree(dst_ts)
-    shutil.copytree(src_ts, dst_ts)
+    if len(tomb):
+        # reclaim changed per-term df/ctf: re-reduce the global termstats
+        # buckets from the OUTPUT shards' terms tables (one narrow shuffle,
+        # same machinery as the build / extend)
+        from .build_index import _reduce_termstats
+
+        terms_files = [
+            os.path.join(lay.shard_dir(out_dir, s), "terms.parquet")
+            for s in range(len(groups))
+        ]
+        _reduce_termstats(
+            ray.data.read_parquet(
+                terms_files, columns=["field", "term", "df", "ctf"]
+            ),
+            out_dir,
+        )
+    else:
+        # Global termstats are a pure function of per-term (df, ctf) sums,
+        # which merging preserves — copy the bucket files verbatim.
+        src_ts, dst_ts = lay.termstats_dir(index_dir), lay.termstats_dir(out_dir)
+        if os.path.isdir(dst_ts):
+            shutil.rmtree(dst_ts)
+        shutil.copytree(src_ts, dst_ts)
 
     stats = dict(prev)
     stats.pop("extended_meta", None)
@@ -332,6 +423,19 @@ def compact_index(
             "config_key": prev.get("config_key", "") + f";compact={compact_key[:12]}",
         }
     )
+    if len(tomb):
+        # survivor collection stats from the output manifests
+        out_mans = [lay.read_manifest(out_dir, s) for s in range(len(groups))]
+        stats["n_docs"] = int(sum(m.get("n_live", m["n_docs"]) for m in out_mans))
+        stats["fields"] = {
+            f: {
+                "sum_doclen": int(
+                    sum(m["fields"][f]["sum_doclen"] for m in out_mans)
+                ),
+                "doccount": int(sum(m["fields"][f]["doccount"] for m in out_mans)),
+            }
+            for f in out_mans[0]["fields"]
+        }
     lay.write_stats(out_dir, stats)
     return {
         "n_docs": stats["n_docs"],

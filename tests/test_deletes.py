@@ -74,6 +74,50 @@ def test_delete_merge_idempotent(del_index):
     assert load_tombstones(del_index).tolist() == [1, 3, 5]
 
 
+def test_compact_apply_deletes_equals_filtered_rebuild(del_index, tmp_path):
+    """Physical reclaim: compact_index(apply_deletes=True) must score
+    bit-identically to a FRESH index built over the surviving corpus —
+    survivor df/ctf/avg_doclen/N all recomputed, tombstoned postings gone."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+    from search_engine_framework_ray.pipelines.compact import compact_index
+    from search_engine_framework_ray.query.executor import run_queries
+
+    write_tombstones(del_index, [1, 4])
+    out = str(tmp_path / "reclaimed")
+    rep = compact_index(del_index, out, apply_deletes=True)
+    assert rep["stats"]["n_docs"] == 4
+    assert not load_tombstones(out).size  # reclaimed index carries no list
+
+    live = [(i, t) for i, t in enumerate(TEXTS) if i not in (1, 4)]
+    src2 = tmp_path / "live.parquet"
+    pq.write_table(
+        pa.table(
+            {"doc_id": [i for i, _ in live], "text": [t for _, t in live]}
+        ),
+        src2,
+    )
+    ref = str(tmp_path / "refidx")
+    build_index(
+        str(src2), ref, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=2
+    )
+    for qtext, model in (
+        ("apple banana", "BM25"),
+        ("#NEAR/1(banana apple)", "RankedBoolean"),
+        ("cherry", "BM25"),
+    ):
+        p = ModelParams(model=model)
+        a = run_queries(out, [("q", qtext)], p, k=100)["q"]
+        b = run_queries(ref, [("q", qtext)], p, k=100)["q"]
+        assert [(u, s) for u, s, _ in a] == [(u, s) for u, s, _ in b], qtext
+    # resume: identical reclaim is a no-op
+    rep2 = compact_index(del_index, out, apply_deletes=True)
+    assert rep2["resumed"]
+
+
 def test_deletes_filter_il_root(del_index):
     from search_engine_framework_ray.query.executor import run_il_queries
 
