@@ -3754,6 +3754,36 @@ def q_pii_scrub(sf_dir: str):
     )
 
 
+def q_gopher_gate(sf_dir: str):
+    """Gopher document-quality gate (Rae et al. 2021 Table A1): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alpha-word
+    fraction and stopword presence, with first-failing-rule reasons — every
+    threshold in EXACT integer arithmetic (3·n ≤ chars ≤ 10·n etc.), so no
+    float knife edge exists between engine and twin. One streaming pass
+    (stages/selection.py gopher_gate). The presence list here swaps two of
+    the paper's English function words for this corpus's ('a' for 'have',
+    keeping the rule live — presence IS language/corpus-specific, which is
+    why it's a parameter); thresholds are the paper's."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import gopher_gate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = (
+        gopher_gate(
+            ds, stops={"a", "the", "be", "to", "of", "and", "that", "with"}
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_words", "word_chars", "n_sym", "n_alpha", "n_stops", "keep"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_blocklist(sf_dir: str):
     """Token-blocklist gate (the C4 bad-words filter, generalized to the
     Gopher ratio form): flag docs whose blocklisted-token share exceeds 5%;
@@ -5667,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "canary_scan": q_canary_scan,
         "blocklist": q_blocklist,
+        "gopher_gate": q_gopher_gate,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
         "bm25f": q_bm25f,
@@ -9818,6 +9849,60 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT event_id, zkey, (zkey >> 28)::BIGINT AS file_id
             FROM z ORDER BY event_id
+        """,
+        # Gopher gate twin: identical integer threshold arithmetic, nested
+        # CASE replays the engine's first-failing-rule order; '...' runs
+        # counted via non-overlapping replace (== pandas regex count)
+        "gopher_gate": r"""
+            WITH toks AS (
+                SELECT doc_id, lower(tok) AS tok
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text,
+                                 '[^ \t\n\f\r]+')) AS tok
+                      FROM documents)
+            ),
+            words AS (
+                SELECT doc_id, count(*)::BIGINT AS n_words,
+                       sum(length(tok))::BIGINT AS word_chars,
+                       count(*) FILTER (WHERE regexp_matches(tok, '[a-z]'))::BIGINT AS n_alpha,
+                       count(DISTINCT tok) FILTER (WHERE tok IN
+                           ('a','the','be','to','of','and','that','with'))::BIGINT AS n_stops
+                FROM toks GROUP BY doc_id
+            ),
+            sym AS (
+                SELECT doc_id,
+                       ((length(text) - length(replace(text, '#', '')))
+                        + (length(text) - length(replace(text, '...', ''))) // 3
+                       )::BIGINT AS n_sym
+                FROM documents
+            ),
+            base AS (
+                SELECT d.doc_id,
+                       coalesce(w.n_words, 0) AS n_words,
+                       coalesce(w.word_chars, 0) AS word_chars,
+                       s.n_sym,
+                       coalesce(w.n_alpha, 0) AS n_alpha,
+                       coalesce(w.n_stops, 0) AS n_stops
+                FROM documents d
+                LEFT JOIN words w ON w.doc_id = d.doc_id
+                JOIN sym s ON s.doc_id = d.doc_id
+            ),
+            judged AS (
+                SELECT *,
+                       CASE
+                         WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                         WHEN word_chars < 3 * n_words
+                              OR word_chars > 10 * n_words THEN 'mean_word_length'
+                         WHEN 10 * n_sym >= n_words THEN 'symbol_ratio'
+                         WHEN 5 * n_alpha < 4 * n_words THEN 'alpha_fraction'
+                         WHEN n_stops < 2 THEN 'stopword_presence'
+                         ELSE '' END AS fail_reason
+                FROM base
+            )
+            SELECT doc_id, n_words, word_chars, n_sym, n_alpha, n_stops,
+                   (CASE WHEN fail_reason = '' THEN 1 ELSE 0 END)::BIGINT AS keep,
+                   fail_reason
+            FROM judged ORDER BY doc_id
         """,
         # same RE2 tokens, same lowercase, same ratio gate (n_flagged ≤
         # 0.05·n_words keeps float compare semantics with the engine)

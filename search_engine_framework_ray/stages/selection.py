@@ -505,3 +505,87 @@ def split_assign(
         return pd.DataFrame({id_col: ids.to_numpy(), "bucket": bucket, "split": split})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+#: Gopher's stopword-presence list (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPS = frozenset("the be to of and that have with".split())
+
+
+def gopher_gate(
+    ds: Dataset,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: int = 3,
+    max_mean_wl: int = 10,
+    stops: frozenset[str] | set[str] = GOPHER_STOPS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Gopher document-quality gate (Rae et al. 2021, Table A1 — the rule
+    set MassiveText/most LLM corpora filter with), first-failing-rule
+    reporting like ``stages/corpus.py curate``:
+
+      1. word count in [min_words, max_words]
+      2. mean word length in [min_mean_wl, max_mean_wl]
+      3. symbol-to-word ratio ('#' chars + '...' runs) < 0.1
+      4. >= 80% of words contain an alphabetic character
+      5. >= 2 distinct Gopher stopwords present
+
+    Every threshold is evaluated in EXACT integer arithmetic (mean word
+    length in [3,10] <=> 3*n_words <= word_chars <= 10*n_words; alpha >= 80%
+    <=> 5*n_alpha >= 4*n_words; symbols < 10% <=> 10*n_sym < n_words), so the
+    SQL twin cannot diverge on a float knife edge. (The repetition rules of
+    the same table live in ``stages/repetition.py``.) One streaming pass,
+    no shuffle."""
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b[text_col].fillna("").reset_index(drop=True)
+        toks = texts.str.lower().str.findall(_WS_RE)
+        n_words = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode().dropna()
+        word_chars = np.zeros(len(texts), dtype=np.int64)
+        n_alpha = np.zeros(len(texts), dtype=np.int64)
+        n_stops = np.zeros(len(texts), dtype=np.int64)
+        if len(ex):
+            wl = ex.str.len().groupby(level=0).sum()
+            word_chars[wl.index.to_numpy()] = wl.to_numpy(np.int64)
+            al = ex[ex.str.contains("[a-z]", regex=True)].groupby(level=0).size()
+            n_alpha[al.index.to_numpy()] = al.to_numpy(np.int64)
+            st = ex[ex.isin(frozenset(stops))].groupby(level=0).nunique()
+            n_stops[st.index.to_numpy()] = st.to_numpy(np.int64)
+        n_sym = (
+            texts.str.count("#").to_numpy(np.int64)
+            + texts.str.count(r"\.\.\.").to_numpy(np.int64)
+        )
+        reasons = np.full(len(texts), "", dtype=object)
+        ok = np.ones(len(texts), dtype=bool)
+
+        def fail(mask: np.ndarray, reason: str) -> None:
+            hit = mask & ok
+            reasons[hit] = reason
+            ok[hit] = False
+
+        fail((n_words < min_words) | (n_words > max_words), "word_count")
+        fail(
+            (word_chars < min_mean_wl * n_words)
+            | (word_chars > max_mean_wl * n_words),
+            "mean_word_length",
+        )
+        fail(10 * n_sym >= n_words, "symbol_ratio")
+        fail(5 * n_alpha < 4 * n_words, "alpha_fraction")
+        fail(n_stops < 2, "stopword_presence")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "n_words": n_words,
+                "word_chars": word_chars,
+                "n_sym": n_sym,
+                "n_alpha": n_alpha,
+                "n_stops": n_stops,
+                "keep": ok.astype(np.int64),
+                "fail_reason": pd.Series(reasons, dtype="object"),
+            }
+        )
+
+    return ds.map_batches(gate, batch_format="pandas")

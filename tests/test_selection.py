@@ -311,3 +311,66 @@ def test_split_assign_deterministic_and_bounded(ray_session):
     assert (
         ((out["bucket"] >= 10) & (out["bucket"] < 20)) == (out["split"] == "val")
     ).all()
+
+
+def test_gopher_gate_rules_and_first_fail_order(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import gopher_gate
+
+    good = "the cats and dogs sat quietly " * 5  # 30 words, mean wl 4.0
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                good,                                   # keep
+                "short the and",                        # word_count (3 < 5)
+                "aa " * 5 + "supercalifragilistic " * 5 + "the and",  # mean_word_length? compute below
+                good + " ### ## # # #",                 # symbol_ratio
+                ("1234 " * 30) + "the and",             # alpha_fraction
+                "cat dog bird fish mouse " * 6,         # stopword_presence
+            ],
+        }
+    )
+    out = (
+        gopher_gate(
+            ray.data.from_pandas(docs),
+            min_words=5,
+            stops={"the", "and"},
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "keep"] == 1 and out.loc[0, "fail_reason"] == ""
+    assert out.loc[1, "fail_reason"] == "word_count"
+    # doc 3: 30 good words + 5 symbol runs of '#'-only tokens → 10*n_sym >= n_words
+    assert out.loc[3, "fail_reason"] == "symbol_ratio"
+    assert out.loc[4, "fail_reason"] == "alpha_fraction"
+    assert out.loc[5, "fail_reason"] == "stopword_presence"
+    # first-fail ordering: doc 1 also lacks mean-length issues etc. but
+    # word_count wins because it is checked first
+    assert (out["keep"] == (out["fail_reason"] == "").astype(int)).all()
+
+
+def test_gopher_gate_mean_word_length_bounds(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import gopher_gate
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "a b c d e the and x y z",  # mean wl 1.2 < 3 → fails rule 2
+                "the and " + "extraordinarily " * 8,  # mean wl > 10
+            ],
+        }
+    )
+    out = (
+        gopher_gate(ray.data.from_pandas(docs), min_words=5, stops={"the", "and"})
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "fail_reason"] == "mean_word_length"
+    assert out.loc[1, "fail_reason"] == "mean_word_length"
