@@ -3784,6 +3784,55 @@ def q_gopher_gate(sf_dir: str):
     return out
 
 
+def q_mm_dedup(sf_dir: str):
+    """Exact multimodal (binary-payload) dedup: the media blobs' CONTENT
+    bytes (dimension header stripped — headers differ per doc, content is
+    what dedups) are md5'd inside the actor-pool batch pass, then the
+    standard exact-dedup coarse-bucket min-id clustering runs over the
+    narrow (id, md5) table. Docs with doc_id % 10 < 2 carry a SHARED asset
+    (the common-logo-reused-across-pages pattern that makes binary dedup
+    worth running on web data), so real multi-member clusters form. Proves
+    the binary-column dedup path end to end: a header-stripping or hashing
+    bug would change the clusters under the driver hash."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import exact_dedup
+    from search_engine_framework_ray.stages.multimodal import synthesize_media
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    media = synthesize_media(ds)
+
+    def content_md5(t: pa.Table) -> pd.DataFrame:
+        import hashlib as hl
+
+        ids = t["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "payload_md5": [
+                    hl.md5(
+                        b"SHARED-LOGO" if int(d) % 10 < 2 else bytes(b)[2:]
+                    ).hexdigest()
+                    for d, b in zip(ids, t["payload"].to_pylist())
+                ],
+            }
+        )
+
+    rows = media.map_batches(content_md5, batch_format="pyarrow", batch_size=64)
+    out = exact_dedup(rows, text_col="payload_md5").to_pandas()
+    out["is_dup"] = out["is_dup"].astype("int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return (
+        out[["doc_id", "cluster_id", "is_dup"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_blocklist(sf_dir: str):
     """Token-blocklist gate (the C4 bad-words filter, generalized to the
     Gopher ratio form): flag docs whose blocklisted-token share exceeds 5%;
@@ -5698,6 +5747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canary_scan": q_canary_scan,
         "blocklist": q_blocklist,
         "gopher_gate": q_gopher_gate,
+        "mm_dedup": q_mm_dedup,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
         "bm25f": q_bm25f,
@@ -9932,6 +9982,22 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # media payload = chr(width)||chr(height)||text (single-byte chars);
         # the engine PARSES width/height from the blob it built — the oracle
         # recomputes them arithmetically and md5s the identical byte string
+        # binary-content dedup: blob content == text bytes except the
+        # planted shared asset (doc_id % 10 < 2 → one logo cluster), so
+        # clusters are the content-equality partition
+        "mm_dedup": """
+            WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 < 2 THEN '<shared-logo>'
+                            ELSE text END AS content
+                FROM documents
+            )
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY content) AS cluster_id,
+                   (CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY content)
+                         THEN 1 ELSE 0 END)::BIGINT AS is_dup
+            FROM c ORDER BY doc_id
+        """,
         "mm_meta": r"""
             SELECT doc_id,
                    (33 + doc_id % 64)::BIGINT AS width,
