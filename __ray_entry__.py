@@ -2855,6 +2855,32 @@ def q_static_blend(sf_dir: str):
     return out
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (stages/graph.py ``hits``; Kleinberg JACM
+    1999) over the same deterministic link graph the pagerank entries use —
+    the mutual-reinforcement companion ranking (a page is a good authority
+    when good hubs link to it, a good hub when it links to good
+    authorities). Two iterations in exact int64 fixed-point with
+    max-normalization after every half-step — bit-reproducible across
+    partitionings, so the DuckDB twin (unrolled auth/hub updates + max
+    rescales) hash-matches."""
+    from search_engine_framework_ray.stages.graph import hits
+
+    edges, nodes, n = _doc_link_graph(sf_dir)
+    out = (
+        hits(edges, nodes=nodes, iters=2, n_buckets=8 if n <= 100_000 else 64)
+        .to_pandas()
+        .rename(columns={"node": "doc_id", "hub": "hub_micros", "auth": "auth_micros"})
+    )
+    for c in ("doc_id", "hub_micros", "auth_micros"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "hub_micros", "auth_micros"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_link_components(sf_dir: str):
     """Distributed connected components (stages/graph.py
     ``connected_components``: hash-min label propagation + pointer doubling,
@@ -5720,6 +5746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": q_cms_counts,
         "hll_distinct": q_hll_distinct,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "pagerank_ppr": q_pagerank_ppr,
         "link_components": q_link_components,
         "substring_dedup": q_substring_dedup,
@@ -7956,6 +7983,44 @@ WITH {_PAGERANK_CTES}
 SELECT node AS doc_id, r AS rank_micros FROM r3 ORDER BY doc_id
 """
 
+# HITS twin: the engine's two iterations unrolled — auth ← Σ hub(src) over
+# in-edges, hub ← Σ auth(dst) over out-edges, each max-normalized
+# (v·10^6 // max) in exact integer arithmetic (DuckDB sums are HUGEINT, so
+# the v·10^6 products never overflow before the CAST back to BIGINT).
+_HITS_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 5) % n FROM documents, nn WHERE doc_id % 3 >= 1
+    UNION ALL
+    SELECT doc_id, (doc_id * 31 + 11) % n FROM documents, nn WHERE doc_id % 3 >= 2
+),
+nd AS (SELECT doc_id AS node FROM documents),
+a1r AS (SELECT dst AS node, 1000000 * count(*) AS s FROM e GROUP BY dst),
+ma1 AS (SELECT max(s) AS m FROM a1r),
+a1 AS (SELECT nd.node, CAST(COALESCE(a1r.s, 0) * 1000000 // ma1.m AS BIGINT) AS s
+       FROM nd LEFT JOIN a1r USING (node), ma1),
+h1r AS (SELECT e.src AS node, sum(a.s) AS s
+        FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+mh1 AS (SELECT max(s) AS m FROM h1r),
+h1 AS (SELECT nd.node, CAST(COALESCE(h1r.s, 0) * 1000000 // mh1.m AS BIGINT) AS s
+       FROM nd LEFT JOIN h1r USING (node), mh1),
+a2r AS (SELECT e.dst AS node, sum(h.s) AS s
+        FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+ma2 AS (SELECT max(s) AS m FROM a2r),
+a2 AS (SELECT nd.node, CAST(COALESCE(a2r.s, 0) * 1000000 // ma2.m AS BIGINT) AS s
+       FROM nd LEFT JOIN a2r USING (node), ma2),
+h2r AS (SELECT e.src AS node, sum(a.s) AS s
+        FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+mh2 AS (SELECT max(s) AS m FROM h2r),
+h2 AS (SELECT nd.node, CAST(COALESCE(h2r.s, 0) * 1000000 // mh2.m AS BIGINT) AS s
+       FROM nd LEFT JOIN h2r USING (node), mh2)
+SELECT h2.node AS doc_id, h2.s AS hub_micros, a2.s AS auth_micros
+FROM h2 JOIN a2 ON a2.node = h2.node
+ORDER BY doc_id
+"""
+
 # Static-rank blend twin: the BM25 chain's depth-100 pool joined with the
 # exact-integer r3 rank table; the prior fold is micros-rounded per row
 # (ln of the SAME integer on both sides), then added in exact int64.
@@ -8103,6 +8168,7 @@ def oracle_sql() -> dict[str, str]:
         "query_relax": _QUERY_RELAX_SQL,
         "snapshot_dedup": _SNAPSHOT_DEDUP_SQL,
         "pagerank": _PAGERANK_SQL,
+        "hits": _HITS_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
         "hard_negatives": _HARD_NEG_SQL,

@@ -48,7 +48,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-__all__ = ["link_graph", "pagerank", "connected_components", "triangle_counts"]
+__all__ = ["link_graph", "pagerank", "hits", "connected_components", "triangle_counts"]
 
 
 def link_graph(corpus_paths: str | list[str]) -> ray.data.Dataset:
@@ -945,3 +945,172 @@ def walk_pairs(
         kind="mergesort",
     ).head(top_n)
     return cand[["center", "context", "cnt"]].reset_index(drop=True).astype("int64")
+
+
+def hits(
+    edges: ray.data.Dataset,
+    *,
+    nodes: ray.data.Dataset | None = None,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg JACM 1999) over ``edges``
+    (columns ``src``, ``dst``; int64 or string node ids) → Dataset
+    ``(node, hub, auth)`` in fixed-point units of ``1/scale``.
+
+    The query-independent companion to :func:`pagerank` on the same link
+    graph: a page is a good AUTHORITY when good hubs link to it and a good
+    HUB when it links to good authorities — the mutual-reinforcement pair
+    behind anchor-quality signals. Per iteration: ``auth ← Σ hub(src)``
+    over in-edges, ``hub ← Σ auth(dst)`` over out-edges, each followed by
+    max-normalization (``v·scale // max(v)``) so the vectors stay in
+    [0, scale].
+
+    Execution shape mirrors :func:`pagerank`: the edge list is prepared
+    ONCE in each orientation (bucketed by ``hash(src)`` for the auth
+    update, ``hash(dst)`` for the hub update), each half-iteration is two
+    narrow bucket shuffles (score⋈edges contribution emit, then a zero-row
+    union + per-bucket int64 groupby-sum), and the normalizer is one
+    driver-side ``max()`` over the narrow score table. Vectors are
+    re-materialized per half-iteration with lineage reset (``_rebase``).
+
+    Numerics — exact-parity integers throughout: sums and the
+    ``v·scale // max`` rescale are int64, so the result is
+    bit-reproducible across partitionings and a DuckDB twin with unrolled
+    iterations hash-matches it. Bound: ``max_in_degree·scale²`` (and the
+    out-degree twin) must stay below 2^63 — at web scale drop ``scale`` to
+    10^3..10^4 (the ranking is unchanged; only the fixed-point resolution
+    moves).
+    """
+    if nodes is None:
+        srcs = edges.select_columns(["src"]).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        dsts = edges.select_columns(["dst"]).map_batches(
+            lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+        )
+        nodes = srcs.union(dsts).groupby("node").count().select_columns(["node"])
+
+    _EMPTY = {
+        "key": pd.Series(dtype="object"),
+        "other": pd.Series(dtype="object"),
+        "r": pd.Series(dtype="int64"),
+        "kind": pd.Series(dtype="object"),
+        "kbucket": pd.Series(dtype="int64"),
+    }
+
+    def _rows(key, other, r, kind) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": key,
+                "other": other,
+                "r": r,
+                "kind": np.full(len(key), kind, dtype=object),
+                "kbucket": _key_buckets(np.asarray(key), n_buckets),
+            }
+        )
+
+    def orient(b: pd.DataFrame, key_col: str, other_col: str) -> pd.DataFrame:
+        if key_col not in b.columns or not len(b):
+            return pd.DataFrame(_EMPTY)
+        return _rows(
+            b[key_col].to_numpy(),
+            b[other_col].to_numpy(),
+            np.zeros(len(b), dtype=np.int64),
+            "e",
+        )
+
+    # Edge list prepared ONCE per orientation (reused every iteration).
+    by_src = edges.map_batches(
+        lambda b: orient(b, "src", "dst"), batch_format="pandas"
+    ).materialize()
+    by_dst = edges.map_batches(
+        lambda b: orient(b, "dst", "src"), batch_format="pandas"
+    ).materialize()
+
+    def node_rows(b: pd.DataFrame, r: int, kind: str) -> pd.DataFrame:
+        if "node" not in b.columns or not len(b):
+            return pd.DataFrame(_EMPTY)
+        key = b["node"].to_numpy()
+        return _rows(key, key, np.full(len(key), r, dtype=np.int64), kind)
+
+    nodes = nodes.materialize()
+    zeros = nodes.map_batches(
+        lambda b: node_rows(b, 0, "z"), batch_format="pandas"
+    ).materialize()
+    hub = nodes.map_batches(
+        lambda b: node_rows(b, scale, "s"), batch_format="pandas"
+    ).materialize()
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        """One key bucket: score rows + oriented edge rows → (other, score)
+        contribution rows, re-bucketed by the receiving endpoint."""
+        smap = g.loc[g["kind"] == "s"].set_index("key")["r"]
+        e = g.loc[g["kind"] == "e"]
+        if not len(e):
+            return pd.DataFrame(_EMPTY)
+        rr = smap.reindex(e["key"]).astype("Int64")
+        keep = rr.notna().to_numpy()
+        if not keep.any():
+            return pd.DataFrame(_EMPTY)
+        node = e["other"].to_numpy()[keep]
+        return _rows(node, node, rr.to_numpy(dtype=np.int64, na_value=0)[keep], "c")
+
+    def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", sort=False, as_index=False)["r"].sum()
+        key = s["key"].to_numpy()
+        return _rows(key, key, s["r"].to_numpy(np.int64), "s")
+
+    def half_step(scores: ray.data.Dataset, oriented: ray.data.Dataset):
+        raw = _rebase(
+            scores.union(oriented)
+            .groupby("kbucket")
+            .map_groups(emit, batch_format="pandas")
+            .union(zeros)
+            .groupby("kbucket")
+            .map_groups(reduce_sum, batch_format="pandas")
+        )
+        mx = int(raw.max("r") or 0)
+
+        def rescale(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            if mx > 0:
+                b["r"] = b["r"].to_numpy(np.int64) * scale // mx
+            return b
+
+        return _rebase(raw.map_batches(rescale, batch_format="pandas"))
+
+    auth = None
+    for _ in range(iters):
+        auth = half_step(hub, by_src)  # auth(dst) ← Σ hub(src)
+        hub = half_step(auth, by_dst)  # hub(src) ← Σ auth(dst)
+
+    def label(kind: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            if "key" not in b.columns or not len(b):
+                return pd.DataFrame(_EMPTY)
+            b = b.copy()
+            b["kind"] = kind
+            return b
+
+        return f
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.loc[g["kind"] == "h"].set_index("key")["r"]
+        a = g.loc[g["kind"] == "a"].set_index("key")["r"]
+        key = h.index.to_numpy()
+        return pd.DataFrame(
+            {
+                "node": key,
+                "hub": h.to_numpy(np.int64),
+                "auth": a.reindex(h.index).to_numpy(dtype=np.int64, na_value=0),
+            }
+        )
+
+    return (
+        hub.map_batches(label("h"), batch_format="pandas")
+        .union(auth.map_batches(label("a"), batch_format="pandas"))
+        .groupby("kbucket")
+        .map_groups(finalize, batch_format="pandas")
+    )

@@ -361,3 +361,87 @@ def test_walk_pairs_window_and_counts(ray_session):
     assert out["cnt"].is_monotonic_decreasing or (
         out["cnt"].iloc[0] >= out["cnt"].iloc[-1]
     )
+
+
+def _ref_hits(src, dst, n, iters=2, scale=1_000_000):
+    """Single-threaded integer HITS: int64 sums + v*scale//max rescales."""
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+
+    def norm(v):
+        m = v.max()
+        return v * scale // m if m > 0 else v
+
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.int64)
+        np.add.at(a, dst, h[src])
+        a = norm(a)
+        h = np.zeros(n, dtype=np.int64)
+        np.add.at(h, src, a[dst])
+        h = norm(h)
+    return h, a
+
+
+def test_hits_matches_integer_reference(ray_session):
+    from search_engine_framework_ray.stages.graph import hits
+
+    rng = np.random.default_rng(11)
+    n = 50
+    src = rng.integers(0, n, 220)
+    dst = rng.integers(0, n, 220)
+    out = (
+        hits(
+            ray.data.from_pandas(
+                pd.DataFrame({"src": src, "dst": dst})
+            ).repartition(5),
+            nodes=ray.data.from_pandas(pd.DataFrame({"node": np.arange(n)})),
+            iters=2,
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    h, a = _ref_hits(src, dst, n)
+    assert (out["node"].to_numpy() == np.arange(n)).all()
+    assert (out["hub"].to_numpy(np.int64) == h).all()
+    assert (out["auth"].to_numpy(np.int64) == a).all()
+
+
+def test_hits_sinks_sources_and_derived_universe(ray_session):
+    """A pure sink (no out-edges) must end with hub=0, a pure source with
+    auth=0; node universe derivable from the edge list alone."""
+    from search_engine_framework_ray.stages.graph import hits
+
+    # 0 -> 1 -> 2 chain: 0 is a pure source, 2 a pure sink
+    e = ray.data.from_items([{"src": 0, "dst": 1}, {"src": 1, "dst": 2}])
+    out = (
+        hits(e, iters=2, n_buckets=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(out["node"]) == [0, 1, 2]
+    assert out.loc[out["node"] == 0, "auth"].item() == 0
+    assert out.loc[out["node"] == 2, "hub"].item() == 0
+    h, a = _ref_hits(np.array([0, 1]), np.array([1, 2]), 3)
+    assert (out["hub"].to_numpy(np.int64) == h).all()
+    assert (out["auth"].to_numpy(np.int64) == a).all()
+
+
+def test_hits_string_nodes(ray_session):
+    from search_engine_framework_ray.stages.graph import hits
+
+    e = ray.data.from_items(
+        [
+            {"src": "hub.example/a", "dst": "auth.example/x"},
+            {"src": "hub.example/a", "dst": "auth.example/y"},
+            {"src": "hub.example/b", "dst": "auth.example/x"},
+        ]
+    )
+    out = hits(e, iters=2, n_buckets=2).to_pandas().set_index("node")
+    # x has two hubs pointing at it -> max auth; a points at both -> max hub
+    assert out["auth"].idxmax() == "auth.example/x"
+    assert out["hub"].idxmax() == "hub.example/a"
+    assert out.loc["auth.example/x", "auth"] == 1_000_000
+    assert out.loc["hub.example/a", "hub"] == 1_000_000
