@@ -5152,6 +5152,61 @@ def q_hybrid_mnz(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _sparse_dense_ids(sf_dir: str, k: int = 10):
+    """The shared two-ranker fixture for the comparison operators: ranker
+    A = BM25 top-k (inverted index), ranker B = cosine top-k (embedding
+    column, vec_id ≡ doc_id) — the same two proven chains the hybrid
+    fusion entries use."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import brute_force_topk
+
+    sparse = q_bm25_topk(sf_dir).head(k)["doc_id"].astype("int64").tolist()
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qv = np.asarray(
+        pq.read_table(path).to_pandas().set_index("vec_id").loc[0, "embedding"],
+        dtype=np.float32,
+    )
+    dense = (
+        brute_force_topk(ray.data.read_parquet(path), qv, k=k)["vec_id"]
+        .astype("int64")
+        .tolist()
+    )
+    return sparse, dense
+
+
+def q_rbo(sf_dir: str):
+    """Rank-biased overlap (Webber, Moffat & Zobel TOIS 2010) between the
+    BM25 top-10 and the cosine top-10 — the offline before/after diff
+    metric for ranker rollouts (query/abtest.py rbo_table). Per-depth
+    terms are EXACT integers (rational p = 9/10 powers in unbounded ints,
+    round-half-away micros), so the cumulative RBO is bit-identical to
+    the SQL twin's BIGINT replay."""
+    from search_engine_framework_ray.query.abtest import rbo_table
+
+    a, b = _sparse_dense_ids(sf_dir, k=10)
+    return rbo_table(a, b, k=10)
+
+
+def q_interleave(sf_dir: str):
+    """Team-draft interleaving (Radlinski, Kurup & Joachims CIKM 2008) of
+    the BM25 and cosine top-10 lists — the online A/B primitive: the team
+    with fewer picks drafts its best unpicked doc, ties flip the
+    deterministic md5 coin, clicks credit the contributing team
+    (query/abtest.py team_draft_interleave). Deterministic draft ⇒ the
+    SQL twin replays all ten steps with unrolled state CTEs; the clicked
+    column is the fixture's synthetic click model (doc_id % 3 == 0)."""
+    from search_engine_framework_ray.query.abtest import team_draft_interleave
+
+    a, b = _sparse_dense_ids(sf_dir, k=10)
+    out = team_draft_interleave(a, b, k=10, salt="td")
+    out["clicked"] = (out["doc_id"] % 3 == 0).astype("int64")
+    for c in ("pos", "doc_id"):
+        out[c] = out[c].astype("int64")
+    return out[["pos", "doc_id", "team", "clicked"]].reset_index(drop=True)
+
+
 # BM25F field weights — accumulation order body→title→url→inlink is part of
 # the spec (query/bm25f.py FIELD_ORDER); values are exact binary floats
 _BM25F_W = {"body": 1.0, "title": 2.0, "url": 0.5, "inlink": 1.5}
@@ -5855,6 +5910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_dedup": q_mm_dedup,
         "zorder": q_zorder,
         "hybrid_rrf": q_hybrid_rrf,
+        "rbo": q_rbo,
+        "interleave": q_interleave,
         "bm25f": q_bm25f,
         "site_collapse": q_site_collapse,
         "pruned_bm25": q_pruned_bm25,
@@ -6524,6 +6581,123 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS BIGINT)
 FROM ranked
 ORDER BY rrf_micros DESC, doc_id
 LIMIT 15
+"""
+
+
+# Shared two-ranker fixture for the comparison operators: a = the proven
+# BM25 chain, b = the proven cosine chain, both cut at depth 10
+_AB_LISTS_CTES = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+a AS (
+    SELECT doc_id, row_number() OVER (
+        ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id) AS r
+    FROM scores QUALIFY r <= 10
+),
+dense0 AS (
+    SELECT vec_id AS doc_id,
+           list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)) AS cos
+    FROM embeddings
+),
+b AS (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+    FROM dense0 QUALIFY r <= 10
+)"""
+
+# RBO twin: per-depth overlap counts + the exact-integer term arithmetic
+# (9^(d-1) and 10^d are < 2^53 at depth ≤ 10, so round(power(...)) is
+# exact; everything after is BIGINT) and an integer window cumsum
+_RBO_SQL = f"""
+{_AB_LISTS_CTES},
+d AS (SELECT unnest(generate_series(1, 10)) AS depth),
+ov AS (
+    SELECT depth,
+           (SELECT count(*) FROM a JOIN b USING (doc_id)
+            WHERE a.r <= depth AND b.r <= depth) AS overlap
+    FROM d
+),
+terms AS (
+    SELECT depth, overlap,
+           (2 * (overlap * CAST(round(power(9, depth - 1)) AS BIGINT) * 1000000)
+                // (CAST(round(power(10, depth)) AS BIGINT) * depth) + 1) // 2
+               AS term_micros
+    FROM ov
+)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(overlap AS BIGINT) AS overlap,
+       CAST(term_micros AS BIGINT) AS term_micros,
+       CAST(sum(term_micros) OVER (ORDER BY depth) AS BIGINT) AS rbo_cum_micros
+FROM terms ORDER BY depth
+"""
+
+
+def _interleave_sql() -> str:
+    """Team-draft twin: ten unrolled draft steps, each three state CTEs —
+    candidates (first unpicked per list via NOT list_contains), team
+    resolution (fewer-picks rule, md5 coin on ties, exhausted list cedes),
+    state append. The MMR oracle's unrolled-greedy pattern."""
+    steps = []
+    for i in range(1, 11):
+        steps.append(f"""
+p{i} AS MATERIALIZED (
+    SELECT s.picked, s.na, s.nb,
+           (SELECT a.doc_id FROM a
+            WHERE NOT list_contains(s.picked, a.doc_id)
+            ORDER BY a.r LIMIT 1) AS ca,
+           (SELECT b.doc_id FROM b
+            WHERE NOT list_contains(s.picked, b.doc_id)
+            ORDER BY b.r LIMIT 1) AS cb,
+           CASE WHEN s.na < s.nb THEN 'A' WHEN s.nb < s.na THEN 'B'
+                WHEN md5_number_lower('td:{i - 1}') % 2 = 0 THEN 'A' ELSE 'B'
+           END AS turn0
+    FROM s{i - 1} s
+),
+t{i} AS MATERIALIZED (
+    SELECT *, CASE WHEN turn0 = 'A' AND ca IS NOT NULL THEN 'A'
+                   WHEN turn0 = 'B' AND cb IS NOT NULL THEN 'B'
+                   WHEN ca IS NOT NULL THEN 'A' ELSE 'B' END AS team
+    FROM p{i}
+),
+s{i} AS MATERIALIZED (
+    SELECT list_append(picked, CASE WHEN team = 'A' THEN ca ELSE cb END)
+               AS picked,
+           na + CASE WHEN team = 'A' THEN 1 ELSE 0 END AS na,
+           nb + CASE WHEN team = 'B' THEN 1 ELSE 0 END AS nb,
+           CASE WHEN team = 'A' THEN ca ELSE cb END AS doc,
+           team
+    FROM t{i}
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS pos, doc, team FROM s{i}" for i in range(1, 11)
+    )
+    return f"""
+{_AB_LISTS_CTES},
+s0 AS (SELECT CAST([] AS BIGINT[]) AS picked, 0 AS na, 0 AS nb),
+{",".join(steps)}
+SELECT CAST(pos AS BIGINT) AS pos, CAST(doc AS BIGINT) AS doc_id, team,
+       CAST(CASE WHEN doc % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS clicked
+FROM ({finals}) ORDER BY pos
 """
 
 
@@ -8230,6 +8404,8 @@ def oracle_sql() -> dict[str, str]:
         "clarity": _CLARITY_SQL,
         "static_blend": _STATIC_BLEND_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
+        "rbo": _RBO_SQL,
+        "interleave": _interleave_sql(),
         "hybrid_mnz": _HYBRID_MNZ_SQL,
         "impact_topk": _IMPACT_SQL,
         "delete_bm25": _DELETE_BM25_SQL,
