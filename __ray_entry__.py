@@ -3228,6 +3228,56 @@ def q_warc_ingest(sf_dir: str):
     return out[["url", "ts_epoch", "n_bytes", "html_md5"]]
 
 
+def q_ef_docsets(sf_dir: str):
+    """Elias-Fano docid-set compression (functions/ef.py; Vigna WSDM 2013
+    quasi-succinct indices) driver-verified: each source's sorted docid
+    set is EF-encoded and immediately decoded inside its group task, and
+    the entry reports the CLOSED-FORM facts of the format — low-bit width
+    ``l = bit_length(U//n) - 1``, exact encoded byte count, and the
+    decoded-id sum (losslessness) — all of which the SQL twin recomputes
+    in integer arithmetic. This is the repo's codec for pure docid sets
+    (tombstone delete lists, semi-join filters, membership snapshots);
+    posting lists keep the blocked varbyte layout (tf/positions ride
+    there)."""
+    import ray.data
+
+    from search_engine_framework_ray.functions.ef import ef_decode, ef_encode
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    universe = docs.count()  # metadata-only; doc ids are dense 0..N-1
+
+    def enc(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64)).astype(np.uint64)
+        buf = ef_encode(ids, universe)
+        dec, u2 = ef_decode(buf)
+        assert u2 == universe and (dec == ids).all()
+        from search_engine_framework_ray.functions.ef import ef_low_bits
+
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [len(ids)],
+                "universe": [universe],
+                "l_bits": [ef_low_bits(len(ids), universe)],
+                "ef_bytes": [len(buf)],
+                "id_sum": [int(dec.astype(np.int64).sum())],
+            }
+        )
+
+    out = (
+        docs.groupby("source")
+        .map_groups(enc, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "universe", "l_bits", "ef_bytes", "id_sum"):
+        out[c] = out[c].astype("int64")
+    return out[["source", "n_docs", "universe", "l_bits", "ef_bytes", "id_sum"]]
+
+
 def q_resumable_sink(sf_dir: str):
     """Resumable partitioned sink driver-verified (task-brief requirement:
     partitioned output a failed run resumes, never one giant file): the
@@ -5830,6 +5880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cli_query": q_cli_query,
         "resumable_sink": q_resumable_sink,
         "warc_ingest": q_warc_ingest,
+        "ef_docsets": q_ef_docsets,
         "split_assign": q_split_assign,
         "chunking": q_chunking,
         "text_norm": q_text_norm,
@@ -8816,6 +8867,28 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                          || '</p></body></html>' AS html
               FROM documents)
         ORDER BY url
+        """,
+        # Elias-Fano twin: the format's closed-form facts in integer
+        # arithmetic — l = bit_length(U//n)-1 via bin(), exact byte size,
+        # id-sum losslessness certificate
+        "ef_docsets": """
+        WITH u AS (SELECT count(*) AS universe FROM documents),
+        g AS (SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum
+              FROM documents GROUP BY source),
+        c AS (SELECT source, n_docs, universe, id_sum,
+                     CASE WHEN universe // n_docs >= 1
+                          THEN length(ltrim(bin(universe // n_docs), '0')) - 1
+                          ELSE 0 END AS l_bits
+              FROM g, u)
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(universe AS BIGINT) AS universe,
+               CAST(l_bits AS BIGINT) AS l_bits,
+               CAST(16 + (n_docs * l_bits + 7) // 8
+                    + ((n_docs + ((universe - 1) >> l_bits) + 1) + 7) // 8
+                    AS BIGINT) AS ef_bytes,
+               CAST(id_sum AS BIGINT) AS id_sum
+        FROM c ORDER BY source
         """,
         # the CLI main flow writes the same run the roundtrip entry checks
         "cli_query": f"""

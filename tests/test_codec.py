@@ -93,3 +93,53 @@ def test_block_headers_and_block_mask():
     assert np.array_equal(d2, want)
     want_pf = np.concatenate([pf[po[100] : po[200]], pf[po[300] : po[400]]])
     assert np.array_equal(pf2, want_pf)
+
+
+# ---------------------------------------------------------------- Elias-Fano
+def test_ef_roundtrip_random_and_edges():
+    import numpy as np
+
+    from search_engine_framework_ray.functions.ef import (
+        ef_decode,
+        ef_encode,
+        ef_nbytes,
+    )
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        universe = int(rng.integers(1, 1_000_000))
+        n = int(rng.integers(1, min(universe, 4000) + 1))
+        ids = np.sort(rng.choice(universe, size=n, replace=False)).astype(np.uint64)
+        buf = ef_encode(ids, universe)
+        out, u2 = ef_decode(buf)
+        assert u2 == universe and (out == ids).all()
+        assert len(buf) == ef_nbytes(n, universe)
+    for ids, universe in [
+        (np.arange(10, dtype=np.uint64), 10),  # dense: l = 0
+        (np.array([0], dtype=np.uint64), 1),
+        (np.array([999_999], dtype=np.uint64), 1_000_000),
+        (np.empty(0, dtype=np.uint64), 100),
+    ]:
+        buf = ef_encode(ids, universe)
+        out, u2 = ef_decode(buf)
+        assert (out == ids).all() and u2 == universe
+        assert len(buf) == ef_nbytes(len(ids), universe)
+
+
+def test_ef_guards_and_beats_varbyte_on_sparse_sets():
+    import numpy as np
+    import pytest
+
+    from search_engine_framework_ray.functions.ef import ef_encode
+
+    with pytest.raises(ValueError):
+        ef_encode(np.array([5], dtype=np.uint64), 5)  # id >= universe
+    with pytest.raises(ValueError):
+        ef_encode(np.array([3, 3], dtype=np.uint64), 10)  # not strict
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(5_000_000, size=20_000, replace=False)).astype(
+        np.uint64
+    )
+    vb = len(vb_encode(np.diff(ids, prepend=np.uint64(0))))
+    ef = len(ef_encode(ids, 5_000_000))
+    assert ef < vb  # succinct wins on sparse uniform docid sets
