@@ -5463,6 +5463,39 @@ def q_shard_ranking(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_bloom_route(sf_dir: str):
+    """Per-shard term-membership Bloom routing (pipelines/selective.py
+    ``build_term_bloom``/``bloom_route``) — the O(1)-memory, zero-I/O
+    complement to CORI belief ranking: a broker holding 512 B per shard
+    skips every shard that provably lacks the query's terms (no false
+    negatives ⇒ routed ≡ full fan-out). Hashing is the SQL-replayable md5
+    PRF pair with power-of-two bits, so the DuckDB twin replays the whole
+    routing matrix — INCLUDING any false positives — from the shard
+    vocabularies. Probes: the two fixture terms (present in every shard)
+    plus a nonsense term whose row certifies the negative path."""
+    from search_engine_framework_ray.pipelines.selective import (
+        bloom_probe,
+        build_term_bloom,
+    )
+
+    idxs = _shard_indexes(sf_dir)
+    blooms = {name: build_term_bloom(d) for name, d in idxs.items()}
+    probes = list(_BM25_TERMS) + ["qzx7nope"]
+    rows = [
+        {
+            "shard": int(name),
+            "term": t,
+            "might_contain": int(bloom_probe(blooms[name], t)),
+        }
+        for name in sorted(blooms)
+        for t in probes
+    ]
+    out = pd.DataFrame(rows).sort_values(["shard", "term"]).reset_index(drop=True)
+    for c in ("shard", "might_contain"):
+        out[c] = out[c].astype("int64")
+    return out[["shard", "term", "might_contain"]]
+
+
 def q_selective_bm25(sf_dir: str):
     """Selective search end-to-end: CORI-rank the 4 shards, route the BM25
     query to the top-2 ONLY (their own per-partition collection stats), and
@@ -5970,6 +6003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_routed_bm25": q_lang_routed_bm25,
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
+        "bloom_route": q_bloom_route,
         "cori_merge": q_cori_merge,
         "shard_balance": q_shard_balance,
         "crawl_frontier": q_crawl_frontier,
@@ -8676,6 +8710,49 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "canary_scan": _CANARY_SQL,
         "shard_ranking": _cori_rank_sql(),
         "selective_bm25": _selective_bm25_sql(),
+        # Bloom routing twin: per-shard vocabularies (the same plain
+        # tokenization the partitioned build indexes), each term's k bit
+        # positions via the md5 PRF pair (h2 forced odd), membership =
+        # all k probe positions present in the shard's set bits
+        "bloom_route": r"""
+        WITH probes(term) AS (VALUES ('spark'), ('join'), ('qzx7nope')),
+        ks(i) AS (VALUES (0), (1), (2)),
+        vocab AS (
+            SELECT DISTINCT (doc_id % 4) AS shard, lower(tok) AS term
+            FROM (SELECT doc_id,
+                         unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+                  FROM documents)
+        ),
+        setbits AS (
+            SELECT DISTINCT shard,
+                   CAST((CAST(md5_number_lower(term) AS HUGEINT)
+                         + i * (CAST(md5_number_lower('2:' || term) AS HUGEINT)
+                                - CAST(md5_number_lower('2:' || term) AS HUGEINT) % 2
+                                + 1)) % 4096 AS BIGINT) AS pos
+            FROM vocab, ks
+        ),
+        probe_pos AS (
+            SELECT term, i,
+                   CAST((CAST(md5_number_lower(term) AS HUGEINT)
+                         + i * (CAST(md5_number_lower('2:' || term) AS HUGEINT)
+                                - CAST(md5_number_lower('2:' || term) AS HUGEINT) % 2
+                                + 1)) % 4096 AS BIGINT) AS pos
+            FROM probes, ks
+        ),
+        shards AS (SELECT DISTINCT shard FROM vocab),
+        hits AS (
+            SELECT s.shard, p.term, count(DISTINCT p.i) AS nhit
+            FROM probe_pos p
+            JOIN setbits s ON s.pos = p.pos
+            GROUP BY s.shard, p.term
+        )
+        SELECT CAST(sh.shard AS BIGINT) AS shard, pr.term,
+               CAST(CASE WHEN COALESCE(h.nhit, 0) = 3 THEN 1 ELSE 0 END
+                    AS BIGINT) AS might_contain
+        FROM shards sh CROSS JOIN probes pr
+        LEFT JOIN hits h ON h.shard = sh.shard AND h.term = pr.term
+        ORDER BY shard, pr.term
+        """,
         "cori_merge": _cori_merge_sql(),
         "shard_balance": _SHARD_BALANCE_SQL,
         "fb_expansion": _FB_EXPANSION_SQL,

@@ -224,3 +224,102 @@ def lpt_assign(cw: dict[str, int], n_nodes: int) -> pd.DataFrame:
         loads[node] += int(w)
         rows.append((shard, node, loads[node]))
     return pd.DataFrame(rows, columns=["shard", "node", "node_load_after"])
+
+
+# ------------------------------------------------------------- Bloom routing
+# Term-membership Bloom filters per shard: the O(1)-memory, zero-I/O
+# complement to CORI's belief ranking. CORI answers "which shards are most
+# USEFUL for these terms"; the Bloom filter answers "which shards can
+# possibly contain them AT ALL" — for rare/navigational terms the broker
+# skips true-negative shards without touching termstats on disk, and
+# because a Bloom filter has NO false negatives the routed result is
+# exactly the full fan-out's (a skipped shard holds no matching posting).
+#
+# Hashing is the repo's SQL-replayable PRF pair — h1 = md5_number_lower(t),
+# h2 = md5_number_lower('2:'||t) forced odd — with power-of-two ``bits``,
+# so even the FALSE-POSITIVE behavior is deterministic and a DuckDB twin
+# replays the whole routing matrix bit-for-bit.
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _md5_low64(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
+
+
+def term_bloom_positions(
+    term: str, *, bits: int = _BLOOM_BITS, k: int = _BLOOM_K
+) -> list[int]:
+    """The k bit positions of a term (Kirsch-Mitzenmacher double hashing
+    over the md5 PRF pair; exact unbounded-int arithmetic — with
+    power-of-two ``bits`` this equals the mod-2^64 wrap a uint64 engine
+    would apply, so any implementation agrees)."""
+    h1 = _md5_low64(term)
+    h2 = _md5_low64("2:" + term) | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def build_term_bloom(
+    index_dir: str,
+    *,
+    field: str = "body",
+    bits: int = _BLOOM_BITS,
+    k: int = _BLOOM_K,
+) -> "np.ndarray":
+    """One shard's term-membership Bloom filter from its termstats store —
+    a METADATA pass (vocabulary rows only; no posting list opened), cached
+    next to ``stats.json`` (atomic rename) so repeat calls are one mmap.
+    Returns a uint8 0/1 array of length ``bits`` (512 B packed at the
+    default size — thousands of shards fit in any broker's memory)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..state.index_layout import termstats_dir
+
+    cache = os.path.join(index_dir, f"term_bloom_{field}_{bits}_{k}.npy")
+    if os.path.exists(cache):
+        return np.load(cache)
+    bloom = np.zeros(bits, dtype=np.uint8)
+    tdir = termstats_dir(index_dir)
+    for fn in sorted(os.listdir(tdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(tdir, fn), columns=["field", "term"])
+        terms = t.filter(
+            __import__("pyarrow").compute.equal(t["field"], field)
+        )["term"].to_pylist()
+        for term in terms:
+            bloom[term_bloom_positions(term, bits=bits, k=k)] = 1
+    tmp = cache + ".tmp"
+    np.save(tmp, bloom)
+    os.replace(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, cache)
+    return bloom
+
+
+def bloom_probe(bloom: "np.ndarray", term: str, *, k: int = _BLOOM_K) -> bool:
+    """True iff the shard MIGHT contain the term (no false negatives)."""
+    return bool(bloom[term_bloom_positions(term, bits=len(bloom), k=k)].all())
+
+
+def bloom_route(
+    blooms: dict[str, "np.ndarray"],
+    terms: list[str],
+    *,
+    mode: str = "any",
+    k: int = _BLOOM_K,
+) -> list[str]:
+    """Shards worth querying: ``mode='any'`` (disjunctive queries — a shard
+    matters if any term might be present) or ``'all'`` (conjunctive — every
+    term must pass). Skipped shards are PROVEN true negatives, so routed
+    results equal the full fan-out exactly."""
+    pred = any if mode == "any" else all
+    return [
+        name
+        for name in sorted(blooms)
+        if pred(bloom_probe(blooms[name], t, k=k) for t in terms)
+    ]

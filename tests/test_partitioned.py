@@ -60,3 +60,56 @@ def test_partitioned_build_routes_and_isolates_stats(
     # resumability: a second call is a metadata no-op with identical dirs
     again = build_partitioned_indexes(src, base, analyzer=PLAIN_ANALYZER)
     assert again == idxs
+
+
+def test_bloom_routing_no_false_negatives_and_pruning(
+    ray_session, lang_corpus, tmp_path_factory
+):
+    """Term-membership Bloom routing (pipelines/selective.py): every true
+    term of a partition must pass its filter (no false negatives ⇒ routed
+    ≡ fan-out), a vocabulary disjoint from a partition prunes it, and the
+    'all' mode is conjunctive."""
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.partitioned import (
+        build_partitioned_indexes,
+    )
+    from search_engine_framework_ray.pipelines.selective import (
+        bloom_probe,
+        bloom_route,
+        build_term_bloom,
+        term_bloom_positions,
+    )
+
+    src, texts, langs = lang_corpus
+    base = str(tmp_path_factory.mktemp("bloom_idx") / "base")
+    idxs = build_partitioned_indexes(src, base, analyzer=PLAIN_ANALYZER)
+    blooms = {n: build_term_bloom(d) for n, d in idxs.items()}
+
+    # no false negatives: every term actually in a partition passes
+    for name in idxs:
+        vocab = {
+            t
+            for text, l in zip(texts, langs)
+            if l == name
+            for t in text.split()
+        }
+        assert all(bloom_probe(blooms[name], t) for t in vocab)
+
+    # mode semantics on controlled filters: shard 'x' holds only 'alpha',
+    # shard 'y' only 'beta'
+    import numpy as np
+
+    bx = np.zeros(4096, dtype=np.uint8)
+    bx[term_bloom_positions("alpha")] = 1
+    by = np.zeros(4096, dtype=np.uint8)
+    by[term_bloom_positions("beta")] = 1
+    fleet = {"x": bx, "y": by}
+    assert bloom_route(fleet, ["alpha"], mode="any") == ["x"]
+    assert bloom_route(fleet, ["alpha", "beta"], mode="any") == ["x", "y"]
+    assert bloom_route(fleet, ["alpha", "beta"], mode="all") == []
+    assert bloom_route(fleet, ["alpha", "alpha"], mode="all") == ["x"]
+
+    # cache: a rebuilt filter is byte-identical (atomic .npy next to stats)
+    again = {n: build_term_bloom(d) for n, d in idxs.items()}
+    for n in blooms:
+        assert (blooms[n] == again[n]).all()
