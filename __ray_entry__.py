@@ -199,6 +199,22 @@ def q_ranked_or(sf_dir: str):
     return df[["doc_id", "tf_max"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ranked_andnot(sf_dir: str):
+    """#ANDNOT boolean exclusion under RankedBoolean — the operator-
+    registry extension exercised (ast.AndNotOp + one parser branch + one
+    kernel, the reference's Qryop subclass seam; the reference ships no
+    NOT). Docs matching #OR(spark join) with every 'slow' doc removed;
+    survivors keep the #OR score (max tf)."""
+    df = _run(
+        sf_dir,
+        f"#ANDNOT(#OR({_BM25_TERMS[0]} {_BM25_TERMS[1]}) slow)",
+        "RankedBoolean",
+        k=10_000,
+    )
+    df["tf_max"] = df["score"].astype("int64")
+    return df[["doc_id", "tf_max"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_unranked_and(sf_dir: str):
     """UnrankedBoolean #AND membership, url-order (QryEval.java:389-412)."""
     df = _run(sf_dir, f"#AND({_BM25_TERMS[0]} {_BM25_TERMS[1]})", "UnrankedBoolean", k=10_000)
@@ -5893,6 +5909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_reclaim_bm25": q_compact_reclaim_bm25,
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
+        "ranked_andnot": q_ranked_andnot,
         "unranked_and": q_unranked_and,
         "near1_tf": q_near1_tf,
         "near2_docs": q_near2_docs,
@@ -8674,6 +8691,16 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                 WHERE tok IN ('spark','join') GROUP BY doc_id, tok)
             SELECT doc_id FROM tf GROUP BY doc_id
             HAVING count(*) = 2 ORDER BY doc_id
+        """,
+        # #ANDNOT twin: the ranked_or aggregate minus any doc containing
+        # the excluded term
+        "ranked_andnot": f"""
+            {_TOKS}, tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN ('spark','join') GROUP BY doc_id, tok)
+            SELECT doc_id, CAST(max(tf) AS BIGINT) AS tf_max FROM tf
+            WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'slow')
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "near1_tf": _NEAR1_SQL,
         # phrase_accel shares near1_tf's oracle VERBATIM: the materialized

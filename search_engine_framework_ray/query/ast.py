@@ -63,6 +63,18 @@ class OrOp(Node):
 
 
 @dataclass
+class AndNotOp(Node):
+    """#ANDNOT(pos neg...) — boolean exclusion: docs matching the FIRST
+    arg with every later arg's docs removed; survivors keep the first
+    arg's score. An operator-registry extension (the reference's Qryop
+    subclass + parser-branch seam, Qryop.java:15-91 / QryEval.java:585-637
+    — the reference itself ships no NOT; this is the standard complement
+    every production boolean engine adds). Boolean models only."""
+
+    args: list[Node] = field(default_factory=list)
+
+
+@dataclass
 class SumOp(Node):
     args: list[Node] = field(default_factory=list)
 
@@ -80,7 +92,7 @@ class WsumOp(Node):
 
 
 IL_TYPES = (Term, Syn, Near, Window)
-SL_TYPES = (ScoreNode, AndOp, OrOp, SumOp, WandOp, WsumOp)
+SL_TYPES = (ScoreNode, AndOp, AndNotOp, OrOp, SumOp, WandOp, WsumOp)
 WEIGHTED_TYPES = (WandOp, WsumOp)
 
 

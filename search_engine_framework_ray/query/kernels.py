@@ -31,6 +31,7 @@ from typing import Callable
 import numpy as np
 
 from .ast import (
+    AndNotOp,
     AndOp,
     Near,
     Node,
@@ -246,6 +247,8 @@ class Evaluator:
             return self._eval_score(node)
         if isinstance(node, AndOp):
             return self._eval_and(node)
+        if isinstance(node, AndNotOp):
+            return self._eval_andnot(node)
         if isinstance(node, OrOp):
             return self._eval_or(node)
         if isinstance(node, SumOp):
@@ -362,6 +365,27 @@ class Evaluator:
             _, vals = _lookup(c.docids, c.scores, common)
             mins = np.minimum(mins, vals)
         return ScoreResult(common, mins)
+
+    def _eval_andnot(self, node: "AndNotOp") -> ScoreResult:
+        """#ANDNOT — boolean exclusion (registry extension; the reference
+        ships no NOT — see ast.AndNotOp): docs of the FIRST child with
+        every later child's docs removed; survivors keep the first child's
+        score (RankedBoolean) or 1.0 (UnrankedBoolean). Indri has no
+        exclusion semantics — loud error, not a silent guess."""
+        if self.model == "Indri":
+            raise ValueError("#ANDNOT is boolean-only (no Indri semantics)")
+        children = self._children(node)
+        if not children:
+            return ScoreResult(np.empty(0, np.int64), np.empty(0, np.float64))
+        pos = children[0]
+        keep = np.ones(len(pos.docids), dtype=bool)
+        for c in children[1:]:
+            if len(c.docids) and keep.any():
+                keep &= ~_member_mask(c.docids, pos.docids)
+        docids = pos.docids[keep]
+        if self.model == "UnrankedBoolean":
+            return ScoreResult(docids, np.ones(len(docids), dtype=np.float64))
+        return ScoreResult(docids, pos.scores[keep])
 
     def _eval_or(self, node: OrOp) -> ScoreResult:
         """#OR — boolean models only (QryopSlOr.java:39-183)."""

@@ -26,6 +26,7 @@ import re
 
 from ..functions.analysis import DEFAULT_ANALYZER, AnalyzerConfig, analyze
 from .ast import (
+    AndNotOp,
     AndOp,
     Near,
     Node,
@@ -124,9 +125,12 @@ def _parse_tokens(
                 w_stack.append(weight)
                 got_weight = False
             has_weight = True
-        elif low in ("#sum", "#and", "#syn", "#or"):
+        elif low in ("#sum", "#and", "#syn", "#or", "#andnot"):
             has_weight = False
-            current = {"#sum": SumOp, "#and": AndOp, "#syn": Syn, "#or": OrOp}[low]()
+            current = {
+                "#sum": SumOp, "#and": AndOp, "#syn": Syn, "#or": OrOp,
+                "#andnot": AndNotOp,
+            }[low]()
             stack.append(current)
         elif low.startswith("#near/"):
             has_weight = False

@@ -112,3 +112,15 @@ def test_score_ids_assigned():
         assert isinstance(a, ScoreNode)
         ids.append(a.score_id)
     assert ids == [0, 1, 2]
+
+
+def test_andnot_parses_and_nests():
+    from search_engine_framework_ray.query.ast import AndNotOp
+
+    q = parse_query("#ANDNOT(#OR(apple pie) cake)", "RankedBoolean")
+    # default #OR wrap around the single rooted op
+    inner = q.args[0] if isinstance(q, OrOp) else q
+    assert isinstance(inner, AndNotOp)
+    assert len(inner.args) == 2
+    assert isinstance(inner.args[0], OrOp)
+    assert unwrap(inner.args[1]) == Term("cake", "body")
