@@ -168,6 +168,26 @@ def q_bm25_topk(sf_dir: str):
     return df[["doc_id", "score_micros"]].reset_index(drop=True)
 
 
+def q_passage_bm25(sf_dir: str):
+    """Passage-level BM25 (query/passage.py; Callan SIGIR'94, Liu & Croft
+    SIGIR'02): rank docs by their BEST 16-token window — Σ idf·c/(c+k1)
+    over within-window term counts, candidate starts = match positions,
+    global df idf, constant length norm. Window scores micro-quantized
+    BEFORE the per-doc argmax (ties → earliest start), global order
+    (score_micros desc, doc_id) — the SQL twin replays every window with
+    a positional self-join. start_pos is the engine's 0-based
+    gap-preserving token offset (the twin's 1-based unnest minus one)."""
+    from search_engine_framework_ray.query.passage import passage_bm25_topk
+
+    idx = _docs_index(sf_dir)
+    out = passage_bm25_topk(idx, list(_BM25_TERMS), window=16, k=10)
+    out = out.rename(columns={"docid": "doc_id"})
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["rank", "doc_id", "start_pos", "score_micros"]]
+
+
 def q_pl2_topk(sf_dir: str):
     """PL2 divergence-from-randomness top-20 (Amati & van Rijsbergen TOIS
     2002 — Poisson randomness, Laplace after-effect, tf-normalization 2).
@@ -5910,6 +5930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_and": q_ranked_and,
         "ranked_or": q_ranked_or,
         "ranked_andnot": q_ranked_andnot,
+        "passage_bm25": q_passage_bm25,
         "unranked_and": q_unranked_and,
         "near1_tf": q_near1_tf,
         "near2_docs": q_near2_docs,
@@ -8703,6 +8724,47 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             GROUP BY doc_id ORDER BY doc_id
         """,
         "near1_tf": _NEAR1_SQL,
+        # passage twin: every (doc, match-start) window rescanned with a
+        # positional self-join, per-window micros, per-doc argmax (ties →
+        # earliest start), global (micros desc, doc) order
+        "passage_bm25": f"""
+            {_POS_TOKS},
+            nn AS (SELECT count(*) AS n FROM documents),
+            dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                    WHERE tok IN ('spark', 'join') GROUP BY tok),
+            idf AS (SELECT tok, ln((n - df + 0.5) / (df + 0.5)) AS w
+                    FROM dft, nn),
+            mpos AS (SELECT doc_id, pos FROM toks
+                     WHERE tok IN ('spark', 'join')),
+            cnt AS (
+                SELECT m.doc_id, m.pos AS s, t.tok, count(*) AS c
+                FROM mpos m JOIN toks t
+                  ON t.doc_id = m.doc_id
+                 AND t.pos >= m.pos AND t.pos < m.pos + 16
+                 AND t.tok IN ('spark', 'join')
+                GROUP BY m.doc_id, m.pos, t.tok
+            ),
+            wsc AS (
+                SELECT doc_id, s,
+                       CAST(round(sum(idf.w * (c / (c + 1.2))) * 1000000)
+                            AS BIGINT) AS m
+                FROM cnt JOIN idf USING (tok)
+                GROUP BY doc_id, s
+            ),
+            best AS (
+                SELECT doc_id, s, m,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY m DESC, s ASC) AS rn
+                FROM wsc
+            )
+            SELECT CAST(row_number() OVER (ORDER BY m DESC, doc_id) AS BIGINT)
+                       AS rank,
+                   doc_id,
+                   CAST(s - 1 AS BIGINT) AS start_pos,
+                   m AS score_micros
+            FROM best WHERE rn = 1
+            ORDER BY m DESC, doc_id LIMIT 10
+        """,
         # phrase_accel shares near1_tf's oracle VERBATIM: the materialized
         # phrase store must be indistinguishable from evaluating #NEAR/1 —
         # the hash proves the acceleration exact (the salted-path pattern)
