@@ -3691,6 +3691,25 @@ def _mmr_sql() -> str:
     """
 
 
+def q_wildcard_tf(sf_dir: str):
+    """Wildcard term query (query/spell.py ``wildcard_query``): ``s*``
+    expands over the index vocabulary (one streaming termstats pass, only
+    matching terms cross; Lucene maxClauseCount-style loud bound) and
+    rewrites to ``#SYN(...)`` — whose position merge makes the per-doc tf
+    exactly the count of prefix-matching tokens, which is what the SQL
+    twin counts with LIKE."""
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import wildcard_query
+
+    idx = _docs_index(sf_dir)
+    ts = ray.data.read_parquet(os.path.join(idx, "termstats"))
+    q = wildcard_query(ts, "s")
+    df = _run(sf_dir, q, "RankedBoolean", k=100_000)
+    df["tf"] = df["score"].astype("int64")
+    return df[["doc_id", "tf"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_spell_correct(sf_dir: str):
     """Query spelling correction ("did you mean"): SymSpell deletes-variant
     prefilter over ONE streaming pass of the index termstats store (the
@@ -6019,6 +6038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": q_crawl_delta,
         "robots_filter": q_robots_filter,
         "spell_correct": q_spell_correct,
+        "wildcard_tf": q_wildcard_tf,
         "mmr_rerank": q_mmr_rerank,
         "prefix_suggest": q_prefix_suggest,
         "build_manifest": q_build_manifest,
@@ -8970,6 +8990,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # unrolled greedy MMR twin (PageRank-oracle precedent)
         "mmr_rerank": _mmr_sql(),
         # LIKE + window replay of autocomplete over the corpus vocabulary
+        # wildcard twin: #SYN over the s* expansion merges positions, so
+        # per-doc tf = count of prefix-matching tokens
+        "wildcard_tf": f"""
+            {_TOKS}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+            WHERE tok LIKE 's%' GROUP BY doc_id ORDER BY doc_id
+        """,
         "prefix_suggest": f"""
         {{toks}}
         , vocab AS (

@@ -155,3 +155,59 @@ def prefix_suggest(
         out.append(m)
     res = pd.concat(out, ignore_index=True) if out else cand
     return res[["prefix", "rank", "suggestion", "ctf"]]
+
+
+def expand_wildcard(
+    termstats_ds,
+    prefix: str,
+    *,
+    field: str = "body",
+    max_terms: int = 64,
+) -> list[str]:
+    """``prefix*`` → the matching vocabulary terms (sorted), via one
+    streaming termstats pass with a per-batch prefilter — only matching
+    terms ever cross the wire, never the vocabulary. Refuses loudly when
+    the expansion exceeds ``max_terms`` (Lucene's maxClauseCount guard:
+    an unbounded wildcard over a web vocabulary is a query-of-death, and
+    silently truncating it would change semantics)."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix matches the whole vocabulary")
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        if "term" in b.columns and len(b):
+            m = b[b["field"] == field]
+            m = m[m["term"].astype(str).str.startswith(prefix)]
+            return pd.DataFrame({"term": m["term"].astype(str)})
+        return pd.DataFrame({"term": pd.Series(dtype="object")})
+
+    got = termstats_ds.map_batches(local, batch_format="pandas").to_pandas()
+    terms = sorted(set(got["term"])) if "term" in got.columns else []
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"wildcard '{prefix}*' expands to {len(terms)} terms "
+            f"(> max_terms={max_terms}); narrow the prefix"
+        )
+    return terms
+
+
+def wildcard_query(
+    termstats_ds,
+    prefix: str,
+    *,
+    field: str = "body",
+    max_terms: int = 64,
+) -> str:
+    """Rewrite ``prefix*`` to the reference algebra: ``#SYN(t1 t2 …)`` over
+    the expansion (Lucene's MultiTermQuery rewrite — #SYN's position merge
+    makes the expansion's tf exactly the count of prefix-matching tokens).
+    Terms are already-analyzed vocabulary entries, so this string is only
+    safe to re-parse under an idempotent analyzer (stems re-stem under
+    Porter; route pre-built trees through the executor for stemmed
+    configs)."""
+    terms = expand_wildcard(
+        termstats_ds, prefix, field=field, max_terms=max_terms
+    )
+    if not terms:
+        raise ValueError(f"wildcard '{prefix}*' matches no vocabulary term")
+    suffix = "" if field == "body" else f".{field}"
+    return "#SYN(" + " ".join(t + suffix for t in terms) + ")"

@@ -438,3 +438,28 @@ def test_collapse_top_k_quota_and_order():
     assert collapse_top_k(ranked, "source", max_per_key=2, k=5)[
         "doc_id"
     ].tolist() == [1, 2, 4, 6, 7]
+
+
+def test_wildcard_expansion_guards(ray_session, engine):
+    import os
+
+    import pytest
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import (
+        expand_wildcard,
+        wildcard_query,
+    )
+
+    index_dir, _ = engine
+    ts = ray.data.read_parquet(os.path.join(index_dir, "termstats"))
+    terms = expand_wildcard(ts, "s")
+    assert terms == sorted(terms) and all(t.startswith("s") for t in terms)
+    q = wildcard_query(ts, "s")
+    assert q.startswith("#SYN(") and all(t in q for t in terms)
+    with pytest.raises(ValueError):
+        expand_wildcard(ts, "")  # whole-vocabulary match refused
+    with pytest.raises(ValueError):
+        expand_wildcard(ts, "s", max_terms=1)  # clause-count guard
+    with pytest.raises(ValueError):
+        wildcard_query(ts, "zzznomatch")  # empty expansion is loud
