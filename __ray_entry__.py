@@ -1861,6 +1861,28 @@ def q_setsim_clusters(sf_dir: str):
     )
 
 
+def q_setsim_containment(sf_dir: str):
+    """Directed containment join (stages/setsim.py containment_join_pairs):
+    all ordered pairs (a, b) with trigram-shingle containment
+    |A∩B|/|A| ≥ 4/5 and |A| ≥ 8 shingles — the quote / boilerplate-superset
+    detector symmetric Jaccard misses. Exact recall via the asymmetric
+    prefix-filter theorem (container prefixes bounded by the min_contained
+    floor); verification is the shared co-partitioned exact pass with the
+    left-side denominator. The containment column is the single float64
+    division |∩|/|A| — bit-identical in both engines."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import containment_join_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = containment_join_pairs(
+        ds, threshold=(4, 5), k_shingle=3, min_contained=8
+    )
+    return out[["a", "b", "containment"]].reset_index(drop=True)
+
+
 def q_vocab_growth(sf_dir: str):
     """Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
     count after each 50-doc checkpoint in doc_id order — the tokenizer /
@@ -5991,6 +6013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
         "setsim_pairs": q_setsim_pairs,
+        "setsim_containment": q_setsim_containment,
         "setsim_cross": q_setsim_cross,
         "setsim_clusters": q_setsim_clusters,
         "vocab_growth": q_vocab_growth,
@@ -9277,6 +9300,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             JOIN cnt ca ON ca.doc_id = i.a
             JOIN cnt cb ON cb.doc_id = i.b
             WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
+            ORDER BY a, b
+        """,
+        "setsim_containment": r"""
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id <> x.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a, i.b, CAST(i.i AS DOUBLE) / ca.n AS containment
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.a
+            WHERE ca.n >= 8 AND 5 * i.i >= 4 * ca.n
             ORDER BY a, b
         """,
         "setsim_clusters": r"""

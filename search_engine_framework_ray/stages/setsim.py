@@ -150,6 +150,211 @@ def setsim_cross_pairs(
     return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
 
 
+def containment_join_pairs(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: tuple[int, int] = (4, 5),
+    k_shingle: int = 3,
+    min_contained: int = 8,
+    hot_token_bound: int | None = 10_000,
+) -> pd.DataFrame:
+    """Directed containment join (Broder SEQUENCES'97's asymmetric twin of
+    Jaccard): all ORDERED pairs (a, b), a ≠ b, with shingle containment
+    ``C(A,B) = |A∩B| / |A| ≥ num/den`` and ``|A| ≥ min_contained`` — "a is
+    (mostly) contained in b", the quote / boilerplate-superset / partial-
+    copy detector that symmetric Jaccard misses (a 50-word quote inside a
+    5,000-word page has Jaccard ≈ 0.01 but containment ≈ 1.0).
+
+    Elements are distinct k-word shingles (:func:`dedup._shingles_strict` —
+    docs with < k words have none), so a SQL oracle can rebuild the exact
+    same sets from ``regexp_extract_all`` slices.
+
+    EXACT recall via the asymmetric prefix-filter theorem: with overlap
+    requirement ``o(A) = ceil(t·|A|)``, a qualifying pair shares an element
+    within A's first ``|A| − o(A) + 1`` and B's first ``|B| − o(A) + 1``
+    elements under one global (df asc, hash asc) order. Because B's bound
+    depends on its PARTNER's size, the index keeps each element with rank
+    ``< n − o_min + 1`` where ``o_min = ceil(t·min_contained)`` — a superset
+    of every valid partner's requirement, so no qualifying pair is missed;
+    ``min_contained`` is the operator's semantic floor (a 2-shingle "doc"
+    being 100%-contained is noise, and the floor is what bounds the
+    container-side prefix at scale). Candidate pruning adds the exact
+    integer length filter (``num·|A| ≤ den·|B|``) and the PPJoin-style
+    positional bound at the shared element (``den·(1 + min(rem_a, rem_b)) ≥
+    num·|A|`` — every true pair passes it at its FIRST shared element and
+    pair-level dedup keeps that emission). Verification is the shared
+    co-partitioned exact pass (``denom="left"``) — nothing ever funnels
+    through the driver.
+
+    Distributed shape: same four narrow shuffles as
+    :func:`setsim_join_pairs` (explode → df attach → per-doc prefix →
+    per-token candidates), all on (int, int, int) rows.
+
+    Reference tie-in: the reference engine has no similarity join; this is
+    LLM-training-data surface (deduplicating quoted/boilerplate-superset
+    pages where Jaccard-based near-dup passes them through).
+    """
+    from .dedup import _shingles_strict, _verify_jaccard_distributed
+
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be a fraction in (0, 1]: {threshold}")
+    if min_contained < 1:
+        raise ValueError("min_contained must be >= 1")
+    # o_min = ceil(t * min_contained), exact ints
+    o_min = -(-(num * min_contained) // den)
+
+    def elems(t: str) -> np.ndarray:
+        return _shingles_strict(t, k_shingle)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, toks = [], [], []
+        for i, t in zip(b[id_col], b[text_col].fillna("")):
+            h = elems(t)
+            if h.size:
+                ids.append(np.full(h.size, int(i), dtype=np.int64))
+                ns.append(np.full(h.size, h.size, dtype=np.int64))
+                toks.append(h.view(np.int64))
+        if not ids:
+            return pd.DataFrame(
+                {"tok": pd.Series(dtype="int64"),
+                 "doc": pd.Series(dtype="int64"),
+                 "n": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "tok": np.concatenate(toks),
+                "doc": np.concatenate(ids),
+                "n": np.concatenate(ns),
+            }
+        )
+
+    _BUCKETS = 256
+
+    def _bucketed(col: str):
+        def add(b: pd.DataFrame) -> pd.DataFrame:
+            return b.assign(gb=int_bucket(b[col].to_numpy(np.int64), _BUCKETS))
+
+        return add
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(df=g.groupby("tok")["tok"].transform("size").astype(np.int64))
+        return g[["tok", "doc", "n", "df"]]
+
+    with_df = (
+        ds.map_batches(explode, batch_format="pandas")
+        .map_batches(_bucketed("tok"), batch_format="pandas")
+        .groupby("gb")
+        .map_groups(attach_df, batch_format="pandas")
+    )
+
+    def take_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        # retention covers BOTH roles: container prefix n − o_min + 1 is
+        # ≥ the contained prefix n − ceil(t·n) + 1 whenever n ≥
+        # min_contained (o(n) ≥ o_min), and a doc with n < o_min can't
+        # contain any valid A (|A∩B| ≤ n < o_min ≤ o(A)) — its empty
+        # retention is correct, not a miss
+        g = g.sort_values(["doc", "df", "tok"], kind="mergesort")
+        n = g["n"].to_numpy(np.int64)
+        rank = g.groupby("doc").cumcount().to_numpy(np.int64)
+        g = g.assign(pos=rank)
+        return g.loc[rank < n - o_min + 1, ["tok", "doc", "n", "pos"]]
+
+    prefix = (
+        with_df.map_batches(_bucketed("doc"), batch_format="pandas")
+        .groupby("gb")
+        .map_groups(take_prefix, batch_format="pandas")
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        g = g[g.duplicated("tok", keep=False)]
+        g = g.sort_values(["tok", "doc"], kind="mergesort")
+        _CHUNK = 512
+
+        for _, sub in g.groupby("tok"):
+            m = len(sub)
+            if hot_token_bound is not None and m > hot_token_bound:
+                raise ValueError(
+                    f"hot shingle {int(sub['tok'].iloc[0])}: {m:,} prefix "
+                    f"occurrences would generate up to ~{m * (m - 1):,} "
+                    f"ordered candidate pairs from one shingle (bound "
+                    f"{hot_token_bound:,}). Raise the threshold or "
+                    f"min_contained (shorter prefixes), or raise "
+                    f"hot_token_bound if the workers can hold it."
+                )
+            docs = sub["doc"].to_numpy(np.int64)
+            ns = sub["n"].to_numpy(np.int64)
+            ps = sub["pos"].to_numpy(np.int64)
+            # contained-side test: n ≥ min_contained AND this element is
+            # within A's own (tighter) prefix n − ceil(t·n) + 1
+            a_ok = (ns >= min_contained) & (
+                ps < ns - (-(-(num * ns) // den)) + 1
+            )
+            lefts = np.flatnonzero(a_ok)
+            if not lefts.size or m < 2:
+                continue
+            for s in range(0, lefts.size, _CHUNK):
+                chunk = lefts[s : s + _CHUNK]
+                ii = np.repeat(chunk, m)
+                jj = np.tile(np.arange(m), chunk.size)
+                sel = ii != jj
+                ii, jj = ii[sel], jj[sel]
+                na, nb = ns[ii], ns[jj]
+                # length filter: ceil(t·n_a) ≤ n_b ⇔ num·n_a ≤ den·n_b
+                keep = num * na <= den * nb
+                # positional bound at the shared element
+                ub = 1 + np.minimum(na - ps[ii] - 1, nb - ps[jj] - 1)
+                keep &= den * ub >= num * na
+                if keep.any():
+                    out_a.append(docs[ii[keep]])
+                    out_b.append(docs[jj[keep]])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    cand = (
+        prefix.map_batches(_bucketed("tok"), batch_format="pandas")
+        .groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])
+
+    cand = (
+        cand.map_batches(_with_pair_bucket, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(uniq, batch_format="pandas")
+        .materialize()
+    )
+
+    out = _verify_jaccard_distributed(
+        ds,
+        cand,
+        id_col=id_col,
+        text_col=text_col,
+        k_shingle=k_shingle,
+        threshold=num / den,
+        set_fn=elems,
+        threshold_frac=(num, den),
+        denom="left",
+        out_col="containment",
+    ).to_pandas()
+    if "a" not in out.columns or not len(out):
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "containment": pd.Series(dtype="float64")}
+        )
+    return out.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+
+
 def _setsim_impl(
     ds: Dataset,
     id_col: str,

@@ -246,3 +246,99 @@ def test_vocab_growth_small(ray_session):
         [0, 3, 3],
         [1, 2, 5],
     ]
+
+
+def _brute_containment(
+    docs: pd.DataFrame, num: int, den: int, k: int, min_contained: int
+) -> pd.DataFrame:
+    from search_engine_framework_ray.stages.dedup import _shingles_strict
+
+    sets = {
+        int(i): set(_shingles_strict(t, k).tolist())
+        for i, t in zip(docs["doc_id"], docs["text"])
+    }
+    rows = []
+    for a, sa in sets.items():
+        if len(sa) < min_contained:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            inter = len(sa & sb)
+            if den * inter >= num * len(sa):
+                rows.append((a, b, inter / len(sa)))
+    return (
+        pd.DataFrame(rows, columns=["a", "b", "containment"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+def test_containment_directed_semantics(ray_session):
+    """A short quote inside a long page: containment finds the directed
+    pair even though Jaccard is far below any useful threshold."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import containment_join_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))  # 10 trigram shingles
+    page = quote + " " + " ".join(f"p{i}" for i in range(80))
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [quote, page, other]})
+    out = containment_join_pairs(
+        ray.data.from_pandas(docs), threshold=(4, 5), k_shingle=3, min_contained=8
+    )
+    # directed: quote (0) contained in page (1); page NOT contained in quote
+    assert out[["a", "b"]].values.tolist() == [[0, 1]]
+    assert out["containment"].iloc[0] == 1.0
+
+
+@pytest.mark.parametrize("num,den", [(1, 2), (4, 5), (1, 1)])
+def test_containment_exact_recall_vs_bruteforce(ray_session, num, den):
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import containment_join_pairs
+
+    rng = np.random.default_rng(7)
+    alphabet = [f"w{i}" for i in range(9)]
+    for case in range(4):
+        n_docs = int(rng.integers(3, 10))
+        texts = [
+            " ".join(rng.choice(alphabet, size=rng.integers(0, 14)))
+            for _ in range(n_docs)
+        ]
+        docs = pd.DataFrame({"doc_id": range(n_docs), "text": texts})
+        got = containment_join_pairs(
+            ray.data.from_pandas(docs),
+            threshold=(num, den),
+            k_shingle=2,
+            min_contained=2,
+        )
+        want = _brute_containment(docs, num, den, 2, 2)
+        assert got[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist(), (
+            f"case {case}: t={num}/{den} texts={texts}"
+        )
+        if len(want):
+            assert np.allclose(
+                got["containment"], want["containment"].astype("float64")
+            )
+
+
+def test_containment_min_contained_floor(ray_session):
+    import ray.data
+
+    from search_engine_framework_ray.stages.setsim import containment_join_pairs
+
+    # doc 0 has 3 shingles (5 words, k=3) — below the floor of 4, so its
+    # total containment in doc 1 is excluded; doc 1 is not contained in 0
+    small = "a b c d e"
+    big = small + " f g h i j k"
+    docs = pd.DataFrame({"doc_id": [0, 1], "text": [small, big]})
+    out = containment_join_pairs(
+        ray.data.from_pandas(docs), threshold=(1, 2), k_shingle=3, min_contained=4
+    )
+    assert len(out) == 0
+    out2 = containment_join_pairs(
+        ray.data.from_pandas(docs), threshold=(1, 2), k_shingle=3, min_contained=3
+    )
+    assert out2[["a", "b"]].values.tolist() == [[0, 1]]
