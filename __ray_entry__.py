@@ -1883,6 +1883,32 @@ def q_setsim_containment(sf_dir: str):
     return out[["a", "b", "containment"]].reset_index(drop=True)
 
 
+def q_edit_pairs(sf_dir: str):
+    """Exact edit-distance similarity join (stages/strsim.py
+    edit_distance_join — PassJoin pigeonhole segment blocking, ICDE'11):
+    all pairs of 24-char text-prefix keys within Levenshtein distance 2,
+    with the exact distance. Exact recall (an alignment with ≤ d edits
+    preserves one of d+1 segments verbatim, shifted ≤ d), narrow int-row
+    shuffles for blocking, co-partitioned capped-DP verify — candidates
+    never funnel through the driver. The fuzzy-key record-linkage
+    primitive next to the token-set joins."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.strsim import edit_distance_join
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "key": b["text"].fillna("").str.slice(0, 24)}
+        ),
+        batch_format="pandas",
+    )
+    out = edit_distance_join(ds, str_col="key", max_dist=2)
+    return out[["a", "b", "dist"]].reset_index(drop=True)
+
+
 def q_vocab_growth(sf_dir: str):
     """Vocabulary-growth (Heaps'-law) curve: cumulative distinct-token
     count after each 50-doc checkpoint in doc_id order — the tokenizer /
@@ -6014,6 +6040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "setsim_pairs": q_setsim_pairs,
         "setsim_containment": q_setsim_containment,
+        "edit_pairs": q_edit_pairs,
         "setsim_cross": q_setsim_cross,
         "setsim_clusters": q_setsim_clusters,
         "vocab_growth": q_vocab_growth,
@@ -9300,6 +9327,17 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             JOIN cnt ca ON ca.doc_id = i.a
             JOIN cnt cb ON cb.doc_id = i.b
             WHERE 10 * i.i >= 9 * (ca.n + cb.n - i.i)
+            ORDER BY a, b
+        """,
+        "edit_pairs": r"""
+            WITH s AS (
+                SELECT doc_id, substr(coalesce(text, ''), 1, 24) AS k
+                FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.k, b.k) <= 2
             ORDER BY a, b
         """,
         "setsim_containment": r"""
