@@ -4626,6 +4626,56 @@ def q_left_join(sf_dir: str):
     )
 
 
+def q_full_join(sf_dir: str):
+    """FULL OUTER join via Ray Data's native hash shuffle join
+    (``Dataset.join(join_type="full_outer")``): sampled customers against
+    a qualifying-orders slice chosen so BOTH sides have unmatched rows
+    (customers with no qualifying order survive left-only; orders whose
+    custkey falls outside the sample survive right-only). Null fills
+    surface as -1 sentinels so the int columns stay exact-hashable;
+    ``custkey`` is the coalesced join key. Column-pruned reads, per-batch
+    pre-shuffle filters."""
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(
+        lambda b: b[b["c_custkey"] % 100 == 0], batch_format="pandas"
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b[
+            (b["o_totalprice"] >= 400_000.0) & (b["o_custkey"] % 100 <= 1)
+        ],
+        batch_format="pandas",
+    )
+    out = cust.join(
+        orders,
+        join_type="full_outer",
+        num_partitions=4,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    ).to_pandas()
+    # Ray's full_outer coalesces the join key into the left key column
+    # (right-only rows carry their right key there) — already the COALESCE
+    ok = out["o_orderkey"].to_numpy(dtype=np.float64, na_value=np.nan)
+    tp = out["o_totalprice"].to_numpy(dtype=np.float64, na_value=np.nan)
+    res = pd.DataFrame(
+        {
+            "custkey": out["c_custkey"].astype("int64"),
+            "o_orderkey": np.where(np.isnan(ok), -1, ok).astype("int64"),
+            "price_cents": np.where(
+                np.isnan(tp), -1, _round_away(tp * 100)
+            ).astype("int64"),
+        }
+    )
+    return (
+        res.sort_values(["custkey", "o_orderkey"]).reset_index(drop=True)
+    )
+
+
 def q_events_running(sf_dir: str):
     """Row-level running sum per key (the SUM() OVER (PARTITION BY …
     ORDER BY … ROWS UNBOUNDED PRECEDING) window function): cumulative
@@ -6161,6 +6211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_bloom": q_anti_join_bloom,
         "event_types": q_event_types,
         "left_join": q_left_join,
+        "full_join": q_full_join,
         "events_running": q_events_running,
         "events_pivot": q_events_pivot,
         "events_latest": q_events_latest,
@@ -11078,6 +11129,22 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
               ON o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000
             WHERE c.c_custkey % 100 = 0
             ORDER BY c_custkey, o_orderkey
+        """,
+        "full_join": """
+            WITH c AS (
+                SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0
+            ),
+            o AS (
+                SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+                WHERE o_totalprice >= 400000 AND o_custkey % 100 <= 1
+            )
+            SELECT CAST(COALESCE(c.c_custkey, o.o_custkey) AS BIGINT)
+                       AS custkey,
+                   COALESCE(o.o_orderkey, -1) AS o_orderkey,
+                   COALESCE(CAST(round(o.o_totalprice * 100) AS BIGINT), -1)
+                       AS price_cents
+            FROM c FULL OUTER JOIN o ON o.o_custkey = c.c_custkey
+            ORDER BY custkey, o_orderkey
         """,
         # integer-micros prefix sum: exact under any execution order
         "events_running": """
