@@ -3758,6 +3758,26 @@ def q_wildcard_tf(sf_dir: str):
     return df[["doc_id", "tf"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_fuzzy_tf(sf_dir: str):
+    """Fuzzy term query (query/spell.py ``fuzzy_query`` — Lucene
+    FuzzyQuery): ``scam~1`` expands over the index vocabulary (one
+    streaming termstats pass; the SymSpell 1-delete prefilter is
+    exact-recall at distance 1, exact-Levenshtein verified in-batch) and
+    rewrites to ``#SYN(...)`` — the typo recovers the real term and the
+    per-doc tf is exactly the count of tokens within one edit, which is
+    what the SQL twin counts with levenshtein()."""
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import fuzzy_query
+
+    idx = _docs_index(sf_dir)
+    ts = ray.data.read_parquet(os.path.join(idx, "termstats"))
+    q = fuzzy_query(ts, "scam", max_distance=1)
+    df = _run(sf_dir, q, "RankedBoolean", k=100_000)
+    df["tf"] = df["score"].astype("int64")
+    return df[["doc_id", "tf"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_spell_correct(sf_dir: str):
     """Query spelling correction ("did you mean"): SymSpell deletes-variant
     prefilter over ONE streaming pass of the index termstats store (the
@@ -6139,6 +6159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "spell_correct": q_spell_correct,
         "wildcard_tf": q_wildcard_tf,
+        "fuzzy_tf": q_fuzzy_tf,
         "mmr_rerank": q_mmr_rerank,
         "prefix_suggest": q_prefix_suggest,
         "build_manifest": q_build_manifest,
@@ -9097,6 +9118,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             {_TOKS}
             SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
             WHERE tok LIKE 's%' GROUP BY doc_id ORDER BY doc_id
+        """,
+        "fuzzy_tf": f"""
+            {_TOKS}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+            WHERE levenshtein('scam', tok) <= 1
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "prefix_suggest": f"""
         {{toks}}

@@ -190,6 +190,85 @@ def expand_wildcard(
     return terms
 
 
+def expand_fuzzy(
+    termstats_ds,
+    token: str,
+    *,
+    field: str = "body",
+    max_distance: int = 1,
+    max_terms: int = 64,
+) -> list[str]:
+    """Fuzzy term expansion (Lucene FuzzyQuery's enumeration step):
+    ``token`` → every vocabulary term within ``max_distance`` edits, via
+    one streaming termstats pass. The per-batch SymSpell deletes-variant
+    prefilter is EXACT-recall for distance ≤ 1 (two strings within one
+    edit share a 1-delete variant), so only candidate terms leave the
+    batch; the exact Levenshtein verify also runs inside the batch.
+    Distances > 1 would need d-delete neighborhoods — refused loudly
+    rather than silently under-recalling. Same loud ``max_terms`` bound as
+    the wildcard expansion (Lucene's maxClauseCount)."""
+    if max_distance != 1:
+        raise ValueError(
+            "expand_fuzzy supports max_distance=1 (the 1-delete prefilter "
+            "is exact-recall only there); use d-delete neighborhoods for "
+            "larger distances"
+        )
+    if not token:
+        raise ValueError("empty fuzzy token")
+    qvars = _deletes(token)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        if "term" not in b.columns or not len(b):
+            return pd.DataFrame({"term": pd.Series(dtype="object")})
+        m = b[b["field"] == field]
+        if not len(m):
+            return pd.DataFrame({"term": pd.Series(dtype="object")})
+        tser = m["term"].astype(str)
+        keep = tser.isin(qvars).to_numpy()
+        maxlen = int(tser.str.len().max())
+        for i in range(maxlen):
+            var = (tser.str[:i] + tser.str[i + 1 :]).fillna(tser)
+            keep |= var.isin(qvars).to_numpy()
+        cand = tser[keep]
+        hit = [t for t in cand if levenshtein(token, t) <= max_distance]
+        return pd.DataFrame({"term": pd.Series(hit, dtype="object")})
+
+    got = termstats_ds.map_batches(local, batch_format="pandas").to_pandas()
+    terms = sorted(set(got["term"])) if "term" in got.columns else []
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"fuzzy '{token}~{max_distance}' expands to {len(terms)} terms "
+            f"(> max_terms={max_terms}); raise max_terms or use a rarer "
+            f"token"
+        )
+    return terms
+
+
+def fuzzy_query(
+    termstats_ds,
+    token: str,
+    *,
+    field: str = "body",
+    max_distance: int = 1,
+    max_terms: int = 64,
+) -> str:
+    """Rewrite ``token~`` (FuzzyQuery) to the reference algebra:
+    ``#SYN(t1 t2 …)`` over the edit-distance expansion — #SYN's position
+    merge makes the per-doc tf exactly the count of tokens within
+    ``max_distance`` edits of the query token. Same re-parse caveat as
+    :func:`wildcard_query` (expansion terms are analyzed vocabulary)."""
+    terms = expand_fuzzy(
+        termstats_ds, token, field=field,
+        max_distance=max_distance, max_terms=max_terms,
+    )
+    if not terms:
+        raise ValueError(
+            f"fuzzy '{token}~{max_distance}' matches no vocabulary term"
+        )
+    suffix = "" if field == "body" else f".{field}"
+    return "#SYN(" + " ".join(t + suffix for t in terms) + ")"
+
+
 def wildcard_query(
     termstats_ds,
     prefix: str,

@@ -463,3 +463,35 @@ def test_wildcard_expansion_guards(ray_session, engine):
         expand_wildcard(ts, "s", max_terms=1)  # clause-count guard
     with pytest.raises(ValueError):
         wildcard_query(ts, "zzznomatch")  # empty expansion is loud
+
+
+def test_fuzzy_expansion_semantics(ray_session, engine):
+    import os
+
+    import pytest
+    import ray.data
+
+    from search_engine_framework_ray.query.spell import (
+        expand_fuzzy,
+        fuzzy_query,
+        levenshtein,
+    )
+
+    index_dir, _ = engine
+    ts = ray.data.read_parquet(os.path.join(index_dir, "termstats"))
+    # exact-recall check: expansion == brute-force lev<=1 over the vocab
+    vocab = sorted(set(ts.to_pandas().query("field == 'body'")["term"]))
+    probe = vocab[0]
+    got = expand_fuzzy(ts, probe, max_distance=1)
+    want = sorted(t for t in vocab if levenshtein(probe, t) <= 1)
+    assert got == want and probe in got
+    q = fuzzy_query(ts, probe)
+    assert q.startswith("#SYN(") and all(t in q for t in got)
+    with pytest.raises(ValueError):
+        expand_fuzzy(ts, "")  # empty token refused
+    with pytest.raises(ValueError):
+        expand_fuzzy(ts, probe, max_distance=2)  # prefilter not exact there
+    with pytest.raises(ValueError):
+        expand_fuzzy(ts, probe, max_terms=0)  # clause-count guard
+    with pytest.raises(ValueError):
+        fuzzy_query(ts, "zzzzzzznomatch")  # empty expansion is loud
