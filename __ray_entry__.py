@@ -4991,6 +4991,30 @@ def q_char_entropy(sf_dir: str):
     )
 
 
+def q_rag_chunks(sf_dir: str):
+    """RAG token-window chunking (retrieval-augmented-generation prep):
+    every document splits into overlapping 24-token windows advancing by
+    16 tokens under the full-coverage rule (last window reaches the doc
+    end; no degenerate tail chunks), one provenance row per chunk. Pure
+    per-batch flat-map — no shuffle, streams into embed/index/write
+    (stages/corpus.py chunk_documents)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import chunk_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = chunk_documents(ds, window=24, stride=16).to_pandas()
+    for c in ("doc_id", "chunk_id", "start_tok", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text"]]
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
 def q_jsonl_export(sf_dir: str):
     """JSONL training-data export roundtrip (the handoff format LLM stacks
     ingest): documents written as one atomic newline-delimited-JSON
@@ -6201,6 +6225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": q_percolate,
         "jsonl_export": q_jsonl_export,
         "char_entropy": q_char_entropy,
+        "rag_chunks": q_rag_chunks,
         "mm_meta": q_mm_meta,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
@@ -10486,6 +10511,31 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # identity projection — the JSONL writer/reader must be lossless
         "jsonl_export": """
             SELECT doc_id, text, source FROM documents ORDER BY doc_id
+        """,
+        # full-coverage sliding token windows replayed with list_slice:
+        # n_chunks = 1 if n<=W else ceil((n-W)/S)+1, starts k·S, text
+        # re-joined with single spaces (the engine's normalized form)
+        "rag_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[^ \t\n\f\r]+') AS l
+                FROM documents
+            ),
+            nn AS (
+                SELECT doc_id, l, len(l) AS n,
+                       CASE WHEN len(l) <= 24 THEN 1
+                            ELSE ((len(l) - 24 + 16 - 1) // 16) + 1
+                       END AS n_chunks
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS chunk_id,
+                   CAST(k * 16 AS BIGINT) AS start_tok,
+                   CAST(least(n - k * 16, 24) AS BIGINT) AS n_tokens,
+                   coalesce(array_to_string(l[k*16+1 : k*16+24], ' '), '')
+                       AS chunk_text
+            FROM nn, LATERAL unnest(generate_series(0, n_chunks - 1)) AS t(k)
+            ORDER BY doc_id, chunk_id
         """,
         # the four registered alert queries replayed with the proven
         # positional self-join patterns (near1/window/syn/term membership)

@@ -716,3 +716,72 @@ def collocations(
         ["lift_micros", "gram"], ascending=[False, True], kind="mergesort"
     )
     return top.head(k).reset_index(drop=True)[["gram", "cnt", "lift_micros"]]
+
+
+def chunk_documents(
+    ds: Dataset,
+    *,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Token-window chunking for RAG / embedding pipelines → one row per
+    chunk ``(doc_id, chunk_id, start_tok, n_tokens, chunk_text)``.
+
+    The retrieval-augmented-generation preprocessing step: every document
+    splits into overlapping windows of ``window`` whitespace tokens whose
+    starts advance by ``stride`` (< window ⇒ overlap = window - stride
+    tokens of shared context across the cut). Chunk starts follow the
+    FULL-COVERAGE rule: the last start is the smallest multiple of
+    ``stride`` whose window reaches the document end —
+    ``n_chunks = 1 if n ≤ window else ceil((n - window) / stride) + 1`` —
+    so every token lands in ≥1 chunk and no chunk is a strict subset of
+    its predecessor (the degenerate tail a naive ``start < n`` rule emits).
+    A document with no tokens still emits one empty chunk so provenance
+    joins stay total.
+
+    Tokenization is the RE2-aligned ``[^ \\t\\n\\f\\r]+`` class shared with
+    the token-count / quality stages, and ``chunk_text`` re-joins tokens
+    with single spaces (whitespace-normalized — the form embedding models
+    see anyway), which is exactly what DuckDB's
+    ``regexp_extract_all`` + ``list_slice`` + ``array_to_string`` replay.
+
+    Scale shape: a pure per-batch ``map_batches`` flat-map — NO shuffle,
+    no driver state, output streams to the next stage (embed / index /
+    write) with back-pressure. Window arithmetic (chunk counts, starts,
+    per-chunk lengths) is vectorized over the whole batch via
+    repeat/cumsum offsets; only the final token-slice string join runs
+    per chunk (string assembly, same cost class as the JSONL writer).
+    """
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError(
+            f"need 0 < stride <= window, got window={window} stride={stride}"
+        )
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("").reset_index(drop=True)
+        toks = texts.str.findall(_WS_RE)
+        n = toks.str.len().to_numpy(np.int64)
+        n_chunks = np.where(
+            n <= window, 1, (np.maximum(n - window, 0) + stride - 1) // stride + 1
+        ).astype(np.int64)
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        offs = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        k = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(offs, n_chunks)
+        start = k * stride
+        tok_arr = toks.to_numpy(object)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[doc_rep],
+                "chunk_id": k,
+                "start_tok": start,
+                "n_tokens": np.minimum(n[doc_rep] - start, window),
+                "chunk_text": [
+                    " ".join(tok_arr[d][s : s + window])
+                    for d, s in zip(doc_rep, start)
+                ],
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pandas")

@@ -1590,3 +1590,48 @@ def test_pattern_scan_overlap_null_and_clean(ray_session):
     # columns for zero-row datasets — the driver entry guards that quirk)
     assert none.schema().names == ["doc_id", "pattern", "n"]
     assert none.count() == 0
+
+
+def test_chunk_documents_semantics(ray_session):
+    """Full-coverage rule: window 3 / stride 2 over hand-built docs —
+    exact boundaries, tail window reaching the end, sub-window doc,
+    empty doc emitting one empty chunk, multi-space normalization."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import chunk_documents
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b  c d e f g", "x y", "", "p q r s t u v w"],
+        }
+    )
+    got = (
+        chunk_documents(ray.data.from_pandas(docs), window=3, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert got["chunk_text"].tolist() == [
+        "a b c", "c d e", "e f g",          # n=7 → starts 0,2,4 (4+3 = end)
+        "x y",                              # n ≤ window → one chunk
+        "",                                 # empty doc → one empty chunk
+        "p q r", "r s t", "t u v", "v w",   # n=8 → last start 6, len-2 tail
+    ]
+    assert got["start_tok"].tolist() == [0, 2, 4, 0, 0, 0, 2, 4, 6]
+    assert got["n_tokens"].tolist() == [3, 3, 3, 2, 0, 3, 3, 3, 2]
+    # every token covered: union of [start, start+n_tokens) == [0, n)
+    for doc, n in [(1, 7), (4, 8)]:
+        seen = set()
+        for _, r in got[got["doc_id"] == doc].iterrows():
+            seen |= set(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert seen == set(range(n))
+
+
+def test_chunk_documents_guards():
+    from search_engine_framework_ray.stages.corpus import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, window=4, stride=5)  # stride > window
+    with pytest.raises(ValueError):
+        chunk_documents(None, window=0, stride=0)
