@@ -5562,6 +5562,23 @@ def q_rocchio(sf_dir: str):
     return out[["rank", "term", "weight_micros"]].reset_index(drop=True)
 
 
+def q_more_like_this(sf_dir: str):
+    """Lucene-style MoreLikeThis (related-documents search): seed doc 7's
+    term vector scored by tf·ln(N/df) (the MLT interest measure,
+    micros-quantized, ties term-asc), top-8 terms rewritten as a #SUM BM25
+    query through the ordinary distributed path, seed excluded from the
+    top-10. One pruned fwd.parquet task + metadata df — the corpus is
+    never scanned for term selection (query/expansion.py
+    more_like_this)."""
+    from search_engine_framework_ray.query.expansion import more_like_this
+
+    idx = _docs_index(sf_dir)
+    out = more_like_this(idx, 7, n_terms=8, k=10)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["rank", "doc_id", "score_micros"]].reset_index(drop=True)
+
+
 def q_lang_routed_bm25(sf_dir: str):
     """BM25 over a LANGUAGE-PARTITIONED index: the corpus splits by
     ``lang`` in one resumable sink pass, each language builds its own
@@ -6203,6 +6220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "site_collapse": q_site_collapse,
         "pruned_bm25": q_pruned_bm25,
         "rocchio": q_rocchio,
+        "more_like_this": q_more_like_this,
         "lang_routed_bm25": q_lang_routed_bm25,
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
@@ -6321,6 +6339,56 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# MoreLikeThis twin: seed doc 7's tf·ln(N/df) interest measure replayed
+# micros-exact (ties term-asc), the winning 8 terms fed through the SAME
+# BM25 chain as _BM25_SQL (df over ALL docs — global stats don't change
+# with the exclusion), seed dropped only from the final ranking.
+_MLT_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+seed AS (SELECT tok, count(*) AS tf FROM toks WHERE doc_id = 7 GROUP BY tok),
+dfall AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+sel AS (
+    SELECT seed.tok
+    FROM seed JOIN dfall USING (tok) CROSS JOIN stats
+    ORDER BY CAST(round(seed.tf * ln(stats.n_docs * 1.0 / dfall.df)
+                        * 1000000) AS BIGINT) DESC, seed.tok
+    LIMIT 8
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN (SELECT tok FROM sel) GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    WHERE tf.doc_id != 7
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+    FROM scores
+    ORDER BY score_micros DESC, doc_id
+    LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank,
+       doc_id, score_micros
+FROM ranked
+ORDER BY rank
 """
 
 
@@ -8704,6 +8772,7 @@ def oracle_sql() -> dict[str, str]:
         "site_collapse": _SITE_COLLAPSE_SQL,
         "pruned_bm25": _PRUNED_BM25_SQL,
         "rocchio": _ROCCHIO_SQL,
+        "more_like_this": _MLT_SQL,
         "lang_routed_bm25": _LANG_ROUTED_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "bpe_merges": _bpe_sql(6),

@@ -338,3 +338,69 @@ def rocchio_terms(
             "weight": pd.Series([v for _, v in ranked], dtype="float64"),
         }
     )
+
+
+def more_like_this(
+    index_dir: str,
+    seed_doc: int,
+    *,
+    n_terms: int = 8,
+    k: int = 10,
+    model_params: "ModelParams | None" = None,
+) -> pd.DataFrame:
+    """Lucene-style MoreLikeThis: rank documents related to ``seed_doc`` by
+    building a bag-of-words query from the seed's own most-salient terms.
+
+    Term selection scores every stem in the seed's term vector by
+    ``tf(t, seed) * ln(N / df(t))`` (Lucene MLT's default tf·idf interest
+    measure, MoreLikeThis.java createQueue), micros-quantized with the
+    repo's round-half-away so ties are exact, keeps the top ``n_terms`` by
+    (score desc, term asc), then runs the ordinary distributed #SUM BM25
+    query path over them and drops the seed from the ranking.
+
+    Distribution shape: ONE pruned term-vector task against the seed's
+    shard (the Rocchio fwd.parquet path), df from the bucketed termstats
+    store (metadata only), then a standard top-(k+1) query — the corpus is
+    never scanned for term selection, and the query fan-out is the same
+    k·S-row merge every retrieval entry uses. Returns
+    ``(rank, doc_id, score_micros)``; the seed never appears.
+    """
+    import math
+
+    from .executor import run_queries
+
+    ranges = _shard_of(index_dir)
+    stats = read_stats(index_dir)
+    n_docs = int(stats["n_docs"])
+    shard = next(s for s, lo, hi in ranges if lo <= int(seed_doc) < hi)
+    tv = ray.get(_fetch_term_vectors.remote(index_dir, shard, [int(seed_doc)]))
+    if not len(tv):
+        raise KeyError(f"seed doc {seed_doc} has no term vector")
+
+    ts = load_term_stats(index_dir, {("body", t) for t in tv["stem"]})
+    df_map = {t: d for (f, t), (d, _) in ts.items() if f == "body" and d > 0}
+    tv = tv[tv["stem"].isin(df_map)].copy()
+    idf = tv["stem"].map(lambda t: math.log(n_docs / df_map[t])).to_numpy(np.float64)
+    interest = tv["tf"].to_numpy(np.float64) * idf
+    tv["interest_micros"] = (
+        np.sign(interest) * np.floor(np.abs(interest) * 1_000_000 + 0.5)
+    ).astype(np.int64)
+    sel = (
+        tv.sort_values(["interest_micros", "stem"], ascending=[False, True], kind="mergesort")
+        .head(n_terms)["stem"]
+        .tolist()
+    )
+
+    params = model_params or ModelParams(model="BM25")
+    res = run_queries(index_dir, [("mlt", " ".join(sel))], params, k=k + 1)["mlt"]
+    rows = [
+        (int(u[3:]), s) for u, s, _ in res if int(u[3:]) != int(seed_doc)
+    ][:k]
+    sc = np.array([s for _, s in rows], dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "doc_id": np.array([d for d, _ in rows], dtype=np.int64),
+            "score_micros": (np.sign(sc) * np.floor(np.abs(sc) * 1_000_000 + 0.5)).astype(np.int64),
+        }
+    )

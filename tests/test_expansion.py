@@ -128,3 +128,23 @@ def test_rocchio_terms_hand_computed(micro_index):
     # ranking: desc weight, term-ascending ties
     order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     assert got["term"].tolist() == [t for t, _ in order]
+
+
+def test_more_like_this_hand_computed(micro_index):
+    """Seed d2 = 'apple cherry cherry date' over the 3-doc corpus:
+    interest = tf·ln(3/df) → date 1·ln(3) ≈ 1.0986 > cherry 2·ln(1.5)
+    ≈ 0.8109 > apple 1·ln(1.5) ≈ 0.405. n_terms=2 picks {date, cherry};
+    date appears only in the seed, so the ranking is driven by cherry →
+    d1 ('banana cherry') is the one related doc, and the seed never
+    appears."""
+    from search_engine_framework_ray.query.expansion import more_like_this
+
+    out = more_like_this(micro_index, 2, n_terms=2, k=5)
+    assert 2 not in set(out["doc_id"])
+    assert out["doc_id"].tolist() == [1]
+    assert out["rank"].tolist() == [1]
+
+    # n_terms=3 adds apple → d0 ('apple banana apple') joins the ranking
+    out3 = more_like_this(micro_index, 2, n_terms=3, k=5)
+    assert set(out3["doc_id"]) == {0, 1}
+    assert 2 not in set(out3["doc_id"])
