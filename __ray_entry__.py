@@ -2686,6 +2686,26 @@ def q_embedding_clusters(sf_dir: str):
     return out[["vec_id", "cluster"]].sort_values("vec_id").reset_index(drop=True)
 
 
+def q_pca_top_component(sf_dir: str):
+    """Top principal component of the embedding table by EXACT-integer
+    power iteration (6 steps over the centered scatter C = n·G − S·Sᵀ,
+    HITS-style sign/abs truncating rescale) → every vector's projection
+    onto the component, bit-reproducible in any 128-bit-integer SQL
+    engine. One streaming pass for the d×d sufficient statistics, one for
+    the projection (stages/ann.py pca_power)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import pca_power
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = pca_power(ds, iters=6)
+    for c in ("vec_id", "proj"):
+        out[c] = out[c].astype("int64")
+    return out[["vec_id", "proj"]].reset_index(drop=True)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup composition (stages/ann.py ``semantic_dedup``): the
     deterministic k-means fit buckets the embeddings, then one
@@ -6192,6 +6212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "docs_shuffle": q_docs_shuffle,
         "embedding_clusters": q_embedding_clusters,
+        "pca_top_component": q_pca_top_component,
         "semantic_dedup": q_semantic_dedup,
         "curation": q_curation,
         "url_canonical": q_url_canonical,
@@ -7545,6 +7566,50 @@ FROM best b
 JOIN topd USING (doc_id)
 JOIN snip s USING (doc_id)
 ORDER BY topd.rnk
+"""
+
+
+# PCA power-iteration twin: exact-integer replay of pca_power — micros
+# quantization, HUGEINT sums/Gram, centered scatter n·G − S·Sᵀ, 6 unrolled
+# w = C·v / sign-abs-truncating-rescale steps, then the int64 projection.
+# (DuckDB `//` truncates toward zero; the sign/abs form matches the
+# engine's Python construction exactly, including negative components.)
+_PCA_ITERS = "".join(
+    f"""
+w{t} AS (SELECT c.i, sum(c.c * v{t - 1}.v) AS w
+         FROM c JOIN v{t - 1} ON v{t - 1}.i = c.j GROUP BY c.i),
+m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+v{t} AS (SELECT i, CASE WHEN w >= 0 THEN (abs(w) * 1000000) // m
+                        ELSE -((abs(w) * 1000000) // m) END AS v
+         FROM w{t}, m{t}),"""
+    for t in range(1, 7)
+)
+
+_PCA_SQL = f"""
+WITH e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS xq
+    FROM embeddings
+),
+nn AS (SELECT count(*) AS n FROM embeddings),
+s AS (SELECT i, CAST(sum(xq) AS HUGEINT) AS s FROM e GROUP BY i),
+g AS (
+    SELECT a.i AS i, b.i AS j, sum(CAST(a.xq AS HUGEINT) * b.xq) AS g
+    FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i
+),
+c AS (
+    SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS c
+    FROM g CROSS JOIN nn
+    JOIN s si ON si.i = g.i
+    JOIN s sj ON sj.i = g.j
+),
+v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM s),{_PCA_ITERS}
+proj AS (
+    SELECT e.vec_id, CAST(sum(CAST(e.xq AS HUGEINT) * v6.v) AS BIGINT) AS proj
+    FROM e JOIN v6 ON v6.i = e.i GROUP BY e.vec_id
+)
+SELECT vec_id, proj FROM proj ORDER BY vec_id
 """
 
 
@@ -10276,6 +10341,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         # replay of kmeans_clusters: quantized seed centroids (c0) → two
         # Lloyd rounds (assign aN on micros-rounded squared-L2, update cN =
         # micros-quantized per-dim avg) → final assignment a3
+        "pca_top_component": _PCA_SQL,
         "embedding_clusters": _KMEANS_REPLAY_CTES
         + """
             SELECT vec_id, cid AS cluster FROM a3 ORDER BY vec_id

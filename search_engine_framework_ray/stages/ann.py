@@ -1121,3 +1121,91 @@ def ivf_pq_topk(
     cand = cand.reset_index(drop=True)
     cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
     return cand
+
+
+def pca_power(
+    ds: Dataset,
+    *,
+    iters: int = 6,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pd.DataFrame:
+    """Top principal component of an embedding table by EXACT-integer power
+    iteration → one projection row per vector ``(vec_id, proj)`` plus the
+    direction itself (attached as ``.attrs["component"]``, length-d int64).
+
+    The embedding-analytics primitive behind PCA whitening, drift
+    monitoring and 1-D curriculum ordering: embeddings quantize to integer
+    micros, ONE streaming pass accumulates the exact sufficient statistics
+    (count n, per-dim sums S, Gram G = Σ xxᵀ as d×d int64 per-batch
+    partials — only d²-sized partials ever cross the wire), the centered
+    scatter C = n·G − S·Sᵀ is formed in arbitrary-precision Python ints on
+    the driver (C overflows int64 past ~10⁵ rows; d×d is tiny), and
+    ``iters`` power-iteration steps run in exact integer arithmetic:
+
+        w = C · v;   v ← sign(w) · (|w| · scale // max|w|)
+
+    — the HITS/PageRank integer-replay pattern, so any SQL engine with a
+    128-bit integer type reproduces the component bit-for-bit (the
+    truncating sign/abs rescale sidesteps floor-vs-truncate division
+    divergence on negative components). A second streaming pass projects
+    every vector onto the final direction in int64 (magnitude is
+    n-independent). Deterministic: v₀ = scale·1 — no randomness, no
+    convergence test; both engine and twin run the same fixed iteration
+    count.
+    """
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _stack_embeddings(batch, col)
+        xq = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(np.int64)
+        g = xq.T @ xq  # d×d int64; |x|·scale ≤ ~4e6 ⇒ safe to ~10⁵ rows/batch
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(xq))],
+                "s": [xq.sum(axis=0, dtype=np.int64).tobytes()],
+                "g": [g.tobytes()],
+                "d": [np.int64(xq.shape[1])],
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    d = int(parts["d"].iloc[0])
+    n = int(parts["n"].sum())
+    s = np.zeros(d, dtype=object)
+    g = np.zeros((d, d), dtype=object)
+    for _, row in parts.iterrows():
+        s = s + np.frombuffer(row["s"], dtype=np.int64).astype(object)
+        g = g + np.frombuffer(row["g"], dtype=np.int64).reshape(d, d).astype(object)
+    c = n * g - np.outer(s, s)  # exact Python-int scatter matrix
+
+    v = np.full(d, int(scale), dtype=object)
+    for _ in range(iters):
+        w = c @ v
+        m = max(int(abs(x)) for x in w)
+        if m == 0:
+            break  # degenerate (constant) input: keep the current direction
+        v = np.array(
+            [(1 if int(x) >= 0 else -1) * (abs(int(x)) * scale // m) for x in w],
+            dtype=object,
+        )
+    v64 = v.astype(np.int64)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _stack_embeddings(batch, col)
+        xq = (np.sign(x) * np.floor(np.abs(x) * scale + 0.5)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "proj": xq @ v64,
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pandas")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    out.attrs["component"] = v64
+    return out

@@ -1635,3 +1635,38 @@ def test_chunk_documents_guards():
         chunk_documents(None, window=4, stride=5)  # stride > window
     with pytest.raises(ValueError):
         chunk_documents(None, window=0, stride=0)
+
+
+def test_pca_power_matches_numpy_eig(ray_session):
+    """Planted anisotropic cloud: the exact-integer power-iteration
+    component must align with numpy's top eigenvector of the centered
+    scatter (|cos| > 0.999), projections must equal the quantized-input
+    matmul, and the whole run must be deterministic."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.ann import pca_power
+
+    rng = np.random.default_rng(7)
+    d, n = 8, 400
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    x = (
+        rng.normal(size=(n, 1)) * 3.0 * direction[None, :]
+        + rng.normal(size=(n, d)) * 0.3
+    ).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(x)})
+    out = pca_power(ray.data.from_pandas(pdf), iters=8)
+    v = out.attrs["component"].astype(np.float64)
+    xq = np.sign(x.astype(np.float64)) * np.floor(
+        np.abs(x.astype(np.float64)) * 1e6 + 0.5
+    )
+    c = len(xq) * (xq.T @ xq) - np.outer(xq.sum(0), xq.sum(0))
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    want_proj = (xq @ v).astype(np.int64)
+    got = out.sort_values("vec_id")["proj"].to_numpy()
+    np.testing.assert_array_equal(got, want_proj)
+    again = pca_power(ray.data.from_pandas(pdf), iters=8)
+    assert (again.attrs["component"] == out.attrs["component"]).all()
