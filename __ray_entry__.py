@@ -5582,6 +5582,39 @@ def q_rocchio(sf_dir: str):
     return out[["rank", "term", "weight_micros"]].reset_index(drop=True)
 
 
+def q_filtered_bm25(sf_dir: str):
+    """Attribute-filtered retrieval (Lucene filter-query semantics): BM25
+    over 'spark join' restricted at QUERY TIME to documents with
+    source ∈ {src3, src7}; scores keep GLOBAL collection stats — the
+    filter changes who ranks, not how anyone scores. Allowed-docid set
+    from one pruned predicate-pushed metadata read, shipped as per-shard
+    Elias-Fano bytes, one searchsorted membership probe before each
+    shard's top-k cut (query/filtered.py)."""
+    from search_engine_framework_ray.query.filtered import filtered_topk
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    res = filtered_topk(
+        idx,
+        os.path.join(sf_dir, "documents.parquet"),
+        [("q", " ".join(_BM25_TERMS))],
+        ModelParams(model="BM25"),
+        "source",
+        ["src3", "src7"],
+        k=10,
+    )["q"]
+    sc = np.array([s for _, s, _ in res], dtype=np.float64)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(res) + 1, dtype=np.int64),
+            "doc_id": np.array([int(u[3:]) for u, _, _ in res], dtype=np.int64),
+            "score_micros": (
+                np.sign(sc) * np.floor(np.abs(sc) * 1_000_000 + 0.5)
+            ).astype(np.int64),
+        }
+    )
+
+
 def q_more_like_this(sf_dir: str):
     """Lucene-style MoreLikeThis (related-documents search): seed doc 7's
     term vector scored by tf·ln(N/df) (the MLT interest measure,
@@ -6242,6 +6275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_bm25": q_pruned_bm25,
         "rocchio": q_rocchio,
         "more_like_this": q_more_like_this,
+        "filtered_bm25": q_filtered_bm25,
         "lang_routed_bm25": q_lang_routed_bm25,
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
@@ -6360,6 +6394,48 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# Filtered-retrieval twin: the _BM25_SQL chain with GLOBAL df/stats (the
+# filter changes who ranks, not how anyone scores) and the source
+# predicate applied only to the final ranking membership.
+_FILTERED_BM25_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    WHERE tf.doc_id IN (
+        SELECT doc_id FROM documents WHERE source IN ('src3', 'src7')
+    )
+    GROUP BY tf.doc_id
+),
+ranked AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
+    FROM scores
+    ORDER BY score_micros DESC, doc_id
+    LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY score_micros DESC, doc_id) AS rank,
+       doc_id, score_micros
+FROM ranked
+ORDER BY rank
 """
 
 
@@ -8838,6 +8914,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_bm25": _PRUNED_BM25_SQL,
         "rocchio": _ROCCHIO_SQL,
         "more_like_this": _MLT_SQL,
+        "filtered_bm25": _FILTERED_BM25_SQL,
         "lang_routed_bm25": _LANG_ROUTED_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "bpe_merges": _bpe_sql(6),

@@ -117,10 +117,19 @@ def stats_prepass_rows(cache: _ShardCache, queries: dict, pairs) -> pd.DataFrame
     return pd.DataFrame(out)
 
 
-def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def exec_rows(
+    cache: _ShardCache, queries: dict, pairs, k: int, allowed: dict | None = None
+) -> pd.DataFrame:
     """Per (qid, shard): evaluate the full tree, emit shard-local top-k.
     Flat BM25 #SUM queries take the block-max pruned path (rank-identical,
-    see query/blockmax.py); everything else evaluates exhaustively."""
+    see query/blockmax.py); everything else evaluates exhaustively.
+    ``allowed`` (shard → sorted docid array) is a query-time INCLUSION
+    filter (Lucene filter-query / liveDocs-complement semantics): scores
+    keep global collection stats, non-members drop before the top-k cut,
+    and a shard absent from the dict matches nothing."""
     from .blockmax import try_blockmax_bm25
 
     out = {"qid": [], "docid": [], "url": [], "score": []}
@@ -128,13 +137,15 @@ def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
     for qid, shard in pairs:
         qtree, params, score_stats = queries[qid]
         view = cache.view(int(shard))
+        aset = None if allowed is None else allowed.get(int(shard), _EMPTY_I64)
         # tombstoned index: the block-max pruned path doesn't know deletes —
         # evaluate exhaustively and filter before the top-k cut (scores keep
         # the PRE-delete collection stats, Lucene liveDocs semantics; a
-        # compaction reclaims both the postings and the stats)
+        # compaction reclaims both the postings and the stats). The same
+        # applies to an inclusion filter.
         bm = (
             None
-            if len(tomb)
+            if len(tomb) or aset is not None
             else try_blockmax_bm25(view, qtree, params, score_stats, k)
         )
         if bm is not None:
@@ -158,6 +169,11 @@ def exec_rows(cache: _ShardCache, queries: dict, pairs, k: int) -> pd.DataFrame:
         if len(res.docids) == 0:
             continue
         res_docids, res_scores = res.docids, res.scores
+        if aset is not None:
+            keep = _member_mask(aset, res_docids)
+            res_docids, res_scores = res_docids[keep], res_scores[keep]
+            if len(res_docids) == 0:
+                continue
         if len(tomb):
             keep = ~_member_mask(tomb, res_docids)
             res_docids, res_scores = res_docids[keep], res_scores[keep]
@@ -190,15 +206,28 @@ class StatsPrePassActor:
 
 
 class QueryExecActor:
-    def __init__(self, index_dir: str, queries_ref, k: int = 100):
+    def __init__(self, index_dir: str, queries_ref, k: int = 100, filter_ef=None):
         import ray
 
         self.cache = _ShardCache(index_dir)
         self.queries = ray.get(queries_ref)  # qid -> (qtree, params, score_stats)
         self.k = k
+        # per-shard Elias-Fano allowed-docid sets (functions/ef.py), decoded
+        # ONCE per actor; ~2 bytes/member crosses the wire instead of int64s
+        self.allowed = None
+        if filter_ef is not None:
+            from ..functions.ef import ef_decode
+
+            self.allowed = {int(s): ef_decode(b)[0] for s, b in filter_ef.items()}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return exec_rows(self.cache, self.queries, zip(batch["qid"], batch["shard"]), self.k)
+        return exec_rows(
+            self.cache,
+            self.queries,
+            zip(batch["qid"], batch["shard"]),
+            self.k,
+            allowed=self.allowed,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -367,10 +396,14 @@ def run_queries(
     *,
     k: int = 100,
     concurrency: int | None = None,
+    filter_ef: "dict[int, bytes] | None" = None,
 ) -> dict[str, list[tuple[str, float, int]]]:
     """Run ``[(qid, qtext)]`` against the index; returns
     ``qid → [(url, score, docid)]`` top-k in final rank order.
-    Queries that fail to parse or match nothing map to ``[]``."""
+    Queries that fail to parse or match nothing map to ``[]``.
+    ``filter_ef`` (shard → Elias-Fano bytes from query/filtered.py)
+    restricts the ranking to an allowed docid set at query time; global
+    collection stats are unchanged (Lucene filter-query semantics)."""
     import ray
     import ray.data
 
@@ -406,7 +439,12 @@ def run_queries(
         ray.data.from_items(work)
         .map_batches(
             QueryExecActor,
-            fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref, "k": k},
+            fn_constructor_kwargs={
+                "index_dir": index_dir,
+                "queries_ref": ref,
+                "k": k,
+                "filter_ef": filter_ef,
+            },
             batch_format="pandas",
             concurrency=(1, concurrency),
             batch_size=max(1, len(work) // (concurrency * 2) or 1),

@@ -495,3 +495,71 @@ def test_fuzzy_expansion_semantics(ray_session, engine):
         expand_fuzzy(ts, probe, max_terms=0)  # clause-count guard
     with pytest.raises(ValueError):
         fuzzy_query(ts, "zzzzzzznomatch")  # empty expansion is loud
+
+
+@pytest.fixture(scope="module")
+def filtered_corpus(ray_session, tmp_path_factory):
+    import pyarrow as pa
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+
+    root = tmp_path_factory.mktemp("filt")
+    src = str(root / "docs.parquet")
+    texts = [f"alpha beta doc{i} " + ("alpha " * (i % 3)) for i in range(12)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(12)),
+                "text": texts,
+                "source": [f"s{i % 4}" for i in range(12)],
+            }
+        ),
+        src,
+    )
+    idx = str(root / "idx")
+    build_index(src, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=3)
+    return idx, src
+
+
+def test_filtered_bm25_semantics(filtered_corpus):
+    """Filter-query semantics: surviving docs keep BIT-IDENTICAL scores
+    (global stats), non-members never rank, a filter matching everything
+    is the identity, and a shard with no members contributes nothing."""
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.filtered import (
+        build_docid_filter,
+        filtered_topk,
+    )
+
+    idx, src = filtered_corpus
+    params = ModelParams(model="BM25")
+    q = [("q", "alpha beta")]
+    full = run_queries(idx, q, params, k=20)["q"]
+    full_scores = {d: s for _, s, d in full}
+
+    got = filtered_topk(idx, src, q, params, "source", ["s1", "s3"], k=20)["q"]
+    want_ids = {i for i in range(12) if i % 4 in (1, 3)}
+    assert {d for _, _, d in got} == want_ids  # every member matches 'alpha'
+    for _, s, d in got:
+        assert s == full_scores[d], "filter must not change a survivor's score"
+
+    allof = filtered_topk(
+        idx, src, q, params, "source", ["s0", "s1", "s2", "s3"], k=20
+    )["q"]
+    assert allof == full
+
+    # docids 0-11 over 3 shards → shard ranges [0,4) [4,8) [8,12); a filter
+    # hitting only doc 5 must omit the other shards' EF entries entirely
+    ef = build_docid_filter(idx, src, "source", ["s1"])
+    from search_engine_framework_ray.functions.ef import ef_decode
+
+    members = sorted(
+        int(x) for buf in ef.values() for x in ef_decode(buf)[0]
+    )
+    assert members == [1, 5, 9]
+    only = filtered_topk(idx, src, q, params, "source", ["nope"], k=20)["q"]
+    assert only == []
