@@ -5582,6 +5582,42 @@ def q_rocchio(sf_dir: str):
     return out[["rank", "term", "weight_micros"]].reset_index(drop=True)
 
 
+def q_cached_bm25(sf_dir: str):
+    """Query-result cache (production broker front): the BM25 run executes
+    once, a second identical run serves from the cache (asserted: 2 hits,
+    0 extra misses, zero cluster work), and the RETURNED rows are the
+    cached ones — the oracle hash passing proves cache hits bit-identical
+    to evaluation. Keys contain the index fingerprint (shard manifests +
+    stats + tombstones), so any extend/compact/delete invalidates
+    automatically (query/cache.py)."""
+    import shutil
+
+    from search_engine_framework_ray.query.cache import QueryResultCache
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    cdir = f"/tmp/sefr_qcache/{key}"
+    shutil.rmtree(cdir, ignore_errors=True)
+    cache = QueryResultCache(idx, cdir)
+    q = [("q", " ".join(_BM25_TERMS))]
+    params = ModelParams(model="BM25")
+    cache.run(q, params, k=100)
+    res = cache.run(q, params, k=100)["q"]
+    assert (cache.hits, cache.misses) == (1, 1), "second run must be a pure hit"
+    df = pd.DataFrame(
+        {
+            "doc_id": [int(u[3:]) for u, _, _ in res],
+            "score": [s for _, s, _ in res],
+        }
+    )
+    df["score_micros"] = _micros(df["score"])
+    df = df.sort_values(
+        ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return df[["doc_id", "score_micros"]].reset_index(drop=True)
+
+
 def q_filtered_bm25(sf_dir: str):
     """Attribute-filtered retrieval (Lucene filter-query semantics): BM25
     over 'spark join' restricted at QUERY TIME to documents with
@@ -6276,6 +6312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio": q_rocchio,
         "more_like_this": q_more_like_this,
         "filtered_bm25": q_filtered_bm25,
+        "cached_bm25": q_cached_bm25,
         "lang_routed_bm25": q_lang_routed_bm25,
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
@@ -8915,6 +8952,7 @@ def oracle_sql() -> dict[str, str]:
         "rocchio": _ROCCHIO_SQL,
         "more_like_this": _MLT_SQL,
         "filtered_bm25": _FILTERED_BM25_SQL,
+        "cached_bm25": _BM25_SQL,
         "lang_routed_bm25": _LANG_ROUTED_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "bpe_merges": _bpe_sql(6),

@@ -563,3 +563,51 @@ def test_filtered_bm25_semantics(filtered_corpus):
     assert members == [1, 5, 9]
     only = filtered_topk(idx, src, q, params, "source", ["nope"], k=20)["q"]
     assert only == []
+
+
+def test_query_result_cache(filtered_corpus, tmp_path):
+    """Hit returns bit-identical results with zero cluster work counted;
+    a tombstone write changes the index fingerprint so stale entries
+    never serve; eviction bounds the entry count."""
+    from search_engine_framework_ray.query.cache import (
+        QueryResultCache,
+        index_fingerprint,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.state.index_layout import write_tombstones
+
+    import shutil
+
+    # private copy: the tombstone write below must not mutate the shared
+    # module fixture other tests score against
+    idx = str(tmp_path / "idx")
+    shutil.copytree(filtered_corpus[0], idx)
+    params = ModelParams(model="BM25")
+    q = [("q1", "alpha beta"), ("q2", "beta")]
+    cache = QueryResultCache(idx, str(tmp_path / "qcache"))
+
+    fp0 = index_fingerprint(idx)
+    first = cache.run(q, params, k=5)
+    assert (cache.hits, cache.misses) == (0, 2)
+    second = cache.run(q, params, k=5)
+    assert (cache.hits, cache.misses) == (2, 2)
+    assert second == first == run_queries(idx, q, params, k=5)
+
+    # different k or params → different key, not a stale hit
+    cache.run(q, params, k=3)
+    assert cache.misses == 4
+
+    # index mutation invalidates: fingerprint changes, results re-evaluate
+    write_tombstones(idx, [first["q1"][0][2]])
+    assert index_fingerprint(idx) != fp0
+    after = cache.run(q, params, k=5)
+    assert cache.misses == 6
+    assert first["q1"][0][2] not in [d for _, _, d in after["q1"]]
+
+    # eviction keeps the newest max_entries files
+    small = QueryResultCache(idx, str(tmp_path / "small"), max_entries=2)
+    for i, term in enumerate(["alpha", "beta", "doc1", "doc2"]):
+        small.run([(f"e{i}", term)], params, k=2)
+    import os
+
+    assert len(os.listdir(str(tmp_path / "small"))) == 2
