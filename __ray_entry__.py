@@ -5582,6 +5582,29 @@ def q_rocchio(sf_dir: str):
     return out[["rank", "term", "weight_micros"]].reset_index(drop=True)
 
 
+def q_explain_bm25(sf_dir: str):
+    """Score explanation (the Lucene explain() surface): per-term BM25
+    decomposition — tf, df, doclen, contribution — for the top-5 'spark
+    join' docs. Requested docs route to their shards; each shard task
+    decodes ONLY the query terms' postings and probes the ids with one
+    searchsorted pass — no full evaluation. Contributions sum exactly to
+    the ranking scores (query/explain.py)."""
+    from search_engine_framework_ray.query.explain import explain_bm25
+
+    idx = _docs_index(sf_dir)
+    top = _run(sf_dir, " ".join(_BM25_TERMS), "BM25")
+    top["score_micros"] = _micros(top["score"])
+    ids = (
+        top.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(5)["doc_id"]
+        .tolist()
+    )
+    out = explain_bm25(idx, list(_BM25_TERMS), ids)
+    return out.reset_index(drop=True)
+
+
 def q_cached_bm25(sf_dir: str):
     """Query-result cache (production broker front): the BM25 run executes
     once, a second identical run serves from the cache (asserted: 2 hits,
@@ -6313,6 +6336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "filtered_bm25": q_filtered_bm25,
         "cached_bm25": q_cached_bm25,
+        "explain_bm25": q_explain_bm25,
         "lang_routed_bm25": q_lang_routed_bm25,
         "shard_ranking": q_shard_ranking,
         "selective_bm25": q_selective_bm25,
@@ -6431,6 +6455,49 @@ SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micros
 FROM scores
 ORDER BY score_micros DESC, doc_id
 LIMIT 20
+"""
+
+
+# Explain twin: the BM25 chain's per-term addends EXPOSED instead of
+# summed, restricted to the micros-ranked top-5 docs.
+_EXPLAIN_BM25_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scores AS (
+    SELECT tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM tf
+    JOIN df USING (tok)
+    JOIN doclen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+),
+top5 AS (
+    SELECT doc_id FROM scores
+    ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+    LIMIT 5
+)
+SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df, doclen.dl,
+       CAST(round( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf / (tf.tf + {_K1} * ((1 - {_B}) + {_B} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount)))))
+                   * 1000000 ) AS BIGINT) AS contribution_micros
+FROM tf
+JOIN df USING (tok)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats
+WHERE tf.doc_id IN (SELECT doc_id FROM top5)
+ORDER BY tf.doc_id, term
 """
 
 
@@ -8953,6 +9020,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": _MLT_SQL,
         "filtered_bm25": _FILTERED_BM25_SQL,
         "cached_bm25": _BM25_SQL,
+        "explain_bm25": _EXPLAIN_BM25_SQL,
         "lang_routed_bm25": _LANG_ROUTED_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "bpe_merges": _bpe_sql(6),

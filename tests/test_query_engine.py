@@ -611,3 +611,28 @@ def test_query_result_cache(filtered_corpus, tmp_path):
     import os
 
     assert len(os.listdir(str(tmp_path / "small"))) == 2
+
+
+def test_explain_contributions_sum_to_score(filtered_corpus):
+    """explain_bm25 rows must reconstruct the distributed ranking exactly:
+    per-doc contribution sums equal the run_queries scores (micros), and
+    a term absent from a doc emits no row."""
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.explain import explain_bm25
+
+    idx, _ = filtered_corpus
+    params = ModelParams(model="BM25")
+    res = run_queries(idx, [("q", "alpha beta")], params, k=12)["q"]
+    ids = [d for _, _, d in res]
+    ex = explain_bm25(idx, ["alpha", "beta"], ids, params)
+    got = ex.groupby("doc_id")["contribution_micros"].sum()
+    import numpy as np
+
+    for u, s, d in res:
+        want = int(np.sign(s) * np.floor(abs(s) * 1e6 + 0.5))
+        # per-term micros rounding vs whole-score rounding: off by ≤ n_terms
+        assert abs(int(got[d]) - want) <= 2, (d, int(got[d]), want)
+    # every doc matching only 'alpha' has exactly one row
+    one_term = ex.groupby("doc_id")["term"].nunique()
+    assert set(ex["term"]) <= {"alpha", "beta"}
+    assert (one_term >= 1).all()
