@@ -1109,29 +1109,19 @@ _TREC_REL_MOD = 9
 _TREC_DEPTH = 100
 
 
-def q_trec_eval(sf_dir: str):
-    """TREC effectiveness metrics P@10/20/30 + (M)AP per query and the
-    ``all`` mean row (the reference's committed metric set — capture.pl
-    goldens, hw4test.py:46-47/test.pl:51-65 — computed natively instead of
-    via the remote trec_eval service; definitions in
-    sources/evalmetrics.py). Rankings come from the distributed BM25 batch
-    path; |relevant| per query is ONE vectorized counting pass over the
-    corpus (≤4 partial rows per batch); per-query metrics are a cumsum
-    kernel inside groupby(qid).map_groups. Ranking order is
-    (score_micros DESC, doc_id ASC) — the micros tie-break both engines
-    share — with the run cut to the reference's depth-100 after that sort."""
-    import ray.data
+def _trec_run(sf_dir: str) -> pd.DataFrame:
+    """Shared depth-100 BM25 run over ``_TREC_QSET`` → (qid, rnk, doc_id)
+    in (score_micros DESC, doc_id ASC) order — the micros tie-break both
+    engines share. k covers the FULL candidate set (the depth cut happens
+    after the micros re-sort): a smaller k could drop a doc the SQL twin's
+    order ranks inside the top-100 when a raw-score tie group straddles
+    the cut."""
+    import pyarrow.parquet as papq
 
     from search_engine_framework_ray.query.executor import run_queries
     from search_engine_framework_ray.query.models import ModelParams
 
-    import pyarrow.parquet as papq
-
     idx = _docs_index(sf_dir)
-    # k must cover the FULL candidate set (depth cut happens after the
-    # micros re-sort): a k below the corpus size could drop a doc that the
-    # SQL twin's (score_micros DESC, doc_id ASC) order ranks inside the
-    # top-100 when a raw-score tie group straddles the cut
     n_corpus = papq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")
     ).num_rows
@@ -1156,7 +1146,44 @@ def q_trec_eval(sf_dir: str):
         df["qid"] = qid
         df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
         runs.append(df[["qid", "rnk", "doc_id"]])
-    run = pd.concat(runs, ignore_index=True)
+    return pd.concat(runs, ignore_index=True)
+
+
+def q_mrr(sf_dir: str):
+    """Mean reciprocal rank (trec_eval's recip_rank — THE metric for
+    known-item / question-answering runs): per query, 1/rank of the first
+    relevant doc in the shared depth-100 BM25 run (0 when none), plus the
+    'all' mean row. Relevance is the synthetic qrels rule the trec_eval
+    entry pins ((doc_id + 37·i) % 9 == 0); rank arithmetic is driver-side
+    over the already-reduced 100-row-per-query run
+    (sources/evalmetrics.py reciprocal_rank)."""
+    run = _trec_run(sf_dir)
+    qnums = {qid: int(qid[1:]) for qid, _ in _TREC_QSET}
+    rows = []
+    for qid, i in qnums.items():
+        g = run[run["qid"] == qid].sort_values("rnk")
+        rel = (g["doc_id"].to_numpy() + 37 * i) % _TREC_REL_MOD == 0
+        hits = g["rnk"].to_numpy()[rel]
+        rr = 1_000_000.0 / hits[0] if len(hits) else 0.0
+        rows.append((qid, int(_round_away(np.array([rr]))[0])))
+    mean = float(np.mean([m for _, m in rows]))
+    rows.append(("all", int(_round_away(np.array([mean]))[0])))
+    out = pd.DataFrame(rows, columns=["qid", "rr_micros"])
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+def q_trec_eval(sf_dir: str):
+    """TREC effectiveness metrics P@10/20/30 + (M)AP per query and the
+    ``all`` mean row (the reference's committed metric set — capture.pl
+    goldens, hw4test.py:46-47/test.pl:51-65 — computed natively instead of
+    via the remote trec_eval service; definitions in
+    sources/evalmetrics.py). Rankings come from the distributed BM25 batch
+    path (shared ``_trec_run``); |relevant| per query is ONE vectorized
+    counting pass over the corpus (≤4 partial rows per batch); per-query
+    metrics are a cumsum kernel inside groupby(qid).map_groups."""
+    import ray.data
+
+    run = _trec_run(sf_dir)
 
     # |relevant(qid)| over the WHOLE corpus: distributed partial counts
     # (4 ints per batch), summed — the corpus never reaches the driver
@@ -6252,6 +6279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_core": q_letor_core,
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
+        "mrr": q_mrr,
         "hard_negatives": q_hard_negatives,
         "qpp": q_qpp,
         "bm25_snippets": q_bm25_snippets,
@@ -7492,6 +7520,29 @@ ranked AS (
 ),
 qi AS (SELECT DISTINCT qid, i FROM q)
 """
+
+# MRR twin: first relevant rank per query from the shared ranked chain,
+# 1e6/rank micros-rounded, plus the float64 mean 'all' row.
+_MRR_SQL = f"""
+{_TREC_RANKED_PRE},
+firstrel AS (
+    SELECT r.qid, min(r.rnk) AS fr
+    FROM ranked r JOIN qi ON qi.qid = r.qid
+    WHERE r.rnk <= 100 AND (r.doc_id + 37 * qi.i) % 9 = 0
+    GROUP BY r.qid
+),
+perq AS (
+    SELECT qi.qid,
+           coalesce(CAST(round(1000000.0 / firstrel.fr) AS BIGINT), 0)
+               AS rr_micros
+    FROM qi LEFT JOIN firstrel ON firstrel.qid = qi.qid
+)
+SELECT qid, rr_micros FROM perq
+UNION ALL
+SELECT 'all' AS qid, CAST(round(avg(rr_micros * 1.0)) AS BIGINT) FROM perq
+ORDER BY qid
+"""
+
 
 _QPP_SQL = f"""
 {_TOKS},
@@ -9032,6 +9083,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _HITS_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
+        "mrr": _MRR_SQL,
         "hard_negatives": _HARD_NEG_SQL,
         "qpp": _QPP_SQL,
         "bm25_snippets": _BM25_SNIPPETS_SQL,

@@ -108,3 +108,12 @@ def read_qrels_grouped(path: str) -> dict[str, dict[str, int]]:
                 continue
             out.setdefault(parts[0], {})[parts[2]] = int(parts[3])
     return out
+
+
+def reciprocal_rank(run: list[str], relevant: set[str]) -> float:
+    """1 / rank of the first relevant document in the run; 0.0 when the
+    run contains none (trec_eval's recip_rank)."""
+    for i, d in enumerate(run, start=1):
+        if d in relevant:
+            return 1.0 / i
+    return 0.0

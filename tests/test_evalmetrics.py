@@ -90,3 +90,12 @@ def test_vectorized_entry_kernel_matches_definitions():
     assert got_ap == want_ap
     for k in (10, 20, 30):
         assert float(rel[rnk <= k].sum() / k) == want_pk[k]
+
+
+def test_reciprocal_rank():
+    from search_engine_framework_ray.sources.evalmetrics import reciprocal_rank
+
+    assert reciprocal_rank(["a", "b", "c"], {"b"}) == 0.5
+    assert reciprocal_rank(["a", "b", "c"], {"a", "c"}) == 1.0
+    assert reciprocal_rank(["a", "b"], {"z"}) == 0.0
+    assert reciprocal_rank([], {"z"}) == 0.0
