@@ -1149,6 +1149,57 @@ def _trec_run(sf_dir: str) -> pd.DataFrame:
     return pd.concat(runs, ignore_index=True)
 
 
+def q_judgment_pool(sf_dir: str):
+    """TREC depth pooling (the assessment-set construction method, TREC-1
+    onward): the union of each run's top-10 for 'spark join' across three
+    BM25 parameterizations — (k1=1.2, b=0.75), (k1=2.0, b=0.3), (k1=1.2,
+    b=0.0) — with per-doc provenance (which runs retrieved it, how many,
+    best rank). Pools are built from already-reduced top-k lists, so the
+    combine is driver-cheap at any corpus size; the three runs share one
+    index and one actor pool."""
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    idx = _docs_index(sf_dir)
+    variants = [(1.2, 0.75), (2.0, 0.3), (1.2, 0.0)]
+    pools = []
+    for rid, (k1, b) in enumerate(variants, start=1):
+        res = run_queries(
+            idx,
+            [("q", " ".join(_BM25_TERMS))],
+            ModelParams(model="BM25", k1=k1, b=b),
+            k=100,
+        )["q"]
+        df = pd.DataFrame(
+            {
+                "doc_id": [int(u[3:]) for u, _, _ in res],
+                "score": [s for _, s, _ in res],
+            }
+        )
+        df["score_micros"] = _micros(df["score"])
+        df = df.sort_values(
+            ["score_micros", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["run"] = rid
+        pools.append(df[["doc_id", "rnk", "run"]])
+    allp = pd.concat(pools, ignore_index=True)
+    out = (
+        allp.groupby("doc_id")
+        .agg(
+            n_runs=("run", "nunique"),
+            min_rank=("rnk", "min"),
+            in_r1=("run", lambda r: int((r == 1).any())),
+            in_r2=("run", lambda r: int((r == 2).any())),
+            in_r3=("run", lambda r: int((r == 3).any())),
+        )
+        .reset_index()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_mrr(sf_dir: str):
     """Mean reciprocal rank (trec_eval's recip_rank — THE metric for
     known-item / question-answering runs): per query, 1/rank of the first
@@ -6280,6 +6331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
         "mrr": q_mrr,
+        "judgment_pool": q_judgment_pool,
         "hard_negatives": q_hard_negatives,
         "qpp": q_qpp,
         "bm25_snippets": q_bm25_snippets,
@@ -7520,6 +7572,60 @@ ranked AS (
 ),
 qi AS (SELECT DISTINCT qid, i FROM q)
 """
+
+# Judgment-pool twin: the BM25 chain instantiated at the three (k1, b)
+# settings, each micros-ranked top-10, unioned with run provenance.
+def _pool_run_sql(rid: int, k1: float, b: float) -> str:
+    return f"""
+    SELECT {rid} AS run, doc_id,
+           row_number() OVER (
+               ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+           ) AS rnk
+    FROM (
+        SELECT tf.doc_id,
+               sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * (tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+        FROM tf
+        JOIN df USING (tok)
+        JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    QUALIFY rnk <= 10
+    """
+
+
+_POOL_SQL = f"""
+{_TOKS},
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+pool AS (
+    {_pool_run_sql(1, 1.2, 0.75)}
+    UNION ALL
+    {_pool_run_sql(2, 2.0, 0.3)}
+    UNION ALL
+    {_pool_run_sql(3, 1.2, 0.0)}
+)
+SELECT doc_id,
+       count(DISTINCT run) AS n_runs,
+       min(rnk) AS min_rank,
+       max(CASE WHEN run = 1 THEN 1 ELSE 0 END) AS in_r1,
+       max(CASE WHEN run = 2 THEN 1 ELSE 0 END) AS in_r2,
+       max(CASE WHEN run = 3 THEN 1 ELSE 0 END) AS in_r3
+FROM pool
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 
 # MRR twin: first relevant rank per query from the shared ranked chain,
 # 1e6/rank micros-rounded, plus the float64 mean 'all' row.
@@ -9084,6 +9190,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
         "mrr": _MRR_SQL,
+        "judgment_pool": _POOL_SQL,
         "hard_negatives": _HARD_NEG_SQL,
         "qpp": _QPP_SQL,
         "bm25_snippets": _BM25_SNIPPETS_SQL,
