@@ -1109,7 +1109,7 @@ _TREC_REL_MOD = 9
 _TREC_DEPTH = 100
 
 
-def _trec_run(sf_dir: str) -> pd.DataFrame:
+def _trec_run(sf_dir: str, *, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
     """Shared depth-100 BM25 run over ``_TREC_QSET`` → (qid, rnk, doc_id)
     in (score_micros DESC, doc_id ASC) order — the micros tie-break both
     engines share. k covers the FULL candidate set (the depth cut happens
@@ -1128,7 +1128,7 @@ def _trec_run(sf_dir: str) -> pd.DataFrame:
     res = run_queries(
         idx,
         [(qid, " ".join(terms)) for qid, terms in _TREC_QSET],
-        ModelParams(model="BM25"),
+        ModelParams(model="BM25", k1=k1, b=b),
         k=max(10_000, n_corpus),
     )
     runs = []
@@ -1223,21 +1223,12 @@ def q_mrr(sf_dir: str):
     return out.sort_values("qid").reset_index(drop=True)
 
 
-def q_trec_eval(sf_dir: str):
-    """TREC effectiveness metrics P@10/20/30 + (M)AP per query and the
-    ``all`` mean row (the reference's committed metric set — capture.pl
-    goldens, hw4test.py:46-47/test.pl:51-65 — computed natively instead of
-    via the remote trec_eval service; definitions in
-    sources/evalmetrics.py). Rankings come from the distributed BM25 batch
-    path (shared ``_trec_run``); |relevant| per query is ONE vectorized
-    counting pass over the corpus (≤4 partial rows per batch); per-query
-    metrics are a cumsum kernel inside groupby(qid).map_groups."""
+def _trec_rel_counts(sf_dir: str) -> tuple[dict, dict]:
+    """|relevant(qid)| (and grade-2 counts) over the WHOLE corpus:
+    distributed partial counts (4 ints per batch), summed — the corpus
+    never reaches the driver."""
     import ray.data
 
-    run = _trec_run(sf_dir)
-
-    # |relevant(qid)| over the WHOLE corpus: distributed partial counts
-    # (4 ints per batch), summed — the corpus never reaches the driver
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
@@ -1260,6 +1251,41 @@ def q_trec_eval(sf_dir: str):
     )
     r_by_qid = {qid: int(totals[f"sum({qid})"]) for qid in qnums}
     g2_by_qid = {qid: int(totals[f"sum({qid}_g2)"]) for qid in qnums}
+    return r_by_qid, g2_by_qid
+
+
+def _trec_ap_micros(run: pd.DataFrame, r_by_qid: dict) -> dict[str, int]:
+    """Per-query AP (micros, the trec_eval arithmetic) over a depth-100
+    run DataFrame — driver-side over ≤100 rows per query."""
+    qnums = {qid: int(qid[1:]) for qid, _ in _TREC_QSET}
+    out = {}
+    for qid, i in qnums.items():
+        g = run[run["qid"] == qid].sort_values("rnk")
+        rel = ((g["doc_id"].to_numpy() + 37 * i) % _TREC_REL_MOD == 0).astype(
+            np.int64
+        )
+        rnk = g["rnk"].to_numpy()
+        c = np.cumsum(rel)
+        r_total = r_by_qid[qid]
+        ap = float((rel * c / rnk).sum() / r_total) if r_total else 0.0
+        out[qid] = int(_round_away(np.array([ap * 1e6]))[0])
+    return out
+
+
+def q_trec_eval(sf_dir: str):
+    """TREC effectiveness metrics P@10/20/30 + (M)AP per query and the
+    ``all`` mean row (the reference's committed metric set — capture.pl
+    goldens, hw4test.py:46-47/test.pl:51-65 — computed natively instead of
+    via the remote trec_eval service; definitions in
+    sources/evalmetrics.py). Rankings come from the distributed BM25 batch
+    path (shared ``_trec_run``); |relevant| per query is ONE vectorized
+    counting pass over the corpus (≤4 partial rows per batch); per-query
+    metrics are a cumsum kernel inside groupby(qid).map_groups."""
+    import ray.data
+
+    run = _trec_run(sf_dir)
+    qnums = {qid: int(qid[1:]) for qid, _ in _TREC_QSET}
+    r_by_qid, g2_by_qid = _trec_rel_counts(sf_dir)
 
     def _idcg(n2: int, n1: int, k: int) -> float:
         r = np.arange(1, k + 1, dtype=np.int64)
@@ -1318,6 +1344,47 @@ def q_trec_eval(sf_dir: str):
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("qid").reset_index(drop=True)
+
+
+def q_sig_test(sf_dir: str):
+    """Exact randomization significance test (Fisher sign-flip; Smucker,
+    Allan & Carterette CIKM'07 — the recommended test for comparing IR
+    runs) between two BM25 parameterizations, A=(k1=1.2, b=0.75) vs
+    B=(k1=2.0, b=0.3), on per-query AP. Both runs come from the
+    distributed batch query path (shared ``_trec_run``); |relevant| per
+    query is the distributed counting pass (``_trec_rel_counts``). AP is
+    micros-quantized BEFORE differencing, so the test statistic
+    T = |Σ_i d_i| and every sign-flipped replicate are integer-exact —
+    engine and SQL twin agree bit-for-bit. With |Q|=4 the 2^|Q|=16
+    assignments are enumerated exactly (one vectorized numpy matmul over
+    per-query scalars — at a real 50-query eval you'd Monte-Carlo sample
+    sign vectors instead; the per-query APs, the expensive part, stay
+    fully distributed either way). p_num/p_den is the exact two-sided
+    p-value as a rational: #{s : |s·d| ≥ |Σd|} / 2^|Q| (identity
+    assignment included, so p ≥ 1/2^|Q| — the standard convention)."""
+    run_a = _trec_run(sf_dir)
+    run_b = _trec_run(sf_dir, k1=2.0, b=0.3)
+    r_by_qid, _g2 = _trec_rel_counts(sf_dir)
+    ap_a = _trec_ap_micros(run_a, r_by_qid)
+    ap_b = _trec_ap_micros(run_b, r_by_qid)
+    qids = [qid for qid, _ in _TREC_QSET]
+    d = np.array([ap_a[q] - ap_b[q] for q in qids], dtype=np.int64)
+    n = len(qids)
+    masks = np.arange(1 << n, dtype=np.int64)
+    signs = 1 - 2 * ((masks[:, None] >> np.arange(n)) & 1)  # (2^n, n) ±1
+    t = np.abs(signs @ d)
+    t_obs = abs(int(d.sum()))
+    p_num = int((t >= t_obs).sum())
+    return pd.DataFrame(
+        {
+            "qid": qids,
+            "ap_a_micros": pd.Series([ap_a[q] for q in qids], dtype="int64"),
+            "ap_b_micros": pd.Series([ap_b[q] for q in qids], dtype="int64"),
+            "diff_micros": pd.Series(d, dtype="int64"),
+            "p_num": pd.Series([p_num] * n, dtype="int64"),
+            "p_den": pd.Series([1 << n] * n, dtype="int64"),
+        }
+    ).sort_values("qid").reset_index(drop=True)
 
 
 def q_clarity(sf_dir: str):
@@ -6330,6 +6397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_core": q_letor_core,
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
+        "sig_test": q_sig_test,
         "mrr": q_mrr,
         "judgment_pool": q_judgment_pool,
         "hard_negatives": q_hard_negatives,
@@ -7831,6 +7899,95 @@ ORDER BY qid
 """
 
 
+# Sig-test twin: per-query AP at two (k1, b) settings via the shared CTE
+# chain, micros-quantized, then the exact 2^4 sign-flip enumeration as a
+# range(16) cross join with bit arithmetic — integer-exact end to end.
+def _sig_ap_sql(tag: str, k1: float, b: float) -> str:
+    return f"""
+scores_{tag} AS (
+    SELECT q.qid, tf.doc_id,
+           sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                * (tf.tf / (tf.tf + {k1} * ((1 - {b}) + {b} * (doclen.dl / (stats.sum_dl * 1.0 / stats.doccount))))) ) AS score
+    FROM q
+    JOIN tf ON tf.tok = q.tok
+    JOIN df ON df.tok = q.tok
+    JOIN doclen ON doclen.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY q.qid, tf.doc_id
+),
+ranked_{tag} AS (
+    SELECT qid, doc_id,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(round(score * 1000000) AS BIGINT) DESC, doc_id
+           ) AS rnk
+    FROM scores_{tag}
+),
+cum_{tag} AS (
+    SELECT t.qid, t.rnk,
+           CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                THEN 1 ELSE 0 END AS rel,
+           sum(CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t.qid ORDER BY t.rnk) AS c
+    FROM ranked_{tag} t JOIN qi USING (qid) WHERE t.rnk <= {_TREC_DEPTH}
+),
+ap_{tag} AS (
+    SELECT cum_{tag}.qid,
+           CAST(round(sum(CASE WHEN rel = 1 THEN c * 1.0 / rnk ELSE 0 END)
+                      / max(rcnt.r) * 1000000) AS BIGINT) AS ap
+    FROM cum_{tag} JOIN rcnt ON rcnt.qid = cum_{tag}.qid
+    GROUP BY cum_{tag}.qid
+)"""
+
+
+_SIG_TEST_SQL = f"""
+{_TOKS},
+q(qid, i, tok) AS (VALUES {_TREC_Q_VALUES}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+qi AS (SELECT DISTINCT qid, i FROM q),
+rcnt AS (
+    SELECT qi.qid, count(*) AS r FROM qi
+    JOIN documents d ON (d.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+    GROUP BY qi.qid
+),
+{_sig_ap_sql("a", 1.2, 0.75)},
+{_sig_ap_sql("b", 2.0, 0.3)},
+d AS (
+    SELECT qi.qid, ap_a.ap AS a, ap_b.ap AS b, ap_a.ap - ap_b.ap AS diff,
+           row_number() OVER (ORDER BY qi.qid) - 1 AS rn
+    FROM qi JOIN ap_a USING (qid) JOIN ap_b USING (qid)
+),
+obs AS (SELECT abs(sum(diff)) AS t FROM d),
+perms AS (
+    SELECT m.m,
+           abs(sum(CASE WHEN (m.m >> d.rn) & 1 = 1
+                        THEN -d.diff ELSE d.diff END)) AS t
+    FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS m) m
+    GROUP BY m.m
+),
+p AS (SELECT count(*) AS p_num FROM perms, obs WHERE perms.t >= obs.t)
+SELECT d.qid,
+       d.a AS ap_a_micros,
+       d.b AS ap_b_micros,
+       d.diff AS diff_micros,
+       p.p_num AS p_num,
+       CAST(16 AS BIGINT) AS p_den
+FROM d CROSS JOIN p
+ORDER BY d.qid
+"""
+
+
 # Snippet twin: BM25-rank q1 exactly like the trec_eval twin, then scan
 # every 10-token window start of each top-10 doc and rebuild the snippet
 _BM25_SNIPPETS_SQL = f"""
@@ -9189,6 +9346,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _HITS_SQL,
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
+        "sig_test": _SIG_TEST_SQL,
         "mrr": _MRR_SQL,
         "judgment_pool": _POOL_SQL,
         "hard_negatives": _HARD_NEG_SQL,
