@@ -1387,6 +1387,101 @@ def q_sig_test(sf_dir: str):
     ).sort_values("qid").reset_index(drop=True)
 
 
+def q_bpref(sf_dir: str):
+    """Remaining trec_eval metric family: bpref (Buckley & Voorhees
+    SIGIR'04 — binary preference, the judged-pool-robust MAP surrogate),
+    R-precision, and success@{1,5,10}, per query plus the ``all`` mean
+    row. With the complete arithmetic qrels every retrieved doc is judged
+    and N ≫ R, so bpref = (1/R)·Σ_{rel r} (1 − min(nonrel_above(r), R)/R)
+    over the depth-100 run; Rprec counts relevant in the top min(R, 100).
+    The run is the distributed BM25 batch path (shared ``_trec_run``);
+    |relevant| per query is the distributed counting pass; the per-query
+    reduction is a cumsum kernel over ≤100 rows."""
+    run = _trec_run(sf_dir)
+    r_by_qid, _g2 = _trec_rel_counts(sf_dir)
+    qnums = {qid: int(qid[1:]) for qid, _ in _TREC_QSET}
+    rows = []
+    for qid, i in qnums.items():
+        g = run[run["qid"] == qid].sort_values("rnk")
+        rel = ((g["doc_id"].to_numpy() + 37 * i) % _TREC_REL_MOD == 0)
+        rnk = g["rnk"].to_numpy()
+        c = np.cumsum(rel.astype(np.int64))
+        r_total = r_by_qid[qid]
+        n_above = (rnk - c)[rel]  # nonrel retrieved above each rel hit
+        bpref = (
+            float((1.0 - np.minimum(n_above, r_total) * 1.0 / r_total).sum()
+                  / r_total)
+            if r_total else 0.0
+        )
+        rprec = (
+            float(rel[rnk <= min(r_total, _TREC_DEPTH)].sum() * 1.0 / r_total)
+            if r_total else 0.0
+        )
+        succ = {
+            f"s{k}_micros": int(1_000_000 if rel[rnk <= k].any() else 0)
+            for k in (1, 5, 10)
+        }
+        rows.append(
+            {
+                "qid": qid,
+                "bpref_micros": int(_round_away(np.array([bpref * 1e6]))[0]),
+                "rprec_micros": int(_round_away(np.array([rprec * 1e6]))[0]),
+                **succ,
+            }
+        )
+    perq = pd.DataFrame(rows)
+    cols = ["bpref_micros", "rprec_micros", "s1_micros", "s5_micros", "s10_micros"]
+    allrow = {"qid": "all"}
+    for col in cols:
+        allrow[col] = int(_round_away(perq[col].to_numpy(np.float64).mean()))
+    out = pd.concat([perq, pd.DataFrame([allrow])], ignore_index=True)
+    for col in cols:
+        out[col] = out[col].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall rank correlation between the two sig-test BM25 runs
+    (A=(1.2, 0.75) vs B=(2.0, 0.3)) on the docs common to both depth-100
+    lists — tau-a over the common set (both orders are strict, so no tie
+    terms), the third leg of the ranker-comparison family next to RBO
+    (top-weighted overlap) and the randomization test (effectiveness).
+    Runs are the distributed batch path; the pair count is a ≤100×100
+    boolean matmul per query on the driver. tau_micros =
+    round((2C − P)/P · 1e6) with C, P integers — exact vs the SQL
+    self-join twin."""
+    run_a = _trec_run(sf_dir)
+    run_b = _trec_run(sf_dir, k1=2.0, b=0.3)
+    common = run_a.merge(run_b, on=["qid", "doc_id"], suffixes=("_a", "_b"))
+    rows = []
+    for qid, _terms in _TREC_QSET:
+        g = common[common["qid"] == qid].sort_values("rnk_a")
+        rb = g["rnk_b"].to_numpy()
+        n = len(rb)
+        p_total = n * (n - 1) // 2
+        if p_total:
+            conc = int(np.triu(rb[:, None] < rb[None, :], 1).sum())
+            tau = int(_round_away(
+                np.array([(2 * conc - p_total) / p_total * 1e6])
+            )[0])
+        else:
+            conc, tau = 0, 0
+        rows.append(
+            {
+                "qid": qid,
+                "n_common": int(n),
+                "n_pairs": int(p_total),
+                "concordant": conc,
+                "discordant": int(p_total - conc),
+                "tau_micros": tau,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
 def q_clarity(sf_dir: str):
     """Post-retrieval clarity score (Cronen-Townsend, Zhou & Croft SIGIR
     2002): KL(top-k LM ‖ collection LM) per trec_eval query — the
@@ -6398,6 +6493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_rerank": q_letor_rerank,
         "trec_eval": q_trec_eval,
         "sig_test": q_sig_test,
+        "bpref": q_bpref,
+        "kendall_tau": q_kendall_tau,
         "mrr": q_mrr,
         "judgment_pool": q_judgment_pool,
         "hard_negatives": q_hard_negatives,
@@ -7988,6 +8085,106 @@ ORDER BY d.qid
 """
 
 
+# bpref twin: same ranked chain as the trec_eval twin; nonrel-above at a
+# relevant hit of rank rnk with running rel count c is rnk - c.
+_BPREF_SQL = f"""
+{_TREC_RANKED_PRE},
+rcnt AS (
+    SELECT qi.qid, count(*) AS r FROM qi
+    JOIN documents d ON (d.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+    GROUP BY qi.qid
+),
+hits AS (
+    SELECT t.qid, t.rnk,
+           CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                THEN 1 ELSE 0 END AS rel
+    FROM ranked t JOIN qi USING (qid) WHERE t.rnk <= {_TREC_DEPTH}
+),
+cum AS (
+    SELECT qid, rnk, rel, sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS c
+    FROM hits
+),
+perq AS (
+    SELECT cum.qid,
+           CAST(round(sum(CASE WHEN rel = 1
+                               THEN 1 - least(rnk - c, rcnt.r) * 1.0 / rcnt.r
+                               ELSE 0 END) / max(rcnt.r) * 1000000) AS BIGINT)
+               AS bpref_micros,
+           CAST(round(sum(CASE WHEN rel = 1 AND rnk <= least(rcnt.r, {_TREC_DEPTH})
+                               THEN 1 ELSE 0 END) * 1.0 / max(rcnt.r) * 1000000) AS BIGINT)
+               AS rprec_micros,
+           CAST(max(CASE WHEN rel = 1 AND rnk <= 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS s1_micros,
+           CAST(max(CASE WHEN rel = 1 AND rnk <= 5 THEN 1000000 ELSE 0 END) AS BIGINT) AS s5_micros,
+           CAST(max(CASE WHEN rel = 1 AND rnk <= 10 THEN 1000000 ELSE 0 END) AS BIGINT) AS s10_micros
+    FROM cum JOIN rcnt ON rcnt.qid = cum.qid
+    GROUP BY cum.qid
+)
+SELECT qid, bpref_micros, rprec_micros, s1_micros, s5_micros, s10_micros
+FROM perq
+UNION ALL
+SELECT 'all',
+       CAST(round(avg(bpref_micros)) AS BIGINT),
+       CAST(round(avg(rprec_micros)) AS BIGINT),
+       CAST(round(avg(s1_micros)) AS BIGINT),
+       CAST(round(avg(s5_micros)) AS BIGINT),
+       CAST(round(avg(s10_micros)) AS BIGINT)
+FROM perq
+ORDER BY qid
+"""
+
+
+# Kendall twin: the sig-test run pair (the ap_* CTEs ride along unused —
+# CTEs are lazy), tau-a by counting concordant doc pairs in a self-join.
+_KENDALL_SQL = f"""
+{_TOKS},
+q(qid, i, tok) AS (VALUES {_TREC_Q_VALUES}),
+doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM doclen) AS doccount,
+           (SELECT sum(dl) FROM doclen) AS sum_dl
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY doc_id, tok
+),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+qi AS (SELECT DISTINCT qid, i FROM q),
+rcnt AS (
+    SELECT qi.qid, count(*) AS r FROM qi
+    JOIN documents d ON (d.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+    GROUP BY qi.qid
+),
+{_sig_ap_sql("a", 1.2, 0.75)},
+{_sig_ap_sql("b", 2.0, 0.3)},
+common AS (
+    SELECT a.qid, a.doc_id, a.rnk AS ra, b.rnk AS rb
+    FROM ranked_a a JOIN ranked_b b USING (qid, doc_id)
+    WHERE a.rnk <= {_TREC_DEPTH} AND b.rnk <= {_TREC_DEPTH}
+),
+agg AS (
+    SELECT x.qid,
+           count(*) AS n_pairs,
+           sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                    THEN 1 ELSE 0 END) AS concordant
+    FROM common x JOIN common y ON x.qid = y.qid AND x.doc_id < y.doc_id
+    GROUP BY x.qid
+),
+ncom AS (SELECT qid, count(*) AS n_common FROM common GROUP BY qid)
+SELECT qi.qid,
+       CAST(coalesce(ncom.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(agg.concordant, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(agg.n_pairs - agg.concordant, 0) AS BIGINT) AS discordant,
+       CAST(coalesce(round((2.0 * agg.concordant - agg.n_pairs)
+                           / agg.n_pairs * 1000000), 0) AS BIGINT) AS tau_micros
+FROM qi
+LEFT JOIN agg ON agg.qid = qi.qid
+LEFT JOIN ncom ON ncom.qid = qi.qid
+ORDER BY qi.qid
+"""
+
+
 # Snippet twin: BM25-rank q1 exactly like the trec_eval twin, then scan
 # every 10-token window start of each top-10 doc and rebuild the snippet
 _BM25_SNIPPETS_SQL = f"""
@@ -9347,6 +9544,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_ppr": _PPR_SQL,
         "trec_eval": _TREC_EVAL_SQL,
         "sig_test": _SIG_TEST_SQL,
+        "bpref": _BPREF_SQL,
+        "kendall_tau": _KENDALL_SQL,
         "mrr": _MRR_SQL,
         "judgment_pool": _POOL_SQL,
         "hard_negatives": _HARD_NEG_SQL,
