@@ -1482,6 +1482,46 @@ def q_kendall_tau(sf_dir: str):
     return out.sort_values("qid").reset_index(drop=True)
 
 
+def q_err_metric(sf_dir: str):
+    """Expected Reciprocal Rank (Chapelle et al. CIKM'09 — the graded
+    cascade-model web metric next to NDCG) per query plus the ``all``
+    mean row, over the shared depth-100 BM25 run. Grades follow the
+    trec_eval arithmetic rule (2 when doc_id % 3 == 0, else 1);
+    R = (2^g − 1)/4 ∈ {0, 1/4, 3/4}, so the cascade continue-probability
+    multiplier (1 − R) is exactly (4 − rnum)/4 with rnum ∈ {0, 1, 3}.
+    The whole recursion is run in MICROS INTEGER state with floor
+    division at each step (prob' = prob·(4−rnum)//4, term =
+    prob·rnum//(4·rnk)) — a quantized ERR within 1e-4 of the float
+    definition that is bit-identical to the SQL twin's recursive CTE,
+    with no pow() in either engine (numpy vs libm pow parity is the
+    known 1-ulp hazard; see functions/numerics.py). The run is the
+    distributed batch path; the per-query reduction is over ≤100
+    already-reduced rows."""
+    run = _trec_run(sf_dir)
+    rows = []
+    for qid, _terms in _TREC_QSET:
+        i = int(qid[1:])
+        g = run[run["qid"] == qid].sort_values("rnk")
+        doc = g["doc_id"].to_numpy()
+        rel = (doc + 37 * i) % _TREC_REL_MOD == 0
+        rnum = np.where(rel, np.where(doc % 3 == 0, 3, 1), 0)
+        prob, acc = 1_000_000, 0
+        for r, rn in enumerate(rnum.tolist(), start=1):
+            acc += (prob * rn) // (4 * r)
+            prob = (prob * (4 - rn)) // 4
+        rows.append({"qid": qid, "err_micros": acc})
+    perq = pd.DataFrame(rows)
+    allrow = {
+        "qid": "all",
+        "err_micros": int(
+            _round_away(perq["err_micros"].to_numpy(np.float64).mean())
+        ),
+    }
+    out = pd.concat([perq, pd.DataFrame([allrow])], ignore_index=True)
+    out["err_micros"] = out["err_micros"].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)
+
+
 def q_clarity(sf_dir: str):
     """Post-retrieval clarity score (Cronen-Townsend, Zhou & Croft SIGIR
     2002): KL(top-k LM ‖ collection LM) per trec_eval query — the
@@ -6494,6 +6534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trec_eval": q_trec_eval,
         "sig_test": q_sig_test,
         "bpref": q_bpref,
+        "err_metric": q_err_metric,
         "kendall_tau": q_kendall_tau,
         "mrr": q_mrr,
         "judgment_pool": q_judgment_pool,
@@ -8133,6 +8174,36 @@ ORDER BY qid
 """
 
 
+# ERR twin: the shared ranked chain, then the quantized cascade as a
+# recursive CTE stepping rank-by-rank per qid in the SAME micros integer
+# state (floor division) as the engine loop — no pow() anywhere.
+_ERR_SQL = _TREC_RANKED_PRE.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+hits AS (
+    SELECT t.qid, t.rnk,
+           CASE WHEN (t.doc_id + 37 * qi.i) % {_TREC_REL_MOD} = 0
+                THEN (CASE WHEN t.doc_id % 3 = 0 THEN 3 ELSE 1 END)
+                ELSE 0 END AS rnum
+    FROM ranked t JOIN qi USING (qid) WHERE t.rnk <= {_TREC_DEPTH}
+),
+walk(qid, rnk, prob, acc) AS (
+    SELECT qid, rnk,
+           (1000000 * (4 - rnum)) // 4,
+           (1000000 * rnum) // 4
+    FROM hits WHERE rnk = 1
+    UNION ALL
+    SELECT h.qid, h.rnk,
+           (w.prob * (4 - h.rnum)) // 4,
+           w.acc + (w.prob * h.rnum) // (4 * h.rnk)
+    FROM walk w JOIN hits h ON h.qid = w.qid AND h.rnk = w.rnk + 1
+),
+final AS (SELECT qid, max_by(acc, rnk) AS err_micros FROM walk GROUP BY qid)
+SELECT qid, CAST(err_micros AS BIGINT) AS err_micros FROM final
+UNION ALL
+SELECT 'all', CAST(round(avg(err_micros * 1.0)) AS BIGINT) FROM final
+ORDER BY qid
+"""
+
+
 # Kendall twin: the sig-test run pair (the ap_* CTEs ride along unused —
 # CTEs are lazy), tau-a by counting concordant doc pairs in a self-join.
 _KENDALL_SQL = f"""
@@ -9545,6 +9616,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_eval": _TREC_EVAL_SQL,
         "sig_test": _SIG_TEST_SQL,
         "bpref": _BPREF_SQL,
+        "err_metric": _ERR_SQL,
         "kendall_tau": _KENDALL_SQL,
         "mrr": _MRR_SQL,
         "judgment_pool": _POOL_SQL,
