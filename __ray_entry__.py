@@ -1109,13 +1109,22 @@ _TREC_REL_MOD = 9
 _TREC_DEPTH = 100
 
 
+_TREC_RUN_CACHE: dict[tuple, pd.DataFrame] = {}
+
+
 def _trec_run(sf_dir: str, *, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
     """Shared depth-100 BM25 run over ``_TREC_QSET`` → (qid, rnk, doc_id)
     in (score_micros DESC, doc_id ASC) order — the micros tie-break both
     engines share. k covers the FULL candidate set (the depth cut happens
     after the micros re-sort): a smaller k could drop a doc the SQL twin's
     order ranks inside the top-100 when a raw-score tie group straddles
-    the cut."""
+    the cut. Memoized per (sf_dir, k1, b): seven eval entries (trec_eval,
+    sig_test, bpref, err_metric, kendall_tau, mrr, hard_negatives) share
+    the same deterministic runs within one driver sweep."""
+    key = (sf_dir, k1, b)
+    cached = _TREC_RUN_CACHE.get(key)
+    if cached is not None:
+        return cached.copy()
     import pyarrow.parquet as papq
 
     from search_engine_framework_ray.query.executor import run_queries
@@ -1146,7 +1155,9 @@ def _trec_run(sf_dir: str, *, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
         df["qid"] = qid
         df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
         runs.append(df[["qid", "rnk", "doc_id"]])
-    return pd.concat(runs, ignore_index=True)
+    out = pd.concat(runs, ignore_index=True)
+    _TREC_RUN_CACHE[key] = out
+    return out.copy()
 
 
 def q_judgment_pool(sf_dir: str):
