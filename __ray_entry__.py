@@ -2624,6 +2624,30 @@ def q_cross_dup(sf_dir: str):
     )
 
 
+def q_source_boilerplate(sf_dir: str):
+    """Per-source (host) boilerplate fraction: share of each source's
+    trigram positions whose trigram recurs in ≥2 distinct docs of the
+    same source — the site-templating signal that decides which hosts
+    need boilerplate removal (stages/repetition.py
+    ``source_boilerplate``; one gram-bucket shuffle, ≤|sources| rows
+    leave each bucket)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.repetition import source_boilerplate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    out = source_boilerplate(ds, k=3).to_pandas()
+    out["dup_frac_micros"] = _micros(out["dup_frac"])
+    return (
+        out[["source", "n_grams", "dup_frac_micros"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def q_source_stats(sf_dir: str):
     """Per-origin corpus census (docs / tokens / chars per crawl source) —
     per-batch combiner, one tiny groupby (stages/corpus.py)."""
@@ -6582,6 +6606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "repetition": q_repetition,
         "cross_dup": q_cross_dup,
+        "source_boilerplate": q_source_boilerplate,
         "source_stats": q_source_stats,
         "facet_counts": q_facet_counts,
         "triangles": q_triangles,
@@ -10870,6 +10895,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                        AS dup_frac_micros
             FROM sh s LEFT JOIN du d USING (g)
             GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        "source_boilerplate": r"""
+            WITH l AS (
+                SELECT doc_id, source,
+                       regexp_extract_all(text, '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                       concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g,
+                       count(*) AS n
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+                GROUP BY doc_id, source, g
+            ),
+            du AS (
+                SELECT source, g FROM sh GROUP BY source, g
+                HAVING count(*) > 1
+            )
+            SELECT s.source,
+                   CAST(sum(s.n) AS BIGINT) AS n_grams,
+                   CAST(round((sum(CASE WHEN d.g IS NOT NULL THEN s.n ELSE 0 END)::DOUBLE
+                               / sum(s.n)) * 1000000) AS BIGINT)
+                       AS dup_frac_micros
+            FROM sh s
+            LEFT JOIN du d ON d.source = s.source AND d.g = s.g
+            GROUP BY s.source ORDER BY s.source
         """,
         "source_stats": r"""
             SELECT source, count(*)::BIGINT AS n_docs,

@@ -146,3 +146,94 @@ def cross_dup_fraction(
         )
 
     return per_doc.map_batches(final, batch_format="pandas")
+
+
+def source_boilerplate(
+    ds,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    num_buckets: int = 64,
+):
+    """Per-source (host) boilerplate fraction: the share of a source's
+    k-gram POSITIONS whose gram appears in ≥ 2 distinct documents of the
+    SAME source — the site-templating signal web-cleaning pipelines use
+    to decide which hosts need boilerplate removal (cf. the per-doc
+    corpus-wide variant :func:`cross_dup_fraction`). Same shape at
+    scale: per-doc unique-gram partials (one row per (doc, gram)), ONE
+    gram-bucket shuffle where each bucket owns its grams fully, per-
+    bucket (source, gram) distinct-doc counts collapsed to ≤ |sources|
+    rows per bucket, then a tiny per-source sum. Returns a Dataset
+    ``(source, n_grams, dup_frac)``."""
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        dids, srcs, grams, ns = [], [], [], []
+        for did, src, t in zip(
+            b[id_col], b[source_col], b[text_col].fillna("")
+        ):
+            g = _gram_hashes(t, k)
+            if not g.size:
+                continue
+            u, c = np.unique(g, return_counts=True)
+            dids.append(np.full(u.size, did, dtype=np.int64))
+            srcs.append(np.full(u.size, src, dtype=object))
+            grams.append(u)
+            ns.append(c.astype(np.int64))
+        if not dids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "source": pd.Series(dtype="object"),
+                    "g": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "jb": pd.Series(dtype="int64"),
+                }
+            )
+        g = np.concatenate(grams)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(dids),
+                "source": np.concatenate(srcs),
+                "g": g.view(np.int64),
+                "n": np.concatenate(ns),
+                "jb": (g % np.uint64(num_buckets)).astype(np.int64),
+            }
+        )
+
+    def bucket(gdf: pd.DataFrame) -> pd.DataFrame:
+        # rows are unique per (doc, gram) ⇒ group size = distinct docs
+        # carrying the gram within this source
+        ndocs = gdf.groupby(["source", "g"], sort=False)["doc_id"].transform(
+            "size"
+        )
+        dup = (ndocs > 1).to_numpy()
+        part = pd.DataFrame(
+            {
+                "source": gdf["source"].to_numpy(object),
+                "n": gdf["n"].to_numpy(np.int64),
+                "dup_n": np.where(dup, gdf["n"].to_numpy(np.int64), 0),
+            }
+        )
+        out = part.groupby("source", sort=False)[["n", "dup_n"]].sum().reset_index()
+        return out.astype({"n": "int64", "dup_n": "int64"})
+
+    per_src = (
+        ds.map_batches(partials, batch_format="pandas")
+        .groupby("jb")
+        .map_groups(bucket, batch_format="pandas")
+        .groupby("source")
+        .sum(["n", "dup_n"])
+    )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": b["source"],
+                "n_grams": b["sum(n)"].astype("int64"),
+                "dup_frac": b["sum(dup_n)"].to_numpy(np.float64)
+                / b["sum(n)"].to_numpy(np.float64),
+            }
+        )
+
+    return per_src.map_batches(final, batch_format="pandas")
