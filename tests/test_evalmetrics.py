@@ -99,3 +99,76 @@ def test_reciprocal_rank():
     assert reciprocal_rank(["a", "b", "c"], {"a", "c"}) == 1.0
     assert reciprocal_rank(["a", "b"], {"z"}) == 0.0
     assert reciprocal_rank([], {"z"}) == 0.0
+
+
+def test_sign_flip_randomization_exact():
+    """The sig_test enumeration kernel on hand-checkable diffs: with
+    d = [10, -10], |sum| = 0 and every one of the 4 sign assignments
+    reaches |T| >= 0 -> p = 4/4; with d = [10, 10], T_obs = 20 and only
+    the two all-same-sign assignments reach it -> p = 2/4."""
+    import numpy as np
+
+    def p_num(d):
+        d = np.asarray(d, dtype=np.int64)
+        n = len(d)
+        masks = np.arange(1 << n, dtype=np.int64)
+        signs = 1 - 2 * ((masks[:, None] >> np.arange(n)) & 1)
+        t = np.abs(signs @ d)
+        return int((t >= abs(int(d.sum()))).sum()), 1 << n
+
+    assert p_num([10, -10]) == (4, 4)
+    assert p_num([10, 10]) == (2, 4)
+    assert p_num([5, 6, 7, 8]) == (2, 16)  # all positive: only ++++ / ----
+    assert p_num([0, 0, 0, 0]) == (16, 16)
+
+
+def test_bpref_definition():
+    """bpref on a 5-doc run, R = 2, rel at ranks 1 and 4: rank-1 hit has
+    0 nonrel above (term 1), rank-4 hit has 2 nonrel above, min(2, R)=2
+    -> term 1 - 2/2 = 0; bpref = (1 + 0)/2 = 0.5."""
+    import numpy as np
+
+    rel = np.array([1, 0, 0, 1, 0], dtype=bool)
+    rnk = np.arange(1, 6, dtype=np.int64)
+    c = np.cumsum(rel.astype(np.int64))
+    r_total = 2
+    n_above = (rnk - c)[rel]
+    bpref = float(
+        (1.0 - np.minimum(n_above, r_total) * 1.0 / r_total).sum() / r_total
+    )
+    assert bpref == 0.5
+
+
+def test_err_integer_cascade():
+    """The quantized ERR cascade: a single grade-2 doc at rank 1 gives
+    R = 3/4 -> 750000 micros exactly; grade-1 at rank 1 then grade-2 at
+    rank 2: 250000 + (750000*3)//8 = 531250 micros."""
+
+    def err_micros(rnums):
+        prob, acc = 1_000_000, 0
+        for r, rn in enumerate(rnums, start=1):
+            acc += (prob * rn) // (4 * r)
+            prob = (prob * (4 - rn)) // 4
+        return acc
+
+    assert err_micros([3]) == 750_000
+    assert err_micros([1, 3]) == 250_000 + (750_000 * 3) // 8
+    assert err_micros([0, 0, 0]) == 0
+
+
+def test_kendall_tau_pair_counts():
+    """tau-a on reversed rankings is -1e6 micros; identical rankings +1e6;
+    one adjacent swap on 4 items: C=5, D=1, tau = (10-6... ) exact."""
+    import numpy as np
+
+    def tau_micros(rb):
+        rb = np.asarray(rb)
+        n = len(rb)
+        p = n * (n - 1) // 2
+        conc = int(np.triu(rb[:, None] < rb[None, :], 1).sum())
+        return round((2 * conc - p) / p * 1e6), conc, p - conc
+
+    assert tau_micros([1, 2, 3, 4]) == (1_000_000, 6, 0)
+    assert tau_micros([4, 3, 2, 1]) == (-1_000_000, 0, 6)
+    t, c, d = tau_micros([2, 1, 3, 4])  # one adjacent swap
+    assert (c, d) == (5, 1) and t == round((2 * 5 - 6) / 6 * 1e6)
