@@ -55,6 +55,74 @@ def _docs_index(sf_dir: str) -> str:
     return idx
 
 
+# KStem probe suffix appended to every fixture doc so the kstem_term_stats
+# entry exercises each KStem rule family (-ies revert-to-ie, e-restoration,
+# consonant undoubling, irregular exceptions, dictionary passthrough, short /
+# non-alpha passthrough) regardless of the fixture vocabulary. Both the engine
+# corpus derivation and the SQL twin append the SAME suffix.
+_KSTEM_PROBE = (
+    "movies ties pies cookies flies stories zombies churches horses classes "
+    "cats tried cried stopped wanted cared saved uses running making caring "
+    "children mice series species police glass i42"
+)
+
+
+def _kstem_base(sf_dir: str) -> str:
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return f"/tmp/sefr_kstem/{key}"
+
+
+def _kstem_corpus(sf_dir: str) -> str:
+    """Derive (once, fingerprint-resumable) the KStem probe corpus:
+    ``text || ' ' || _KSTEM_PROBE`` per doc (SQL twin: the same concat)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    base = _kstem_base(sf_dir)
+    out_dir, meta_p = os.path.join(base, "corpus"), os.path.join(base, "corpus.meta")
+    st = os.stat(src)
+    marker = f"{st.st_size}:{st.st_mtime_ns}:kstem_v1:{_KSTEM_PROBE}"
+    if os.path.isdir(out_dir) and os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            if fh.read() == marker:
+                return out_dir
+    import shutil
+
+    import ray.data
+
+    def aug(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(), "text": b["text"] + " " + _KSTEM_PROBE}
+        )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
+        aug, batch_format="pandas"
+    ).write_parquet(out_dir)
+    with open(meta_p, "w") as fh:
+        fh.write(marker)
+    return out_dir
+
+
+def _kstem_index(sf_dir: str) -> str:
+    """KStem-analyzed index (the reference's configured stemmer,
+    QryEval.java:61-65 → KSTEM) over the probe corpus; resumable."""
+    from search_engine_framework_ray.functions.analysis import AnalyzerConfig
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+
+    idx = os.path.join(_kstem_base(sf_dir), "idx")
+    build_index(
+        _kstem_corpus(sf_dir),
+        idx,
+        analyzer=AnalyzerConfig(lowercase=True, stopword_removal=False, stemmer="kstem"),
+        plain_source=PlainSource(),
+        num_shards=4,
+    )
+    return idx
+
+
 # The LeToR full-feature entry needs a FOUR-field index (the reference
 # scores body/title/url/inlink separately, LearnToRank.java:358-445). The
 # plain corpus has only text, so the driver-visible fields are DERIVED
@@ -563,6 +631,29 @@ def q_term_stats(sf_dir: str):
     import pyarrow.parquet as pq
 
     idx = _docs_index(sf_dir)
+    frames = [
+        pq.read_table(p).to_pandas()
+        for p in sorted(glob.glob(os.path.join(idx, "termstats", "bucket=*.parquet")))
+    ]
+    df = pd.concat(frames)
+    df = df[df["field"] == "body"][["term", "df", "ctf"]]
+    return df.sort_values("term", kind="mergesort").reset_index(drop=True)
+
+
+def q_kstem_term_stats(sf_dir: str):
+    """Global per-term df/ctf from a KStem-analyzed index — the stemmer the
+    reference actually configures (EnglishAnalyzerConfigurable.java:154-157
+    via QryEval.java:61-65). The probe corpus guarantees every KStem rule
+    family is under the driver hash (-ies revert-to-ie: movies→movie,
+    ties→tie; e-restoration: cared→care; undoubling: stopped→stop;
+    exceptions: children→child; dictionary passthrough: series/species).
+    The SQL twin re-implements the dictionary-guided Krovetz rules in
+    DuckDB over the embedded head-word lexicon (functions/kstem.py)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    idx = _kstem_index(sf_dir)
     frames = [
         pq.read_table(p).to_pandas()
         for p in sorted(glob.glob(os.path.join(idx, "termstats", "bucket=*.parquet")))
@@ -6548,6 +6639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cascade_rerank": q_cascade_rerank,
         "search_after": q_search_after,
         "term_stats": q_term_stats,
+        "kstem_term_stats": q_kstem_term_stats,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
@@ -7531,6 +7623,91 @@ SELECT CAST(depth AS BIGINT) AS depth, CAST(overlap AS BIGINT) AS overlap,
        CAST(sum(term_micros) OVER (ORDER BY depth) AS BIGINT) AS rbo_cum_micros
 FROM terms ORDER BY depth
 """
+
+
+def _kstem_sql() -> str:
+    """DuckDB re-implementation of the dictionary-guided Krovetz stemmer
+    (functions/kstem.py — plural → past-tense → aspect, first rule that
+    fires wins, every candidate validated against the head-word lexicon).
+    The lexicon and irregular-exception table are configuration DATA shared
+    with the engine (a public word list); the rule LOGIC here is written
+    independently in SQL so the twin certifies the engine's algorithm, not
+    its output. ASCII-only corpus assumed (isalpha ⇔ ^[a-z]+$ on the
+    lowercased token — true for the fixture and the probe suffix)."""
+    from search_engine_framework_ray.functions.kstem import _DICT, _EXCEPTIONS
+
+    dict_vals = ", ".join(f"'{w}'" for w in sorted(_DICT))
+    exc_vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(_EXCEPTIONS.items()))
+    # double-final-consonant test on a base b (KStem undoubling guard:
+    # last two chars equal and not a vowel, y counted as a vowel)
+    def dbl(b: str) -> str:
+        return (
+            f"substr({b}, length({b}), 1) = substr({b}, length({b}) - 1, 1) "
+            f"AND substr({b}, length({b}), 1) NOT IN ('a','e','i','o','u','y')"
+        )
+
+    return f"""
+    WITH kdict(w) AS (SELECT unnest([{dict_vals}])),
+    kexc(w, s) AS (SELECT * FROM (VALUES {exc_vals}) AS t(w, s)),
+    docs AS (SELECT doc_id, text || ' ' || '{_KSTEM_PROBE}' AS text FROM documents),
+    toks AS (
+        SELECT doc_id, lower(tok) AS tok
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS tok
+              FROM docs)
+    ),
+    v AS (SELECT DISTINCT tok FROM toks),
+    vb AS (
+        SELECT v.tok, exc.s AS exc_s,
+               v.tok IN (SELECT w FROM kdict) AS in_dict,
+               substr(v.tok, 1, length(v.tok) - 1) AS b1,
+               substr(v.tok, 1, length(v.tok) - 2) AS b2,
+               substr(v.tok, 1, length(v.tok) - 3) AS b3,
+               length(v.tok) AS n
+        FROM v LEFT JOIN kexc exc ON exc.w = v.tok
+    ),
+    st AS (
+        SELECT tok,
+            CASE
+                WHEN n < 3 OR NOT regexp_matches(tok, '^[a-z]+$') THEN tok
+                WHEN exc_s IS NOT NULL THEN exc_s
+                WHEN in_dict THEN tok
+                -- plural: -ies (y-form if in lexicon, else revert to -ie)
+                WHEN tok LIKE '%ies' AND n > 3 THEN
+                    CASE WHEN (b3 || 'y') IN (SELECT w FROM kdict)
+                         THEN b3 || 'y' ELSE b3 || 'ie' END
+                -- plural: -es (e-restoration before the bare stem)
+                WHEN tok LIKE '%es' AND n > 3 THEN
+                    CASE WHEN (b2 || 'e') IN (SELECT w FROM kdict)
+                         THEN b2 || 'e' ELSE b2 END
+                -- plural: bare -s (not -ss/-us/-is)
+                WHEN tok LIKE '%s' AND tok NOT LIKE '%ss' AND tok NOT LIKE '%us'
+                     AND tok NOT LIKE '%is' AND n > 3 THEN b1
+                -- past tense: -ied → -y
+                WHEN tok LIKE '%ied' AND n > 4 THEN b3 || 'y'
+                -- past tense: -ed (e-restore, then undouble, then bare)
+                WHEN tok LIKE '%ed' AND n > 4 THEN
+                    CASE WHEN (b2 || 'e') IN (SELECT w FROM kdict) THEN b2 || 'e'
+                         WHEN {dbl('b2')}
+                              AND substr(b2, 1, length(b2) - 1) IN (SELECT w FROM kdict)
+                              THEN substr(b2, 1, length(b2) - 1)
+                         ELSE b2 END
+                -- aspect: -ing (e-restore, then undouble, then bare)
+                WHEN tok LIKE '%ing' AND n > 5 THEN
+                    CASE WHEN (b3 || 'e') IN (SELECT w FROM kdict) THEN b3 || 'e'
+                         WHEN {dbl('b3')}
+                              AND substr(b3, 1, length(b3) - 1) IN (SELECT w FROM kdict)
+                              THEN substr(b3, 1, length(b3) - 1)
+                         ELSE b3 END
+                ELSE tok
+            END AS stem
+        FROM vb
+    )
+    SELECT s.stem AS term,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS ctf
+    FROM toks t JOIN st s USING (tok)
+    GROUP BY s.stem ORDER BY term
+    """
 
 
 def _interleave_sql() -> str:
@@ -10232,6 +10409,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    CAST(count(*) AS BIGINT) AS ctf
             FROM toks GROUP BY tok ORDER BY term
         """,
+        "kstem_term_stats": _kstem_sql(),
         # full postings content (every (term, doc, tf) cell of the inverted
         # index) — the engine side decoded it back out of the varbyte shards
         "postings_export": f"""

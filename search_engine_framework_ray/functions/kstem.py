@@ -177,6 +177,7 @@ resource respond response rest result return reveal rich rifle right rise
 risk road rock role room rule run safe same save say scene school science
 scientist score scope sea season seat second section security see seek
 seem sell send senior sense series serious serve service set seven several
+species tie cookie pie movie zombie
 shake share she shoot short shot should shoulder show side sign
 significant similar simple simply since sing single sister sit site
 situation six size skill skin small smile so social society soldier some
@@ -227,7 +228,9 @@ def _pick(candidates: list[str], fallback: str) -> str:
 def _plural(word: str) -> str:
     """-ies → -y, -es → -e/∅, -s → ∅ (not -ss/-us/-is), dictionary-checked
     (Krovetz §plural; Lucene KStemmer.plural)."""
-    if word.endswith("ies") and len(word) > 4:
+    if word.endswith("ies") and len(word) > 3:
+        # no >4 length guard: Lucene KStemmer.plural stems 4-letter -ies
+        # words too (ties→tie, pies→pie) — the -ie revert below covers them
         # Lucene KStemmer.plural: try the -y form; when its lookup fails,
         # REVERT to the -ie form (movies→movie, cookies→cookie) rather than
         # keeping the bare -y rule output

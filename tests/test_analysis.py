@@ -136,6 +136,11 @@ KSTEM_GOLDENS = [
     # KStemmer.plural), instead of keeping the bare -y rule output
     ("movies", "movie"),
     ("cookies", "cookie"),
+    # 4-letter -ies words take the -ies branch too (no Lucene length guard)
+    ("ties", "tie"),
+    ("dies", "die"),
+    ("pies", "pie"),
+    ("lies", "lie"),
     # past tense (undoubling + e-restoration)
     ("stopped", "stop"),
     ("saved", "save"),
