@@ -3118,13 +3118,21 @@ def q_semantic_dedup(sf_dir: str):
     cluster-co-partitioned Gram-matrix pass marks every vector with a
     lower-id clustermate at cosine >= 0.46 (the fixture's pair-cosine gap —
     see ``embedding_neardup``) as a drop. SQL twin = the kmeans replay CTEs
-    + a within-cluster list_cosine_similarity self-join."""
+    + a within-cluster list_cosine_similarity self-join. A hostile all-zero
+    vector (vec_id = max + 1) is planted on BOTH sides to pin the zero-norm
+    cosine convention under the hash: cosine(0⃗, ·) ≡ 0, never a dup."""
+    import pyarrow.parquet as papq
     import ray.data
 
     from search_engine_framework_ray.stages.ann import semantic_dedup
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    pf = papq.ParquetFile(p)
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    zid = int(papq.read_table(p, columns=["vec_id"]).column("vec_id").to_pandas().max()) + 1
+    ds = ray.data.read_parquet(p, columns=["vec_id", "embedding"]).union(
+        ray.data.from_items([{"vec_id": zid, "embedding": [0.0] * dim}])
     )
     out = semantic_dedup(ds, k=10, iters=2, threshold_micros=460_000).to_pandas()
     for c in ("vec_id", "cluster", "keep"):
@@ -11357,19 +11365,34 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         + """
             SELECT vec_id, cid AS cluster FROM a3 ORDER BY vec_id
         """,
-        # SemDeDup twin: same kmeans replay, then a within-cluster
-        # lower-id self-join; cosine quantized with floor(x*1e6 + 0.5),
-        # the engine kernel's exact expression
-        "semantic_dedup": _KMEANS_REPLAY_CTES
+        # SemDeDup twin: same kmeans replay over the zero-row-augmented
+        # corpus (embx — the entry plants the same hostile row), then a
+        # within-cluster lower-id self-join; cosine quantized with
+        # floor(x*1e6 + 0.5), the engine kernel's exact expression, with
+        # the PINNED zero-norm convention: cosine(0⃗, ·) ≡ 0 by definition
+        # (explicit guard, never list_cosine_similarity's 0/0)
+        "semantic_dedup": "WITH embx AS ("
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings"
+        "  UNION ALL"
+        "  SELECT (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id,"
+        "         (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)"
+        "          FROM embeddings ORDER BY vec_id LIMIT 1) AS embedding"
+        "),"
+        + _KMEANS_REPLAY_CTES.replace("WITH seeds", "seeds", 1).replace(
+            "FROM embeddings", "FROM embx"
+        )
         + """,
             asg AS (
                 SELECT a3.vec_id, a3.cid AS cluster, e.embedding
-                FROM a3 JOIN embeddings e USING (vec_id)
+                FROM a3 JOIN embx e USING (vec_id)
             ),
             dup AS (
                 SELECT a.vec_id,
-                       max(CASE WHEN CAST(floor(
-                               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                       max(CASE WHEN list_dot_product(a.embedding, a.embedding) = 0
+                                  OR list_dot_product(b.embedding, b.embedding) = 0
+                           THEN 0
+                           WHEN CAST(floor(
+                               list_cosine_similarity(a.embedding, b.embedding)
                                * 1000000 + 0.5) AS BIGINT) >= 460000
                            THEN 1 ELSE 0 END) AS d
                 FROM asg a JOIN asg b

@@ -726,10 +726,11 @@ def semantic_dedup(
         g = g.sort_values(id_col, kind="mergesort")
         X = _stack_embeddings(g, emb_col)
         n = np.linalg.norm(X, axis=1)
-        # zero vectors: cosine treated as 0 vs everything. NOTE: the SQL
-        # twin's list_cosine_similarity divides by the zero norm instead
-        # (NaN) — the twins agree only on corpora without all-zero
-        # embeddings, which the fixture synthesis guarantees
+        # PINNED CONVENTION: a zero vector's cosine against anything is 0
+        # (never a duplicate). The SQL twin enforces the same definition
+        # with an explicit zero-norm guard around list_cosine_similarity,
+        # and the driver entry plants a hostile all-zero row to keep both
+        # sides honest (VERDICT r3 #4).
         n[n == 0] = 1.0
         cos = np.floor((X @ X.T) / np.outer(n, n) * 1e6 + 0.5)
         dup = (np.tril(cos, -1) >= threshold_micros).any(axis=1)
