@@ -1297,6 +1297,15 @@ _TREC_DEPTH = 100
 _TREC_RUN_CACHE: dict[tuple, pd.DataFrame] = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(path, size, mtime_ns) of documents.parquet — the cache key fragment
+    that invalidates the TREC memos when the same path is regenerated
+    within one driver process (ADVICE r3: a path-only key would serve
+    stale rankings; the shard index cache is already fingerprint-keyed)."""
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return (os.path.abspath(sf_dir), st.st_size, st.st_mtime_ns)
+
+
 def _trec_run(sf_dir: str, *, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
     """Shared depth-100 BM25 run over ``_TREC_QSET`` → (qid, rnk, doc_id)
     in (score_micros DESC, doc_id ASC) order — the micros tie-break both
@@ -1305,8 +1314,10 @@ def _trec_run(sf_dir: str, *, k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
     order ranks inside the top-100 when a raw-score tie group straddles
     the cut. Memoized per (sf_dir, k1, b): seven eval entries (trec_eval,
     sig_test, bpref, err_metric, kendall_tau, mrr, hard_negatives) share
-    the same deterministic runs within one driver sweep."""
-    key = (sf_dir, k1, b)
+    the same deterministic runs within one driver sweep. The key carries
+    the corpus fingerprint, so a regenerated documents.parquet at the same
+    path re-runs instead of serving stale rankings."""
+    key = (_corpus_fingerprint(sf_dir), k1, b)
     cached = _TREC_RUN_CACHE.get(key)
     if cached is not None:
         return cached.copy()
@@ -1419,10 +1430,19 @@ def q_mrr(sf_dir: str):
     return out.sort_values("qid").reset_index(drop=True)
 
 
+_TREC_RELCOUNT_CACHE: dict[tuple, tuple[dict, dict]] = {}
+
+
 def _trec_rel_counts(sf_dir: str) -> tuple[dict, dict]:
     """|relevant(qid)| (and grade-2 counts) over the WHOLE corpus:
     distributed partial counts (4 ints per batch), summed — the corpus
-    never reaches the driver."""
+    never reaches the driver. Memoized per corpus fingerprint alongside
+    ``_TREC_RUN_CACHE`` (ADVICE r3: trec_eval / sig_test / bpref each
+    launched this counting pass separately within one driver sweep)."""
+    key = _corpus_fingerprint(sf_dir)
+    cached = _TREC_RELCOUNT_CACHE.get(key)
+    if cached is not None:
+        return {**cached[0]}, {**cached[1]}
     import ray.data
 
     docs = ray.data.read_parquet(
@@ -1447,7 +1467,8 @@ def _trec_rel_counts(sf_dir: str) -> tuple[dict, dict]:
     )
     r_by_qid = {qid: int(totals[f"sum({qid})"]) for qid in qnums}
     g2_by_qid = {qid: int(totals[f"sum({qid}_g2)"]) for qid in qnums}
-    return r_by_qid, g2_by_qid
+    _TREC_RELCOUNT_CACHE[key] = (r_by_qid, g2_by_qid)
+    return {**r_by_qid}, {**g2_by_qid}
 
 
 def _trec_ap_micros(run: pd.DataFrame, r_by_qid: dict) -> dict[str, int]:
@@ -8427,7 +8448,7 @@ perms AS (
     SELECT m.m,
            abs(sum(CASE WHEN (m.m >> d.rn) & 1 = 1
                         THEN -d.diff ELSE d.diff END)) AS t
-    FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS m) m
+    FROM d CROSS JOIN (SELECT unnest(range(0, {1 << len(_TREC_QSET)})) AS m) m
     GROUP BY m.m
 ),
 p AS (SELECT count(*) AS p_num FROM perms, obs WHERE perms.t >= obs.t)
@@ -8436,7 +8457,7 @@ SELECT d.qid,
        d.b AS ap_b_micros,
        d.diff AS diff_micros,
        p.p_num AS p_num,
-       CAST(16 AS BIGINT) AS p_den
+       CAST({1 << len(_TREC_QSET)} AS BIGINT) AS p_den
 FROM d CROSS JOIN p
 ORDER BY d.qid
 """
@@ -8461,7 +8482,7 @@ cum AS (
     SELECT qid, rnk, rel, sum(rel) OVER (PARTITION BY qid ORDER BY rnk) AS c
     FROM hits
 ),
-perq AS (
+perq0 AS (
     SELECT cum.qid,
            CAST(round(sum(CASE WHEN rel = 1
                                THEN 1 - least(rnk - c, rcnt.r) * 1.0 / rcnt.r
@@ -8475,6 +8496,18 @@ perq AS (
            CAST(max(CASE WHEN rel = 1 AND rnk <= 10 THEN 1000000 ELSE 0 END) AS BIGINT) AS s10_micros
     FROM cum JOIN rcnt ON rcnt.qid = cum.qid
     GROUP BY cum.qid
+),
+-- a qid with zero relevant docs or zero retrieved hits falls out of the
+-- inner chain; the engine emits a zero row for it and counts it in the
+-- 'all' mean, so rebuild the full qid universe here (ADVICE r3)
+perq AS (
+    SELECT qi.qid,
+           coalesce(p.bpref_micros, 0) AS bpref_micros,
+           coalesce(p.rprec_micros, 0) AS rprec_micros,
+           coalesce(p.s1_micros, 0) AS s1_micros,
+           coalesce(p.s5_micros, 0) AS s5_micros,
+           coalesce(p.s10_micros, 0) AS s10_micros
+    FROM qi LEFT JOIN perq0 p USING (qid)
 )
 SELECT qid, bpref_micros, rprec_micros, s1_micros, s5_micros, s10_micros
 FROM perq
@@ -8512,7 +8545,13 @@ walk(qid, rnk, prob, acc) AS (
            w.acc + (w.prob * h.rnum) // (4 * h.rnk)
     FROM walk w JOIN hits h ON h.qid = w.qid AND h.rnk = w.rnk + 1
 ),
-final AS (SELECT qid, max_by(acc, rnk) AS err_micros FROM walk GROUP BY qid)
+final0 AS (SELECT qid, max_by(acc, rnk) AS err_micros FROM walk GROUP BY qid),
+-- zero-hit qids never enter the rnk=1 recursive base; the engine emits a
+-- zero row and includes it in the 'all' mean (ADVICE r3)
+final AS (
+    SELECT qi.qid, coalesce(f.err_micros, 0) AS err_micros
+    FROM qi LEFT JOIN final0 f USING (qid)
+)
 SELECT qid, CAST(err_micros AS BIGINT) AS err_micros FROM final
 UNION ALL
 SELECT 'all', CAST(round(avg(err_micros * 1.0)) AS BIGINT) FROM final
