@@ -390,6 +390,66 @@ def run_bench() -> dict:
             lambda: normalize_features(compute_features(idx, qset[:2], cand)),
         )
 
+        # ---- graph ops (VERDICT r3 #6: machine-checked, not prose-only) ----
+        from search_engine_framework_ray.stages.graph import (
+            connected_components,
+            pagerank,
+        )
+
+        def run_pagerank() -> None:
+            edges, nodes, n = entrymod._doc_link_graph(sf_dir)
+            pagerank(
+                edges, nodes=nodes, iters=3,
+                n_buckets=8 if n <= 100_000 else 64,
+            ).count()
+
+        timeit("pagerank_3iter", run_pagerank)
+
+        def run_cc() -> None:
+            edges, _nodes, n = entrymod._doc_link_graph(sf_dir)
+            connected_components(
+                edges, n_buckets=8 if n <= 100_000 else 64
+            ).count()
+
+        timeit("connected_components", run_cc)
+
+        # ---- index lifecycle: compaction of base + delta shards ----
+        from search_engine_framework_ray.pipelines.compact import compact_index
+
+        comp_out = f"/tmp/sefr_bench/idx_compact_{ncpu}"
+
+        def run_compact() -> None:
+            # _extended_index is disk-cached after trial 1, so the steady
+            # min times ONLY the compaction merge
+            compact_index(entrymod._extended_index(sf_dir), comp_out, num_shards=8)
+
+        timeit(
+            "compact_index",
+            run_compact,
+            setup=lambda: shutil.rmtree(comp_out, ignore_errors=True),
+        )
+
+        # ---- impact-ordered quantized index build ----
+        from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+        from search_engine_framework_ray.pipelines.impact import build_impact_index
+
+        impact_out = f"/tmp/sefr_bench/idx_impact_{ncpu}"
+        timeit(
+            "impact_index_build",
+            lambda: build_impact_index(docs_path, impact_out, analyzer=PLAIN_ANALYZER),
+            setup=lambda: shutil.rmtree(impact_out, ignore_errors=True),
+        )
+
+        # ---- dedup with the off-driver labeling path pinned (VERDICT r3 #3:
+        # distributed sig-agreement verify + connected-components labeling) ----
+        timeit(
+            "dedup_minhash_distlabel",
+            lambda: minhash_lsh_dedup(
+                ray.data.read_parquet(docs_path), threshold=0.8,
+                concurrency=min(8, ncpu), driver_label_max_pairs=0,
+            ).count(),
+        )
+
     out = {
         "metric": (
             f"index build seconds (documents, Porter analyzer) + stage timings; "

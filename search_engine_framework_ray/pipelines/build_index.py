@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import os
 import time
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
@@ -213,6 +214,31 @@ def _corpus_meta(corpus_paths) -> list[list]:
     ]
 
 
+@contextmanager
+def _shuffle_ctx(strategy: str):
+    """The measured sort-vs-hash shuffle trade as a knob (BASELINE.md
+    round-2 experiment; VERDICT r3 #8): ``'sort'`` (default) wins at
+    sandbox partition sizes — the hash path's 64 aggregator actors cost
+    ~13× at 2M-row builds; ``'hash'`` is the multi-node scale-out path at
+    ≫10M-row partitions, where the actor overhead amortizes and the global
+    sort barrier disappears. Results are bit-identical either way (pinned
+    by ``tests/test_build.py::test_hash_shuffle_build_identical``)."""
+    if strategy == "sort":
+        yield
+        return
+    if strategy != "hash":
+        raise ValueError(f"shuffle must be 'sort' or 'hash', got {strategy!r}")
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
+
+
 def build_index(
     corpus_paths: str | list[str],
     index_dir: str,
@@ -225,6 +251,7 @@ def build_index(
     block_size: int = 128,
     verify_golden: bool = False,
     plain_source: "PlainSource | None" = None,
+    shuffle: str = "sort",
 ) -> dict:
     """Build (or resume) the sharded index. Returns a build report."""
     t_start = time.monotonic()
@@ -363,8 +390,11 @@ def build_index(
         include_forward=include_forward,
     )
 
-    termstats = ds.groupby("part").map_groups(build_group, batch_format="pandas")
-    bucket_report = _reduce_termstats(termstats, index_dir)
+    with _shuffle_ctx(shuffle):
+        termstats = ds.groupby(
+            "part", num_partitions=num_shards if shuffle == "hash" else None
+        ).map_groups(build_group, batch_format="pandas")
+        bucket_report = _reduce_termstats(termstats, index_dir)
 
     n_docs, fields, built_shards = _collect_shard_stats(index_dir)
     stats = {

@@ -213,3 +213,43 @@ def test_results_identical_across_shard_counts(built_index, tiny_corpus, tmp_pat
         r1 = run_queries(index_dir, qs, ModelParams(model=model))
         r2 = run_queries(other, qs, ModelParams(model=model))
         assert r1 == r2, f"{model} results differ across shard counts"
+
+
+def test_hash_shuffle_build_identical(built_index, tiny_corpus, tmp_path_factory):
+    """The shuffle-strategy knob (VERDICT r3 #8 / BASELINE.md round-2
+    experiment): shuffle='hash' routes the big groupby through Ray's
+    HASH_SHUFFLE aggregator actors instead of the sort-based exchange —
+    the multi-node ≫10M-row scale path — and must produce a bit-identical
+    index: same docmap, same global termstats, same query results."""
+    from search_engine_framework_ray.pipelines.build_index import build_index
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    index_dir, _ = built_index
+    other = str(tmp_path_factory.mktemp("hashshuf") / "index")
+    build_index(tiny_corpus, other, num_shards=3, verify_golden=True, shuffle="hash")
+
+    for d1, d2, sub in ((index_dir, other, "docmap"), (index_dir, other, "termstats")):
+        rows = {}
+        for d in (d1, d2):
+            acc = []
+            for p in sorted(glob.glob(os.path.join(d, sub, "*.parquet"))) or sorted(
+                glob.glob(os.path.join(d, sub, "shard=*.parquet"))
+            ):
+                acc.extend(map(tuple, pq.read_table(p).to_pandas().itertuples(index=False)))
+            rows[d] = sorted(acc)
+        assert rows[d1] == rows[d2], f"{sub} differs under hash shuffle"
+
+    qs = [("q1", "search engine"), ("q2", "#NEAR/2(web page)")]
+    for model in ("BM25", "Indri"):
+        assert run_queries(index_dir, qs, ModelParams(model=model)) == run_queries(
+            other, qs, ModelParams(model=model)
+        ), f"{model} results differ under hash shuffle"
+
+    with pytest.raises(ValueError, match="shuffle"):
+        build_index(
+            tiny_corpus,
+            str(tmp_path_factory.mktemp("badshuf") / "index"),
+            num_shards=3,
+            shuffle="nope",
+        )
