@@ -389,6 +389,52 @@ def merge_results(
 # ---------------------------------------------------------------------------
 
 
+def _collect_term_keys(node) -> list[str]:
+    """Every ``field:term`` leaf under ``node`` — the probe set for Bloom
+    fan-out routing. Iterative walk over args/child (any operator shape)."""
+    out: list[str] = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, Term):
+            out.append(f"{n.fieldname}:{n.term}")
+            continue
+        child = getattr(n, "child", None)
+        if child is not None:
+            stack.append(child)
+        stack.extend(getattr(n, "args", None) or [])
+    return out
+
+
+# (queries_routed, shard_tasks_routed, shard_tasks_full) of the last
+# run_queries call — BASELINE/bench instrumentation for the fan-out drop
+LAST_ROUTE_STATS: dict[str, int] = {}
+
+
+def _bloom_route_map(index_dir: str, shards: list[int], trees: dict):
+    """qid → shard sublist via the per-shard term Bloom sidecars
+    (state/bloom.py). A shard whose filter rejects EVERY term of a query
+    cannot produce a candidate for it (no false negatives), so the routed
+    fan-out is provably identical to querying every shard. Returns None
+    (route nothing) when any sidecar is unavailable."""
+    from ..state.bloom import load_shard_bloom, probe
+    from ..state.index_layout import shard_dir
+
+    try:
+        blooms = {s: load_shard_bloom(shard_dir(index_dir, s)) for s in shards}
+    except (OSError, ValueError):
+        return None
+    route = {}
+    for qid, tree in trees.items():
+        keys = _collect_term_keys(tree)
+        route[qid] = (
+            [s for s in shards if any(probe(blooms[s], key) for key in keys)]
+            if keys
+            else list(shards)
+        )
+    return route
+
+
 def run_queries(
     index_dir: str,
     queries: list[tuple[str, str]],
@@ -397,13 +443,18 @@ def run_queries(
     k: int = 100,
     concurrency: int | None = None,
     filter_ef: "dict[int, bytes] | None" = None,
+    route: bool = True,
 ) -> dict[str, list[tuple[str, float, int]]]:
     """Run ``[(qid, qtext)]`` against the index; returns
     ``qid → [(url, score, docid)]`` top-k in final rank order.
     Queries that fail to parse or match nothing map to ``[]``.
     ``filter_ef`` (shard → Elias-Fano bytes from query/filtered.py)
     restricts the ranking to an allowed docid set at query time; global
-    collection stats are unchanged (Lucene filter-query semantics)."""
+    collection stats are unchanged (Lucene filter-query semantics).
+    ``route`` (default ON) skips shards whose term-Bloom sidecar proves
+    they hold none of a query's terms — result-identical by construction
+    (VERDICT r3 #9), with the fan-out drop recorded in
+    :data:`LAST_ROUTE_STATS`."""
     import ray
     import ray.data
 
@@ -414,27 +465,48 @@ def run_queries(
     if concurrency is None:
         concurrency = max(1, min(len(shards), 8))
 
+    route_map = _bloom_route_map(index_dir, shards, trees) if route else None
+
+    def q_shards(q) -> list[int]:
+        return route_map[q] if route_map is not None else shards
+
+    LAST_ROUTE_STATS.clear()
+    LAST_ROUTE_STATS.update(
+        {
+            "queries": len(trees),
+            "shard_tasks_full": len(shards) * len(trees),
+            "shard_tasks_routed": sum(len(q_shards(q)) for q in trees),
+        }
+    )
+
     if composite_qids:
         ref = ray.put({q: (trees[q], params) for q in composite_qids})
-        work = [{"qid": q, "shard": s} for s in shards for q in composite_qids]
-        pre = (
-            ray.data.from_items(work)
-            .map_batches(
-                StatsPrePassActor,
-                fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
-                batch_format="pandas",
-                concurrency=(1, concurrency),
-                batch_size=max(1, len(work) // (concurrency * 2) or 1),
+        work = [
+            {"qid": q, "shard": s} for q in composite_qids for s in q_shards(q)
+        ]
+        # an empty routed work list ≡ the full fan-out returning zero rows
+        # (no shard holds any of the composite queries' terms)
+        if work:
+            pre = (
+                ray.data.from_items(work)
+                .map_batches(
+                    StatsPrePassActor,
+                    fn_constructor_kwargs={"index_dir": index_dir, "queries_ref": ref},
+                    batch_format="pandas",
+                    concurrency=(1, concurrency),
+                    batch_size=max(1, len(work) // (concurrency * 2) or 1),
+                )
+                .to_pandas()
             )
-            .to_pandas()
-        )
-        apply_prepass(score_stats, pre)
+            apply_prepass(score_stats, pre)
 
     payload = {q: (trees[q], params, score_stats[q]) for q in trees}
     if not payload:
         return {qid: [] for qid, _ in queries}
     ref = ray.put(payload)
-    work = [{"qid": q, "shard": s} for s in shards for q in trees]
+    work = [{"qid": q, "shard": s} for q in trees for s in q_shards(q)]
+    if not work:
+        return {qid: [] for qid, _ in queries}
     rows = (
         ray.data.from_items(work)
         .map_batches(

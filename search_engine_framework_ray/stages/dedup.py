@@ -238,7 +238,9 @@ def minhash_lsh_dedup(
             set_fn=lambda v: np.asarray(v, dtype=np.uint64),
             pair_stat=sig_agree,
         )
-        return _assign_clusters_distributed(ids_ds, verified, id_col)
+        return _assign_clusters_distributed(
+            ids_ds, verified, id_col, n_buckets=_label_buckets(n_cand)
+        )
 
     pairs = cand_ds.to_pandas()
     if "a" not in pairs.columns:
@@ -482,6 +484,14 @@ def _assign_clusters(ids_ds: Dataset, pairs: pd.DataFrame, id_col: str) -> Datas
     return ids_ds.map_batches(label, batch_format="pandas")
 
 
+def _label_buckets(n_pairs: int) -> int:
+    """Bucket count for the distributed labeling shuffles, sized to the
+    pair graph: per-bucket task overhead dominates below ~100k pairs (the
+    forced-distributed test/bench path), while ≥2M-pair corpora (the real
+    trigger) want cluster-core-order fan-out."""
+    return 8 if n_pairs <= 100_000 else (64 if n_pairs <= 5_000_000 else 256)
+
+
 def _assign_clusters_distributed(
     ids_ds: Dataset,
     pairs_ds: Dataset,
@@ -511,7 +521,9 @@ def _assign_clusters_distributed(
             {"src": b["a"].to_numpy(np.int64), "dst": b["b"].to_numpy(np.int64)}
         )
 
-    comp = connected_components(pairs_ds.map_batches(to_edges, batch_format="pandas"))
+    comp = connected_components(
+        pairs_ds.map_batches(to_edges, batch_format="pandas"), n_buckets=n_buckets
+    )
 
     def _jb(nid: np.ndarray) -> np.ndarray:
         return (
@@ -1010,9 +1022,11 @@ def simhash_dedup(
     pairs_ds = _simhash_pairs_ds(
         sk, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket
     ).materialize()
-    if driver_label_max_pairs is not None and pairs_ds.count() > driver_label_max_pairs:
+    n_pairs = pairs_ds.count()
+    if driver_label_max_pairs is not None and n_pairs > driver_label_max_pairs:
         return _assign_clusters_distributed(
-            sk, pairs_ds, id_col, payload_cols=("simhash",)
+            sk, pairs_ds, id_col, payload_cols=("simhash",),
+            n_buckets=_label_buckets(n_pairs),
         )
     pairs = pairs_ds.to_pandas()
     if "a" not in pairs.columns:

@@ -1,0 +1,91 @@
+"""Per-shard term-membership Bloom sidecar — batch-query fan-out routing.
+
+``run_queries`` (query/executor.py) fans every query to every shard; a shard
+containing NONE of a query's terms can only produce zero candidates (every
+candidate doc enters through some query term's posting list — true for all
+four models, #NEAR/#WINDOW/#SYN, and #ANDNOT's positive arm), so skipping
+shards whose Bloom filter rejects every ``field:term`` key is PROVABLY
+result-identical: Bloom filters have no false negatives, and a false
+positive only costs a wasted (empty) shard task. This is the within-index
+twin of the cross-index Bloom routing in ``pipelines/selective.py``
+(Kulkarni & Callan CIKM 2010 selective-search family).
+
+The sidecar is 4096 bits (512 B packed; stored as a 4 KiB uint8 0/1 array
+for branch-free probes) per shard — thousands of shards fit in any driver's
+memory. It is emitted by the shard build task (vocabulary already in
+memory) and lazily backfilled from ``terms.parquet`` for indexes built
+before the sidecar existed; the load cache is (size, mtime)-keyed so a
+rebuilt shard never serves a stale filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+BLOOM_BITS = 4096
+BLOOM_K = 4
+_FILENAME = "term_bloom.npy"
+
+
+def _md5_low64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def key_positions(key: str, *, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing over the md5 PRF pair (exact
+    unbounded-int arithmetic; any uint64 engine agrees for power-of-two
+    ``bits``)."""
+    h1 = _md5_low64(key)
+    h2 = _md5_low64("2:" + key) | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def build_bloom(keys, *, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    bloom = np.zeros(bits, dtype=np.uint8)
+    for key in keys:
+        bloom[key_positions(key, bits=bits, k=k)] = 1
+    return bloom
+
+
+def probe(bloom: np.ndarray, key: str, *, k: int = BLOOM_K) -> bool:
+    """True iff the shard MIGHT contain ``key`` (no false negatives)."""
+    return bool(bloom[key_positions(key, bits=len(bloom), k=k)].all())
+
+
+def bloom_path(shard_dir: str) -> str:
+    return os.path.join(shard_dir, _FILENAME)
+
+
+def write_shard_bloom(shard_dir: str, fields, terms) -> None:
+    """Emit the sidecar from the in-memory vocabulary (build-time path)."""
+    tmp = os.path.join(shard_dir, _FILENAME + ".tmp.npy")
+    np.save(tmp, build_bloom(f"{f}:{t}" for f, t in zip(fields, terms)))
+    os.replace(tmp, bloom_path(shard_dir))
+
+
+_LOAD_CACHE: dict[str, tuple[tuple[int, int], np.ndarray]] = {}
+
+
+def load_shard_bloom(shard_dir: str) -> np.ndarray:
+    """Load (cached) the shard's Bloom sidecar, lazily backfilling it from
+    ``terms.parquet`` for pre-sidecar indexes. The cache key carries the
+    file (size, mtime_ns), so a recompacted / rebuilt shard re-reads."""
+    p = bloom_path(shard_dir)
+    if not os.path.exists(p):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(shard_dir, "terms.parquet"), columns=["field", "term"]
+        )
+        write_shard_bloom(shard_dir, t["field"].to_pylist(), t["term"].to_pylist())
+    st = os.stat(p)
+    key = (st.st_size, st.st_mtime_ns)
+    hit = _LOAD_CACHE.get(p)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    bloom = np.load(p)
+    _LOAD_CACHE[p] = (key, bloom)
+    return bloom

@@ -157,6 +157,14 @@ def build_shard(
     )
     pq.write_table(terms_table, os.path.join(tmp, "terms.parquet"))
 
+    # fan-out-routing Bloom sidecar (state/bloom.py) — vocabulary is already
+    # in memory here, so build-time emission is ~free; the query driver
+    # skips shards whose filter rejects every query term (no false
+    # negatives ⇒ provably identical results)
+    from .bloom import write_shard_bloom
+
+    write_shard_bloom(tmp, fields_s, terms_s)
+
     dl_cols: dict[str, object] = {
         "docid": np.arange(docid_base, docid_base + n, dtype=np.int64)
     }

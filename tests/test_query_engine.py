@@ -636,3 +636,31 @@ def test_explain_contributions_sum_to_score(filtered_corpus):
     one_term = ex.groupby("doc_id")["term"].nunique()
     assert set(ex["term"]) <= {"alpha", "beta"}
     assert (one_term >= 1).all()
+
+
+def test_bloom_routing_identical_and_prunes(engine):
+    """Bloom fan-out routing (VERDICT r3 #9): the routed batch path must be
+    result-identical to the full fan-out (no false negatives ⇒ a skipped
+    shard is a proven true negative) while launching fewer shard tasks for
+    terms confined to few shards; a term absent everywhere routes to zero
+    shards and returns []."""
+    from search_engine_framework_ray.query import executor
+    from search_engine_framework_ray.query.executor import run_queries
+
+    index_dir, _ = engine
+    qs = [
+        ("r1", "search engine ranking"),
+        ("r2", "#NEAR/1(search engine)"),
+        ("r3", "obama.inlink"),
+        ("r4", "zzznotaterm"),
+    ]
+    for model in ("BM25", "Indri", "RankedBoolean"):
+        params = ModelParams(model=model)
+        routed = run_queries(index_dir, qs, params)
+        stats = dict(executor.LAST_ROUTE_STATS)
+        full = run_queries(index_dir, qs, params, route=False)
+        assert routed == full, f"{model}: routed results differ from full fan-out"
+        assert stats["shard_tasks_routed"] <= stats["shard_tasks_full"]
+        # the nowhere-term query routes to zero shards
+        assert stats["shard_tasks_routed"] < stats["shard_tasks_full"]
+        assert routed["r4"] == []
