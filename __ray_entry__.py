@@ -5693,7 +5693,11 @@ def q_random_walks(sf_dir: str):
     nodes = docs.map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
-    out = random_walks(edges, nodes, steps=4).to_pandas()
+    # n_buckets ≈ cluster cores at scale; at fixture scale per-task
+    # scheduling dominates the per-hop shuffles, so size buckets down
+    out = random_walks(
+        edges, nodes, steps=4, n_buckets=8 if n <= 100_000 else 64
+    ).to_pandas()
     for c in ("s", "step", "cur"):
         out[c] = out[c].astype("int64")
     return (
@@ -5734,8 +5738,9 @@ def q_walk_pairs(sf_dir: str):
     nodes = docs.map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
-    walks = random_walks(edges, nodes, steps=4)
-    out = walk_pairs(walks, window=2, top_n=50)
+    nb = 8 if n <= 100_000 else 64  # fixture scale: scheduling dominates
+    walks = random_walks(edges, nodes, steps=4, n_buckets=nb)
+    out = walk_pairs(walks, window=2, top_n=50, n_buckets=nb)
     return out.reset_index(drop=True)
 
 

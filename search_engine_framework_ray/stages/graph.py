@@ -1079,6 +1079,10 @@ def hits(
                 b["r"] = b["r"].to_numpy(np.int64) * scale // mx
             return b
 
+        # keep the _rebase: the lazy-tail variant re-executes the rescale
+        # map at every downstream consumption and measured NO faster at
+        # fixture scale (13.8 s vs 17.2 s) — the materialization is cheap
+        # relative to the doubled scheduling
         return _rebase(raw.map_batches(rescale, batch_format="pandas"))
 
     auth = None
