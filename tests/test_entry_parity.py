@@ -2,6 +2,8 @@
 oracle_sql() is run on sf0.01 through BOTH the Ray pipeline and DuckDB, and
 compared column-sorted + row-sorted (the driver's order-insensitive check)."""
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -72,3 +74,81 @@ def test_every_query_is_oracled():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert q == o, (sorted(q - o), sorted(o - q))
+
+
+def test_tokenizer_oracle_alignment_on_hostile_whitespace(ray_session, tmp_path):
+    """Hardened-fixture proof for the RE2 CTE retokenization (VERDICT r3
+    what's-wrong #2): on text with tabs, newlines and space runs, the
+    engine's plain-analyzer index must still hash-match the shared
+    ``_TOKS``/``_POS_TOKS`` SQL (whitespace-class ``[^ \\t\\n\\f\\r]+``,
+    not ``string_split(text, ' ')``) — both for df/ctf and for
+    gap-preserving #NEAR evaluation."""
+    import glob
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+    )
+    from search_engine_framework_ray.query.executor import run_queries
+    from search_engine_framework_ray.query.models import ModelParams
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha\tbeta  gamma alpha",
+            "beta\n\ngamma\talpha   beta",
+            "alpha beta",
+            "gamma\t\t gamma  alpha\nbeta",
+        ],
+    }
+    src = str(tmp_path / "docs.parquet")
+    pq_.write_table(pa.table(rows), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(), num_shards=2)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')")
+
+    # df/ctf parity under the shared _TOKS CTE
+    frames = [
+        pq_.read_table(p).to_pandas()
+        for p in sorted(glob.glob(os.path.join(idx, "termstats", "bucket=*.parquet")))
+    ]
+    got = (
+        pd.concat(frames).query("field == 'body'")[["term", "df", "ctf"]]
+        .sort_values("term").reset_index(drop=True)
+    )
+    want = con.sql(
+        entrymod._TOKS
+        + """
+        SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(count(*) AS BIGINT) AS ctf
+        FROM toks GROUP BY tok ORDER BY term
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"df": "int64", "ctf": "int64"}), want, check_dtype=False
+    )
+
+    # positional parity: #NEAR/1(alpha beta) tf under _POS_TOKS adjacency
+    res = run_queries(idx, [("q", "#NEAR/1(alpha beta)")], ModelParams(model="RankedBoolean"))
+    got_near = sorted((int(u[3:]), int(s)) for u, s, _ in res["q"])
+    want_near = [
+        tuple(r)
+        for r in con.sql(
+            entrymod._POS_TOKS
+            + """
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS tf
+            FROM toks a JOIN toks b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok = 'alpha' AND b.tok = 'beta'
+            GROUP BY a.doc_id ORDER BY a.doc_id
+            """
+        ).df().itertuples(index=False)
+    ]
+    assert got_near == want_near
