@@ -5744,6 +5744,49 @@ def q_walk_pairs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+# click-model fixture shape (shared by q_click_model and its SQL twin)
+_CLICK_SESSIONS = 500
+_CLICK_RANKS = 10
+_CLICK_QUERIES = 3
+
+
+def q_click_model(sf_dir: str):
+    """Position-based click model fitted with EM (stages/clicks.py; Craswell
+    et al. WSDM 2008 position bias, Chuklin-Markov-de-Rijke PBM): a
+    deterministic synthetic click log — two interleaved rankings per query,
+    hash-threshold Bernoulli clicks — streams twice through bounded
+    partial-sum passes that recover examination-per-rank θ and debiased
+    per-(query, doc) attractiveness α in exact integer micros. The SQL twin
+    regenerates the identical log via md5_number_lower and unrolls both EM
+    iterations, so the whole fit is under the driver hash. The α table is
+    the implicit-feedback relevance label a production LeToR would train on
+    in place of editorial qrels."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.stages.clicks import pbm_fit, synth_impressions
+
+    n = papq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    theta, alpha = pbm_fit(
+        synth_impressions(
+            n,
+            sessions=_CLICK_SESSIONS,
+            ranks=_CLICK_RANKS,
+            n_queries=_CLICK_QUERIES,
+        ),
+        iters=2,
+    )
+    rows = [("alpha", q, d, v) for (q, d), v in sorted(alpha.items())]
+    rows += [("theta", r, -1, v) for r, v in sorted(theta.items())]
+    return pd.DataFrame(
+        {
+            "kind": pd.Series([k for k, _, _, _ in rows], dtype="object"),
+            "k1": pd.Series([a for _, a, _, _ in rows], dtype="int64"),
+            "k2": pd.Series([b for _, _, b, _ in rows], dtype="int64"),
+            "value_micros": pd.Series([v for _, _, _, v in rows], dtype="int64"),
+        }
+    )
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental view maintenance: a materialized per-event-type
     (cnt, cents) aggregate built from 80% of events is refreshed with the
@@ -6768,6 +6811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_after": q_search_after,
         "term_stats": q_term_stats,
         "kstem_term_stats": q_kstem_term_stats,
+        "click_model": q_click_model,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
@@ -7751,6 +7795,62 @@ SELECT CAST(depth AS BIGINT) AS depth, CAST(overlap AS BIGINT) AS overlap,
        CAST(term_micros AS BIGINT) AS term_micros,
        CAST(sum(term_micros) OVER (ORDER BY depth) AS BIGINT) AS rbo_cum_micros
 FROM terms ORDER BY depth
+"""
+
+
+def _click_model_sql() -> str:
+    """SQL twin of ``q_click_model``: regenerate the deterministic click log
+    (md5_number_lower == the engine's md5-low64-little PRF) and unroll both
+    integer-micros EM iterations — iteration 1 with the 500000/500000
+    initial parameters, iteration 2 joined to the iteration-1 aggregates.
+    Every product/division is written in the engine's exact order, so the
+    fit hash-matches bit for bit."""
+    M = 1_000_000
+
+    def estep(th: str, al: str, c: str = "c") -> tuple[str, str]:
+        denom = f"greatest({M} - {th} * {al} // {M}, 1)"
+        ee = (
+            f"CASE WHEN {c} = 1 THEN {M} ELSE "
+            f"(({th} * ({M} - {al}) // {M}) * {M}) // {denom} END"
+        )
+        ea = (
+            f"CASE WHEN {c} = 1 THEN {M} ELSE "
+            f"(({al} * ({M} - {th}) // {M}) * {M}) // {denom} END"
+        )
+        return ee, ea
+
+    ee1, ea1 = estep("CAST(500000 AS BIGINT)", "CAST(500000 AS BIGINT)")
+    ee2, ea2 = estep("t1.th", "a1.al", "c.c")
+    return f"""
+WITH imps AS (
+    SELECT s, r,
+           s % {_CLICK_QUERIES} AS q,
+           (31 * (s % {_CLICK_QUERIES}) + 7 * ((r + s % 2) % {_CLICK_RANKS}) + 1)
+               % (SELECT count(*) FROM documents) AS d
+    FROM range(0, {_CLICK_SESSIONS}) t(s), range(0, {_CLICK_RANKS}) t2(r)
+),
+clicks AS (
+    SELECT s, r, q, d,
+           CASE WHEN md5_number_lower('ck|' || s || '|' || r) % {M}
+                     < (900000 // (r + 1)) * (1 + (d + q) % 5) // 5
+                THEN 1 ELSE 0 END AS c
+    FROM imps
+),
+e1 AS (SELECT *, {ee1} AS ee, {ea1} AS ea FROM clicks),
+t1 AS (SELECT r, CAST(sum(ee) // count(*) AS BIGINT) AS th FROM e1 GROUP BY r),
+a1 AS (SELECT q, d, CAST(sum(ea) // count(*) AS BIGINT) AS al FROM e1 GROUP BY q, d),
+e2 AS (
+    SELECT c.c, c.r, c.q, c.d, {ee2} AS ee, {ea2} AS ea
+    FROM clicks c JOIN t1 USING (r) JOIN a1 USING (q, d)
+),
+t2 AS (SELECT r, CAST(sum(ee) // count(*) AS BIGINT) AS th FROM e2 GROUP BY r),
+a2 AS (SELECT q, d, CAST(sum(ea) // count(*) AS BIGINT) AS al FROM e2 GROUP BY q, d)
+SELECT 'alpha' AS kind, CAST(q AS BIGINT) AS k1, CAST(d AS BIGINT) AS k2,
+       al AS value_micros
+FROM a2
+UNION ALL
+SELECT 'theta', CAST(r AS BIGINT), CAST(-1 AS BIGINT), th FROM t2
+ORDER BY kind, k1, k2
 """
 
 
@@ -10582,6 +10682,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             FROM toks GROUP BY tok ORDER BY term
         """,
         "kstem_term_stats": _kstem_sql(),
+        "click_model": _click_model_sql(),
         # full postings content (every (term, doc, tf) cell of the inverted
         # index) — the engine side decoded it back out of the varbyte shards
         "postings_export": f"""
