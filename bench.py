@@ -99,6 +99,14 @@ def run_bench() -> dict:
         "window_sliding": 1.9,
         "fb_expansion_4q": 1.5,  # one-service rewrite (was 6.4 across 2 pools)
         "letor_features_2q": 1.2,  # one-service rewrite (was 4.5 across pools)
+        # round-4 stages (quiet-window re-measure, 32 cpus, sf0.1): the
+        # graph loops are sort-shuffle-overhead-bound at fixture scale
+        # (bucket count 8 vs 64 measured identical ±2%)
+        "pagerank_3iter": 18.3,
+        "connected_components": 6.1,
+        "compact_index": 0.31,
+        "impact_index_build": 2.0,
+        "dedup_minhash_distlabel": 24.0,
     }
     # the reference table was measured at the default config; a different
     # sf/cpu count changes the expected values, so disable the comparison
