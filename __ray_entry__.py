@@ -5823,6 +5823,30 @@ def q_click_model(sf_dir: str):
     )
 
 
+def q_ips_ctr(sf_dir: str):
+    """Counterfactual CTR estimation (stages/clicks.py ``ips_ctr``;
+    Joachims-Swaminathan-Schnabel WSDM 2017): the PBM-fitted examination
+    propensities debias the raw click log — per (query, doc) the naive CTR,
+    the inverse-propensity estimate (weight = M²//θ_rank) and the clipped
+    variant, all exact-integer means under the driver hash (the SQL twin
+    reuses the click-EM CTE prefix). This is how position-biased logs turn
+    into unbiased training labels."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.stages.clicks import (
+        ips_ctr,
+        pbm_fit,
+        synth_impressions,
+    )
+
+    n = papq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    imps = synth_impressions(
+        n, sessions=_CLICK_SESSIONS, ranks=_CLICK_RANKS, n_queries=_CLICK_QUERIES
+    ).materialize()
+    theta, _alpha = pbm_fit(imps, iters=2)
+    return ips_ctr(imps, theta)
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental view maintenance: a materialized per-event-type
     (cnt, cents) aggregate built from 80% of events is refreshed with the
@@ -6849,6 +6873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kstem_term_stats": q_kstem_term_stats,
         "click_model": q_click_model,
         "param_sweep": q_param_sweep,
+        "ips_ctr": q_ips_ctr,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
@@ -7884,13 +7909,14 @@ ORDER BY map_micros DESC, k1_micros, b_micros
 """
 
 
-def _click_model_sql() -> str:
-    """SQL twin of ``q_click_model``: regenerate the deterministic click log
-    (md5_number_lower == the engine's md5-low64-little PRF) and unroll both
-    integer-micros EM iterations — iteration 1 with the 500000/500000
-    initial parameters, iteration 2 joined to the iteration-1 aggregates.
-    Every product/division is written in the engine's exact order, so the
-    fit hash-matches bit for bit."""
+def _click_em_ctes() -> str:
+    """Shared WITH-body for the click-family twins: regenerate the
+    deterministic click log (md5_number_lower == the engine's
+    md5-low64-little PRF) and unroll both integer-micros EM iterations —
+    iteration 1 with the 500000/500000 initial parameters, iteration 2
+    joined to the iteration-1 aggregates. Every product/division is written
+    in the engine's exact order, so downstream selects hash-match bit for
+    bit. Ends at t2 (θ per rank) / a2 (α per (q, d))."""
     M = 1_000_000
 
     def estep(th: str, al: str, c: str = "c") -> tuple[str, str]:
@@ -7931,12 +7957,35 @@ e2 AS (
 ),
 t2 AS (SELECT r, CAST(sum(ee) // count(*) AS BIGINT) AS th FROM e2 GROUP BY r),
 a2 AS (SELECT q, d, CAST(sum(ea) // count(*) AS BIGINT) AS al FROM e2 GROUP BY q, d)
+"""
+
+
+def _click_model_sql() -> str:
+    return _click_em_ctes() + """
 SELECT 'alpha' AS kind, CAST(q AS BIGINT) AS k1, CAST(d AS BIGINT) AS k2,
        al AS value_micros
 FROM a2
 UNION ALL
 SELECT 'theta', CAST(r AS BIGINT), CAST(-1 AS BIGINT), th FROM t2
 ORDER BY kind, k1, k2
+"""
+
+
+def _ips_ctr_sql() -> str:
+    """SQL twin of ``q_ips_ctr``: the click-EM prefix supplies the fitted
+    examination propensities θ; per (query, doc) the naive CTR, the
+    inverse-propensity-weighted estimate (weight = M² // θ_rank in micros)
+    and the standard clipped-IPS variant (weight capped at 10×) are integer
+    means in the engine's exact operation order."""
+    return _click_em_ctes() + """
+SELECT CAST(q AS BIGINT) AS qid, CAST(d AS BIGINT) AS doc_id,
+       CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS naive_micros,
+       CAST(sum(c * (1000000 * CAST(1000000 AS BIGINT) // th)) // count(*) AS BIGINT)
+           AS ips_micros,
+       CAST(sum(c * least(1000000 * CAST(1000000 AS BIGINT) // th, 10000000))
+            // count(*) AS BIGINT) AS ips_clip_micros
+FROM clicks JOIN t2 USING (r)
+GROUP BY q, d ORDER BY qid, doc_id
 """
 
 
@@ -10770,6 +10819,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "kstem_term_stats": _kstem_sql(),
         "click_model": _click_model_sql(),
         "param_sweep": _param_sweep_sql(),
+        "ips_ctr": _ips_ctr_sql(),
         # full postings content (every (term, doc, tf) cell of the inverted
         # index) — the engine side decoded it back out of the varbyte shards
         "postings_export": f"""

@@ -85,6 +85,59 @@ def synth_impressions(
     return ray.data.range(sessions).map_batches(gen, batch_format="pandas")
 
 
+def ips_ctr(
+    imps: "Dataset",
+    theta: dict[int, int],
+    *,
+    clip_weight: int = 10 * M,
+) -> pd.DataFrame:
+    """Counterfactual CTR estimation per (qid, doc_id): naive click rate,
+    inverse-propensity-scored estimate (Joachims, Swaminathan & Schnabel
+    WSDM 2017 — weight = 1/θ_rank debiases position bias so the estimate
+    targets attractiveness, not displayed CTR), and the standard clipped
+    variant (weight capped, here at 10×, trading bias for variance). All
+    integer micros: weight = M² // θ; estimates are integer means. One
+    streaming pass of bounded per-(qid, doc) partial sums — driver reduce
+    is O(distinct (qid, doc)), independent of log size."""
+    th = dict(theta)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rank"].to_numpy(np.int64)
+        c = b["click"].to_numpy(np.int64)
+        w = np.array([M * M // max(th.get(int(x), M), 1) for x in r], dtype=np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "qid": b["qid"].to_numpy(np.int64),
+                    "doc_id": b["doc_id"].to_numpy(np.int64),
+                    "c": c,
+                    "cw": c * w,
+                    "cwc": c * np.minimum(w, clip_weight),
+                }
+            )
+            .groupby(["qid", "doc_id"], as_index=False)
+            .agg(
+                sc=("c", "sum"), scw=("cw", "sum"), scwc=("cwc", "sum"),
+                cnt=("c", "size"),
+            )
+        )
+
+    part = imps.map_batches(partials, batch_format="pandas").to_pandas()
+    agg = part.groupby(["qid", "doc_id"], as_index=False)[
+        ["sc", "scw", "scwc", "cnt"]
+    ].sum()
+    out = pd.DataFrame(
+        {
+            "qid": agg["qid"].astype("int64"),
+            "doc_id": agg["doc_id"].astype("int64"),
+            "naive_micros": (agg["sc"] * M // agg["cnt"]).astype("int64"),
+            "ips_micros": (agg["scw"] // agg["cnt"]).astype("int64"),
+            "ips_clip_micros": (agg["scwc"] // agg["cnt"]).astype("int64"),
+        }
+    )
+    return out.sort_values(["qid", "doc_id"]).reset_index(drop=True)
+
+
 def pbm_fit(
     imps: "Dataset",
     *,
