@@ -5823,6 +5823,28 @@ def q_click_model(sf_dir: str):
     )
 
 
+def q_fasttext_score(sf_dir: str):
+    """fastText-architecture quality filter (stages/selection.py
+    ``hashed_linear_score``; Joulin et al. 2016 — hashed word
+    unigram+bigram linear model, the filter family behind the GPT-3 /
+    CCNet / DCLM web-quality gates): streaming zero-shuffle scoring pass
+    with a broadcast weight vector; centered integer-micros score + keep
+    gate per doc, hash-checked against a SQL twin replaying the md5 bucket
+    hashing and weight PRF. Drop in trained weights for the production
+    filter — the Ray plumbing is identical."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.selection import hashed_linear_score
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = hashed_linear_score(ds).to_pandas()
+    for c in ("doc_id", "score_micros", "keep"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_ips_ctr(sf_dir: str):
     """Counterfactual CTR estimation (stages/clicks.py ``ips_ctr``;
     Joachims-Swaminathan-Schnabel WSDM 2017): the PBM-fitted examination
@@ -6874,6 +6896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_model": q_click_model,
         "param_sweep": q_param_sweep,
         "ips_ctr": q_ips_ctr,
+        "fasttext_score": q_fasttext_score,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
         "fb_expansion": q_fb_expansion,
@@ -10820,6 +10843,32 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "click_model": _click_model_sql(),
         "param_sweep": _param_sweep_sql(),
         "ips_ctr": _ips_ctr_sql(),
+        "fasttext_score": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[^ \t\n\f\r]+') AS w
+                FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(w) AS g FROM l),
+            bi AS (
+                SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+                FROM l, unnest(range(1, len(w))) t(i)
+            ),
+            grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+            sc AS (
+                SELECT doc_id,
+                       CAST(sum(md5_number_lower(
+                                'w|' || (md5_number_lower('ft|' || g) % 4096)
+                            ) % 2001) AS BIGINT) AS sw,
+                       count(*) AS cnt
+                FROM grams GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(sw * 1000 // cnt - 1000000 AS BIGINT) AS score_micros,
+                   CAST(CASE WHEN sw * 1000 // cnt - 1000000 >= 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM sc ORDER BY doc_id
+        """,
         # full postings content (every (term, doc, tf) cell of the inverted
         # index) — the engine side decoded it back out of the varbyte shards
         "postings_export": f"""

@@ -192,6 +192,105 @@ def dsir_weights(
 
 
 # ----------------------------------------------------------------------------
+# fastText-shaped hashed-n-gram linear quality scorer
+# ----------------------------------------------------------------------------
+
+FT_BUCKETS = 4096
+
+
+def ft_weight_vector(n_buckets: int = FT_BUCKETS) -> np.ndarray:
+    """Deterministic md5-PRF stand-in weight vector (values 0..2000; the
+    score is centered by its 1000 midpoint downstream). A real deployment
+    drops in trained fastText weights here — the plumbing is identical."""
+    return np.array(
+        [_md5_hash64(f"w|{i}") % 2001 for i in range(n_buckets)], dtype=np.int64
+    )
+
+
+class HashedLinearScorer:
+    """map_batches actor: fastText-architecture quality scoring (Joulin et
+    al. 2016 — a linear model over hashed word unigrams AND bigrams), the
+    filter family behind the GPT-3 / CCNet / DCLM web-quality gates. Per
+    doc: every gram hashes to a weight bucket; ``score_micros`` =
+    1000·(integer mean bucket weight) − 1 000 000 (centered), ``keep`` =
+    score ≥ 0. All arithmetic on non-negative integers before one final
+    subtraction, so Python ``//`` (floor) and DuckDB ``//`` (trunc) agree
+    and a SQL twin hash-matches. Weight vector broadcast once per actor;
+    gram→bucket hashes cached per actor (Zipf vocabulary)."""
+
+    def __init__(
+        self,
+        weights_ref,
+        n_buckets: int = FT_BUCKETS,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.w = ray.get(weights_ref)
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.id_col = id_col
+        self._cache: dict[str, int] = {}
+
+    def _buckets(self, grams: pd.Series) -> np.ndarray:
+        cache, n = self._cache, self.n_buckets
+        for g in grams.unique():
+            if g not in cache:
+                cache[g] = _md5_hash64("ft|" + g) % n
+        return grams.map(cache).to_numpy(np.int64)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reset_index(drop=True)
+        toks = b[self.text_col].fillna("").str.lower().str.findall(_WS_RE)
+        bi = toks.map(
+            lambda l: [l[i] + " " + l[i + 1] for i in range(len(l) - 1)]
+        )
+        sw = np.zeros(len(b), dtype=np.int64)
+        cnt = np.zeros(len(b), dtype=np.int64)
+        for series in (toks, bi):
+            ex = series.explode().dropna()
+            if ex.empty:
+                continue
+            idx = ex.index.to_numpy(np.int64)
+            np.add.at(sw, idx, self.w[self._buckets(ex)])
+            np.add.at(cnt, idx, 1)
+        keep_rows = cnt > 0  # token-less docs have no grams (SQL twin: no row)
+        score = sw[keep_rows] * 1000 // cnt[keep_rows] - 1_000_000
+        return pd.DataFrame(
+            {
+                "doc_id": b[self.id_col].to_numpy(np.int64)[keep_rows],
+                "score_micros": score,
+                "keep": (score >= 0).astype(np.int64),
+            }
+        )
+
+
+def hashed_linear_score(
+    ds: Dataset,
+    *,
+    weights: "np.ndarray | None" = None,
+    n_buckets: int = FT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> Dataset:
+    """Distributed fastText-shaped scoring pass → (doc_id, score_micros,
+    keep). Streaming, zero shuffles; the weight vector ships via ``ray.put``
+    once (not per batch)."""
+    w = ft_weight_vector(n_buckets) if weights is None else weights
+    return ds.map_batches(
+        HashedLinearScorer,
+        fn_constructor_kwargs={
+            "weights_ref": ray.put(w),
+            "n_buckets": n_buckets,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    )
+
+
+# ----------------------------------------------------------------------------
 # PII scrub
 # ----------------------------------------------------------------------------
 
