@@ -5823,6 +5823,47 @@ def q_click_model(sf_dir: str):
     )
 
 
+def q_embedding_decontam(sf_dir: str):
+    """Semantic benchmark decontamination (stages/decontam.py
+    ``embedding_decontaminate``): the n-gram overlap check misses
+    paraphrased leakage, so the eval set's EMBEDDINGS (here the
+    deterministic ``vec_id % 19 == 0`` slice) broadcast once and every
+    other corpus vector is flagged when its best cosine against any eval
+    vector reaches 0.46 (the fixture's pair-cosine gap). Zero shuffles,
+    one streaming matmul pass; cosine in the repo's pinned micros kernel
+    with zero-norm ≡ 0, so the list_cosine_similarity twin hash-matches."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.decontam import embedding_decontaminate
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+
+    def side(keep_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy()
+            mask = (ids % 19 == 0) == keep_eval
+            return t.filter(pa.array(mask))
+
+        return f
+
+    # eval slice extracted DISTRIBUTED, pulled once (benchmark-sized)
+    ev = (
+        ray.data.read_parquet(p, columns=["vec_id", "embedding"])
+        .map_batches(side(True), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    E = np.stack([np.asarray(v, dtype=np.float64) for v in ev["embedding"]])
+    ds = ray.data.read_parquet(p, columns=["vec_id", "embedding"]).map_batches(
+        side(False), batch_format="pyarrow"
+    )
+    out = embedding_decontaminate(ds, E, threshold_micros=460_000).to_pandas()
+    for c in ("vec_id", "max_cos_micros", "contaminated"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_fasttext_score(sf_dir: str):
     """fastText-architecture quality filter (stages/selection.py
     ``hashed_linear_score``; Joulin et al. 2016 — hashed word
@@ -6896,6 +6937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_model": q_click_model,
         "param_sweep": q_param_sweep,
         "ips_ctr": q_ips_ctr,
+        "embedding_decontam": q_embedding_decontam,
         "fasttext_score": q_fasttext_score,
         "postings_export": q_postings_export,
         "doclen_stats": q_doclen_stats,
@@ -10843,6 +10885,24 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "click_model": _click_model_sql(),
         "param_sweep": _param_sweep_sql(),
         "ips_ctr": _ips_ctr_sql(),
+        "embedding_decontam": r"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id % 19 = 0),
+            t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id % 19 <> 0),
+            pc AS (
+                SELECT t.vec_id,
+                       max(CASE WHEN list_dot_product(t.emb, t.emb) = 0
+                                  OR list_dot_product(e.emb, e.emb) = 0 THEN 0
+                                ELSE CAST(floor(list_cosine_similarity(t.emb, e.emb)
+                                                * 1000000 + 0.5) AS BIGINT) END) AS mc
+                FROM t CROSS JOIN e GROUP BY t.vec_id
+            )
+            SELECT vec_id, mc AS max_cos_micros,
+                   CAST(CASE WHEN mc >= 460000 THEN 1 ELSE 0 END AS BIGINT)
+                       AS contaminated
+            FROM pc ORDER BY vec_id
+        """, 
         "fasttext_score": r"""
             WITH l AS (
                 SELECT doc_id,

@@ -84,3 +84,75 @@ def decontaminate(ds, eval_texts, k: int = 8, text_col: str = "text"):
         batch_format="pandas",
         concurrency=(1, 8),
     )
+
+
+class EmbeddingDecontamStage:
+    """map_batches actor for SEMANTIC decontamination: the n-gram check
+    above misses paraphrased benchmark leakage, so production cleanups add
+    an embedding-similarity pass (e.g. the Phi-family "semantic
+    decontamination"): flag any corpus vector whose cosine against ANY
+    eval vector reaches a threshold. Same broadcast shape — the eval
+    matrix (plus its row norms) ships once per actor via ``ray.put``; each
+    batch is one (batch × eval) matmul. Cosine uses the repo's pinned
+    kernel: ``floor(dot / (|a|·|b|) · 1e6 + 0.5)`` with zero-norm ≡ 0, the
+    exact expression DuckDB's ``list_cosine_similarity`` twin evaluates."""
+
+    def __init__(self, eval_ref, threshold_micros: int, emb_col: str, id_col: str):
+        import ray
+
+        E = np.asarray(ray.get(eval_ref), dtype=np.float64)
+        self.E = E
+        n = np.linalg.norm(E, axis=1)
+        n[n == 0] = 1.0  # zero eval vector ⇒ cosine 0 (pinned convention)
+        self.zero_eval = np.linalg.norm(E, axis=1) == 0
+        self.en = n
+        self.threshold = threshold_micros
+        self.emb_col, self.id_col = emb_col, id_col
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from .ann import _stack_embeddings
+
+        X = _stack_embeddings(b, self.emb_col)
+        xn = np.linalg.norm(X, axis=1)
+        zero_x = xn == 0
+        xn = np.where(zero_x, 1.0, xn)
+        cos = (X @ self.E.T) / np.outer(xn, self.en)
+        cos[:, self.zero_eval] = 0.0
+        cos[zero_x, :] = 0.0
+        mc = np.floor(cos * 1e6 + 0.5).max(axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                self.id_col: b[self.id_col].to_numpy(np.int64),
+                "max_cos_micros": mc,
+                "contaminated": (mc >= self.threshold).astype(np.int64),
+            }
+        )
+
+
+def embedding_decontaminate(
+    ds,
+    eval_matrix: np.ndarray,
+    *,
+    threshold_micros: int = 460_000,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+):
+    """Streaming semantic-decontamination pass → (id, max_cos_micros,
+    contaminated). Zero shuffles; eval matrix broadcast once. At a real
+    benchmark size (10⁴ × 10³ dims ≈ 100 MB) the per-batch matmul stays
+    cache-friendly; an eval set beyond ~10⁶ rows should switch to the
+    IVF-bucketed ANN join instead (stages/ann.py)."""
+    import ray
+
+    return ds.map_batches(
+        EmbeddingDecontamStage,
+        fn_constructor_kwargs={
+            "eval_ref": ray.put(np.asarray(eval_matrix, dtype=np.float64)),
+            "threshold_micros": threshold_micros,
+            "emb_col": emb_col,
+            "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    )
