@@ -5823,6 +5823,27 @@ def q_click_model(sf_dir: str):
     )
 
 
+def q_texttiling(sf_dir: str):
+    """TextTiling-style semantic chunk boundaries (stages/corpus.py
+    ``texttiling_boundaries``; Hearst CL 1997 lexical-cohesion valleys —
+    the semantic alternative to this repo's fixed/sliding RAG chunkers):
+    per doc, adjacent 10-token blocks score a term-count cosine (pinned
+    micros kernel); weak local minima below 0.5 mark topic shifts. ZERO
+    shuffles at any corpus size; SQL twin = block counts → self-join dot →
+    LAG/LEAD local-minimum test."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.corpus import texttiling_boundaries
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = texttiling_boundaries(ds).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "gap"]).reset_index(drop=True)
+
+
 def q_embedding_decontam(sf_dir: str):
     """Semantic benchmark decontamination (stages/decontam.py
     ``embedding_decontaminate``): the n-gram overlap check misses
@@ -6937,6 +6958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_model": q_click_model,
         "param_sweep": q_param_sweep,
         "ips_ctr": q_ips_ctr,
+        "texttiling": q_texttiling,
         "embedding_decontam": q_embedding_decontam,
         "fasttext_score": q_fasttext_score,
         "postings_export": q_postings_export,
@@ -10885,6 +10907,49 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         "click_model": _click_model_sql(),
         "param_sweep": _param_sweep_sql(),
         "ips_ctr": _ips_ctr_sql(),
+        "texttiling": r"""
+            WITH lists AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[^ \t\n\f\r]+') AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS blk, l[i] AS tok
+                FROM lists, unnest(range(1, len(l) + 1)) t(i)
+            ),
+            cnt AS (SELECT doc_id, blk, tok, count(*) AS c
+                    FROM toks GROUP BY doc_id, blk, tok),
+            nrm AS (SELECT doc_id, blk, sum(c * c) AS n2
+                    FROM cnt GROUP BY doc_id, blk),
+            dot AS (
+                SELECT a.doc_id, a.blk AS g, sum(a.c * b.c) AS dp
+                FROM cnt a JOIN cnt b
+                  ON b.doc_id = a.doc_id AND b.blk = a.blk + 1 AND b.tok = a.tok
+                GROUP BY a.doc_id, a.blk
+            ),
+            sim AS (
+                SELECT n1.doc_id, n1.blk AS gap,
+                       CASE WHEN n1.n2 = 0 OR n2.n2 = 0 THEN 0
+                            ELSE CAST(floor(coalesce(d.dp, 0)
+                                    / (sqrt(n1.n2) * sqrt(n2.n2))
+                                    * 1000000 + 0.5) AS BIGINT)
+                       END AS sim_micros
+                FROM nrm n1
+                JOIN nrm n2 ON n2.doc_id = n1.doc_id AND n2.blk = n1.blk + 1
+                LEFT JOIN dot d ON d.doc_id = n1.doc_id AND d.g = n1.blk
+            ),
+            mk AS (
+                SELECT doc_id, gap, sim_micros,
+                       coalesce(lag(sim_micros) OVER w, 9223372036854775807) AS lft,
+                       coalesce(lead(sim_micros) OVER w, 9223372036854775807) AS rgt
+                FROM sim WINDOW w AS (PARTITION BY doc_id ORDER BY gap)
+            )
+            SELECT doc_id, gap, sim_micros,
+                   CAST(CASE WHEN sim_micros <= lft AND sim_micros <= rgt
+                                  AND sim_micros < 500000
+                             THEN 1 ELSE 0 END AS BIGINT) AS boundary
+            FROM mk ORDER BY doc_id, gap
+        """,
         "embedding_decontam": r"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                        FROM embeddings WHERE vec_id % 19 = 0),

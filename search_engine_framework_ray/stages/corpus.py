@@ -785,3 +785,70 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunk, batch_format="pandas")
+
+
+def texttiling_boundaries(
+    ds: Dataset,
+    *,
+    block_tokens: int = 10,
+    threshold_micros: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Semantic chunk boundaries, TextTiling-style (Hearst CL 1997: lexical
+    cohesion between adjacent token blocks; low-cohesion valleys are topic
+    shifts) — the semantic alternative to the fixed/sliding RAG chunkers in
+    this module (:func:`chunk_documents`). This is the LOCAL-MINIMUM
+    variant: per doc, tokens fall into ``block_tokens``-sized blocks; gap
+    ``g`` (between block g and g+1) scores the cosine of the two blocks'
+    term-count vectors (micros, ``floor(x·1e6 + 0.5)``, zero-norm ≡ 0 —
+    the repo's pinned kernel); a gap is a boundary when its similarity is
+    a weak local minimum (≤ both neighbors, edges as +∞) AND below
+    ``threshold_micros``. (Hearst's original smooths with a depth score
+    over hill-climbed peaks; the local-minimum rule keeps the decision
+    windowed — LAG/LEAD in SQL — with the same cohesion-valley semantics.)
+
+    Row-local ``map_batches`` — ZERO shuffles at any corpus size; output is
+    one row per gap: (id, gap, sim_micros, boundary)."""
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_gap, out_sim, out_bnd = [], [], [], []
+        toks_s = b[text_col].fillna("").str.lower().str.findall(_WS_RE)
+        for did, toks in zip(b[id_col].to_numpy(np.int64), toks_s):
+            nblocks = len(toks) // block_tokens + (1 if len(toks) % block_tokens else 0)
+            if nblocks < 2:
+                continue
+            sims = np.empty(nblocks - 1, dtype=np.int64)
+            counts = []
+            for g in range(nblocks):
+                blk = toks[g * block_tokens : (g + 1) * block_tokens]
+                vals, cnts = np.unique(np.asarray(blk, dtype=object), return_counts=True)
+                counts.append(dict(zip(vals, cnts)))
+            for g in range(nblocks - 1):
+                a, c = counts[g], counts[g + 1]
+                dp = sum(v * c[k] for k, v in a.items() if k in c)
+                n1 = sum(v * v for v in a.values())
+                n2 = sum(v * v for v in c.values())
+                if n1 == 0 or n2 == 0:
+                    sims[g] = 0
+                else:
+                    sims[g] = np.int64(
+                        np.floor(dp / (np.sqrt(n1) * np.sqrt(n2)) * 1e6 + 0.5)
+                    )
+            left = np.concatenate([[np.iinfo(np.int64).max], sims[:-1]])
+            right = np.concatenate([sims[1:], [np.iinfo(np.int64).max]])
+            bnd = (sims <= left) & (sims <= right) & (sims < threshold_micros)
+            out_id.extend([did] * (nblocks - 1))
+            out_gap.extend(range(nblocks - 1))
+            out_sim.extend(sims.tolist())
+            out_bnd.extend(bnd.astype(np.int64).tolist())
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(out_id, dtype="int64"),
+                "gap": pd.Series(out_gap, dtype="int64"),
+                "sim_micros": pd.Series(out_sim, dtype="int64"),
+                "boundary": pd.Series(out_bnd, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
