@@ -774,13 +774,26 @@ class _ServiceWorker:
                 total += int(p.nbytes)
         return total
 
-    def prepass(self, queries: dict) -> pd.DataFrame:
-        pairs = [(q, s) for s in self.shards for q in queries]
-        return stats_prepass_rows(self.cache, queries, pairs)
+    def _pairs(self, queries: dict, allowed: "dict | None") -> list:
+        """(qid, shard) work pairs, optionally Bloom-routed: ``allowed``
+        maps qid → shard subset proven sufficient by the term sidecars
+        (a skipped shard is a true negative, so results are unchanged)."""
+        if allowed is None:
+            return [(q, s) for s in self.shards for q in queries]
+        return [
+            (q, s)
+            for q in queries
+            for s in self.shards
+            if s in allowed.get(q, self.shards)
+        ]
 
-    def execute(self, queries: dict, k: int) -> pd.DataFrame:
-        pairs = [(q, s) for s in self.shards for q in queries]
-        return exec_rows(self.cache, queries, pairs, k)
+    def prepass(self, queries: dict, allowed: "dict | None" = None) -> pd.DataFrame:
+        return stats_prepass_rows(self.cache, queries, self._pairs(queries, allowed))
+
+    def execute(
+        self, queries: dict, k: int, allowed: "dict | None" = None
+    ) -> pd.DataFrame:
+        return exec_rows(self.cache, queries, self._pairs(queries, allowed), k)
 
     def score(self, queries: dict) -> pd.DataFrame:
         pairs = [(q, s) for s in self.shards for q in queries]
@@ -792,7 +805,7 @@ class QueryService:
     shards assigned round-robin, index state loaded exactly once per actor
     (the distributed analog of the reference's static ``READER``)."""
 
-    def __init__(self, index_dir: str, num_actors: int = 8):
+    def __init__(self, index_dir: str, num_actors: int = 8, route: bool = True):
         import ray
 
         shards = list_shards(index_dir)
@@ -802,8 +815,22 @@ class QueryService:
         groups = [shards[i::n] for i in range(n)]
         worker_cls = ray.remote(num_cpus=1)(_ServiceWorker)
         self.workers = [worker_cls.remote(index_dir, g) for g in groups]
+        self.groups = groups
+        self.shards = shards
         self.index_dir = index_dir
+        self.route = route
         ray.get([w.ping.remote() for w in self.workers])  # block until loaded
+
+    def _route(self, trees: dict) -> "dict | None":
+        """qid → shard SET via the term-Bloom sidecars (same guarantee as
+        the batch path: skipped shards are proven true negatives). None →
+        no routing (sidecars unavailable or routing disabled)."""
+        if not self.route:
+            return None
+        rm = _bloom_route_map(self.index_dir, self.shards, trees)
+        if rm is None:
+            return None
+        return {q: set(s) for q, s in rm.items()}
 
     def warmup(self) -> int:
         """Prefault all postings mmaps across the workers (in parallel) so
@@ -841,17 +868,28 @@ class QueryService:
         )
         if not trees:
             return {qid: [] for qid, _ in queries}
+        allowed = self._route(trees)
+
+        def touched(g: list[int]) -> bool:
+            return allowed is None or any(
+                s in a for s in g for a in allowed.values()
+            )
+
+        live = [
+            (w, g) for w, g in zip(self.workers, self.groups) if touched(g)
+        ]
         if composite_qids:
             payload_a = {q: (trees[q], params) for q in composite_qids}
-            pre = pd.concat(
-                ray.get([w.prepass.remote(payload_a) for w in self.workers])
+            pres = ray.get(
+                [w.prepass.remote(payload_a, allowed) for w, _ in live]
             )
-            apply_prepass(score_stats, pre)
+            if pres:
+                apply_prepass(score_stats, pd.concat(pres))
         payload_b = {q: (trees[q], params, score_stats[q]) for q in trees}
-        rows = pd.concat(
-            ray.get([w.execute.remote(payload_b, k) for w in self.workers])
-        )
-        return merge_results(rows, queries, params, k)
+        outs = ray.get([w.execute.remote(payload_b, k, allowed) for w, _ in live])
+        if not outs:
+            return {qid: [] for qid, _ in queries}
+        return merge_results(pd.concat(outs), queries, params, k)
 
     def score_documents(
         self,

@@ -664,3 +664,25 @@ def test_bloom_routing_identical_and_prunes(engine):
         # the nowhere-term query routes to zero shards
         assert stats["shard_tasks_routed"] < stats["shard_tasks_full"]
         assert routed["r4"] == []
+
+
+def test_query_service_bloom_routing_identical(engine):
+    """The serving path routes through the same sidecars as the batch path
+    and must stay result-identical, including nowhere-term queries."""
+    from search_engine_framework_ray.query.executor import QueryService
+
+    index_dir, _ = engine
+    qs = [
+        ("v1", "search engine"),
+        ("v2", "zzznotaterm"),
+        ("v3", "#NEAR/2(web page)"),
+    ]
+    params = ModelParams(model="BM25")
+    routed = QueryService(index_dir, num_actors=2)
+    plain = QueryService(index_dir, num_actors=2, route=False)
+    try:
+        assert routed.run(qs, params) == plain.run(qs, params)
+        assert routed.run(qs, params)["v2"] == []
+    finally:
+        routed.shutdown()
+        plain.shutdown()
