@@ -237,6 +237,7 @@ def minhash_lsh_dedup(
             threshold=threshold,
             set_fn=lambda v: np.asarray(v, dtype=np.uint64),
             pair_stat=sig_agree,
+            n_buckets=_label_buckets(n_cand),
         )
         return _assign_clusters_distributed(
             ids_ds, verified, id_col, n_buckets=_label_buckets(n_cand)
@@ -594,6 +595,7 @@ def _verify_jaccard_distributed(
     denom: str = "union",
     out_col: str = "jaccard",
     pair_stat: "Callable[[np.ndarray, np.ndarray], tuple[bool, float]] | None" = None,
+    n_buckets: int | None = None,
 ) -> Dataset:
     """Exact-Jaccard verification OFF the driver: the candidate pair set is
     never collected, shingle sets never form a driver dict (VERDICT r2 #2).
@@ -633,13 +635,20 @@ def _verify_jaccard_distributed(
     Returns the verified (a, b, jaccard) Dataset (tiny; callers may
     ``to_pandas`` it)."""
 
+    # pair-bucket granularity: the precomputed pb (mod _PAIR_BUCKETS) folds
+    # down to n_buckets when the candidate set is small (the forced-
+    # distributed bench/test path — per-group task overhead dominates);
+    # both the pair rows and the located shingle rows fold identically, so
+    # the co-partition invariant is unchanged
+    nb = _JOIN_BUCKETS if n_buckets is None else n_buckets
+
     def to_needs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "jid": np.concatenate(
                     [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]
                 ),
-                "pb": np.concatenate([b["pb"].to_numpy(np.int64)] * 2),
+                "pb": np.concatenate([b["pb"].to_numpy(np.int64) % nb] * 2),
                 "val": [None] * (2 * len(b)),
             }
         )
@@ -663,7 +672,7 @@ def _verify_jaccard_distributed(
     def add_jb(b: pd.DataFrame) -> pd.DataFrame:
         jb = (
             b["jid"].to_numpy(np.uint64) * np.uint64(2654435761)
-        ) % np.uint64(_JOIN_BUCKETS)
+        ) % np.uint64(nb)
         return b.assign(jb=jb.astype(np.int64))
 
     tagged = (
@@ -691,7 +700,7 @@ def _verify_jaccard_distributed(
     def pairs_side(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "pb": b["pb"].to_numpy(np.int64),
+                "pb": b["pb"].to_numpy(np.int64) % nb,
                 "a": pd.Series(b["a"].to_numpy(np.int64), dtype="Int64"),
                 "b": pd.Series(b["b"].to_numpy(np.int64), dtype="Int64"),
                 "jid": pd.Series(pd.NA, index=range(len(b)), dtype="Int64"),
