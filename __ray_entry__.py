@@ -2228,6 +2228,47 @@ def q_dedup_minhash(sf_dir: str):
     return pairs[["a", "b", "jaccard_micros"]]
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Cluster-aware (leakage-safe) train/val/test split: near-duplicate
+    docs must land in the SAME split or the held-out sets leak training
+    text through paraphrases (the dedup-aware split hygiene of Lee et al.
+    ACL 2022 §6.2, standard LLM-data practice — the naive per-doc
+    ``split_assign`` cannot guarantee it). Split key = md5 PRF of the
+    near-dup CLUSTER id (the exact-Jaccard component labels of
+    ``dedup_minhash_clusters``), so every cluster member moves together;
+    80/10/10 by hash range, assigned inside the distributed labeling
+    map_batches (no extra pass)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        _md5_hash64,
+        assign_clusters,
+        minhash_neardup_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_neardup_pairs(ds, threshold=0.8, k_shingle=3, bands=32)
+    labeled = assign_clusters(ds.select_columns(["doc_id"]), pairs, "doc_id")
+
+    def add_split(b: pd.DataFrame) -> pd.DataFrame:
+        cl = b["cluster_id"].to_numpy(np.int64)
+        h = np.array([_md5_hash64(f"ls|{c}") % 10 for c in cl], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "cluster_id": cl,
+                "split": np.where(h < 8, "train", np.where(h == 8, "val", "test")),
+            }
+        )
+
+    out = labeled.map_batches(add_split, batch_format="pandas").to_pandas()
+    for c in ("doc_id", "cluster_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_minhash_clusters(sf_dir: str):
     """Near-dup clustering over the EXACT-Jaccard pair graph: LSH candidates
     → exact trigram-Jaccard verify (the SQL-checked ``dedup_minhash`` pair
@@ -6993,6 +7034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
@@ -11030,6 +11072,45 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
             FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "leakage_safe_split": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            p AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+                WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.8
+            ),
+            edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            -- reachability closure over the (tiny) verified pair graph →
+            -- connected components; cluster id = min reachable doc id
+            reach AS (
+                WITH RECURSIVE r(src, dst) AS (
+                    SELECT doc_id, doc_id FROM documents
+                    UNION
+                    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.dst
+                )
+                SELECT src, dst FROM r
+            ),
+            clusters AS (
+                SELECT src AS doc_id, min(dst) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN md5_number_lower('ls|' || cluster_id) % 10 < 8 THEN 'train'
+                        WHEN md5_number_lower('ls|' || cluster_id) % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM clusters ORDER BY doc_id
         """,
         "dedup_minhash_clusters": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
