@@ -2228,6 +2228,40 @@ def q_dedup_minhash(sf_dir: str):
     return pairs[["a", "b", "jaccard_micros"]]
 
 
+def q_incremental_neardup(sf_dir: str):
+    """Incremental near-dup probe (stages/dedup.py ``minhash_probe_pairs``):
+    the corpus splits by ingest time (prior archive = doc_id % 10 < 7,
+    new crawl = the rest) and every (archive, new) pair at exact trigram
+    Jaccard ≥ 0.8 is found WITHOUT re-self-joining the archive — band
+    groups emit cross-side candidates only, the continuous-ingestion twin
+    of the batch ``dedup_minhash``. The all-pairs cross-join SQL oracle
+    verifies the banding missed nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import minhash_probe_pairs
+
+    def side(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return t.filter(pa.array((ids % 10 < 7) == keep_old))
+
+        return f
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_probe_pairs(
+        base.map_batches(side(True), batch_format="pyarrow"),
+        base.map_batches(side(False), batch_format="pyarrow"),
+        threshold=0.8,
+        k_shingle=3,
+        bands=32,
+    )
+    pairs["jaccard_micros"] = _micros(pairs["jaccard"])
+    return pairs[["a", "b", "jaccard_micros"]]
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Cluster-aware (leakage-safe) train/val/test split: near-duplicate
     docs must land in the SAME split or the held-out sets leak training
@@ -7034,6 +7068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "incremental_neardup": q_incremental_neardup,
         "leakage_safe_split": q_leakage_safe_split,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
@@ -11062,6 +11097,28 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             inter AS (
                 SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
                 FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            j AS (
+                SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS j
+                FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+            )
+            SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
+            FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "incremental_neardup": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g
+                WHERE x.doc_id % 10 < 7 AND y.doc_id % 10 >= 7
                 GROUP BY x.doc_id, y.doc_id
             ),
             j AS (
