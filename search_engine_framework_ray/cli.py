@@ -209,6 +209,42 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Parameter-grid sweep (the reference's hw4test.py workflow: mutate a
+    param dict per grid point, re-run, collect a results table — here with
+    the LOCAL distributed metrics instead of the remote trec_eval POST):
+    run every (k1, b) combination over one shared index + query set, score
+    each run against the qrels, and print a best-first JSON table."""
+    _ensure_ray()
+    from .query.executor import run_queries
+    from .query.models import ModelParams
+    from .sources.evalmetrics import evaluate_run, read_qrels_grouped
+
+    queries = read_query_file(args.queries)
+    qrels = read_qrels_grouped(args.qrels)
+    k1s = [float(x) for x in args.k1.split(",")]
+    bs = [float(x) for x in args.b.split(",")]
+    rows = []
+    for k1 in k1s:
+        for b in bs:
+            res = run_queries(
+                args.index, queries, ModelParams(model="BM25", k1=k1, b=b),
+                k=args.k,
+            )
+            run = {
+                qid: [(extid, score) for extid, score, _ in res[qid]]
+                for qid, _ in queries
+            }
+            m = evaluate_run(run, qrels)
+            rows.append(
+                {"k1": k1, "b": b,
+                 **{k: v for k, v in m.get("all", {}).items()}}
+            )
+    rows.sort(key=lambda r: (-r.get("map", 0.0), r["k1"], r["b"]))
+    print(json.dumps(rows, indent=1))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_framework_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -250,6 +286,15 @@ def main(argv: list[str] | None = None) -> int:
     lt.add_argument("--spam-file", default=None, help="extid\\tscore lines (f1)")
     lt.add_argument("--learner", default="ranksvm", choices=["ranksvm", "ridge"])
     lt.set_defaults(fn=cmd_letor)
+
+    sw = sub.add_parser("sweep", help="(k1, b) grid sweep -> best-first metric table")
+    sw.add_argument("--index", required=True)
+    sw.add_argument("--queries", required=True, help="qid:text lines")
+    sw.add_argument("--qrels", required=True, help="qid 0 extid rel lines")
+    sw.add_argument("--k1", default="1.2,2.0", help="comma list")
+    sw.add_argument("--b", default="0.75,0.3", help="comma list")
+    sw.add_argument("--k", type=int, default=100)
+    sw.set_defaults(fn=cmd_sweep)
 
     ev = sub.add_parser("evaluate", help="P@k + MAP for a run vs qrels")
     ev.add_argument("--run", required=True, help="TREC run file")

@@ -158,3 +158,26 @@ def test_structured_query_in_letor_does_not_crash_batch(cli_env):
         "letor", "--index", idx, "--train-queries", qfile, "--qrels", str(qrels),
         "--queries", qfile, "--out", out,
     ]) == 0
+
+
+def test_cli_sweep(cli_env, capsys):
+    """The hw4test.py workflow as a CLI: grid of (k1, b) BM25 runs over one
+    index, metric table best-first."""
+    import json
+
+    root, src, qfile = cli_env
+    idx = str(root / "idx")
+    qrels = root / "sweep_qrels.txt"
+    qrels.write_text(
+        "1 0 doc0000000000 1\n1 0 doc0000000002 1\n2 0 doc0000000001 1\n"
+    )
+    assert main([
+        "sweep", "--index", idx, "--queries", str(qfile), "--qrels", str(qrels),
+        "--k1", "1.2,2.0", "--b", "0.75,0.0",
+    ]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 4
+    assert {"k1", "b", "map"} <= set(rows[0])
+    maps = [r["map"] for r in rows]
+    assert maps == sorted(maps, reverse=True)  # best-first
+    assert all(0.0 <= r["map"] <= 1.0 for r in rows)
