@@ -1729,3 +1729,41 @@ def test_pca_power_matches_numpy_eig(ray_session):
     np.testing.assert_array_equal(got, want_proj)
     again = pca_power(ray.data.from_pandas(pdf), iters=8)
     assert (again.attrs["component"] == out.attrs["component"]).all()
+
+
+def test_minhash_probe_pairs_equals_cross_subset(ray_session):
+    """The incremental probe (cross-side candidates only) must find exactly
+    the cross-side subset of the full self-join's verified pairs — the
+    archive self-pairs are the ONLY thing it skips."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        minhash_neardup_pairs,
+        minhash_probe_pairs,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    old = docs[docs["doc_id"] % 10 < 7]
+    new = docs[docs["doc_id"] % 10 >= 7]
+    probe = minhash_probe_pairs(
+        ray.data.from_pandas(old), ray.data.from_pandas(new),
+        threshold=0.8, k_shingle=3, bands=32,
+    )
+    full = minhash_neardup_pairs(
+        ray.data.from_pandas(docs), threshold=0.8, k_shingle=3, bands=32,
+    )
+    # orient full's (a < b) pairs to (old, new) and keep the cross subset
+    lo = full["a"].to_numpy()
+    hi = full["b"].to_numpy()
+    a_old = lo % 10 < 7
+    b_new = hi % 10 >= 7
+    cross_a = np.where(a_old & b_new, lo, np.where((hi % 10 < 7) & (lo % 10 >= 7), hi, -1))
+    cross_b = np.where(a_old & b_new, hi, np.where((hi % 10 < 7) & (lo % 10 >= 7), lo, -1))
+    keep = cross_a >= 0
+    want = (
+        pd.DataFrame({"a": cross_a[keep], "b": cross_b[keep],
+                      "jaccard": full["jaccard"].to_numpy()[keep]})
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    got = probe[["a", "b", "jaccard"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
