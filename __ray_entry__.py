@@ -2228,6 +2228,49 @@ def q_dedup_minhash(sf_dir: str):
     return pairs[["a", "b", "jaccard_micros"]]
 
 
+def q_mm_pnm_decode(sf_dir: str):
+    """REAL image decode under the driver hash (stages/multimodal.py
+    ``decode_pnm``): deterministic binary P6 payloads (gradient rasters,
+    size varying by doc, comment lines in every 5th header) synthesized
+    per doc, decoded by the stdlib+numpy Netpbm parser in an actor pool,
+    reduced to exact-integer stats. The SQL twin replays the generating
+    arithmetic WITHOUT parsing — any header/raster misread breaks the
+    hash, so this certifies a genuinely decoded codec leg (the PIL/ffmpeg
+    legs remain env-gated fakes)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import (
+        DecodePnmStage,
+        synthesize_pnm_corpus,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    decoded = synthesize_pnm_corpus(docs).map_batches(
+        DecodePnmStage,
+        batch_format="pyarrow",
+        batch_size=64,  # binary payloads: small batches (module convention)
+        concurrency=(1, 4),
+    )
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "px_h": b["px_h"].to_numpy(np.int64),
+                "px_w": b["px_w"].to_numpy(np.int64),
+                "mean_micros": b["sample_sum"].to_numpy(np.int64)
+                * 1_000_000
+                // b["n_samples"].to_numpy(np.int64),
+                "lum_sum": b["lum_sum"].to_numpy(np.int64),
+            }
+        )
+
+    out = decoded.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_incremental_neardup(sf_dir: str):
     """Incremental near-dup probe (stages/dedup.py ``minhash_probe_pairs``):
     the corpus splits by ingest time (prior archive = doc_id % 10 < 7,
@@ -7068,6 +7111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
+        "mm_pnm_decode": q_mm_pnm_decode,
         "incremental_neardup": q_incremental_neardup,
         "leakage_safe_split": q_leakage_safe_split,
         "simhash_values": q_simhash_values,
@@ -11107,6 +11151,45 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
             FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "mm_pnm_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 3 AS w,
+                       3 + doc_id % 2 AS h
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id, d.w, d.h,
+                       (d.doc_id * 31 + y.y * 7 + x.x * 3 + c.c * 11) % 256 AS v
+                FROM d,
+                     unnest(range(0, d.h)) y(y),
+                     unnest(range(0, d.w)) x(x),
+                     unnest(range(0, 3)) c(c)
+            ),
+            s AS (
+                SELECT doc_id, max(w) AS w, max(h) AS h,
+                       sum(v) AS sv, count(*) AS n
+                FROM px GROUP BY doc_id
+            ),
+            lum AS (
+                SELECT d.doc_id,
+                       sum((  (d.doc_id * 31 + y.y * 7 + x.x * 3) % 256
+                            + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 11) % 256
+                            + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 22) % 256) // 3)
+                           AS sl
+                FROM d,
+                     unnest(range(0, d.h)) y(y),
+                     unnest(range(0, d.w)) x(x)
+                GROUP BY d.doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(s.h AS BIGINT) AS px_h,
+                   CAST(s.w AS BIGINT) AS px_w,
+                   CAST(s.sv * 1000000 // s.n AS BIGINT) AS mean_micros,
+                   CAST(lum.sl AS BIGINT) AS lum_sum
+            FROM s JOIN lum USING (doc_id)
+            ORDER BY s.doc_id
         """,
         "incremental_neardup": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),

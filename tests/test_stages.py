@@ -1767,3 +1767,23 @@ def test_minhash_probe_pairs_equals_cross_subset(ray_session):
     )
     got = probe[["a", "b", "jaccard"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_decode_pnm_grammar():
+    """Real Netpbm parser: P5/P6, 1- and 2-byte samples, comments anywhere
+    in the header, compact single-space headers, corrupt input raises."""
+    import pytest as _pytest
+
+    from search_engine_framework_ray.stages.multimodal import decode_pnm
+
+    img, w, h, ch, mv = decode_pnm(b"P6\n# a comment\n2 2\n255\n" + bytes(range(12)))
+    assert (w, h, ch, mv) == (2, 2, 3, 255) and img.sum() == sum(range(12))
+    img, w, h, ch, mv = decode_pnm(b"P5 3 1 255 " + bytes([10, 20, 30]))
+    assert img.ravel().tolist() == [10, 20, 30] and ch == 1
+    # 16-bit big-endian samples
+    img, w, h, ch, mv = decode_pnm(b"P5\n1 2\n65535\n" + (258).to_bytes(2, "big") * 2)
+    assert img.ravel().tolist() == [258, 258] and mv == 65535
+    with _pytest.raises(ValueError, match="not a binary PNM"):
+        decode_pnm(b"P3\n1 1\n255\n1 2 3")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_pnm(b"P6\n2 2\n255\n" + bytes(5))
