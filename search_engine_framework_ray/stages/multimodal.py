@@ -262,12 +262,11 @@ def decode_pnm(payload: bytes) -> tuple[np.ndarray, int, int, int, int]:
     w, h, maxval = int(token()), int(token()), int(token())
     pos += 1  # exactly one whitespace byte separates header and raster
     ch = 1 if magic == b"P5" else 3
-    if maxval < 256:
-        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
-    else:
-        data = np.frombuffer(payload, dtype=">u2", count=w * h * ch, offset=pos)
-    if data.size != w * h * ch:
+    dt = np.dtype(np.uint8) if maxval < 256 else np.dtype(">u2")
+    need = w * h * ch
+    if len(payload) - pos < need * dt.itemsize:
         raise ValueError("truncated PNM raster")
+    data = np.frombuffer(payload, dtype=dt, count=need, offset=pos)
     return data.astype(np.int64).reshape(h, w, ch), w, h, ch, maxval
 
 
