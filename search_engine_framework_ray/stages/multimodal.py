@@ -1,9 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata. The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the codec step is STUBBED — either a clearly-marked
+container, so THOSE codec legs are STUBBED — either a clearly-marked
 ``NotImplementedError`` or a deterministic fake decoder — while the Ray-side
 plumbing (schema, actor-pool stage shape, batch sizing for large payloads,
-output layout) is real and tested.
+output layout) is real and tested. One leg needs no external library and is
+REAL: the binary Netpbm family (:func:`decode_pnm`, P5/P6 with full header
+grammar and 8/16-bit rasters), driver-hash-certified by a generator-replay
+twin (``q_mm_pnm_decode``).
 
 Schema convention::
 
