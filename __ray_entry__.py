@@ -2271,6 +2271,39 @@ def q_mm_pnm_decode(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_mm_wav_decode(sf_dir: str):
+    """REAL audio decode under the driver hash (stages/multimodal.py
+    ``decode_wav_pcm``): deterministic 16-bit PCM mono RIFF/WAVE payloads
+    (length/rate varying by doc, junk LIST chunks in every 4th file)
+    decoded by the stdlib+numpy chunk walker in an actor pool and reduced
+    to per-frame mean |amplitude| in exact integer micros. The SQL twin
+    replays the waveform-generation arithmetic without parsing — a
+    mis-walked chunk or mis-signed sample breaks the hash."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import (
+        DecodeWavStage,
+        synthesize_wav_corpus,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = (
+        synthesize_wav_corpus(docs)
+        .map_batches(
+            DecodeWavStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["doc_id", "frame"]).reset_index(drop=True)
+
+
 def q_incremental_neardup(sf_dir: str):
     """Incremental near-dup probe (stages/dedup.py ``minhash_probe_pairs``):
     the corpus splits by ingest time (prior archive = doc_id % 10 < 7,
@@ -7112,6 +7145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "mm_pnm_decode": q_mm_pnm_decode,
+        "mm_wav_decode": q_mm_wav_decode,
         "incremental_neardup": q_incremental_neardup,
         "leakage_safe_split": q_leakage_safe_split,
         "simhash_values": q_simhash_values,
@@ -11151,6 +11185,26 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
             FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "mm_wav_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       64 + (doc_id % 5) * 16 AS n,
+                       8000 + (doc_id % 3) * 4000 AS sr
+                FROM documents
+            ),
+            s AS (
+                SELECT d.doc_id, d.sr, d.n, i.i,
+                       abs((d.doc_id * 13 + i.i * 7) % 2048 - 1024) AS a,
+                       i.i * 8 // d.n AS frame
+                FROM d, unnest(range(0, d.n)) i(i)
+            )
+            SELECT doc_id,
+                   CAST(max(sr) AS BIGINT) AS sample_rate,
+                   CAST(frame AS BIGINT) AS frame,
+                   CAST(sum(a) * 1000000 // count(*) AS BIGINT) AS energy_micros
+            FROM s GROUP BY doc_id, frame
+            ORDER BY doc_id, frame
         """,
         "mm_pnm_decode": """
             WITH d AS (

@@ -333,3 +333,109 @@ def synthesize_pnm_corpus(ds, *, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL audio decode for RIFF/WAVE PCM — the other no-external-library
+    leg (stdlib struct + numpy): walks the chunk list (skipping unknown
+    chunks like LIST/INFO), reads the PCM ``fmt `` header, and returns
+    ``(samples int64 [n, channels], sample_rate, channels)``. 8-bit
+    (unsigned) and 16-bit (signed little-endian) PCM supported; anything
+    else raises (compressed WAV needs a real codec library)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"not PCM (format {audio_format})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    samples = samples.astype(np.int64)
+    usable = (len(samples) // channels) * channels
+    return samples[:usable].reshape(-1, channels), sample_rate, channels
+
+
+class DecodeWavStage:
+    """Actor-pool stage over WAV payloads → per-frame mean |amplitude| in
+    exact integer micros (frame of sample i = i·F // n — both engines
+    compute the same partition), long output (doc_id, sample_rate, frame,
+    energy_micros). A SQL twin replaying the waveform-generation
+    arithmetic certifies the chunk walker + PCM decode."""
+
+    def __init__(self, n_frames: int = 8):
+        self.F = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, srs, frames, energies = [], [], [], []
+        for did, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            s, sr, _ch = decode_wav_pcm(p.as_py())
+            mono = np.abs(s[:, 0])
+            n = len(mono)
+            f = np.arange(n, dtype=np.int64) * self.F // n
+            for fr in range(self.F):
+                m = f == fr
+                cnt = int(m.sum())
+                e = int(mono[m].sum()) * 1_000_000 // cnt if cnt else 0
+                ids.append(int(did))
+                srs.append(sr)
+                frames.append(fr)
+                energies.append(e)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sample_rate": pa.array(srs, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.int64()),
+                "energy_micros": pa.array(energies, type=pa.int64()),
+            }
+        )
+
+
+def synthesize_wav_corpus(ds, *, id_col: str = "doc_id"):
+    """Deterministic 16-bit PCM mono WAV per doc (sawtooth-ish integer
+    waveform, length/rate varying by id, every 4th payload carries a junk
+    LIST chunk before data — exercising the chunk walker)."""
+    import struct
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        payloads = []
+        for did in ids:
+            did = int(did)
+            n = 64 + (did % 5) * 16
+            sr = 8000 + (did % 3) * 4000
+            i = np.arange(n, dtype=np.int64)
+            s = ((did * 13 + i * 7) % 2048 - 1024).astype("<i2")
+            data = s.tobytes()
+            junk = (
+                b"LIST" + struct.pack("<I", 4) + b"INFO" if did % 4 == 0 else b""
+            )
+            fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            body = b"WAVE" + fmt + junk + b"data" + struct.pack("<I", len(data)) + data
+            payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pa.table(
+            {
+                "doc_id": pa.array([int(x) for x in ids], type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")

@@ -1787,3 +1787,34 @@ def test_decode_pnm_grammar():
         decode_pnm(b"P3\n1 1\n255\n1 2 3")
     with _pytest.raises(ValueError, match="truncated"):
         decode_pnm(b"P6\n2 2\n255\n" + bytes(5))
+
+
+def test_decode_wav_pcm_grammar():
+    """Real RIFF/WAVE parser: chunk walking past junk chunks, 8- and
+    16-bit PCM, word alignment, non-PCM rejection."""
+    import struct
+
+    import pytest as _pytest
+
+    from search_engine_framework_ray.stages.multimodal import decode_wav_pcm
+
+    def wav(fmt_tuple, data, extra=b""):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, *fmt_tuple)
+        body = b"WAVE" + fmt + extra + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    s16 = np.arange(-3, 3, dtype="<i2").tobytes()
+    smp, sr, ch = decode_wav_pcm(wav((1, 1, 8000, 16000, 2, 16), s16))
+    assert smp.ravel().tolist() == [-3, -2, -1, 0, 1, 2] and (sr, ch) == (8000, 1)
+    # junk chunk with ODD size exercises word alignment
+    smp2, _, _ = decode_wav_pcm(
+        wav((1, 1, 8000, 16000, 2, 16), s16, extra=b"LIST" + struct.pack("<I", 3) + b"IN\x00\x00")
+    )
+    assert smp2.ravel().tolist() == smp.ravel().tolist()
+    # 8-bit PCM is unsigned, centered at 128
+    smp3, _, _ = decode_wav_pcm(wav((1, 1, 8000, 8000, 1, 8), bytes([120, 128, 136])))
+    assert smp3.ravel().tolist() == [-8, 0, 8]
+    with _pytest.raises(ValueError, match="not PCM"):
+        decode_wav_pcm(wav((85, 1, 8000, 16000, 2, 16), s16))
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav_pcm(b"OggS junk")
