@@ -193,3 +193,39 @@ def test_kstem_analyzer_config_roundtrip():
         "police", "stop", "run", "fly",
     ]
     assert config_from_key(cfg.key()) == cfg
+
+
+def test_kstem_sql_twin_matches_python_on_random_words():
+    """Property test: the DuckDB re-implementation of the Krovetz rules
+    (the kstem_term_stats oracle) must agree with functions/kstem.py on
+    ARBITRARY vocabulary, not just the fixture corpus — same dictionary
+    lookups, same rule order, same length guards."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import __ray_entry__ as entrymod
+    from search_engine_framework_ray.functions.kstem import kstem
+
+    sql = entrymod.oracle_sql()["kstem_term_stats"]
+    word = st.text(alphabet="abcdefgilmnoprstuvy", min_size=1, max_size=12)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=12))
+    def check(words):
+        text = " ".join(words)
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT 0 AS doc_id, '"
+            + text.replace("'", "''")
+            + "' AS text"
+        )
+        got = dict(zip(*[con.sql(sql).df()[c] for c in ("term", "ctf")]))
+        toks = (text + " " + entrymod._KSTEM_PROBE).lower().split()
+        want: dict = {}
+        for t in toks:
+            s = kstem(t)
+            want[s] = want.get(s, 0) + 1
+        assert {k: int(v) for k, v in got.items()} == want
+
+    check()
