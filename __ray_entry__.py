@@ -8222,9 +8222,9 @@ def _ips_ctr_sql() -> str:
     return _click_em_ctes() + """
 SELECT CAST(q AS BIGINT) AS qid, CAST(d AS BIGINT) AS doc_id,
        CAST(sum(c) * 1000000 // count(*) AS BIGINT) AS naive_micros,
-       CAST(sum(c * (1000000 * CAST(1000000 AS BIGINT) // th)) // count(*) AS BIGINT)
+       CAST(sum(c * (1000000 * CAST(1000000 AS BIGINT) // greatest(th, 1))) // count(*) AS BIGINT)
            AS ips_micros,
-       CAST(sum(c * least(1000000 * CAST(1000000 AS BIGINT) // th, 10000000))
+       CAST(sum(c * least(1000000 * CAST(1000000 AS BIGINT) // greatest(th, 1), 10000000))
             // count(*) AS BIGINT) AS ips_clip_micros
 FROM clicks JOIN t2 USING (r)
 GROUP BY q, d ORDER BY qid, doc_id

@@ -417,19 +417,24 @@ def _bloom_route_map(index_dir: str, shards: list[int], trees: dict):
     cannot produce a candidate for it (no false negatives), so the routed
     fan-out is provably identical to querying every shard. Returns None
     (route nothing) when any sidecar is unavailable."""
-    from ..state.bloom import load_shard_bloom, probe
+    from ..state.bloom import key_hashes, load_shard_bloom, probe_hashed
     from ..state.index_layout import shard_dir
 
     try:
         blooms = {s: load_shard_bloom(shard_dir(index_dir, s)) for s in shards}
     except (OSError, ValueError):
         return None
+    # md5 pair computed ONCE per distinct key (bits-independent), reused
+    # across every shard probe — routing cost is O(keys + shards·keys bit
+    # tests), not O(shards·keys md5 calls)
+    hcache: dict[str, tuple[int, int]] = {}
     route = {}
     for qid, tree in trees.items():
         keys = _collect_term_keys(tree)
+        hs = [hcache.setdefault(key, key_hashes(key)) for key in keys]
         route[qid] = (
-            [s for s in shards if any(probe(blooms[s], key) for key in keys)]
-            if keys
+            [s for s in shards if any(probe_hashed(blooms[s], h) for h in hs)]
+            if hs
             else list(shards)
         )
     return route

@@ -280,7 +280,7 @@ def embedding_neardup_pairs(
 
     ``max_bucket`` (None = exact enumeration, required by the SQL oracle)
     caps degenerate buckets with star pairs to the min id — the same
-    bounded-recall guard as MinHash's ``_lsh_candidate_pairs``. Set it for
+    bounded-recall guard as MinHash's ``_lsh_candidate_pairs_ds``. Set it for
     production near-dup sweeps: with few planes per band the bucket key
     space is only ``2^r`` per band, so a low-threshold configuration over a
     large corpus otherwise emits near-O(n²) candidate cliques."""

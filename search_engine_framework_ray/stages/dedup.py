@@ -213,14 +213,19 @@ def minhash_lsh_dedup(
         sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=_MAX_BUCKET,
         dedup_pairs=False,
     ).materialize()
+    # the countable quantity is the raw candidate-ROW count; a true pair
+    # surfaces from up to `bands` band groups, so rows/bands estimates the
+    # distinct verified-pair count the threshold is defined over (cheap,
+    # conservative within the banding redundancy; no driver collection)
     n_cand = cand_ds.count()
+    n_pairs_est = max(n_cand // bands, 1 if n_cand else 0)
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         return b[[id_col]]
 
     ids_ds = sigs.map_batches(project, batch_format="pandas")
 
-    if driver_label_max_pairs is not None and n_cand > driver_label_max_pairs:
+    if driver_label_max_pairs is not None and n_pairs_est > driver_label_max_pairs:
         # high-dup-rate scale path (VERDICT r3 #3): signature-agreement
         # verify via the pair-bucket co-partition (the MinHash signatures
         # never form a driver dict), then hash-min connected-components
@@ -400,33 +405,6 @@ def _lsh_candidate_pairs_ds(
             lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
         )
     return out
-
-
-def _lsh_candidate_pairs(
-    sigs: Dataset,
-    *,
-    id_col: str,
-    n_perm: int,
-    bands: int,
-    max_bucket: int | None,
-) -> pd.DataFrame:
-    """Driver-side (a, b) pairs — for the star-capped *clustering* path,
-    whose pair set is bounded by ``max_bucket`` and feeds the driver
-    union-find directly (pair dedup is free here, so the distributed
-    pb-shuffle dedup is skipped)."""
-    pairs = _lsh_candidate_pairs_ds(
-        sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=max_bucket,
-        dedup_pairs=False,
-    ).to_pandas()
-    if "a" not in pairs.columns:
-        return pd.DataFrame(
-            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
-        )
-    return (
-        pairs[["a", "b"]]
-        .drop_duplicates(ignore_index=True)
-        .reset_index(drop=True)
-    )
 
 
 def gather_for_ids(ds: Dataset, need: set, id_col: str, value_fn) -> dict:
@@ -1049,7 +1027,10 @@ def simhash_dedup(
     pairs_ds = _simhash_pairs_ds(
         sk, id_col=id_col, max_hamming=max_hamming, max_bucket=max_bucket
     ).materialize()
-    n_pairs = pairs_ds.count()
+    # rows/(max_hamming+1) estimates distinct verified pairs (each pair
+    # surfaces from up to h+1 bands) — the quantity the threshold is over
+    n_rows = pairs_ds.count()
+    n_pairs = max(n_rows // (max_hamming + 1), 1 if n_rows else 0)
     if driver_label_max_pairs is not None and n_pairs > driver_label_max_pairs:
         return _assign_clusters_distributed(
             sk, pairs_ds, id_col, payload_cols=("simhash",),

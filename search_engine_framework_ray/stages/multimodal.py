@@ -353,6 +353,8 @@ def decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int, int]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":

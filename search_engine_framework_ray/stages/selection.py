@@ -233,10 +233,16 @@ class HashedLinearScorer:
 
     def _buckets(self, grams: pd.Series) -> np.ndarray:
         cache, n = self._cache, self.n_buckets
-        for g in grams.unique():
-            if g not in cache:
-                cache[g] = _md5_hash64("ft|" + g) % n
-        return grams.map(cache).to_numpy(np.int64)
+        if len(cache) < 2_000_000:  # bound actor memory: bigrams are
+            # near-unique per doc (no Zipf reuse), so the cache must not
+            # grow with corpus size — same bound as kstem_cached
+            for g in grams.unique():
+                if g not in cache:
+                    cache[g] = _md5_hash64("ft|" + g) % n
+            return grams.map(cache).to_numpy(np.int64)
+        return grams.map(
+            lambda g: cache.get(g) or _md5_hash64("ft|" + g) % n
+        ).to_numpy(np.int64)
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
         b = b.reset_index(drop=True)

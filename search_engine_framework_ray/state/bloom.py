@@ -31,19 +31,33 @@ import numpy as np
 
 MIN_BITS = 4096
 BLOOM_K = 4
-_FILENAME = "term_bloom_v2.npy"  # v2: adaptive-size, bit-packed (MSB-first)
+# v3: adaptive-size, bit-packed (MSB-first), md5-low64-LITTLE hash pair —
+# the repo-wide PRF convention (== DuckDB md5_number_lower, as in
+# dedup/clicks/graph); the filename version gates out sidecars built by
+# earlier hash conventions, which would otherwise produce false negatives
+_FILENAME = "term_bloom_v3.npy"
 
 
 def _md5_low64(s: str) -> int:
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+    """== DuckDB ``md5_number_lower`` (digest bytes 8..16, little-endian —
+    the same convention every other *_low64 PRF in this repo uses)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+
+def key_hashes(key: str) -> tuple[int, int]:
+    """The (h1, h2) Kirsch-Mitzenmacher pair for ``key`` — bits-independent,
+    so a router probing MANY shards (whose filters differ in size) computes
+    the two md5s once per key, not once per (key, shard)."""
+    h1 = _md5_low64(key)
+    h2 = _md5_low64("2:" + key) | 1
+    return h1, h2
 
 
 def key_positions(key: str, bits: int, *, k: int = BLOOM_K) -> list[int]:
     """Kirsch-Mitzenmacher double hashing over the md5 PRF pair (exact
     unbounded-int arithmetic; any uint64 engine agrees for power-of-two
     ``bits``)."""
-    h1 = _md5_low64(key)
-    h2 = _md5_low64("2:" + key) | 1
+    h1, h2 = key_hashes(key)
     return [(h1 + i * h2) % bits for i in range(k)]
 
 
@@ -63,8 +77,18 @@ def build_bloom(keys, *, k: int = BLOOM_K, bits: int | None = None) -> np.ndarra
 
 def probe(packed: np.ndarray, key: str, *, k: int = BLOOM_K) -> bool:
     """True iff the shard MIGHT contain ``key`` (no false negatives)."""
+    return probe_hashed(packed, key_hashes(key), k=k)
+
+
+def probe_hashed(
+    packed: np.ndarray, hashes: tuple[int, int], *, k: int = BLOOM_K
+) -> bool:
+    """Probe with a precomputed :func:`key_hashes` pair — the router path
+    (one md5 pair per query term, reused across every shard)."""
     bits = len(packed) * 8
-    for pos in key_positions(key, bits, k=k):
+    h1, h2 = hashes
+    for i in range(k):
+        pos = (h1 + i * h2) % bits
         if not (int(packed[pos >> 3]) >> (7 - (pos & 7))) & 1:
             return False
     return True
@@ -75,8 +99,11 @@ def bloom_path(shard_dir: str) -> str:
 
 
 def write_shard_bloom(shard_dir: str, fields, terms) -> None:
-    """Emit the sidecar from the in-memory vocabulary (build-time path)."""
-    tmp = os.path.join(shard_dir, _FILENAME + ".tmp.npy")
+    """Emit the sidecar from the in-memory vocabulary (build-time path,
+    also the lazy backfill). The tmp name is per-process so concurrent
+    backfills of the same pre-sidecar shard cannot clobber each other's
+    half-written file; both finish with an atomic rename of their own."""
+    tmp = os.path.join(shard_dir, f"{_FILENAME}.tmp.{os.getpid()}.npy")
     np.save(tmp, build_bloom(f"{f}:{t}" for f, t in zip(fields, terms)))
     os.replace(tmp, bloom_path(shard_dir))
 
