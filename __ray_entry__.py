@@ -2379,6 +2379,65 @@ def q_leakage_safe_split(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cluster_weights(sf_dir: str):
+    """Soft dedup: instead of dropping near-duplicates, keep ONE
+    representative per cluster carrying the cluster's multiplicity as a
+    training-loss weight (the count-once-but-weight alternative to hard
+    removal — preserves the corpus distribution while killing verbatim
+    repetition). Cluster sizes come from one narrow groupby over the
+    labeled ids; weights attach inside the distributed labeling pass's
+    output (no corpus pull). Output: (doc_id, cluster_id, weight, keep)."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        assign_clusters,
+        minhash_neardup_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_neardup_pairs(ds, threshold=0.8, k_shingle=3, bands=32)
+    labeled = assign_clusters(ds.select_columns(["doc_id"]), pairs, "doc_id")
+
+    def size_partials(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("cluster_id", as_index=False)
+            .agg(n=("doc_id", "size"))
+        )
+
+    # cluster sizes: per-batch combiner partials → tiny driver reduce
+    # (≤ distinct clusters rows), broadcast back as the weight map
+    sizes = (
+        labeled.map_batches(size_partials, batch_format="pandas")
+        .to_pandas()
+        .groupby("cluster_id")["n"]
+        .sum()
+        .to_dict()
+    )
+    import ray as _ray
+
+    sizes_ref = _ray.put(sizes)
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        sz = _ray.get(sizes_ref)
+        cl = b["cluster_id"].to_numpy(np.int64)
+        ids = b["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "cluster_id": cl,
+                "weight": np.array([sz[int(c)] for c in cl], dtype=np.int64),
+                "keep": (ids == cl).astype(np.int64),  # min-id representative
+            }
+        )
+
+    out = labeled.map_batches(attach, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_minhash_clusters(sf_dir: str):
     """Near-dup clustering over the EXACT-Jaccard pair graph: LSH candidates
     → exact trigram-Jaccard verify (the SQL-checked ``dedup_minhash`` pair
@@ -7148,6 +7207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_wav_decode": q_mm_wav_decode,
         "incremental_neardup": q_incremental_neardup,
         "leakage_safe_split": q_leakage_safe_split,
+        "cluster_weights": q_cluster_weights,
         "simhash_values": q_simhash_values,
         "dedup_simhash": q_dedup_simhash,
         "jaccard_pairs": q_jaccard_pairs,
@@ -11266,6 +11326,44 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             )
             SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
             FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "cluster_weights": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g AND y.doc_id > x.doc_id
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            p AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+                WHERE i.i * 1.0 / (ca.n + cb.n - i.i) >= 0.8
+            ),
+            edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+                WITH RECURSIVE r(src, dst) AS (
+                    SELECT doc_id, doc_id FROM documents
+                    UNION
+                    SELECT r.src, e.b FROM r JOIN edges e ON e.a = r.dst
+                )
+                SELECT src, dst FROM r
+            ),
+            clusters AS (
+                SELECT src AS doc_id, min(dst) AS cluster_id
+                FROM reach GROUP BY src
+            ),
+            sizes AS (SELECT cluster_id, count(*) AS weight FROM clusters GROUP BY cluster_id)
+            SELECT c.doc_id, c.cluster_id,
+                   CAST(s.weight AS BIGINT) AS weight,
+                   CAST(c.doc_id = c.cluster_id AS BIGINT) AS keep
+            FROM clusters c JOIN sizes s USING (cluster_id)
+            ORDER BY c.doc_id
         """,
         "leakage_safe_split": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
