@@ -105,14 +105,21 @@ def _kstem_corpus(sf_dir: str) -> str:
 
 def _kstem_index(sf_dir: str) -> str:
     """KStem-analyzed index (the reference's configured stemmer,
-    QryEval.java:61-65 → KSTEM) over the probe corpus; resumable."""
+    QryEval.java:61-65 → KSTEM) over the probe corpus; resumable. The index
+    path carries a LEXICON fingerprint: ``AnalyzerConfig.key()`` can't see
+    dictionary edits, so without it a lexicon change would silently reuse a
+    stale index while the SQL twin stems with the new rules."""
     from search_engine_framework_ray.functions.analysis import AnalyzerConfig
+    from search_engine_framework_ray.functions.kstem import _DICT, _EXCEPTIONS
     from search_engine_framework_ray.pipelines.build_index import (
         PlainSource,
         build_index,
     )
 
-    idx = os.path.join(_kstem_base(sf_dir), "idx")
+    lex = hashlib.sha1(
+        (" ".join(sorted(_DICT)) + "|" + repr(sorted(_EXCEPTIONS.items()))).encode()
+    ).hexdigest()[:10]
+    idx = os.path.join(_kstem_base(sf_dir), f"idx_{lex}")
     build_index(
         _kstem_corpus(sf_dir),
         idx,
