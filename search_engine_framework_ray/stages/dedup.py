@@ -362,7 +362,11 @@ def _lsh_candidate_pairs_ds(
         return pd.DataFrame(out)
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a_out, b_out = [], []
+        # arrays accumulated and concatenated ONCE — per-element Python int
+        # conversion was the measured hot spot on dense-template buckets
+        # (hundreds of thousands of pairs per band group)
+        a_out: list = []
+        b_out: list = []
         for _, grp in g.groupby("band_key", sort=False):
             if side_col is not None:
                 # probe mode: pairs CROSS sides only (a: side 0 / prior
@@ -372,25 +376,27 @@ def _lsh_candidate_pairs_ds(
                 olds = np.unique(grp.loc[grp["side"] == 0, id_col].to_numpy())
                 news = np.unique(grp.loc[grp["side"] == 1, id_col].to_numpy())
                 if len(olds) and len(news):
-                    a_out.extend(int(x) for x in np.repeat(olds, len(news)))
-                    b_out.extend(int(x) for x in np.tile(news, len(olds)))
+                    a_out.append(np.repeat(olds, len(news)).astype(np.int64))
+                    b_out.append(np.tile(news, len(olds)).astype(np.int64))
                 continue
             ids = np.unique(grp[id_col].to_numpy())
             m = len(ids)
             if m < 2:
                 continue
             if max_bucket is not None and m > max_bucket:
-                a_out.extend([int(ids[0])] * (m - 1))
-                b_out.extend(int(i) for i in ids[1:])
+                a_out.append(np.full(m - 1, ids[0], dtype=np.int64))
+                b_out.append(ids[1:].astype(np.int64))
             else:
                 iu = np.triu_indices(m, k=1)
-                a_out.extend(int(i) for i in ids[iu[0]])
-                b_out.extend(int(i) for i in ids[iu[1]])
+                a_out.append(ids[iu[0]].astype(np.int64))
+                b_out.append(ids[iu[1]].astype(np.int64))
+        a_arr = np.concatenate(a_out) if a_out else np.empty(0, dtype=np.int64)
+        b_arr = np.concatenate(b_out) if b_out else np.empty(0, dtype=np.int64)
         return _with_pair_bucket(
             pd.DataFrame(
                 {
-                    "a": pd.Series(a_out, dtype="int64"),
-                    "b": pd.Series(b_out, dtype="int64"),
+                    "a": pd.Series(a_arr, dtype="int64"),
+                    "b": pd.Series(b_arr, dtype="int64"),
                 }
             )
         )
