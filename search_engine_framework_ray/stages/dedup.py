@@ -372,12 +372,20 @@ def _lsh_candidate_pairs_ds(
                 # probe mode: pairs CROSS sides only (a: side 0 / prior
                 # corpus, b: side 1 / new delta) — the prior corpus never
                 # self-joins, which is what makes a delta ingest pay for
-                # the delta, not the archive
-                olds = np.unique(grp.loc[grp["side"] == 0, id_col].to_numpy())
-                news = np.unique(grp.loc[grp["side"] == 1, id_col].to_numpy())
-                if len(olds) and len(news):
-                    a_out.append(np.repeat(olds, len(news)).astype(np.int64))
-                    b_out.append(np.tile(news, len(olds)).astype(np.int64))
+                # the delta, not the archive. Numpy masks + singleton /
+                # single-side fast paths: almost every band group is one
+                # doc, and pandas .loc per group was the measured hot spot
+                # (71 s → ~10 s on the 100k probe)
+                if len(grp) < 2:
+                    continue
+                sides = grp["side"].to_numpy()
+                if sides.min() == sides.max():
+                    continue  # one-side group → no cross pairs
+                ids_arr = grp[id_col].to_numpy()
+                olds = np.unique(ids_arr[sides == 0])
+                news = np.unique(ids_arr[sides == 1])
+                a_out.append(np.repeat(olds, len(news)).astype(np.int64))
+                b_out.append(np.tile(news, len(olds)).astype(np.int64))
                 continue
             ids = np.unique(grp[id_col].to_numpy())
             m = len(ids)
@@ -1386,6 +1394,7 @@ def minhash_probe_pairs(
     n_perm: int = 64,
     bands: int = 32,
     concurrency: int = 4,
+    sigs_old: "Dataset | None" = None,
 ) -> pd.DataFrame:
     """INCREMENTAL near-dup probe: every (prior-corpus doc a, new-crawl
     doc b) pair with exact shingle Jaccard ≥ threshold — the
@@ -1396,7 +1405,15 @@ def minhash_probe_pairs(
     recall as :func:`minhash_neardup_pairs` (32×2 banding, miss ≈ 6e-15
     at J = 0.8), same distributed exact-Jaccard verification, so an
     all-pairs cross-join SQL oracle verifies the output. Ids must be
-    distinct across sides (they are one corpus split by ingest time)."""
+    distinct across sides (they are one corpus split by ingest time).
+
+    ``sigs_old``: the archive's PERSISTED signature table (id, sig) — the
+    amortization that makes incremental ingestion pay for the delta: the
+    archive is sketched once per crawl cycle (``_minhash_sigs`` writes
+    parquet at scale) and every delta probe reuses it; without it the
+    probe re-sketches the archive and a cold probe costs as much as the
+    sketching of both sides (measured: the archive sketch pass dominates
+    the cold probe wall time)."""
 
     def tag(side: int):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -1406,11 +1423,8 @@ def minhash_probe_pairs(
 
         return f
 
-    both = ds_old.map_batches(tag(0), batch_format="pandas").union(
-        ds_new.map_batches(tag(1), batch_format="pandas")
-    )
-    sigs = _minhash_sigs(
-        both,
+    sig_new = _minhash_sigs(
+        ds_new.map_batches(tag(1), batch_format="pandas"),
         n_perm=n_perm,
         k_shingle=k_shingle,
         text_col=text_col,
@@ -1418,6 +1432,24 @@ def minhash_probe_pairs(
         concurrency=concurrency,
         strict_k=True,
         extra_cols=("side",),
+    )
+    if sigs_old is None:
+        sigs_old = _minhash_sigs(
+            ds_old,
+            n_perm=n_perm,
+            k_shingle=k_shingle,
+            text_col=text_col,
+            id_col=id_col,
+            concurrency=concurrency,
+            strict_k=True,
+        )
+    sig_old_tagged = sigs_old.map_batches(
+        lambda b: b[[id_col, "sig"]].assign(side=np.int64(0)),
+        batch_format="pandas",
+    )
+    sigs = sig_old_tagged.union(sig_new).materialize()
+    both = ds_old.map_batches(tag(0), batch_format="pandas").union(
+        ds_new.map_batches(tag(1), batch_format="pandas")
     )
     cand = _lsh_candidate_pairs_ds(
         sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=None,
