@@ -2345,6 +2345,49 @@ def q_incremental_neardup(sf_dir: str):
     return pairs[["a", "b", "jaccard_micros"]]
 
 
+def q_incremental_neardup_warm(sf_dir: str):
+    """The AMORTIZED incremental-probe path under the driver hash: the
+    archive's signature table is computed separately (the once-per-crawl-
+    cycle persisted sketch store) and passed into the probe via
+    ``sigs_old`` — the delta probe then sketches only the delta. Output is
+    identical to ``incremental_neardup`` by construction, so the two
+    entries share one SQL oracle verbatim and the hash proves the
+    amortization exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        _minhash_sigs,
+        minhash_probe_pairs,
+    )
+
+    def side(keep_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            return t.filter(pa.array((ids % 10 < 7) == keep_old))
+
+        return f
+
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    old = base.map_batches(side(True), batch_format="pyarrow")
+    sigs_old = _minhash_sigs(
+        old, n_perm=64, k_shingle=3, text_col="text", id_col="doc_id",
+        concurrency=4, strict_k=True,
+    )
+    pairs = minhash_probe_pairs(
+        old,
+        base.map_batches(side(False), batch_format="pyarrow"),
+        threshold=0.8,
+        k_shingle=3,
+        bands=32,
+        sigs_old=sigs_old,
+    )
+    pairs["jaccard_micros"] = _micros(pairs["jaccard"])
+    return pairs[["a", "b", "jaccard_micros"]]
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Cluster-aware (leakage-safe) train/val/test split: near-duplicate
     docs must land in the SAME split or the held-out sets leak training
@@ -7213,6 +7256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_pnm_decode": q_mm_pnm_decode,
         "mm_wav_decode": q_mm_wav_decode,
         "incremental_neardup": q_incremental_neardup,
+        "incremental_neardup_warm": q_incremental_neardup_warm,
         "leakage_safe_split": q_leakage_safe_split,
         "cluster_weights": q_cluster_weights,
         "simhash_values": q_simhash_values,
@@ -11313,6 +11357,28 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
             ORDER BY s.doc_id
         """,
         "incremental_neardup": r"""
+            WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                FROM l, unnest(range(1, len(w) - 1)) AS t(i)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                FROM sh x JOIN sh y ON x.g = y.g
+                WHERE x.doc_id % 10 < 7 AND y.doc_id % 10 >= 7
+                GROUP BY x.doc_id, y.doc_id
+            ),
+            j AS (
+                SELECT i.a, i.b, i.i * 1.0 / (ca.n + cb.n - i.i) AS j
+                FROM inter i
+                JOIN cnt ca ON ca.doc_id = i.a
+                JOIN cnt cb ON cb.doc_id = i.b
+            )
+            SELECT a, b, CAST(round(j * 1000000) AS BIGINT) AS jaccard_micros
+            FROM j WHERE j >= 0.8 ORDER BY a, b
+        """,
+        "incremental_neardup_warm": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
             sh AS (
                 SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
