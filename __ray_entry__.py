@@ -6056,13 +6056,17 @@ def q_click_model(sf_dir: str):
     regenerates the identical log via md5_number_lower and unrolls both EM
     iterations, so the whole fit is under the driver hash. The α table is
     the implicit-feedback relevance label a production LeToR would train on
-    in place of editorial qrels."""
+    in place of editorial qrels. Round 5: the fit is the CO-PARTITIONED
+    engine — α lives in hash(qid, doc)-buckets and comes back as a lazy
+    Dataset (only θ, one int per rank, ever reduces on the driver); this
+    entry pulls the α Dataset only because the fixture-scale RESULT is the
+    deliverable."""
     import pyarrow.parquet as papq
 
     from search_engine_framework_ray.stages.clicks import pbm_fit, synth_impressions
 
     n = papq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
-    theta, alpha = pbm_fit(
+    theta, alpha_ds = pbm_fit(
         synth_impressions(
             n,
             sessions=_CLICK_SESSIONS,
@@ -6071,7 +6075,11 @@ def q_click_model(sf_dir: str):
         ),
         iters=2,
     )
-    rows = [("alpha", q, d, v) for (q, d), v in sorted(alpha.items())]
+    al = alpha_ds.to_pandas().sort_values(["qid", "doc_id"])
+    rows = [
+        ("alpha", int(q), int(d), int(v))
+        for q, d, v in zip(al["qid"], al["doc_id"], al["alpha_micros"])
+    ]
     rows += [("theta", r, -1, v) for r, v in sorted(theta.items())]
     return pd.DataFrame(
         {
@@ -6174,7 +6182,9 @@ def q_ips_ctr(sf_dir: str):
     the inverse-propensity estimate (weight = M²//θ_rank) and the clipped
     variant, all exact-integer means under the driver hash (the SQL twin
     reuses the click-EM CTE prefix). This is how position-biased logs turn
-    into unbiased training labels."""
+    into unbiased training labels. Round 5: the per-(qid, doc) estimates
+    are reduced in co-partitioned buckets off the driver (lazy Dataset);
+    only θ is broadcast."""
     import pyarrow.parquet as papq
 
     from search_engine_framework_ray.stages.clicks import (
@@ -6187,8 +6197,13 @@ def q_ips_ctr(sf_dir: str):
     imps = synth_impressions(
         n, sessions=_CLICK_SESSIONS, ranks=_CLICK_RANKS, n_queries=_CLICK_QUERIES
     ).materialize()
-    theta, _alpha = pbm_fit(imps, iters=2)
-    return ips_ctr(imps, theta)
+    theta, _alpha_ds = pbm_fit(imps, iters=2)
+    return (
+        ips_ctr(imps, theta)
+        .to_pandas()
+        .sort_values(["qid", "doc_id"])
+        .reset_index(drop=True)
+    )
 
 
 def q_incremental_agg(sf_dir: str):
