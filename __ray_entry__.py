@@ -1597,6 +1597,15 @@ def q_trec_eval(sf_dir: str):
         "p10_micros", "p20_micros", "p30_micros", "ap_micros",
         "ndcg10_micros", "ndcg20_micros",
     ]
+    # a qid that retrieved nothing has no run rows (and no group above);
+    # it still scores 0 and belongs in the 'all' mean — mirror the twin's
+    # LEFT-JOIN over the full qid universe (degenerate-qid closure)
+    missing = [q for q in qnums if q not in set(perq["qid"])]
+    if missing:
+        perq = pd.concat(
+            [perq, pd.DataFrame([{"qid": q, **{c: 0 for c in cols}} for q in missing])],
+            ignore_index=True,
+        ).sort_values("qid").reset_index(drop=True)
     allrow = {"qid": "all"}
     for c in cols:
         allrow[c] = int(_round_away(perq[c].to_numpy(np.float64).mean()))
@@ -2349,16 +2358,20 @@ def q_incremental_neardup_warm(sf_dir: str):
     """The AMORTIZED incremental-probe path under the driver hash: the
     archive's signature table is computed separately (the once-per-crawl-
     cycle persisted sketch store) and passed into the probe via
-    ``sigs_old`` — the delta probe then sketches only the delta. Output is
-    identical to ``incremental_neardup`` by construction, so the two
-    entries share one SQL oracle verbatim and the hash proves the
-    amortization exact."""
+    ``sigs_old`` — the delta probe then sketches only the delta — AND
+    (round 5) the archive's persisted SHINGLE store is passed via
+    ``shingles_old``, so the verify stage locates archive sets from the
+    store and never re-shingles archive text: the whole warm probe's text
+    work is delta-proportional. Output is identical to
+    ``incremental_neardup`` by construction, so the two entries share one
+    SQL oracle verbatim and the hash proves both amortizations exact."""
     import pyarrow as pa
     import ray.data
 
     from search_engine_framework_ray.stages.dedup import (
         _minhash_sigs,
         minhash_probe_pairs,
+        minhash_shingle_store,
     )
 
     def side(keep_old: bool):
@@ -2376,6 +2389,7 @@ def q_incremental_neardup_warm(sf_dir: str):
         old, n_perm=64, k_shingle=3, text_col="text", id_col="doc_id",
         concurrency=4, strict_k=True,
     )
+    shingles_old = minhash_shingle_store(old, k_shingle=3)
     pairs = minhash_probe_pairs(
         old,
         base.map_batches(side(False), batch_format="pyarrow"),
@@ -2383,6 +2397,7 @@ def q_incremental_neardup_warm(sf_dir: str):
         k_shingle=3,
         bands=32,
         sigs_old=sigs_old,
+        shingles_old=shingles_old,
     )
     pairs["jaccard_micros"] = _micros(pairs["jaccard"])
     return pairs[["a", "b", "jaccard_micros"]]
@@ -8949,7 +8964,7 @@ idcg AS (
                      ELSE 0 END) / ln(rk.r + 1)) AS i20
     FROM gcnt g CROSS JOIN rk GROUP BY g.qid
 ),
-perq AS (
+perq0 AS (
     SELECT cum.qid,
            CAST(round(sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) / 10.0 * 1000000) AS BIGINT) AS p10_micros,
            CAST(round(sum(CASE WHEN rnk <= 20 THEN rel ELSE 0 END) / 20.0 * 1000000) AS BIGINT) AS p20_micros,
@@ -8965,6 +8980,20 @@ perq AS (
     JOIN rcnt ON rcnt.qid = cum.qid
     JOIN idcg ON idcg.qid = cum.qid
     GROUP BY cum.qid
+),
+-- a qid with zero relevant docs (no rcnt row) or zero retrieved docs
+-- falls out of the inner chain; the engine emits a zero row for it and
+-- counts it in the 'all' mean (round-5 degenerate-qid closure, same
+-- LEFT-JOIN shape as the bpref/ERR twins)
+perq AS (
+    SELECT qi.qid,
+           coalesce(p.p10_micros, 0) AS p10_micros,
+           coalesce(p.p20_micros, 0) AS p20_micros,
+           coalesce(p.p30_micros, 0) AS p30_micros,
+           coalesce(p.ap_micros, 0) AS ap_micros,
+           coalesce(p.ndcg10_micros, 0) AS ndcg10_micros,
+           coalesce(p.ndcg20_micros, 0) AS ndcg20_micros
+    FROM qi LEFT JOIN perq0 p USING (qid)
 )
 SELECT qid, p10_micros, p20_micros, p30_micros, ap_micros,
        ndcg10_micros, ndcg20_micros
@@ -9047,9 +9076,15 @@ rcnt AS (
 {_sig_ap_sql("a", 1.2, 0.75)},
 {_sig_ap_sql("b", 2.0, 0.3)},
 d AS (
-    SELECT qi.qid, ap_a.ap AS a, ap_b.ap AS b, ap_a.ap - ap_b.ap AS diff,
+    -- LEFT JOIN + coalesce keeps a zero-relevant qid in the permutation
+    -- universe with AP = 0 on both arms, exactly as the engine's
+    -- _trec_ap_micros does (round-5 degenerate-qid closure)
+    SELECT qi.qid,
+           coalesce(ap_a.ap, 0) AS a,
+           coalesce(ap_b.ap, 0) AS b,
+           coalesce(ap_a.ap, 0) - coalesce(ap_b.ap, 0) AS diff,
            row_number() OVER (ORDER BY qi.qid) - 1 AS rn
-    FROM qi JOIN ap_a USING (qid) JOIN ap_b USING (qid)
+    FROM qi LEFT JOIN ap_a USING (qid) LEFT JOIN ap_b USING (qid)
 ),
 obs AS (SELECT abs(sum(diff)) AS t FROM d),
 perms AS (

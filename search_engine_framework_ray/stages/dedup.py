@@ -606,6 +606,8 @@ def _verify_jaccard_distributed(
     out_col: str = "jaccard",
     pair_stat: "Callable[[np.ndarray, np.ndarray], tuple[bool, float]] | None" = None,
     n_buckets: int | None = None,
+    shingle_ds: "Dataset | None" = None,
+    shingle_id_col: str | None = None,
 ) -> Dataset:
     """Exact-Jaccard verification OFF the driver: the candidate pair set is
     never collected, shingle sets never form a driver dict (VERDICT r2 #2).
@@ -628,6 +630,15 @@ def _verify_jaccard_distributed(
     caller shares its already-hashed set table — was measured SLOWER than
     this re-extraction at 100k docs: object-list columns pickle ~6M boxed
     ints through the object store, re-hashing reads zero-copy parquet.)
+
+    ``shingle_ds`` is the round-5 amortization that DOES pay: a PERSISTED
+    ``(shingle_id_col, val: list<int64>)`` table (written once per crawl
+    cycle by :func:`minhash_shingle_store`, read back as zero-copy Arrow
+    list columns — not driver-pickled object lists, which is what sank the
+    earlier variant). Its rows join stage 2's extracted rows directly, so
+    docs covered by the store are never re-shingled from text; the
+    incremental probe passes the archive's store here and stage 2 streams
+    only the delta.
 
     Four narrow stages:
 
@@ -685,9 +696,67 @@ def _verify_jaccard_distributed(
         ) % np.uint64(nb)
         return b.assign(jb=jb.astype(np.int64))
 
+    shing = ds.map_batches(to_shingles, batch_format="pandas")
+    if shingle_ds is not None:
+        # Prune the store to CANDIDATE ids before anything moves: a
+        # broadcast Bloom of the pair ids (built distributed, OR-reduced,
+        # ray.put once) drops the archive rows no pair needs, so the
+        # locate shuffle is ∝ candidates, not ∝ archive. False positives
+        # only ship a few extra rows — locate still joins exactly.
+        import ray
+
+        from .join import _bloom_positions, bloom_build
+
+        sid = shingle_id_col or id_col
+        prune_bits = 1 << 22  # 512 KiB; ~4 bits/key at 1M candidate ids
+
+        def cand_ids(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "jid": np.concatenate(
+                        [b["a"].to_numpy(np.int64), b["b"].to_numpy(np.int64)]
+                    )
+                }
+            )
+
+        words_ref = ray.put(
+            bloom_build(
+                cand.map_batches(cand_ids, batch_format="pandas"),
+                "jid",
+                bits=prune_bits,
+                k_hashes=4,
+            )
+        )
+
+        def store_rows(b: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(words_ref)  # zero-copy shared-memory view
+            ids = b[sid].to_numpy(np.int64)
+            pos = _bloom_positions(ids, prune_bits, 4)
+            hit = (
+                (w[(pos >> np.uint64(6)).astype(np.int64)]
+                 >> (pos & np.uint64(63))) & np.uint64(1)
+            ).all(axis=1)
+            b = b[hit]
+            # cells must be plain lists to union with to_shingles rows
+            # (numpy-array cells would type the column as a TensorArray,
+            # which cannot concat with the pair rows' None cells)
+            return pd.DataFrame(
+                {
+                    "jid": b[sid].to_numpy(np.int64),
+                    "pb": np.full(len(b), -1, dtype=np.int64),
+                    "val": pd.Series(
+                        [np.asarray(v, dtype=np.int64).tolist() for v in b["val"]],
+                        dtype="object",
+                    ),
+                }
+            )
+
+        shing = shing.union(
+            shingle_ds.map_batches(store_rows, batch_format="pandas")
+        )
     tagged = (
         cand.map_batches(to_needs, batch_format="pandas")
-        .union(ds.map_batches(to_shingles, batch_format="pandas"))
+        .union(shing)
         .map_batches(add_jb, batch_format="pandas")
     )
 
@@ -1395,6 +1464,7 @@ def minhash_probe_pairs(
     bands: int = 32,
     concurrency: int = 4,
     sigs_old: "Dataset | None" = None,
+    shingles_old: "Dataset | None" = None,
 ) -> pd.DataFrame:
     """INCREMENTAL near-dup probe: every (prior-corpus doc a, new-crawl
     doc b) pair with exact shingle Jaccard ≥ threshold — the
@@ -1413,7 +1483,14 @@ def minhash_probe_pairs(
     parquet at scale) and every delta probe reuses it; without it the
     probe re-sketches the archive and a cold probe costs as much as the
     sketching of both sides (measured: the archive sketch pass dominates
-    the cold probe wall time)."""
+    the cold probe wall time).
+
+    ``shingles_old``: the archive's PERSISTED shingle store
+    (:func:`minhash_shingle_store` rows ``(id, val: list<int64>)``, read
+    back from parquet) — the round-5 amortization closing the remaining
+    residual: with it, the verify stage locates archive shingle sets from
+    the store and only the DELTA's text is ever re-shingled, making each
+    warm probe's text work delta-proportional."""
 
     def tag(side: int):
         def f(b: pd.DataFrame) -> pd.DataFrame:
@@ -1448,9 +1525,14 @@ def minhash_probe_pairs(
         batch_format="pandas",
     )
     sigs = sig_old_tagged.union(sig_new).materialize()
-    both = ds_old.map_batches(tag(0), batch_format="pandas").union(
-        ds_new.map_batches(tag(1), batch_format="pandas")
-    )
+    if shingles_old is not None:
+        # archive text never re-shingled: the verify corpus is the DELTA
+        # only; the archive side locates from the persisted store
+        both = ds_new.map_batches(tag(1), batch_format="pandas")
+    else:
+        both = ds_old.map_batches(tag(0), batch_format="pandas").union(
+            ds_new.map_batches(tag(1), batch_format="pandas")
+        )
     cand = _lsh_candidate_pairs_ds(
         sigs, id_col=id_col, n_perm=n_perm, bands=bands, max_bucket=None,
         side_col="side",
@@ -1462,6 +1544,8 @@ def minhash_probe_pairs(
         text_col=text_col,
         k_shingle=k_shingle,
         threshold=threshold,
+        shingle_ds=shingles_old,
+        shingle_id_col=id_col,
     ).to_pandas()
     if "a" not in out.columns or not len(out):
         return pd.DataFrame(
@@ -1473,3 +1557,37 @@ def minhash_probe_pairs(
         .sort_values(["a", "b"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def minhash_shingle_store(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+) -> Dataset:
+    """The archive's persistable shingle table ``(id, val: list<int64>)``
+    — one streaming extraction pass; callers ``write_parquet`` it beside
+    the signature table once per crawl cycle, then every delta probe
+    passes the re-read Dataset as ``shingles_old`` so archive text is
+    never re-shingled. Arrow list<int64> is the transport that makes this
+    pay (zero-copy parquet columns, not driver-pickled Python lists — the
+    failure mode that sank the earlier ``precomputed_sets`` attempt,
+    documented in :func:`_verify_jaccard_distributed`). uint64 shingle
+    hashes travel as int64 bit patterns, the repo-wide Arrow convention,
+    so stored and re-extracted sets compare bit-identically."""
+
+    def rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64),
+                "val": [
+                    np.asarray(
+                        _shingles_strict(t, k_shingle), dtype=np.uint64
+                    ).view(np.int64).tolist()
+                    for t in b[text_col].fillna("")
+                ],
+            }
+        )
+
+    return ds.map_batches(rows, batch_format="pandas")

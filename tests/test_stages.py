@@ -1769,6 +1769,46 @@ def test_minhash_probe_pairs_equals_cross_subset(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_minhash_probe_shingle_store_roundtrip(ray_session, tmp_path):
+    """The persisted-shingle-store probe (archive shingles written to
+    parquet as list<int64>, read back, verify locating from the store —
+    archive text never re-shingled) must be BIT-identical to the cold
+    probe that re-extracts everything."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.dedup import (
+        _minhash_sigs,
+        minhash_probe_pairs,
+        minhash_shingle_store,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    old = docs[docs["doc_id"] % 10 < 7]
+    new = docs[docs["doc_id"] % 10 >= 7]
+    old_ds = ray.data.from_pandas(old)
+    # once per crawl cycle: persist sketch + shingle store
+    sig_path = str(tmp_path / "sigs_old")
+    sh_path = str(tmp_path / "shingles_old")
+    _minhash_sigs(
+        old_ds, n_perm=64, k_shingle=3, text_col="text", id_col="doc_id",
+        concurrency=2, strict_k=True,
+    ).write_parquet(sig_path)
+    minhash_shingle_store(old_ds, k_shingle=3).write_parquet(sh_path)
+
+    warm = minhash_probe_pairs(
+        old_ds,
+        ray.data.from_pandas(new),
+        threshold=0.8, k_shingle=3, bands=32,
+        sigs_old=ray.data.read_parquet(sig_path),
+        shingles_old=ray.data.read_parquet(sh_path),
+    )
+    cold = minhash_probe_pairs(
+        old_ds, ray.data.from_pandas(new),
+        threshold=0.8, k_shingle=3, bands=32,
+    )
+    pd.testing.assert_frame_equal(warm, cold)
+
+
 def test_decode_pnm_grammar():
     """Real Netpbm parser: P5/P6, 1- and 2-byte samples, comments anywhere
     in the header, compact single-space headers, corrupt input raises."""
