@@ -1194,6 +1194,83 @@ def q_letor_rerank(sf_dir: str):
     )
 
 
+def q_letor_from_clicks(sf_dir: str):
+    """The PRODUCTION LeToR loop the reference's editorial qrels stand in
+    for (LearnToRank.java:113-127 reads qrels exactly where these labels
+    flow): the PBM click model's debiased per-(query, doc) attractiveness
+    α (co-partitioned EM fit, stages/clicks.py) thresholds into graded
+    relevance labels, written in the reference's qrels file format, read
+    back by the reference-format reader, and used as the training targets
+    for the deterministic pairwise RankSVM — then the held-out test
+    query's BM25 top-20 is reranked with the learned weights. One SQL twin
+    runs the whole chain (click EM → α grades → features → recursive
+    RankSVM → rerank) under the driver hash."""
+    import pyarrow.parquet as papq
+
+    from search_engine_framework_ray.cli import read_qrels
+    from search_engine_framework_ray.pipelines.letor import (
+        letor_rerank,
+        read_score_file,
+        scores_by_docid,
+    )
+    from search_engine_framework_ray.stages.clicks import pbm_fit, synth_impressions
+    from search_engine_framework_ray.state.index_layout import load_docmap
+
+    idx = _letor_index(sf_dir)
+    base = _letor_base(sf_dir)
+    n = papq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    _theta, alpha_ds = pbm_fit(
+        synth_impressions(
+            n, sessions=_CLICK_SESSIONS, ranks=_CLICK_RANKS,
+            n_queries=_CLICK_QUERIES,
+        ),
+        iters=2,
+    )
+    al = alpha_ds.to_pandas()
+    al = al[al["qid"] == 0].sort_values("doc_id")
+
+    ids = sorted(
+        int(x)
+        for x in papq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+    )
+    pr_path = os.path.join(base, "fixture_pagerank_all.tsv")
+    spam_path = os.path.join(base, "fixture_spam_all.tsv")
+    qrels_path = os.path.join(base, "fixture_qrels_clicks.txt")
+    with open(pr_path, "w") as fh:
+        for d in ids:
+            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
+    with open(spam_path, "w") as fh:
+        for d in ids:
+            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
+    with open(qrels_path, "w") as fh:
+        for d, a in zip(al["doc_id"], al["alpha_micros"]):
+            g = 2 if a >= _CLICK_GRADE2 else 1 if a >= _CLICK_GRADE1 else 0
+            fh.write(f"qt 0 doc{int(d):010d} {g}\n")
+    u2d, _ = load_docmap(idx)
+    qrels = read_qrels(qrels_path, u2d)
+    page_rank = scores_by_docid(idx, read_score_file(pr_path))
+    spam = scores_by_docid(idx, read_score_file(spam_path))
+    res = letor_rerank(
+        idx,
+        [("qt", " ".join(_BM25_TERMS))],
+        qrels,
+        [("te", " ".join(_LETOR_TEST_TERMS))],
+        k=20,
+        page_rank=page_rank,
+        doc_attrs=_letor_doc_attrs(ids, spam),
+        learner="ranksvm",
+    )["te"]
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(1, len(res) + 1), dtype="int64"),
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score_micros": _micros([s for _, s in res]),
+        }
+    )
+
+
 def _fake_svmrank_binaries() -> tuple[str, str]:
     """Deterministic fake svm_rank executables (this sandbox ships no real
     binary; the reference's are Windows .exes — LearnToRank.java:921-994):
@@ -6059,6 +6136,10 @@ def q_walk_pairs(sf_dir: str):
 _CLICK_SESSIONS = 500
 _CLICK_RANKS = 10
 _CLICK_QUERIES = 3
+# α → graded-relevance thresholds for letor_from_clicks (micros; chosen to
+# split the fixture's click-query-0 α spread 2/4/4 across grades 2/1/0)
+_CLICK_GRADE2 = 500_000
+_CLICK_GRADE1 = 350_000
 
 
 def q_click_model(sf_dir: str):
@@ -7269,6 +7350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letor_features": q_letor_features,
         "letor_core": q_letor_core,
         "letor_rerank": q_letor_rerank,
+        "letor_from_clicks": q_letor_from_clicks,
         "letor_rerank_svmrank": q_letor_rerank_svmrank,
         "trec_eval": q_trec_eval,
         "sig_test": q_sig_test,
@@ -10205,21 +10287,17 @@ _LETOR_SVM_C = 0.001
 _LETOR_SVM_EPOCHS = 300
 
 
-def _letor_rerank_sql() -> str:
-    """SQL twin of ``q_letor_rerank`` — the reference's full letor flow
-    (QryEval.java:239-258) in one statement: train features on the judged
-    fixture docs (tr_ CTEs), run the engine's deterministic pairwise RankSVM
-    (pipelines/letor.py train_ranksvm — full-batch subgradient, harmonic
-    step) as a RECURSIVE weight iteration over the preference-pair diffs,
-    then score + rerank the test query's BM25-body top-20 (te_ CTEs).
-    DuckDB's recursion reproduces the numpy loop bit-for-bit (verified:
-    max-abs-diff 0.0 over 300 epochs on random pairs)."""
+def _letor_rerank_sql_core(extra_prefix: str, tr_cand_body: str, pairs_from: str) -> str:
+    """Shared twin body for the letor train→rerank flows: train features
+    on ``tr_cand_body``'s docs, preference pairs from ``pairs_from``
+    (aliases a/b over tr_normf), the engine's deterministic pairwise
+    RankSVM (pipelines/letor.py train_ranksvm — full-batch subgradient,
+    harmonic step) as a RECURSIVE weight iteration, then score + rerank
+    the test query's BM25-body top-20. ``extra_prefix`` prepends CTEs
+    (e.g. the click-EM chain) before the letor globals."""
     tr0, tr1 = _BM25_TERMS
     te0, te1 = _LETOR_TEST_TERMS
-    tr = _letor_query_ctes(
-        "tr_", tr0, tr1,
-        f"SELECT doc_id FROM documents WHERE doc_id % {_LETOR_QREL_MOD} = 0",
-    )
+    tr = _letor_query_ctes("tr_", tr0, tr1, tr_cand_body)
     te = _letor_query_ctes(
         "te_", te0, te1, "SELECT doc_id FROM te_bm25 ORDER BY v DESC, doc_id LIMIT 20"
     )
@@ -10239,12 +10317,12 @@ def _letor_rerank_sql() -> str:
     # ONE LATERAL aggregate per epoch (not 18 correlated subqueries) keeps
     # the 300-epoch loop in seconds.
     return f"""
-WITH RECURSIVE {_LETOR_GLOBAL_CTES},
+WITH RECURSIVE {extra_prefix}{_LETOR_GLOBAL_CTES},
 {tr.replace("tr_normf AS (", "tr_normf AS MATERIALIZED (")},
 {te.replace("te_normf AS (", "te_normf AS MATERIALIZED (")},
 pairs AS MATERIALIZED (
     SELECT {dcols}
-    FROM tr_normf a JOIN tr_normf b ON (a.doc_id % 3) > (b.doc_id % 3)
+    FROM {pairs_from}
 ),
 w AS (
     -- the seed term scans `pairs` so the MATERIALIZED CTE is populated
@@ -10270,6 +10348,46 @@ SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        CAST(round(s * 1000000) AS BIGINT) AS score_micros
 FROM scored ORDER BY rank
 """
+
+
+def _letor_rerank_sql() -> str:
+    """SQL twin of ``q_letor_rerank`` — the reference's full letor flow
+    (QryEval.java:239-258) in one statement; editorial-qrels fixture
+    (judged = doc_id % 11 == 0, grade = doc_id % 3). DuckDB's recursion
+    reproduces the numpy RankSVM loop bit-for-bit (verified: max-abs-diff
+    0.0 over 300 epochs on random pairs)."""
+    return _letor_rerank_sql_core(
+        "",
+        f"SELECT doc_id FROM documents WHERE doc_id % {_LETOR_QREL_MOD} = 0",
+        "tr_normf a JOIN tr_normf b ON (a.doc_id % 3) > (b.doc_id % 3)",
+    )
+
+
+def _letor_from_clicks_sql() -> str:
+    """SQL twin of ``q_letor_from_clicks``: the click-EM CTE chain feeds
+    the letor twin — fitted per-(query, doc) attractiveness α for click
+    query 0 thresholds into graded labels (cgrades), which replace the
+    editorial-qrels fixture as BOTH the training candidate set and the
+    preference-pair order. One statement: synthetic log → EM → labels →
+    feature extraction → recursive RankSVM → rerank."""
+    click = _click_em_ctes().strip()
+    assert click.startswith("WITH ")
+    prefix = click[len("WITH "):] + f""",
+cgrades AS (
+    SELECT CAST(d AS BIGINT) AS doc_id,
+           CASE WHEN al >= {_CLICK_GRADE2} THEN 2
+                WHEN al >= {_CLICK_GRADE1} THEN 1
+                ELSE 0 END AS g
+    FROM a2 WHERE q = 0
+),
+"""
+    return _letor_rerank_sql_core(
+        prefix,
+        "SELECT doc_id FROM cgrades",
+        "tr_normf a JOIN cgrades ga ON ga.doc_id = a.doc_id "
+        "JOIN tr_normf b ON TRUE "
+        "JOIN cgrades gb ON gb.doc_id = b.doc_id AND ga.g > gb.g",
+    )
 
 
 def _letor_rerank_svmrank_sql() -> str:
@@ -11199,6 +11317,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
         """,
         "letor_features": _letor_features_sql(),
         "letor_rerank": _letor_rerank_sql(),
+        "letor_from_clicks": _letor_from_clicks_sql(),
         "letor_rerank_svmrank": _letor_rerank_svmrank_sql(),
         "syn_root_tf": f"""
             {_TOKS},
