@@ -2397,6 +2397,41 @@ def q_mm_wav_decode(sf_dir: str):
     return out.sort_values(["doc_id", "frame"]).reset_index(drop=True)
 
 
+def q_mm_bmp_decode(sf_dir: str):
+    """REAL image decode, third leg (stages/multimodal.py ``decode_bmp``):
+    deterministic uncompressed Windows BMPs cycling 24-bit BGR / 16-bit
+    X1R5G5B5 / 8-bit paletted variants, bottom-up and top-down rasters,
+    and 0-3 bytes of row padding — decoded by the stdlib+numpy parser in
+    an actor pool and reduced to exact-integer stats. ``wsum`` weights
+    each pixel by its top-down position, so a missed orientation flip, a
+    palette misread, a 5→8-bit expansion slip, or a padding-byte leak
+    breaks the hash. The SQL twin replays the generation arithmetic
+    without parsing."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import (
+        DecodeBmpStage,
+        synthesize_bmp_corpus,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = (
+        synthesize_bmp_corpus(docs)
+        .map_batches(
+            DecodeBmpStage,
+            batch_format="pyarrow",
+            batch_size=64,  # binary payloads: small batches (module convention)
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_incremental_neardup(sf_dir: str):
     """Incremental near-dup probe (stages/dedup.py ``minhash_probe_pairs``):
     the corpus splits by ingest time (prior archive = doc_id % 10 < 7,
@@ -7367,6 +7402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "mm_pnm_decode": q_mm_pnm_decode,
         "mm_wav_decode": q_mm_wav_decode,
+        "mm_bmp_decode": q_mm_bmp_decode,
         "incremental_neardup": q_incremental_neardup,
         "incremental_neardup_warm": q_incremental_neardup_warm,
         "leakage_safe_split": q_leakage_safe_split,
@@ -11524,6 +11560,45 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    CAST(lum.sl AS BIGINT) AS lum_sum
             FROM s JOIN lum USING (doc_id)
             ORDER BY s.doc_id
+        """,
+        "mm_bmp_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       3 + doc_id % 4 AS w,
+                       2 + doc_id % 3 AS h,
+                       CASE WHEN doc_id % 4 = 1 THEN 16
+                            WHEN doc_id % 4 = 2 THEN 8
+                            ELSE 24 END AS bpp
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id, d.w, d.h, d.bpp, y.y, x.x,
+                       (d.doc_id * 11 + y.y * 6 + x.x * 2) % 32768 AS v16,
+                       (d.doc_id + y.y * d.w + x.x) % 256 AS pidx
+                FROM d,
+                     unnest(range(0, d.h)) y(y),
+                     unnest(range(0, d.w)) x(x)
+            ),
+            rgb AS (
+                SELECT doc_id, w, h, bpp, y, x,
+                       CASE WHEN bpp = 24 THEN (doc_id*7 + y*5 + x*3 + 18) % 256
+                            WHEN bpp = 16 THEN (v16 // 1024) * 8 + (v16 // 1024) // 4
+                            ELSE (pidx * 7) % 256 END AS r,
+                       CASE WHEN bpp = 24 THEN (doc_id*7 + y*5 + x*3 + 9) % 256
+                            WHEN bpp = 16 THEN ((v16 // 32) % 32) * 8 + ((v16 // 32) % 32) // 4
+                            ELSE (pidx * 5) % 256 END AS g,
+                       CASE WHEN bpp = 24 THEN (doc_id*7 + y*5 + x*3) % 256
+                            WHEN bpp = 16 THEN (v16 % 32) * 8 + (v16 % 32) // 4
+                            ELSE (pidx * 3) % 256 END AS b
+                FROM px
+            )
+            SELECT doc_id,
+                   CAST(max(w) AS BIGINT) AS px_w,
+                   CAST(max(h) AS BIGINT) AS px_h,
+                   CAST(max(bpp) AS BIGINT) AS bpp,
+                   CAST(sum(r + g + b) AS BIGINT) AS rgb_sum,
+                   CAST(sum((r + g + b) * (y * w + x + 1)) AS BIGINT) AS wsum
+            FROM rgb GROUP BY doc_id ORDER BY doc_id
         """,
         "incremental_neardup": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),

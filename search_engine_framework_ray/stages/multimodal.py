@@ -441,3 +441,167 @@ def synthesize_wav_corpus(ds, *, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(gen, batch_format="pyarrow")
+
+def decode_bmp(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL image decode for uncompressed Windows BMP (BITMAPINFOHEADER,
+    BI_RGB) — the third no-external-library codec leg (stdlib struct +
+    numpy), covering the format quirks Netpbm lacks: little-endian
+    multi-field headers, 4-byte-padded rows, BOTTOM-UP raster order
+    (top-down when height is negative), BGR channel order, a color
+    palette (8-bit), and 5-5-5 packed pixels (16-bit). Supports 24-bit
+    BGR, 16-bit X1R5G5B5 (channels expanded ``(c << 3) | (c >> 2)``, the
+    standard lossless 5→8-bit expansion), and 8-bit paletted. Compressed
+    BMPs (BI_RLE*, BI_BITFIELDS) raise. Returns
+    ``(rgb int64 [h, w, 3] in top-down row order, w, h, bpp)``."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if comp != 0:
+        raise ValueError(f"compressed BMP (compression={comp}) unsupported")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    row_bytes = (w * bpp + 7) // 8
+    stride = (row_bytes + 3) & ~3  # rows padded to 4-byte boundaries
+    if len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    if not top_down:
+        rows = rows[::-1]  # normalize to top-down image coordinates
+    if bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1].astype(np.int64)
+    elif bpp == 16:
+        v = (
+            np.ascontiguousarray(rows[:, : w * 2])
+            .view("<u2")
+            .reshape(h, w)
+            .astype(np.int64)
+        )
+        img = np.stack(
+            [(v >> 10) & 31, (v >> 5) & 31, v & 31], axis=2
+        )
+        img = (img << 3) | (img >> 2)
+    elif bpp == 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, [2, 1, 0]]  # stored B,G,R,reserved
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx].astype(np.int64)
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return img, w, h, bpp
+
+
+class DecodeBmpStage:
+    """Actor-pool stage over BMP payloads → per-image exact-integer stats:
+    ``rgb_sum`` certifies every channel byte; ``wsum`` = Σ (r+g+b)·(y·w+x+1)
+    over TOP-DOWN coordinates certifies row order (a missed bottom-up flip
+    or a padding-byte leak changes it); bpp certifies the variant path."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, bpps, sums, wsums = [], [], [], [], [], []
+        for did, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            img, w, h, bpp = decode_bmp(p.as_py())
+            ids.append(int(did))
+            ws.append(w)
+            hs.append(h)
+            bpps.append(bpp)
+            sums.append(int(img.sum()))
+            pix = img.sum(axis=2)  # (h, w) of r+g+b
+            weight = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+            wsums.append(int((pix * weight).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "px_w": pa.array(ws, type=pa.int64()),
+                "px_h": pa.array(hs, type=pa.int64()),
+                "bpp": pa.array(bpps, type=pa.int64()),
+                "rgb_sum": pa.array(sums, type=pa.int64()),
+                "wsum": pa.array(wsums, type=pa.int64()),
+            }
+        )
+
+
+def synthesize_bmp_corpus(ds, *, id_col: str = "doc_id"):
+    """Deterministic BMP payload per doc, cycling the three supported
+    variants (doc_id % 4: 1 → 16-bit 555, 2 → 8-bit paletted, else
+    24-bit BGR), bottom-up normally and top-down (negative height) when
+    doc_id % 5 == 0, with width chosen so row padding varies 0-3 bytes.
+    Pixel arithmetic is defined in top-down IMAGE coordinates and written
+    in file row order, so the SQL twin replays the arithmetic without
+    parsing and a missed orientation flip breaks the hash."""
+    import struct
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        payloads = []
+        for did in ids:
+            did = int(did)
+            w, h = 3 + did % 4, 2 + did % 3
+            top_down = did % 5 == 0
+            y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            if did % 4 == 1:  # 16-bit X1R5G5B5
+                bpp = 16
+                v16 = ((did * 11 + y * 6 + x * 2) % 32768).astype("<u2")
+                raster = [v16[r].tobytes() for r in range(h)]
+            elif did % 4 == 2:  # 8-bit paletted
+                bpp = 8
+                idx = ((did + y * w + x) % 256).astype(np.uint8)
+                raster = [idx[r].tobytes() for r in range(h)]
+            else:  # 24-bit BGR
+                bpp = 24
+                c = np.arange(3)
+                vv = (
+                    (did * 7 + y[..., None] * 5 + x[..., None] * 3 + c * 9) % 256
+                ).astype(np.uint8)  # [..., (B, G, R)]
+                raster = [vv[r].tobytes() for r in range(h)]
+            stride = ((w * bpp + 7) // 8 + 3) & ~3
+            rows = [r + b"\xaa" * (stride - len(r)) for r in raster]
+            if not top_down:
+                rows = rows[::-1]
+            palette = (
+                b"".join(
+                    bytes([(i * 3) % 256, (i * 5) % 256, (i * 7) % 256, 0])
+                    for i in range(256)
+                )
+                if bpp == 8
+                else b""
+            )
+            data_off = 54 + len(palette)
+            raster_b = b"".join(rows)
+            header = (
+                b"BM"
+                + struct.pack("<IHHI", data_off + len(raster_b), 0, 0, data_off)
+                + struct.pack(
+                    "<IiiHHIIiiII",
+                    40, w, -h if top_down else h, 1, bpp, 0,
+                    len(raster_b), 2835, 2835, 256 if bpp == 8 else 0, 0,
+                )
+            )
+            payloads.append(header + palette + raster_b)
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")

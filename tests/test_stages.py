@@ -1829,6 +1829,58 @@ def test_decode_pnm_grammar():
         decode_pnm(b"P6\n2 2\n255\n" + bytes(5))
 
 
+def test_decode_bmp_grammar():
+    """Real BMP parser: 24-bit bottom-up with row padding, 16-bit 555
+    expansion, 8-bit palette lookup, top-down via negative height,
+    corrupt/unsupported inputs raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from search_engine_framework_ray.stages.multimodal import decode_bmp
+
+    def bmp(w, h, bpp, raster, *, palette=b"", top_down=False, comp=0):
+        off = 54 + len(palette)
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1,
+                          bpp, comp, len(raster), 0, 0, 0, 0)
+            + palette + raster
+        )
+
+    # 24-bit, 1x2 bottom-up, stride 4 (1 padding byte): file rows are
+    # (bottom, top) so decoded row 0 is the SECOND stored row
+    raster = bytes([10, 20, 30, 0xAA]) + bytes([40, 50, 60, 0xAA])
+    img, w, h, bpp = decode_bmp(bmp(1, 2, 24, raster))
+    assert (w, h, bpp) == (1, 2, 24)
+    assert img[0, 0].tolist() == [60, 50, 40]  # top row, BGR→RGB
+    assert img[1, 0].tolist() == [30, 20, 10]
+    # same raster top-down: rows stay in file order
+    img, _, _, _ = decode_bmp(bmp(1, 2, 24, raster, top_down=True))
+    assert img[0, 0].tolist() == [30, 20, 10]
+    # 16-bit 555: v = (1<<10)|(2<<5)|3 → 5-bit channels (1,2,3) expand
+    v = (1 << 10) | (2 << 5) | 3
+    img, _, _, bpp = decode_bmp(bmp(1, 1, 16, struct.pack("<H", v) + b"\0\0"))
+    assert bpp == 16 and img[0, 0].tolist() == [(1 << 3), (2 << 3), (3 << 3)]
+    c31 = (31 << 3) | (31 >> 2)
+    img, _, _, _ = decode_bmp(
+        bmp(1, 1, 16, struct.pack("<H", (31 << 10) | (31 << 5) | 31) + b"\0\0")
+    )
+    assert img[0, 0].tolist() == [c31, c31, c31] == [255, 255, 255]
+    # 8-bit palette: entry 1 stored as B,G,R = 9,8,7 → RGB (7,8,9)
+    pal = bytes([1, 2, 3, 0]) + bytes([9, 8, 7, 0]) + bytes(254 * 4)
+    img, _, _, bpp = decode_bmp(bmp(1, 1, 8, bytes([1, 0, 0, 0]), palette=pal))
+    assert bpp == 8 and img[0, 0].tolist() == [7, 8, 9]
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG whatever")
+    with _pytest.raises(ValueError, match="compressed BMP"):
+        decode_bmp(bmp(1, 1, 24, bytes(4), comp=1))
+    with _pytest.raises(ValueError, match="truncated BMP raster"):
+        decode_bmp(bmp(4, 4, 24, bytes(5)))
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_bmp(bmp(1, 1, 32, bytes(4)))
+
+
 def test_decode_wav_pcm_grammar():
     """Real RIFF/WAVE parser: chunk walking past junk chunks, 8- and
     16-bit PCM, word alignment, non-PCM rejection."""
