@@ -2515,6 +2515,163 @@ def q_incremental_neardup_warm(sf_dir: str):
     return pairs[["a", "b", "jaccard_micros"]]
 
 
+def q_crawl_cycle(sf_dir: str):
+    """The CONTINUOUS-INGESTION lifecycle a 100-TB crawl pipeline actually
+    runs, chained under ONE driver hash (each piece is an already-green
+    entry; this certifies the composition): two synthetic crawl cycles
+    (archive drops doc_id%10==0; the new crawl drops %10==1 and rewrites
+    %10==2 with a ' v2' suffix) flow through
+
+    1. ``crawl_delta`` — fingerprint diff classifies every url
+       added/removed/changed/unchanged (counts under the hash);
+    2. churn semi-join — added+changed docs stream out via the broadcast
+       Bloom (the removed/unchanged majority never moves);
+    3. snapshot dedup — exact-content anti-join against the archive drops
+       re-crawled bodies that only moved urls;
+    4. incremental near-dup probe — ``minhash_probe_pairs`` flags fresh
+       docs ≥ 0.8 trigram Jaccard against the archive (the ' v2' rewrites
+       die here without the archive re-self-joining);
+    5. ``extend_index`` — survivors (ids offset by 1e6, the ingest-epoch
+       namespace) append to the archive's index without a rebuild, and
+       the flagship BM25 top-20 over the extended index closes the loop.
+
+    The SQL twin replays all five stages (FULL OUTER diff → status
+    semi-join → NOT IN exact dedup → all-pairs trigram Jaccard → BM25
+    over the union corpus)."""
+    import shutil
+
+    import ray.data
+
+    from search_engine_framework_ray.functions.analysis import PLAIN_ANALYZER
+    from search_engine_framework_ray.pipelines.build_index import (
+        PlainSource,
+        build_index,
+        extend_index,
+    )
+    from search_engine_framework_ray.stages.dedup import (
+        _text_hash64,
+        minhash_probe_pairs,
+    )
+    from search_engine_framework_ray.stages.join import bloom_semi_join
+    from search_engine_framework_ray.stages.textstats import fingerprint_md5
+    from search_engine_framework_ray.stages.web import crawl_delta
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def crawl(drop_mod: int, suffix_mod: int | None):
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            d = b["doc_id"].astype("int64")
+            b = b[d % 10 != drop_mod].copy()
+            d = b["doc_id"].astype("int64")
+            if suffix_mod is not None:
+                mod = (d % 10 == suffix_mod).to_numpy()
+                t = b["text"].fillna("").to_numpy(object)
+                t[mod] = t[mod] + " v2"
+                b["text"] = t
+            b["url"] = "https://ex.com/p/" + d.astype(str)
+            return b
+
+        return ray.data.read_parquet(
+            path, columns=["doc_id", "text"]
+        ).map_batches(prep, batch_format="pandas")
+
+    archive, newcrawl = crawl(0, None), crawl(1, 2)
+
+    def fp(ds):
+        return ds.map_batches(
+            lambda b: fingerprint_md5(b)[["url", "fp_md5"]],
+            batch_format="pandas",
+        )
+
+    # 1. classify; counts reduce as bounded per-batch partials
+    cls = crawl_delta(
+        fp(archive), fp(newcrawl), key_col="url", fp_col="fp_md5"
+    ).materialize()
+    cpart = cls.map_batches(
+        lambda b: b.groupby("status", as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    counts = cpart.groupby("status")["size"].sum().to_dict()
+
+    # 2. ingest = new-crawl rows whose url classified added/changed
+    def ukey(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["ukey"] = _text_hash64(b["url"].astype(str).tolist())
+        return b
+
+    churn = cls.map_batches(
+        lambda b: ukey(b[b["status"].isin(["added", "changed"])][["url"]]),
+        batch_format="pandas",
+    )
+    ingest = bloom_semi_join(
+        newcrawl.map_batches(ukey, batch_format="pandas"), churn,
+        probe_key="ukey", build_key="ukey",
+    )
+
+    # 3. exact-content snapshot dedup against the archive
+    def hkey(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["hkey"] = _text_hash64(b["text"].astype(str).tolist())
+        return b
+
+    fresh = bloom_semi_join(
+        ingest.map_batches(hkey, batch_format="pandas"),
+        archive.map_batches(
+            lambda b: hkey(b)[["hkey"]], batch_format="pandas"
+        ),
+        probe_key="hkey", build_key="hkey", anti=True,
+    ).materialize()
+    n_fresh = fresh.count()
+
+    # 4. near-dup probe (fresh ids move to the ingest-epoch namespace so
+    # the two sides — and later the extended index — have distinct ids)
+    def renum(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["doc_id", "text"]].copy()
+        b["doc_id"] = b["doc_id"].astype("int64") + 1_000_000
+        return b
+
+    fresh_r = fresh.map_batches(renum, batch_format="pandas").materialize()
+    pairs = minhash_probe_pairs(
+        archive, fresh_r, threshold=0.8, k_shingle=3, bands=32
+    )
+    nd = {int(x) for x in pairs["b"]}
+    kept = fresh_r.map_batches(
+        lambda b: b[~b["doc_id"].isin(nd)], batch_format="pandas"
+    ).materialize()
+    n_kept = kept.count()
+
+    # 5. extend the archive's index with the survivors and query it
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = f"/tmp/sefr_indices/cycle_{key}"
+    shutil.rmtree(root, ignore_errors=True)
+    base_p, delta_p = os.path.join(root, "base"), os.path.join(root, "delta")
+    archive.map_batches(
+        lambda b: b[["doc_id", "text"]], batch_format="pandas"
+    ).write_parquet(base_p)
+    kept.write_parquet(delta_p)
+    idx = os.path.join(root, "index")
+    build_index(
+        base_p, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(),
+        num_shards=3,
+    )
+    extend_index(
+        delta_p, idx, analyzer=PLAIN_ANALYZER, plain_source=PlainSource(),
+        num_shards=2,
+    )
+    bm = _flagship_bm25_over(idx)
+
+    rows = [("bm25", int(d), int(s)) for d, s in
+            zip(bm["doc_id"], bm["score_micros"])]
+    for name in ("added", "removed", "changed", "unchanged"):
+        rows.append((f"n_{name}", int(counts.get(name, 0)), -1))
+    rows.append(("n_fresh", int(n_fresh), -1))
+    rows.append(("n_kept", int(n_kept), -1))
+    out = pd.DataFrame(rows, columns=["kind", "k1", "k2"])
+    out["k1"] = out["k1"].astype("int64")
+    out["k2"] = out["k2"].astype("int64")
+    return out.sort_values(["kind", "k1", "k2"]).reset_index(drop=True)
+
+
 def q_leakage_safe_split(sf_dir: str):
     """Cluster-aware (leakage-safe) train/val/test split: near-duplicate
     docs must land in the SAME split or the held-out sets leak training
@@ -7405,6 +7562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_bmp_decode": q_mm_bmp_decode,
         "incremental_neardup": q_incremental_neardup,
         "incremental_neardup_warm": q_incremental_neardup_warm,
+        "crawl_cycle": q_crawl_cycle,
         "leakage_safe_split": q_leakage_safe_split,
         "cluster_weights": q_cluster_weights,
         "simhash_values": q_simhash_values,
@@ -11599,6 +11757,104 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    CAST(sum(r + g + b) AS BIGINT) AS rgb_sum,
                    CAST(sum((r + g + b) * (y * w + x + 1)) AS BIGINT) AS wsum
             FROM rgb GROUP BY doc_id ORDER BY doc_id
+        """,
+        # the five-stage ingestion lifecycle replayed declaratively: crawl
+        # synthesis → FULL OUTER fingerprint diff (text equality ≡ md5-fp
+        # equality for this synthesis: ' v2' always changes the normalized
+        # text) → status semi-join → exact-content NOT IN dedup → all-pairs
+        # trigram Jaccard vs the archive → BM25 over archive ∪ survivors
+        "crawl_cycle": f"""
+            WITH oldc AS (
+                SELECT doc_id, coalesce(text, '') AS text
+                FROM documents WHERE doc_id % 10 <> 0
+            ),
+            newc AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 2
+                            THEN coalesce(text, '') || ' v2'
+                            ELSE coalesce(text, '') END AS text
+                FROM documents WHERE doc_id % 10 <> 1
+            ),
+            cls AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text = n.text THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM oldc o FULL OUTER JOIN newc n USING (doc_id)
+            ),
+            ingest AS (
+                SELECT n.doc_id, n.text FROM newc n JOIN cls USING (doc_id)
+                WHERE cls.status IN ('added', 'changed')
+            ),
+            fresh AS (
+                SELECT * FROM ingest
+                WHERE text NOT IN (SELECT text FROM oldc)
+            ),
+            lo AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM oldc),
+            lf AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM fresh),
+            so AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                   FROM lo, unnest(range(1, len(w) - 1)) t(i)),
+            sfr AS (SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS g
+                    FROM lf, unnest(range(1, len(w) - 1)) t(i)),
+            co AS (SELECT doc_id, count(*) AS n FROM so GROUP BY doc_id),
+            cf AS (SELECT doc_id, count(*) AS n FROM sfr GROUP BY doc_id),
+            nd AS (
+                SELECT DISTINCT i.b FROM (
+                    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+                    FROM so x JOIN sfr y ON x.g = y.g GROUP BY 1, 2
+                ) i
+                JOIN co ON co.doc_id = i.a
+                JOIN cf ON cf.doc_id = i.b
+                WHERE i.i * 1.0 / (co.n + cf.n - i.i) >= 0.8
+            ),
+            kept AS (
+                SELECT doc_id + 1000000 AS doc_id, text FROM fresh
+                WHERE doc_id NOT IN (SELECT b FROM nd)
+            ),
+            corpus AS (
+                SELECT doc_id, text FROM oldc
+                UNION ALL SELECT doc_id, text FROM kept
+            ),
+            ctoks AS (
+                SELECT doc_id, lower(tok) AS tok
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS tok
+                      FROM corpus)
+            ),
+            cdoclen AS (SELECT doc_id, count(*) AS dl FROM ctoks GROUP BY doc_id),
+            cstats AS (
+                SELECT (SELECT count(*) FROM corpus) AS n_docs,
+                       (SELECT count(*) FROM cdoclen) AS doccount,
+                       (SELECT sum(dl) FROM cdoclen) AS sum_dl
+            ),
+            ctf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM ctoks
+                WHERE tok IN ('spark', 'join') GROUP BY doc_id, tok
+            ),
+            cdf AS (SELECT tok, count(*) AS df FROM ctf GROUP BY tok),
+            cscores AS (
+                SELECT ctf.doc_id,
+                       sum( ln((cstats.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+                            * (ctf.tf / (ctf.tf + {_K1} * ((1 - {_B}) + {_B} * (cdoclen.dl / (cstats.sum_dl * 1.0 / cstats.doccount))))) ) AS score
+                FROM ctf
+                JOIN cdf USING (tok)
+                JOIN cdoclen USING (doc_id)
+                CROSS JOIN cstats
+                GROUP BY ctf.doc_id
+            ),
+            top AS (
+                SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS sm
+                FROM cscores ORDER BY sm DESC, doc_id LIMIT 20
+            )
+            SELECT 'bm25' AS kind, CAST(doc_id AS BIGINT) AS k1, sm AS k2 FROM top
+            UNION ALL SELECT 'n_added', (SELECT count(*) FROM cls WHERE status = 'added'), -1
+            UNION ALL SELECT 'n_removed', (SELECT count(*) FROM cls WHERE status = 'removed'), -1
+            UNION ALL SELECT 'n_changed', (SELECT count(*) FROM cls WHERE status = 'changed'), -1
+            UNION ALL SELECT 'n_unchanged', (SELECT count(*) FROM cls WHERE status = 'unchanged'), -1
+            UNION ALL SELECT 'n_fresh', (SELECT count(*) FROM fresh), -1
+            UNION ALL SELECT 'n_kept', (SELECT count(*) FROM kept), -1
+            ORDER BY kind, k1, k2
         """,
         "incremental_neardup": r"""
             WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents),
