@@ -2575,7 +2575,11 @@ def q_crawl_cycle(sf_dir: str):
             path, columns=["doc_id", "text"]
         ).map_batches(prep, batch_format="pandas")
 
-    archive, newcrawl = crawl(0, None), crawl(1, 2)
+    # each crawl feeds 3+ downstream passes (fingerprint diff, dedup
+    # build side, probe, index source) — materialize ONCE into the object
+    # store (spillable) instead of re-running read+prep per consumer
+    archive = crawl(0, None).materialize()
+    newcrawl = crawl(1, 2).materialize()
 
     def fp(ds):
         return ds.map_batches(
@@ -2630,14 +2634,24 @@ def q_crawl_cycle(sf_dir: str):
         b["doc_id"] = b["doc_id"].astype("int64") + 1_000_000
         return b
 
-    fresh_r = fresh.map_batches(renum, batch_format="pandas").materialize()
+    # the semi-join emits ~bucket-count tiny blocks; compact them so the
+    # probe's actor pool and band sort don't pay per-block fixed costs
+    fresh_r = (
+        fresh.map_batches(renum, batch_format="pandas")
+        .repartition(2)
+        .materialize()
+    )
     pairs = minhash_probe_pairs(
         archive, fresh_r, threshold=0.8, k_shingle=3, bands=32
     )
     nd = {int(x) for x in pairs["b"]}
-    kept = fresh_r.map_batches(
-        lambda b: b[~b["doc_id"].isin(nd)], batch_format="pandas"
-    ).materialize()
+    kept = (
+        fresh_r.map_batches(
+            lambda b: b[~b["doc_id"].isin(nd)], batch_format="pandas"
+        )
+        .repartition(2)
+        .materialize()
+    )
     n_kept = kept.count()
 
     # 5. extend the archive's index with the survivors and query it
@@ -4081,7 +4095,7 @@ def q_hits(sf_dir: str):
 
     edges, nodes, n = _doc_link_graph(sf_dir)
     out = (
-        hits(edges, nodes=nodes, iters=2, n_buckets=8 if n <= 100_000 else 64)
+        hits(edges, nodes=nodes, iters=2, n_buckets=4 if n <= 100_000 else 64)
         .to_pandas()
         .rename(columns={"node": "doc_id", "hub": "hub_micros", "auth": "auth_micros"})
     )
