@@ -2432,6 +2432,41 @@ def q_mm_bmp_decode(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_mm_qoi_decode(sf_dir: str):
+    """REAL image decode, fourth leg (stages/multimodal.py ``decode_qoi``
+    + ``encode_qoi``, the public QOI spec): per-doc pixel arithmetic
+    chosen so the encoder emits EVERY op — RUN, INDEX (64-slot color
+    cache), DIFF, LUMA, RGB, RGBA — then the sequential op-stream decoder
+    rebuilds the raster in an actor pool. Spec byte vectors in
+    tests/test_stages.py pin the wire format against symmetric
+    encoder/decoder bugs; the SQL twin replays the closed-form pixel
+    arithmetic without parsing, and the position-weighted sum makes a
+    one-short run or an off-by-one cache slot hash-visible."""
+    import ray.data
+
+    from search_engine_framework_ray.stages.multimodal import (
+        DecodeQoiStage,
+        synthesize_qoi_corpus,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = (
+        synthesize_qoi_corpus(docs)
+        .map_batches(
+            DecodeQoiStage,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_incremental_neardup(sf_dir: str):
     """Incremental near-dup probe (stages/dedup.py ``minhash_probe_pairs``):
     the corpus splits by ingest time (prior archive = doc_id % 10 < 7,
@@ -7574,6 +7609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_pnm_decode": q_mm_pnm_decode,
         "mm_wav_decode": q_mm_wav_decode,
         "mm_bmp_decode": q_mm_bmp_decode,
+        "mm_qoi_decode": q_mm_qoi_decode,
         "incremental_neardup": q_incremental_neardup,
         "incremental_neardup_warm": q_incremental_neardup_warm,
         "crawl_cycle": q_crawl_cycle,
@@ -11732,6 +11768,45 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
                    CAST(lum.sl AS BIGINT) AS lum_sum
             FROM s JOIN lum USING (doc_id)
             ORDER BY s.doc_id
+        """,
+        # closed-form replay of the QOI corpus pixels (seg/5 segments,
+        # mode = seg%3 selects constant/DIFF/LUMA ramps, 2-segment color
+        # cycle, per-segment alpha on odd docs) — never parses the stream
+        "mm_qoi_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       4 + doc_id % 3 AS w,
+                       3 + doc_id % 2 AS h,
+                       CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS channels
+                FROM documents
+            ),
+            px AS (
+                SELECT d.doc_id, d.w, d.h, d.channels, i.i,
+                       i.i // 5 AS seg, i.i % 5 AS j,
+                       (i.i // 5) % 3 AS mode
+                FROM d, unnest(range(0, d.w * d.h)) i(i)
+            ),
+            rgba AS (
+                SELECT doc_id, w, h, channels, i,
+                       (doc_id * 7 + (seg % 2) * 37
+                        + CASE WHEN mode = 1 THEN j
+                               WHEN mode = 2 THEN 8 * j ELSE 0 END) % 256 AS r,
+                       (doc_id * 3 + (seg % 2) * 61
+                        + CASE WHEN mode = 2 THEN 9 * j ELSE 0 END) % 256 AS g,
+                       (doc_id * 13 + (seg % 2) * 29
+                        + CASE WHEN mode = 1 THEN j
+                               WHEN mode = 2 THEN 9 * j ELSE 0 END) % 256 AS b,
+                       CASE WHEN channels = 3 THEN 255
+                            ELSE 128 + (doc_id + seg * 17) % 128 END AS a
+                FROM px
+            )
+            SELECT doc_id,
+                   CAST(max(w) AS BIGINT) AS px_w,
+                   CAST(max(h) AS BIGINT) AS px_h,
+                   CAST(max(channels) AS BIGINT) AS channels,
+                   CAST(sum(r + g + b + a) AS BIGINT) AS rgba_sum,
+                   CAST(sum((r + g + b + a) * (i + 1)) AS BIGINT) AS wsum
+            FROM rgba GROUP BY doc_id ORDER BY doc_id
         """,
         "mm_bmp_decode": """
             WITH d AS (

@@ -605,3 +605,185 @@ def synthesize_bmp_corpus(ds, *, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(gen, batch_format="pyarrow")
+
+def encode_qoi(px: np.ndarray, channels: int = 3) -> bytes:
+    """REAL QOI encoder (qoiformat.org spec, public domain byte layout):
+    px is uint8 [h, w, 4] (alpha 255 for 3-channel images); emits the full
+    op vocabulary — RUN, INDEX (the (3r+5g+7b+11a) % 64 color cache),
+    DIFF (2-bit channel deltas), LUMA (green-anchored deltas), RGB/RGBA.
+    Paired with :func:`decode_qoi`; symmetric-bug risk is covered by the
+    fixed spec byte vectors in tests/test_stages.py."""
+    import struct
+
+    h, w, _ = px.shape
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, channels, 0))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = px.reshape(-1, 4)
+    for p in map(tuple, flat.tolist()):
+        if p == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        r, g, b, a = p
+        ih = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[ih] == p:
+            out.append(ih)
+        elif a == prev[3]:
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        else:
+            out += bytes((0xFF, r, g, b, a))
+        index[ih] = p
+        prev = p
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """REAL QOI decoder — fourth no-external-library codec leg: big-endian
+    header, then the sequential op stream (RUN / INDEX / DIFF / LUMA /
+    RGB / RGBA) with the running 64-entry color cache, terminated by the
+    7×0x00 + 0x01 end marker. Returns ``(rgba int64 [h, w, 4], w, h,
+    channels)``. Inherently sequential per image (each op is a delta off
+    the previous pixel) — parallelism comes from the actor pool across
+    images, not within one."""
+    import struct
+
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h, channels, _cs = struct.unpack(">IIBB", payload[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"bad QOI channels {channels}")
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    end = len(payload) - 8
+    while i < n:
+        if pos > end:
+            raise ValueError("truncated QOI stream")
+        op = payload[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            r, g, b, a = (
+                payload[pos], payload[pos + 1], payload[pos + 2],
+                payload[pos + 3],
+            )
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, b, a = index[op & 0x3F]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 2:  # LUMA
+            dg = (op & 0x3F) - 32
+            b2 = payload[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (b2 & 0xF) - 8) % 256
+        else:  # RUN
+            run = (op & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI run past image end")
+            out[i : i + run] = (r, g, b, a)
+            i += run
+            index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[i] = (r, g, b, a)
+        i += 1
+    if payload[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return out.reshape(h, w, 4).astype(np.int64), w, h, channels
+
+
+class DecodeQoiStage:
+    """Actor-pool stage over QOI payloads → exact-integer stats:
+    ``rgba_sum`` certifies every decoded channel, ``wsum`` (position-
+    weighted) certifies op-stream ordering (a run emitted one pixel short
+    or an index cache slot off changes it)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, chs, sums, wsums = [], [], [], [], [], []
+        for did, p in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            img, w, h, ch = decode_qoi(p.as_py())
+            ids.append(int(did))
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            sums.append(int(img.sum()))
+            pix = img.sum(axis=2).reshape(-1)
+            weight = np.arange(1, h * w + 1, dtype=np.int64)
+            wsums.append(int((pix * weight).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "px_w": pa.array(ws, type=pa.int64()),
+                "px_h": pa.array(hs, type=pa.int64()),
+                "channels": pa.array(chs, type=pa.int64()),
+                "rgba_sum": pa.array(sums, type=pa.int64()),
+                "wsum": pa.array(wsums, type=pa.int64()),
+            }
+        )
+
+
+def synthesize_qoi_corpus(ds, *, id_col: str = "doc_id"):
+    """Deterministic QOI payload per doc, pixel arithmetic chosen so the
+    encoder emits EVERY op across the corpus: 5-pixel constant segments
+    (RUN), +1-step segments (DIFF), green-anchored +8/+9/+9 segments
+    (LUMA), a 2-segment color cycle (INDEX re-hits), big jumps at segment
+    boundaries (RGB), and per-segment alpha on odd docs (RGBA, 4-channel).
+    The SQL twin replays the closed-form pixel arithmetic without
+    parsing, so a decode divergence anywhere in the op stream breaks the
+    hash."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        payloads = []
+        for did in ids:
+            did = int(did)
+            w, h = 4 + did % 3, 3 + did % 2
+            i = np.arange(w * h, dtype=np.int64)
+            seg, j = i // 5, i % 5
+            mode = seg % 3
+            r = (did * 7 + (seg % 2) * 37
+                 + np.where(mode == 1, j, np.where(mode == 2, 8 * j, 0))) % 256
+            g = (did * 3 + (seg % 2) * 61 + np.where(mode == 2, 9 * j, 0)) % 256
+            b = (did * 13 + (seg % 2) * 29
+                 + np.where(mode == 1, j, np.where(mode == 2, 9 * j, 0))) % 256
+            ch = 3 if did % 2 == 0 else 4
+            a = (np.full_like(i, 255) if ch == 3
+                 else 128 + (did + seg * 17) % 128)
+            px = np.stack([r, g, b, a], axis=1).astype(np.uint8).reshape(h, w, 4)
+            payloads.append(encode_qoi(px, channels=ch))
+        return pa.table(
+            {
+                "doc_id": pa.array([int(x) for x in ids], type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(gen, batch_format="pyarrow")

@@ -1881,6 +1881,79 @@ def test_decode_bmp_grammar():
         decode_bmp(bmp(1, 1, 32, bytes(4)))
 
 
+def test_decode_qoi_spec_vectors():
+    """QOI wire format pinned with hand-derived spec byte vectors — the
+    guard against symmetric encoder/decoder bugs (both sides are ours) —
+    plus an encode→decode roundtrip asserting EVERY op appears in the
+    synthesized corpus stream."""
+    import struct
+
+    import pytest as _pytest
+
+    from search_engine_framework_ray.stages.multimodal import decode_qoi, encode_qoi
+
+    def qoi(w, h, ch, body):
+        return (b"qoif" + struct.pack(">IIBB", w, h, ch, 0) + body
+                + b"\x00" * 7 + b"\x01")
+
+    img, w, h, ch = decode_qoi(qoi(1, 1, 3, bytes((0xFE, 255, 0, 0))))
+    assert img[0, 0].tolist() == [255, 0, 0, 255] and (w, h, ch) == (1, 1, 3)
+    # DIFF from implicit (0,0,0,255): dr=+1, dg=0, db=-2
+    img, *_ = decode_qoi(qoi(1, 1, 3, bytes([0x40 | (3 << 4) | (2 << 2) | 0])))
+    assert img[0, 0].tolist() == [1, 0, 254, 255]
+    # LUMA: dg=+10, dr-dg=-3, db-dg=+2
+    img, *_ = decode_qoi(qoi(1, 1, 3, bytes([0x80 | 42, ((-3 + 8) << 4) | (2 + 8)])))
+    assert img[0, 0].tolist() == [7, 10, 12, 255]
+    # RUN of 3 from the implicit previous pixel
+    img, *_ = decode_qoi(qoi(3, 1, 3, bytes([0xC0 | 2])))
+    assert img.reshape(-1, 4).tolist() == [[0, 0, 0, 255]] * 3
+    # INDEX back to a cached color: hash(255,0,0,255) slot
+    ih = (255 * 3 + 255 * 11) % 64
+    img, *_ = decode_qoi(qoi(3, 1, 3, bytes((0xFE, 255, 0, 0, 0xFE, 0, 255, 0, ih))))
+    assert img.reshape(-1, 4).tolist() == [
+        [255, 0, 0, 255], [0, 255, 0, 255], [255, 0, 0, 255]]
+    img, _, _, ch = decode_qoi(qoi(1, 1, 4, bytes((0xFF, 1, 2, 3, 4))))
+    assert img[0, 0].tolist() == [1, 2, 3, 4] and ch == 4
+    with _pytest.raises(ValueError, match="not a QOI"):
+        decode_qoi(b"BM whatever")
+    with _pytest.raises(ValueError, match="truncated QOI"):
+        decode_qoi(b"qoif" + struct.pack(">IIBB", 9, 9, 3, 0) + b"\x00" * 8)
+
+    # roundtrip + full op vocabulary over a crafted raster
+    rng = np.random.default_rng(5)
+    px = np.zeros((6, 8, 4), dtype=np.uint8)
+    px[..., 3] = 255
+    px[0, :] = (10, 20, 30, 255)                      # RUN
+    px[1, :, 0] = 10 + np.arange(8)                   # DIFF ramp
+    px[2, :, 0] = 8 * np.arange(8)                    # LUMA ramp:
+    px[2, :, 1] = 40 + 9 * np.arange(8)               #   dg=+9, dr-dg=-1,
+    px[2, :, 2] = 9 * np.arange(8)                    #   db-dg=0
+    px[3, 0::2] = (100, 0, 0, 255)                    # alternation forces
+    px[3, 1::2] = (0, 100, 0, 255)                    #   INDEX cache hits
+    px[4, :, :3] = rng.integers(0, 256, (8, 3), dtype=np.uint8)  # RGB noise
+    px[5, :] = (0, 0, 200, 77)                        # alpha jump → RGBA + RUN
+    enc = encode_qoi(px, channels=4)
+    dec, w, h, ch = decode_qoi(enc)
+    assert (dec == px.astype(np.int64)).all() and (w, h, ch) == (8, 6, 4)
+    ops = set()
+    pos, body = 14, enc[:-8]
+    while pos < len(body):
+        op = body[pos]
+        if op == 0xFE:
+            ops.add("rgb"); pos += 4
+        elif op == 0xFF:
+            ops.add("rgba"); pos += 5
+        elif op >> 6 == 0:
+            ops.add("index"); pos += 1
+        elif op >> 6 == 1:
+            ops.add("diff"); pos += 1
+        elif op >> 6 == 2:
+            ops.add("luma"); pos += 2
+        else:
+            ops.add("run"); pos += 1
+    assert {"run", "diff", "luma", "index"} <= ops, ops
+
+
 def test_decode_wav_pcm_grammar():
     """Real RIFF/WAVE parser: chunk walking past junk chunks, 8- and
     16-bit PCM, word alignment, non-PCM rejection."""
