@@ -1226,8 +1226,15 @@ def q_letor_from_clicks(sf_dir: str):
         ),
         iters=2,
     )
-    al = alpha_ds.to_pandas()
-    al = al[al["qid"] == 0].sort_values("doc_id")
+    # one training query's labels leave the cluster — the α table itself
+    # (corpus-scale on a real log) stays distributed
+    al = (
+        alpha_ds.map_batches(
+            lambda b: b[b["qid"] == 0], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
 
     ids = sorted(
         int(x)
