@@ -107,6 +107,9 @@ def run_bench() -> dict:
         "compact_index": 0.31,
         "impact_index_build": 2.0,
         "dedup_minhash_distlabel": 24.0,
+        # round-5 stage: 1M-impression bucketed EM + alpha emit + IPS —
+        # log-size-driven (synthetic), ~1.6 s even at 8 cpus/sf0.01
+        "click_pbm_ips_1m": 1.6,
     }
     # the reference table was measured at the default config; a different
     # sf/cpu count changes the expected values, so disable the comparison
@@ -457,6 +460,25 @@ def run_bench() -> dict:
                 concurrency=min(8, ncpu), driver_label_max_pairs=0,
             ).count(),
         )
+
+        # ---- click family, co-partitioned path (round-5 scale-safe fit:
+        # alpha never on the driver; 1M synthetic impressions, the bucketed
+        # EM + the Dataset-shaped alpha emit both under the timer) ----
+        from search_engine_framework_ray.stages.clicks import (
+            ips_ctr,
+            pbm_fit,
+            synth_impressions,
+        )
+
+        def run_click_fit() -> None:
+            imps = synth_impressions(
+                n_docs, sessions=100_000, ranks=10, n_queries=2_000
+            ).materialize()
+            theta, alpha_ds = pbm_fit(imps, iters=2, buckets=32)
+            alpha_ds.count()
+            ips_ctr(imps, theta, buckets=32).count()
+
+        timeit("click_pbm_ips_1m", run_click_fit)
 
     out = {
         "metric": (
