@@ -108,8 +108,8 @@ def run_bench() -> dict:
         "impact_index_build": 2.0,
         "dedup_minhash_distlabel": 24.0,
         # round-5 stage: 1M-impression bucketed EM + alpha emit + IPS —
-        # log-size-driven (synthetic), ~1.6 s even at 8 cpus/sf0.01
-        "click_pbm_ips_1m": 1.6,
+        # log-size-driven (synthetic); sf0.1/32cpu steady 2.5 s
+        "click_pbm_ips_1m": 2.5,
     }
     # the reference table was measured at the default config; a different
     # sf/cpu count changes the expected values, so disable the comparison
