@@ -7546,7 +7546,33 @@ def entry() -> Any:
     return pd.DataFrame(rows)
 
 
+def _gc_after(fn: "Callable[[str], Any]") -> "Callable[[str], Any]":
+    """Collect reference cycles after each entry runs: the streaming
+    executor's cyclic structures can keep finished actor-pool handles
+    alive, and on a small shared Ray session a few lingering MapWorker
+    actors pin enough CPUs to starve the NEXT entry's pool (observed as a
+    live deadlock in the test suite's 4-cpu session; tests/conftest.py
+    carries the same guard). The driver samples dozens of entries
+    sequentially in one session — same exposure, same cure."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        import gc
+
+        try:
+            return fn(sf_dir)
+        finally:
+            gc.collect()
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    return {name: _gc_after(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": q_bm25_topk,
         "pl2_topk": q_pl2_topk,
