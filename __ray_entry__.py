@@ -1131,6 +1131,22 @@ def q_svmlight_roundtrip(sf_dir: str):
     return out.sort_values("extid").reset_index(drop=True)
 
 
+def _letor_write_score_fixtures(base: str, ids: list[int]) -> tuple[str, str]:
+    """Write the deterministic pagerank/spam score files BOTH letor-rerank
+    entries feed through the reference-format readers (one writer — the
+    two entries must never desynchronize these shared inputs). Returns
+    (pagerank_path, spam_path)."""
+    pr_path = os.path.join(base, "fixture_pagerank_all.tsv")
+    spam_path = os.path.join(base, "fixture_spam_all.tsv")
+    with open(pr_path, "w") as fh:
+        for d in ids:
+            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
+    with open(spam_path, "w") as fh:
+        for d in ids:
+            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
+    return pr_path, spam_path
+
+
 def q_letor_rerank(sf_dir: str):
     """Full LeToR train→rerank flow (QryEval.java:239-258) over the derived
     four-field index: a qrels fixture (``qid 0 extid rel`` lines, read by the
@@ -1158,15 +1174,8 @@ def q_letor_rerank(sf_dir: str):
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )["doc_id"].to_pylist()
     )
-    pr_path = os.path.join(base, "fixture_pagerank_all.tsv")
-    spam_path = os.path.join(base, "fixture_spam_all.tsv")
+    pr_path, spam_path = _letor_write_score_fixtures(base, ids)
     qrels_path = os.path.join(base, "fixture_qrels.txt")
-    with open(pr_path, "w") as fh:
-        for d in ids:
-            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
-    with open(spam_path, "w") as fh:
-        for d in ids:
-            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
     with open(qrels_path, "w") as fh:
         for d in ids:
             if d % _LETOR_QREL_MOD == 0:
@@ -1242,15 +1251,8 @@ def q_letor_from_clicks(sf_dir: str):
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )["doc_id"].to_pylist()
     )
-    pr_path = os.path.join(base, "fixture_pagerank_all.tsv")
-    spam_path = os.path.join(base, "fixture_spam_all.tsv")
+    pr_path, spam_path = _letor_write_score_fixtures(base, ids)
     qrels_path = os.path.join(base, "fixture_qrels_clicks.txt")
-    with open(pr_path, "w") as fh:
-        for d in ids:
-            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
-    with open(spam_path, "w") as fh:
-        for d in ids:
-            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
     with open(qrels_path, "w") as fh:
         for d, a in zip(al["doc_id"], al["alpha_micros"]):
             g = 2 if a >= _CLICK_GRADE2 else 1 if a >= _CLICK_GRADE1 else 0
@@ -1334,15 +1336,8 @@ def q_letor_rerank_svmrank(sf_dir: str):
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
         )["doc_id"].to_pylist()
     )
-    pr_path = os.path.join(base, "fixture_pagerank_all.tsv")
-    spam_path = os.path.join(base, "fixture_spam_all.tsv")
+    pr_path, spam_path = _letor_write_score_fixtures(base, ids)
     qrels_path = os.path.join(base, "fixture_qrels.txt")
-    with open(pr_path, "w") as fh:
-        for d in ids:
-            fh.write(f"doc{d:010d}\t{1.0 / (1 + d % 17)!r}\n")
-    with open(spam_path, "w") as fh:
-        for d in ids:
-            fh.write(f"doc{d:010d}\t{float((d * 37) % 101)!r}\n")
     with open(qrels_path, "w") as fh:
         for d in ids:
             if d % _LETOR_QREL_MOD == 0:
@@ -2605,9 +2600,13 @@ def q_crawl_cycle(sf_dir: str):
             d = b["doc_id"].astype("int64")
             b = b[d % 10 != drop_mod].copy()
             d = b["doc_id"].astype("int64")
+            # fillna on BOTH crawls so the exact-dedup hkey hashes ''
+            # exactly like the twin's coalesce(text, '') — without this a
+            # null-text archive doc would hash as the literal 'nan'
+            b["text"] = b["text"].fillna("")
             if suffix_mod is not None:
                 mod = (d % 10 == suffix_mod).to_numpy()
-                t = b["text"].fillna("").to_numpy(object)
+                t = b["text"].to_numpy(object)
                 t[mod] = t[mod] + " v2"
                 b["text"] = t
             b["url"] = "https://ex.com/p/" + d.astype(str)

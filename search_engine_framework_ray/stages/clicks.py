@@ -310,7 +310,6 @@ def ips_ctr(
     driver; only θ (≤ ranks ints) is broadcast. Returns a lazy Dataset
     ``(qid, doc_id, naive_micros, ips_micros, ips_clip_micros)``."""
     th = dict(theta)
-    wlut: dict[int, int] = {}
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         r = b["rank"].to_numpy(np.int64)

@@ -678,14 +678,21 @@ def decode_qoi(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     pos, i = 14, 0
     end = len(payload) - 8
     while i < n:
-        if pos > end:
+        # the op byte AND its operands must sit strictly before the end
+        # marker — a one-op-short stream must raise, never read marker
+        # bytes as ops (the off-by-one a review repro caught)
+        if pos >= end:
             raise ValueError("truncated QOI stream")
         op = payload[pos]
         pos += 1
         if op == 0xFE:  # RGB
+            if pos + 3 > end:
+                raise ValueError("truncated QOI stream")
             r, g, b = payload[pos], payload[pos + 1], payload[pos + 2]
             pos += 3
         elif op == 0xFF:  # RGBA
+            if pos + 4 > end:
+                raise ValueError("truncated QOI stream")
             r, g, b, a = (
                 payload[pos], payload[pos + 1], payload[pos + 2],
                 payload[pos + 3],
@@ -699,6 +706,8 @@ def decode_qoi(payload: bytes) -> tuple[np.ndarray, int, int, int]:
             b = (b + (op & 3) - 2) % 256
         elif op >> 6 == 2:  # LUMA
             dg = (op & 0x3F) - 32
+            if pos + 1 > end:
+                raise ValueError("truncated QOI stream")
             b2 = payload[pos]
             pos += 1
             r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256

@@ -1918,6 +1918,13 @@ def test_decode_qoi_spec_vectors():
         decode_qoi(b"BM whatever")
     with _pytest.raises(ValueError, match="truncated QOI"):
         decode_qoi(b"qoif" + struct.pack(">IIBB", 9, 9, 3, 0) + b"\x00" * 8)
+    # one-op-short stream must raise, never read end-marker bytes as ops
+    # (review repro: 2-pixel image, only one RGB op before the marker)
+    with _pytest.raises(ValueError, match="truncated QOI"):
+        decode_qoi(qoi(2, 1, 3, bytes((0xFE, 9, 8, 7))))
+    # op byte present but operands truncated into the marker
+    with _pytest.raises(ValueError, match="truncated QOI"):
+        decode_qoi(qoi(1, 1, 3, bytes((0xFE, 9))[:1]))
 
     # roundtrip + full op vocabulary over a crafted raster
     rng = np.random.default_rng(5)
